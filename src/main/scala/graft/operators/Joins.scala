@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Star-schema joins (SURVEY.md §2.3). The reference has no standalone join
+  * query (its only join is inside MERGE, README.md:963–967) — these are the
+  * labeled J2 extensions over the driver's TPC-H-ish testdata.
+  *
+  * Scale design: fact tables (`lineitem`, `orders`) are the big sides and
+  * are NEVER broadcast; dimensions (`customer`, `nation`, `region`) are
+  * broadcast explicitly so the fact table is joined without any shuffle.
+  * At 100 TB, each plan is one scan of the fact + map-side hash joins +
+  * one shuffle for the final aggregate — the minimum possible.
+  */
+object Joins {
+
+  /** Five-way star join: revenue per region × nation.
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. `orders` is fact-sized
+    * so lineitem⋈orders is a shuffle join (AQE picks the strategy); the
+    * three dimension joins are broadcast. */
+  private val joinRevenueByNation = QueryDef(
+    "join_revenue_by_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = broadcast(Tables.customer(s, dir))
+      val n  = broadcast(Tables.nation(s, dir))
+      val r  = broadcast(Tables.region(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.dsumR(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 4)
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+             ${Exact.sqlSum("round(l_extendedprice * (1 - l_discount), 4)", 4)} AS revenue
+             FROM lineitem
+             JOIN orders   ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation   ON c_nationkey = n_nationkey
+             JOIN region   ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+  )
+
+  /** Top-10 customers by lifetime spend: fact⋈dim with broadcast dim, then
+    * top-k (TakeOrderedAndProject — no global sort). Revenue is an exact
+    * decimal sum, so the DESC ordering can't be flipped by float noise. */
+  private val joinTopCustomers = QueryDef(
+    "join_top_customers",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          Exact.dsumR(col("o_totalprice")).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT c_custkey, c_name, ${Exact.sqlSum("o_totalprice")} AS total_spent,
+             CAST(count(*) AS BIGINT) AS n_orders
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_custkey, c_name
+             ORDER BY total_spent DESC, c_custkey LIMIT 10"""),
+  )
+
+  /** Anti join: orders with no lineitems (NOT EXISTS). Spark plans a
+    * broadcast/shuffled hash anti-join — no NOT IN materialization. */
+  private val joinOrdersNoLineitem = QueryDef(
+    "join_orders_no_lineitem",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"""),
+  )
+
+  /** Semi join: customers that placed at least one high-value order. */
+  private val joinSemiBigSpenders = QueryDef(
+    "join_semi_big_spenders",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey"""),
+  )
+
+  /** Two-dim rollup: market segment × order priority (customer⋈orders). */
+  private val joinSegmentPriority = QueryDef(
+    "join_segment_priority",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), Exact.dsumR(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    },
+    Some(s"""SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             ${Exact.sqlSum("o_totalprice")} AS total
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority"""),
+  )
+
+  /** TPC-H Q1-shaped pricing summary on lineitem — the canonical columnar
+    * scan+agg benchmark (the reference's "complex aggregation" pedagogy,
+    * README.md:798–818, at fact-table scale). */
+  private val pricingSummary = QueryDef(
+    "pricing_summary",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsumR(col("l_quantity")).as("sum_qty"),
+          Exact.dsumR(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsumR(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 4)
+            .as("sum_disc_price"),
+          Exact.davgR(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+             ${Exact.sqlSum("l_quantity")} AS sum_qty,
+             ${Exact.sqlSum("l_extendedprice")} AS sum_base_price,
+             ${Exact.sqlSum("round(l_extendedprice * (1 - l_discount), 4)", 4)} AS sum_disc_price,
+             ${Exact.sqlAvg("l_quantity")} AS avg_qty,
+             CAST(count(*) AS BIGINT) AS count_order
+             FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    joinRevenueByNation, joinTopCustomers, joinOrdersNoLineitem,
+    joinSemiBigSpenders, joinSegmentPriority, pricingSummary,
+  )
+}

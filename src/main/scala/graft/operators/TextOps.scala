@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (SURVEY.md §2.12 —
+  * driver-mandated extensions, not reference-derived).
+  *
+  * Scale design: every per-document op is a narrow map (no shuffle);
+  * dedup-style ops shuffle once on the dedup key. The only quadratic
+  * candidate-pair generation (jaccard_pairs) is bounded to a fixed-size
+  * probe set — the unbounded-scale path is MinHash/LSH (minhash_dedup),
+  * which is linear in corpus size with banding controlling recall.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** X1 exact dedup: canonical doc per distinct text = min(doc_id), with
+    * multiplicity. One hash shuffle on the text key. At 100 TB you'd key on
+    * xxhash64(text) instead of the full text to shrink shuffle width —
+    * semantics identical (collision odds ~0); here the text IS the key so
+    * the oracle can express it. */
+  private val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "text", "n_copies")
+        .orderBy("doc_id"),
+    Some("""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+            CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id"""),
+  )
+
+  /** X4 corpus stats per language: volume + mean length. */
+  private val textStats = QueryDef(
+    "text_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang"),
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+            round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*), 2) AS avg_chars,
+            CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang"""),
+  )
+
+  /** Token counting (whitespace tokenizer): total + distinct tokens per doc.
+    * Narrow map over the corpus — embarrassingly parallel. */
+  private val tokenCounts = QueryDef(
+    "token_counts",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Quality scoring: uniq-token ratio + mean token length + a quality tier —
+    * the usual cheap pre-training filters. Integer-derived doubles, so the
+    * ratios are bit-identical in both engines. */
+  private val docQuality = QueryDef(
+    "doc_quality",
+    (s, dir) => {
+      val toks  = split(col("text"), " ")
+      val nTok  = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val ratio = nUniq.cast("double") / nTok.cast("double")
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(ratio, 4).as("uniq_ratio"),
+          round((col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double"), 4)
+            .as("avg_token_len"),
+          when(ratio < 0.5, "low").when(ratio < 0.8, "mid").otherwise("high")
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS uniq_ratio,
+                   round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+                   CASE WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5 THEN 'low'
+                        WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.8 THEN 'mid'
+                        ELSE 'high' END AS quality
+            FROM t ORDER BY doc_id"""),
+  )
+
+  /** Language-ID heuristic: stopword-marker voting (the classic n-gram/
+    * stopword approach, collapsed to a deterministic rule both engines can
+    * evaluate). The fixture vocabulary is synthetic, so this demonstrates
+    * the operator shape — marker hits → argmax — not linguistic accuracy. */
+  private val langIdHeuristic = QueryDef(
+    "lang_id_heuristic",
+    (s, dir) => {
+      val toks = array_distinct(split(col("text"), " "))
+      val hitEn = array_contains(toks, "the").cast("int") + array_contains(toks, "and").cast("int")
+      val hitFn = array_contains(toks, "scan").cast("int") + array_contains(toks, "merge").cast("int")
+      docs(s, dir)
+        .select(
+          col("doc_id"), col("lang"),
+          when(hitEn > hitFn, "en").when(hitFn > hitEn, "fn").otherwise("und")
+            .as("lang_guess"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(list_contains(list_distinct(string_split(text, ' ')), 'the') AS INT)
+                   + CAST(list_contains(list_distinct(string_split(text, ' ')), 'and') AS INT) AS hit_en,
+                     CAST(list_contains(list_distinct(string_split(text, ' ')), 'scan') AS INT)
+                   + CAST(list_contains(list_distinct(string_split(text, ' ')), 'merge') AS INT) AS hit_fn
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN hit_en > hit_fn THEN 'en'
+                        WHEN hit_fn > hit_en THEN 'fn' ELSE 'und' END AS lang_guess
+            FROM t ORDER BY doc_id"""),
+  )
+
+  /** Rolling-hash document fingerprint (polynomial hash over characters,
+    * mod 2^61-1 avoided in favor of plain 64-bit wrap so both engines agree).
+    * Exact-duplicate detection on a fixed-width key — this is the shuffle
+    * key you'd dedup on at 100 TB instead of the full text. */
+  private val docFingerprint = QueryDef(
+    "doc_fingerprint",
+    (s, dir) => {
+      // fold(chars, h = 0; h = h*31 + code) with Long wraparound — identical
+      // two's-complement semantics in Spark and DuckDB BIGINT arithmetic is
+      // NOT guaranteed (DuckDB errors on overflow), so stay in a safe range:
+      // h = (h*31 + code) % 1e15 keeps every intermediate < 9.2e18.
+      val fp = expr(
+        """aggregate(transform(split(text, ''), ch -> ascii(ch)),
+                     0L, (h, c) -> (h * 31 + c) % 1000000000000000)""")
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                        (h, c) -> (h * 31 + c) % 1000000000000000) AS fingerprint
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  /** X2 n-gram Jaccard near-dup pairs: distinct-token Jaccard ≥ 0.7 among a
+    * bounded probe set (doc_id < 300). Exact quadratic verification is the
+    * oracle-able baseline; minhash_dedup below is the linear-scale path. */
+  private val jaccardPairs = QueryDef(
+    "jaccard_pairs",
+    (s, dir) => {
+      val sub = docs(s, dir).filter(col("doc_id") < 300)
+      val tok = sub.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = tok.as("a")
+        .join(tok.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") /
+        (col("sa.n") + col("sb.n") - col("i")).cast("double")
+      inter
+        .join(sz.as("sa"), col("id1") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("id2") === col("sb.doc_id"))
+        .filter(j >= 0.7)
+        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+                   round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id1
+            JOIN sz sb ON sb.doc_id = id2
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
+            ORDER BY id1, id2"""),
+  )
+
+  /** X2 MinHash+LSH near-dup detection — the linear-scale fuzzy dedup:
+    * 3-token shingles → k=24 minhash permutations (xxhash64 seeds) → 6 bands
+    * of 4 → band-bucket self-join yields candidates → exact shingle-Jaccard
+    * verifies ≥ 0.5. No DuckDB oracle (hash functions are engine-specific);
+    * correctness is covered by MinHashSpec on planted near-duplicates, and
+    * the driver records a rows-only check.
+    *
+    * Scale: candidates come from equality self-join on (band, bandHash) —
+    * one shuffle keyed on the bucket; no quadratic blow-up unless buckets
+    * collide, which banding parameters control. */
+  private val minhashDedup = QueryDef(
+    "minhash_dedup",
+    (s, dir) => minhashPairs(docs(s, dir), bands = 6, rowsPerBand = 4, threshold = 0.5),
+    None,
+  )
+
+  /** Shared MinHash pipeline (also used by MinHashSpec). */
+  def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val shingled = d.select(
+      col("doc_id"),
+      expr("""transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+                        i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))""")
+        .as("shingles"))
+    val sigCols = (0 until k).map(i =>
+      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, ${i}L)))").as(s"h$i"))
+    val sig = shingled.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(
+        col("doc_id"), col("shingles"),
+        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
+    docFingerprint, jaccardPairs, minhashDedup,
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH near-dup detection on planted duplicates — covers the
+  * non-oracled fuzzy-dedup path (SURVEY.md §2.12 X2).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // 1-word edit → high jaccard
+    val far  = "completely different words about spark shuffle partitions and codegen stages"
+    val docs = Seq(
+      (0L, base), (1L, near), (2L, far),
+      (3L, "another unrelated document mentioning parquet row groups and column chunks"),
+    ).toDF("doc_id", "text")
+
+    val pairs = TextOps.minhashPairs(docs, bands = 6, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)), s"expected (0,1) in $ids")
+    assert(!ids.exists { case (a, b) => a == 2L || b == 2L }, s"false positive: $ids")
+  }
+
+  test("minhash jaccard estimate is exact-shingle jaccard") {
+    val docs = Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g x")).toDF("doc_id", "text")
+    val got = TextOps.minhashPairs(docs, 6, 4, 0.1).collect()
+    // 6 shingles each, 5 shared → 5/7
+    if (got.nonEmpty) assert(math.abs(got.head.getDouble(2) - 5.0 / 7.0) < 1e-3)
+  }
+}
