@@ -1,0 +1,185 @@
+package graft.icelite
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** IceLite table metadata model (SURVEY.md §7.3).
+  *
+  * A from-scratch Spark-native mini-lakehouse in the shape the reference
+  * tutorial teaches for Apache Iceberg (/root/reference/README.md:830–1029):
+  * immutable parquet data files + a JSON metadata log of snapshots, with
+  * field-id-based schemas (rename/add are metadata-only), partition specs
+  * with transforms, snapshot isolation, and time travel. Metadata is
+  * deliberately file-granular: each snapshot carries its full file manifest,
+  * so reads resolve a snapshot without touching the filesystem beyond one
+  * JSON file. At true 100 TB scale the manifest list would itself be
+  * chunked parquet (Iceberg's manifest files); the protocol here is the
+  * same, minus that one indirection.
+  *
+  * Columns are stored in parquet under physical names `f<fieldId>` — the
+  * moral equivalent of Iceberg's parquet field-id metadata
+  * (README.md:976–992 schema evolution promises). Rename = metadata map
+  * change; no data file is ever rewritten for DDL.
+  */
+final case class Field(id: Int, name: String, dtype: String, defaultSql: Option[String]) {
+  def physName: String = s"f$id"
+}
+
+final case class TableSchema(schemaId: Int, fields: Seq[Field]) {
+  def fieldByName(n: String): Field =
+    fields.find(_.name == n).getOrElse(sys.error(s"no field $n in schema $schemaId"))
+  def hasId(id: Int): Boolean = fields.exists(_.id == id)
+  def byId(id: Int): Field = fields.find(_.id == id).get
+}
+
+/** transform ∈ identity | year | month | day | bucket[N] (README.md:991). */
+final case class SpecField(sourceId: Int, transform: String, name: String)
+final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
+
+final case class DataFile(
+    path: String, rows: Long, schemaId: Int, specId: Int,
+    partition: Map[String, String])
+
+/** Positional delete file: parquet of (file_path STRING, pos BIGINT)
+  * pairs — the V3 deletion-vector mechanism (README.md:1105–1121). */
+final case class DeleteFile(path: String, rows: Long)
+
+final case class Snapshot(
+    id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
+    dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]) {
+  def totalRows: Long = dataFiles.map(_.rows).sum
+}
+
+final case class MetadataLogEntry(version: Int, timestampMs: Long, note: String)
+
+final case class TableMetadata(
+    location: String,
+    lastFieldId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[TableSchema],
+    defaultSpecId: Int,
+    specs: Seq[PartitionSpec],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    metadataLog: Seq[MetadataLogEntry]) {
+
+  def currentSchema: TableSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def schema(id: Int): TableSchema = schemas.find(_.schemaId == id).get
+  def spec(id: Int): PartitionSpec = specs.find(_.specId == id).get
+  def defaultSpec: PartitionSpec = spec(defaultSpecId)
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(i => snapshots.find(_.id == i))
+  def snapshot(id: Long): Snapshot =
+    snapshots.find(_.id == id).getOrElse(sys.error(s"no snapshot $id"))
+}
+
+/** Hand-rolled Jackson serde — explicit tree building, no reflection, so the
+  * on-disk format is fully pinned by this file. */
+object MetaJson {
+  private val M = new ObjectMapper()
+
+  def toJson(m: TableMetadata): String = {
+    val root = M.createObjectNode()
+    root.put("formatVersion", 1)
+    root.put("location", m.location)
+    root.put("lastFieldId", m.lastFieldId)
+    root.put("currentSchemaId", m.currentSchemaId)
+    val schemas = root.putArray("schemas")
+    m.schemas.foreach { s =>
+      val sn = schemas.addObject()
+      sn.put("schemaId", s.schemaId)
+      val fs = sn.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("id", f.id); fn.put("name", f.name); fn.put("type", f.dtype)
+        f.defaultSql.foreach(d => fn.put("default", d))
+      }
+    }
+    root.put("defaultSpecId", m.defaultSpecId)
+    val specs = root.putArray("specs")
+    m.specs.foreach { sp =>
+      val n = specs.addObject()
+      n.put("specId", sp.specId)
+      val fs = n.putArray("fields")
+      sp.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("sourceId", f.sourceId); fn.put("transform", f.transform); fn.put("name", f.name)
+      }
+    }
+    val props = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(root.put("currentSnapshotId", _))
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("id", s.id)
+      s.parentId.foreach(n.put("parentId", _))
+      n.put("timestampMs", s.timestampMs)
+      n.put("operation", s.operation)
+      val dfs = n.putArray("dataFiles")
+      s.dataFiles.foreach { f =>
+        val fn = dfs.addObject()
+        fn.put("path", f.path); fn.put("rows", f.rows)
+        fn.put("schemaId", f.schemaId); fn.put("specId", f.specId)
+        val pn = fn.putObject("partition")
+        f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+      }
+      val dels = n.putArray("deleteFiles")
+      s.deleteFiles.foreach { f =>
+        val fn = dels.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
+      }
+    }
+    val log = root.putArray("metadataLog")
+    m.metadataLog.foreach { e =>
+      val n = log.addObject()
+      n.put("version", e.version); n.put("timestampMs", e.timestampMs); n.put("note", e.note)
+    }
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(s: String): TableMetadata = {
+    val r = M.readTree(s)
+    def arr(n: JsonNode, k: String): Seq[JsonNode] =
+      Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Seq())
+    def strMap(n: JsonNode, k: String): Map[String, String] =
+      Option(n.get(k)).map(o => o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map())
+    TableMetadata(
+      location = r.get("location").asText(),
+      lastFieldId = r.get("lastFieldId").asInt(),
+      currentSchemaId = r.get("currentSchemaId").asInt(),
+      schemas = arr(r, "schemas").map { sn =>
+        TableSchema(
+          sn.get("schemaId").asInt(),
+          arr(sn, "fields").map(fn => Field(
+            fn.get("id").asInt(), fn.get("name").asText(), fn.get("type").asText(),
+            Option(fn.get("default")).map(_.asText()))))
+      },
+      defaultSpecId = r.get("defaultSpecId").asInt(),
+      specs = arr(r, "specs").map { n =>
+        PartitionSpec(
+          n.get("specId").asInt(),
+          arr(n, "fields").map(fn => SpecField(
+            fn.get("sourceId").asInt(), fn.get("transform").asText(), fn.get("name").asText())))
+      },
+      properties = strMap(r, "properties"),
+      currentSnapshotId = Option(r.get("currentSnapshotId")).map(_.asLong()),
+      snapshots = arr(r, "snapshots").map { n =>
+        Snapshot(
+          n.get("id").asLong(),
+          Option(n.get("parentId")).map(_.asLong()),
+          n.get("timestampMs").asLong(),
+          n.get("operation").asText(),
+          arr(n, "dataFiles").map(fn => DataFile(
+            fn.get("path").asText(), fn.get("rows").asLong(),
+            fn.get("schemaId").asInt(), fn.get("specId").asInt(),
+            strMap(fn, "partition"))),
+          arr(n, "deleteFiles").map(fn => DeleteFile(
+            fn.get("path").asText(), fn.get("rows").asLong())))
+      },
+      metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(
+        n.get("version").asInt(), n.get("timestampMs").asLong(), n.get("note").asText())),
+    )
+  }
+}

@@ -1,8 +1,322 @@
 package graft.operators
 
-import graft.QueryDef
+import java.nio.file.Files
 
-/** IceLite lakehouse operators (SURVEY.md §2.8) — filled in Phase 3. */
+import graft.{QueryDef, Tables}
+import graft.icelite.{Catalog, IceLite, IceLiteTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IceLite lakehouse operators (SURVEY.md §2.8 M1–M18). Each query builds a
+  * scratch IceLite table from the `orders` testdata, applies the table
+  * operation under test, and returns the resulting TABLE STATE — which the
+  * driver's DuckDB oracle recomputes directly from the raw parquet. That
+  * makes ACID machinery (snapshots, CoW/MoR DML, schema evolution, time
+  * travel) hash-checkable even though the operations themselves aren't SQL.
+  *
+  * Ops whose effects are filesystem-shaped (expire file deletion, orphan
+  * listing, partition pruning I/O) are asserted in IceLiteSpec instead.
+  */
 object LakehouseOps {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Fresh scratch location per invocation (driver may call repeatedly). */
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"icelite_$name").toString + "/t"
+
+  private def orders(s: SparkSession, dir: String): DataFrame = Tables.orders(s, dir)
+
+  /** Canonical deterministic projection of the table state. */
+  private def state(t: IceLiteTable): DataFrame = stateOf(t.read())
+  private def stateOf(df: DataFrame): DataFrame =
+    df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  private val ordersCols =
+    """o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority"""
+
+  private def mkTable(s: SparkSession, dir: String, name: String,
+      partition: Seq[(String, String)] = Seq(),
+      props: Map[String, String] = Map()): IceLiteTable = {
+    val t = IceLite.createFrom(s, scratch(name), orders(s, dir), partition, props)
+    t.append(orders(s, dir))
+    t
+  }
+
+  /** M1+M2+read: CREATE TABLE + INSERT + full read-back
+    * (README.md:944–951, 1136–1138). */
+  private val appendRead = QueryDef(
+    "icelite_append_read",
+    (s, dir) => state(mkTable(s, dir, "append")),
+    Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
+  )
+
+  /** M3a UPDATE (README.md:954–956): copy-on-write, constant assignment. */
+  private val updateCow = QueryDef(
+    "icelite_update",
+    (s, dir) => {
+      val t = mkTable(s, dir, "update")
+      t.update(col("o_orderkey") % 100 === 0, Map("o_totalprice" -> lit(1500.0)))
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0 THEN 1500.0 ELSE o_totalprice END AS o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders ORDER BY o_orderkey"""),
+  )
+
+  /** M3b DELETE copy-on-write (README.md:959–960). */
+  private val deleteCow = QueryDef(
+    "icelite_delete_cow",
+    (s, dir) => {
+      val t = mkTable(s, dir, "delcow")
+      t.delete(col("o_orderkey") % 10 === 0)
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey"""),
+  )
+
+  /** M3c+M18 DELETE merge-on-read: deletion vectors via
+    * write.delete.mode=merge-on-read (README.md:1111–1121). */
+  private val deleteMor = QueryDef(
+    "icelite_delete_mor",
+    (s, dir) => {
+      val t = mkTable(s, dir, "delmor",
+        props = Map("write.delete.mode" -> "merge-on-read"))
+      t.delete(col("o_orderkey") % 7 === 0)
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""),
+  )
+
+  /** M4 MERGE INTO (README.md:963–967): updates keys %100=0, inserts
+    * shifted copies of keys %500=0. */
+  private val mergeInto = QueryDef(
+    "icelite_merge",
+    (s, dir) => {
+      val t = mkTable(s, dir, "merge")
+      val o = orders(s, dir)
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", lit(999.99))
+      val inserts = o.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      t.merge(updates.unionByName(inserts), "o_orderkey")
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0 THEN 999.99 ELSE o_totalprice END AS o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders
+             UNION ALL
+             SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+             CAST(o_orderdate AS DATE), o_orderpriority
+             FROM orders WHERE o_orderkey % 500 = 0
+             ORDER BY o_orderkey"""),
+  )
+
+  /** M12 time travel VERSION AS OF (README.md:1007): two appends, read the
+    * first snapshot. */
+  private val timeTravel = QueryDef(
+    "icelite_time_travel",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("tt"), o)
+      t.append(o.filter(col("o_orderkey") < 1000))
+      t.append(o.filter(col("o_orderkey") >= 1000))
+      stateOf(t.readAsOf(1))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+  )
+
+  /** M13 time travel TIMESTAMP AS OF (README.md:1010). */
+  private val timeTravelTs = QueryDef(
+    "icelite_time_travel_ts",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("ttts"), o)
+      t.append(o.filter(col("o_orderkey") < 1000))
+      Thread.sleep(5) // distinct commit timestamps
+      t.append(o.filter(col("o_orderkey") >= 1000))
+      stateOf(t.readAsOfTimestamp(t.meta.snapshot(1).timestampMs))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+  )
+
+  /** M14 rollback_to_snapshot (README.md:1013): current state reverts,
+    * history keeps both snapshots. */
+  private val rollback = QueryDef(
+    "icelite_rollback",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("rb"), o)
+      t.append(o.filter(col("o_orderkey") < 1000))
+      t.append(o.filter(col("o_orderkey") >= 1000))
+      t.rollbackTo(1)
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+  )
+
+  /** M5+M6+M7 schema evolution (README.md:976–979, 1159–1166): add column
+    * with default (old files read it metadata-only), rename via field ids,
+    * then append post-evolution rows with an explicit value. */
+  private val schemaEvolution = QueryDef(
+    "icelite_schema_evolution",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = mkTable(s, dir, "evo")
+      t.addColumn("discount_rate", "DOUBLE", Some("0.05"))
+      t.renameColumn("o_orderpriority", "priority")
+      t.append(
+        o.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+          .withColumn("discount_rate", lit(0.25))
+          .withColumnRenamed("o_orderpriority", "priority"))
+      t.read()
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("priority"), col("discount_rate"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            CAST(o_orderdate AS DATE) AS o_orderdate,
+            o_orderpriority AS priority, 0.05 AS discount_rate
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, o_totalprice,
+            CAST(o_orderdate AS DATE), o_orderpriority, 0.25
+            FROM orders WHERE o_orderkey < 100
+            ORDER BY o_orderkey"""),
+  )
+
+  /** M8 partition evolution (README.md:991–992): first half unpartitioned,
+    * evolve to month(o_orderdate), second half partitioned; one logical
+    * table spans both specs. */
+  private val partitionEvolution = QueryDef(
+    "icelite_partition_evolution",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("pevo"), o)
+      t.append(o.filter(col("o_orderkey") % 2 === 0))
+      t.setPartitionSpec(Seq("o_orderdate" -> "month"))
+      t.append(o.filter(col("o_orderkey") % 2 === 1))
+      state(t)
+    },
+    Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
+  )
+
+  /** M15 compaction (README.md:1022): 16 small files → 2; content identical. */
+  private val compaction = QueryDef(
+    "icelite_compaction",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("compact"), o)
+      t.append(o.filter(col("o_orderkey") % 2 === 0).repartition(8))
+      t.append(o.filter(col("o_orderkey") % 2 === 1).repartition(8))
+      t.compact(2)
+      state(t)
+    },
+    Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
+  )
+
+  /** M16 expire_snapshots (README.md:1025): after expiry the current
+    * snapshot still reads fully (expired-only files are gone from metadata
+    * AND disk — the disk half is asserted in IceLiteSpec). */
+  private val expire = QueryDef(
+    "icelite_expire",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("expire"), o)
+      t.append(o.filter(col("o_orderkey") < 1000))
+      t.delete(col("o_orderkey") < 500) // snapshot 2 rewrites files
+      t.append(o.filter(col("o_orderkey") >= 1000))
+      t.expireSnapshots(System.currentTimeMillis() + 3600000L)
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey >= 500 ORDER BY o_orderkey"""),
+  )
+
+  /** M9 snapshots metadata table (README.md:1004): operations + row counts
+    * (timestamps/file counts excluded — not oracle-deterministic). */
+  private val snapshotsTable = QueryDef(
+    "icelite_snapshots",
+    (s, dir) => {
+      val t = mkTable(s, dir, "snaps")
+      t.delete(col("o_orderkey") % 10 === 0)
+      t.snapshotsDf.select(
+        col("snapshot_id"), col("operation"), col("total_rows"))
+        .orderBy("snapshot_id")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+            CAST(count(*) AS BIGINT) AS total_rows FROM orders
+            UNION ALL
+            SELECT 2, 'delete', count(*) FROM orders WHERE o_orderkey % 10 <> 0
+            ORDER BY snapshot_id"""),
+  )
+
+  /** M11 partitions metadata table (README.md:995) on a month-partitioned
+    * table: per-partition row counts. */
+  private val partitionsTable = QueryDef(
+    "icelite_partitions",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("parts"), o,
+        partition = Seq("o_orderdate" -> "month"))
+      t.append(o)
+      t.partitionsDf.select(col("partition"), col("row_count")).orderBy("partition")
+    },
+    Some("""SELECT 'o_orderdate_month=' || strftime(o_orderdate, '%Y-%m') AS partition,
+            CAST(count(*) AS BIGINT) AS row_count
+            FROM orders GROUP BY 1 ORDER BY partition"""),
+  )
+
+  /** M10 history metadata table (README.md:982) — rows-only (note text and
+    * timestamps are engine-side). */
+  private val historyTable = QueryDef(
+    "icelite_history",
+    (s, dir) => {
+      val t = mkTable(s, dir, "hist")
+      t.renameColumn("o_orderpriority", "prio")
+      t.historyDf.select(col("version"), col("note")).orderBy("version")
+    },
+    None,
+  )
+
+  /** S11 catalog surface (README.md:1042–1068): namespaces → tables. */
+  private val catalogList = QueryDef(
+    "icelite_catalog",
+    (s, dir) => {
+      val wh = scratch("catalog")
+      val cat = new Catalog(s, wh)
+      val o = orders(s, dir).limit(10)
+      cat.createTable("db", "orders_a", Seq("o_orderkey" -> "BIGINT"))
+      cat.createTable("db", "orders_b", Seq("o_orderkey" -> "BIGINT"))
+      cat.createTable("analytics", "events_t", Seq("event_id" -> "BIGINT"))
+      cat.tablesDf.select(col("namespace"), col("table").as("table_name"))
+        .orderBy("namespace", "table_name")
+    },
+    Some("""SELECT 'analytics' AS namespace, 'events_t' AS table_name
+            UNION ALL SELECT 'db', 'orders_a'
+            UNION ALL SELECT 'db', 'orders_b'
+            ORDER BY namespace, table_name"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
+    timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
+    expire, snapshotsTable, partitionsTable, historyTable, catalogList,
+  )
 }

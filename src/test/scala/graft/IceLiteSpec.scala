@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.icelite.{Catalog, IceLite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IceLite invariants (SURVEY.md §5.3) the DuckDB oracle can't see:
+  * snapshot immutability under later writes, rollback∘rollback identity,
+  * compaction multiset preservation, MERGE duplicate-source rejection,
+  * expire/orphan filesystem effects, manifest-level partition pruning.
+  */
+class IceLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(n: String) = Files.createTempDirectory(s"ilspec_$n").toString + "/t"
+
+  private def sample: DataFrame =
+    spark.range(0, 100).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("int"))
+      .withColumn("amount", (col("id") * 7 % 100).cast("double"))
+      .withColumn("d", expr("date_add(date'2024-01-01', cast(id % 90 as int))"))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("snapshot read is immutable under later writes") {
+    val t = IceLite.createFrom(spark, scratch("immut"), sample)
+    t.append(sample.filter(col("id") < 50))
+    val snap1 = ids(t.readAsOf(1))
+    t.append(sample.filter(col("id") >= 50))
+    t.update(col("id") < 10, Map("amount" -> lit(0.0)))
+    t.delete(col("id") === 20)
+    assert(ids(t.readAsOf(1)) == snap1, "snapshot 1 changed under later writes")
+    assert(ids(t.read()) == (0L until 100L).filterNot(_ == 20))
+  }
+
+  test("rollback twice is identity on content; history grows") {
+    val t = IceLite.createFrom(spark, scratch("rb2"), sample)
+    t.append(sample.filter(col("id") < 30))
+    t.append(sample.filter(col("id") >= 30))
+    t.rollbackTo(1)
+    val afterOnce = ids(t.read())
+    t.rollbackTo(1)
+    assert(ids(t.read()) == afterOnce)
+    assert(t.meta.snapshots.size == 4)
+  }
+
+  test("compaction preserves row multiset and shrinks file count") {
+    val t = IceLite.createFrom(spark, scratch("cmp"), sample)
+    t.append(sample.repartition(10))
+    val before = t.read().groupBy("grp").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(t.meta.currentSnapshot.get.dataFiles.size == 10)
+    t.compact(2)
+    assert(t.meta.currentSnapshot.get.dataFiles.size <= 2)
+    val after = t.read().groupBy("grp").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+
+  test("merge rejects duplicate source keys") {
+    val t = IceLite.createFrom(spark, scratch("dup"), sample)
+    t.append(sample)
+    val dupSrc = sample.filter(col("id") === 1).unionAll(sample.filter(col("id") === 1))
+    val e = intercept[RuntimeException](t.merge(dupSrc, "id"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("merge is idempotent for pure updates") {
+    val t = IceLite.createFrom(spark, scratch("idem"), sample)
+    t.append(sample)
+    val src = sample.filter(col("id") < 10).withColumn("amount", lit(42.0))
+    t.merge(src, "id")
+    val once = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+    t.merge(src, "id")
+    val twice = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+    assert(once == twice)
+  }
+
+  test("expire deletes replaced files from disk but keeps current snapshot readable") {
+    val t = IceLite.createFrom(spark, scratch("exp"), sample)
+    t.append(sample)
+    t.delete(col("id") < 50) // rewrites files; snapshot-1 files now dead
+    // only files NOT carried into the live snapshot may be deleted
+    val liveFiles = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    val deadFiles = t.meta.snapshot(1).dataFiles.map(_.path).filterNot(liveFiles)
+    assert(deadFiles.nonEmpty, "test needs at least one replaced file")
+    t.expireSnapshots(System.currentTimeMillis() + 3600000)
+    assert(t.meta.snapshots.size == 1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    deadFiles.foreach { p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"expired file survives: $p")
+    }
+    assert(ids(t.read()) == (50L until 100L))
+  }
+
+  test("removeOrphanFiles deletes unreferenced files only") {
+    val t = IceLite.createFrom(spark, scratch("orph"), sample)
+    t.append(sample)
+    val loc = t.location
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(loc, "data/orphan.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    val removed = t.removeOrphanFiles()
+    assert(removed.exists(_.endsWith("orphan.parquet")))
+    assert(ids(t.read()) == (0L until 100L))
+  }
+
+  test("manifest-level partition pruning reads only matching files") {
+    val t = IceLite.createFrom(spark, scratch("prune"), sample,
+      partition = Seq("grp" -> "identity"))
+    t.append(sample)
+    val files = t.meta.currentSnapshot.get.dataFiles
+    assert(files.forall(_.partition.contains("grp_identity")))
+    val pruned = t.read(p => p("grp_identity") == "2")
+    assert(ids(pruned) == (0L until 100L).filter(_ % 5 == 2))
+  }
+
+  test("schema evolution: old files keep reading after add+rename; type stays") {
+    val t = IceLite.createFrom(spark, scratch("evo"), sample)
+    t.append(sample.filter(col("id") < 50))
+    t.addColumn("tag", "STRING", Some("'legacy'"))
+    t.renameColumn("amount", "amt")
+    t.append(sample.filter(col("id") >= 50)
+      .withColumnRenamed("amount", "amt").withColumn("tag", lit("new")))
+    val rows = t.read().select("id", "amt", "tag").orderBy("id").collect()
+    assert(rows.length == 100)
+    assert(rows.take(50).forall(_.getString(2) == "legacy"))
+    assert(rows.drop(50).forall(_.getString(2) == "new"))
+    assert(rows.forall(r => !r.isNullAt(1)))
+  }
+
+  test("merge-on-read delete leaves data files untouched; compact materializes") {
+    val t = IceLite.createFrom(spark, scratch("mor"), sample,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append(sample)
+    val dataFilesBefore = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.delete(col("id") % 3 === 0)
+    val after = t.meta.currentSnapshot.get
+    assert(after.dataFiles.map(_.path).toSet == dataFilesBefore, "MoR delete rewrote data files")
+    assert(after.deleteFiles.nonEmpty)
+    assert(ids(t.read()) == (0L until 100L).filterNot(_ % 3 == 0))
+    t.compact(1)
+    val cm = t.meta.currentSnapshot.get
+    assert(cm.deleteFiles.isEmpty, "compaction must materialize deletes")
+    assert(ids(t.read()) == (0L until 100L).filterNot(_ % 3 == 0))
+  }
+
+  test("catalog lists namespaces and tables; metadata JSON served") {
+    val wh = Files.createTempDirectory("ilspec_cat").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "t1", Seq("id" -> "BIGINT"))
+    cat.createTable("db", "t2", Seq("id" -> "BIGINT"))
+    assert(cat.listNamespaces() == Seq("db"))
+    assert(cat.listTables("db") == Seq("t1", "t2"))
+    val js = cat.tableMetadataJson("db", "t1")
+    assert(js.contains("\"formatVersion\""))
+    cat.dropTable("db", "t2")
+    assert(cat.listTables("db") == Seq("t1"))
+  }
+
+  test("concurrent commit conflict is detected") {
+    val t = IceLite.createFrom(spark, scratch("conflict"), sample)
+    t.append(sample.filter(col("id") < 10))
+    // simulate a racing writer that already claimed v3
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val racing = new org.apache.hadoop.fs.Path(t.location, "metadata/v3.json")
+    val out = fs.create(racing, false); out.write('x'); out.close()
+    intercept[Exception](t.append(sample.filter(col("id") >= 10)))
+  }
+}
