@@ -23,8 +23,11 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Joins.defs ++
+      operators.Sources.defs ++
+      operators.VariantOps.defs ++
       operators.TextOps.defs ++
       operators.VectorOps.defs ++
+      operators.Multimodal.defs ++
       operators.LakehouseOps.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

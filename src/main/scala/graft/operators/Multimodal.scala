@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (driver-mandated extension, SURVEY.md §2.12):
+  * media as opaque `binary` columns with typed metadata, decode/feature
+  * steps as partition-wise kernels.
+  *
+  * This container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (`FakeImageCodec`) — a real deployment
+  * swaps in javax.imageio/ffmpeg per partition. Everything around it — the
+  * binary schema, the mapPartitions batch shape, the metadata struct, the
+  * partition-parallel flow — is real and tested, which is the part Spark
+  * owns at 100 TB (codec work is embarrassingly parallel per row; the
+  * engine's job is moving bytes and batching).
+  */
+object Multimodal {
+
+  /** STUB codec: a "fake PNG" layout we synthesize from text fixtures —
+    * byte 0..3 magic, 4..5 width, 6..7 height, then "pixels" (the utf-8
+    * payload). decode() parses the header and computes a pixel mean: the
+    * same signature a real codec adapter would have.
+    * In production replace body with an actual decoder. */
+  object FakeImageCodec {
+    val Magic: Array[Byte] = Array(0x46, 0x49, 0x4d, 0x47).map(_.toByte) // "FIMG"
+
+    def encode(width: Int, height: Int, payload: Array[Byte]): Array[Byte] =
+      Magic ++ Array(
+        ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+        ((height >> 8) & 0xff).toByte, (height & 0xff).toByte) ++ payload
+
+    /** (width, height, n_pixels, mean_byte) or None for corrupt input. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+      if (bytes.length < 8 || !bytes.take(4).sameElements(Magic)) return None
+      val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+      val h = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+      val body = bytes.drop(8)
+      var sum = 0L
+      body.foreach(b => sum += (b & 0xff))
+      Some((w, h, body.length.toLong,
+        if (body.isEmpty) 0.0 else sum.toDouble / body.length))
+    }
+  }
+
+  /** Synthesize the binary image column from documents (deterministic:
+    * width/height derive from n_chars). Shared by query + spec. */
+  def fakeImages(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (col("n_chars") % 64 + 1).cast("int").as("width"),
+      (col("n_chars") % 48 + 1).cast("int").as("height"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** Partition-wise decode kernel: Dataset[(id, bytes)] → typed metadata.
+    * The mapPartitions boundary is where a real codec would batch-init
+    * (decoder contexts are per-partition, not per-row). */
+  def decodeImages(images: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { case (id, bytes) =>
+        FakeImageCodec.decode(bytes) match {
+          case Some((w, h, n, mean)) => (id, true, w, h, n, mean)
+          case None                  => (id, false, 0, 0, 0L, 0.0)
+        }
+      }
+    }.toDF("doc_id", "ok", "width", "height", "n_pixels", "mean_byte")
+  }
+
+  /** Binary-column metadata extraction, SQL-expressible half (oracled):
+    * byte length + header fingerprint of the raw payload — the cheap
+    * metadata pass a media pipeline runs before any decode. */
+  private val binaryMeta = QueryDef(
+    "multimodal_binary_meta",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "utf-8").as("bin"))
+        .select(
+          col("doc_id"),
+          octet_length(col("bin")).cast("long").as("n_bytes"),
+          upper(substring(hex(col("bin")), 1, 8)).as("header_hex"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            upper(substr(hex(encode(text)), 1, 8)) AS header_hex
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Full binary pipeline: synthesize fake images → partition-wise decode
+    * kernel → per-source stats over decoded metadata. Decode itself is the
+    * STUB codec, so no SQL oracle; MultimodalSpec pins exact values. */
+  private val imageDecodeStats = QueryDef(
+    "multimodal_decode_stats",
+    (s, dir) => {
+      import s.implicits._
+      val imgs = fakeImages(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          expr("""concat(
+                    X'46494D47',
+                    unhex(lpad(hex(width), 4, '0')),
+                    unhex(lpad(hex(height), 4, '0')),
+                    payload)""").as("img"))
+        .as[(Long, Array[Byte])]
+      decodeImages(imgs)
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(col("ok").cast("long")).as("n_decoded"),
+          max(col("width")).as("max_width"),
+          max(col("height")).as("max_height"),
+          sum(col("n_pixels")).as("total_pixels"))
+    },
+    None,
+  )
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats)
+}

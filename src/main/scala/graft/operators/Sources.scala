@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Storage/format operators (SURVEY.md §2.1 S4–S10): sinks, roundtrips,
+  * partitioned layout, parquet footer introspection, file listing — the
+  * reference's Week-2 Parquet pedagogy (/root/reference/README.md:204–217,
+  * 313–346, 389–448, 470–484) as oracle-checkable pipelines.
+  */
+object Sources {
+
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  /** S4+S5+S7 `sink_roundtrip`: COPY TO csv + parquet (README.md:204–208),
+    * read both back, prove content survives both formats (count + exact
+    * sum per format). The reference's size-ratio observation lives in
+    * StorageSpec (sizes aren't oracle-expressible; the ratio assertion is). */
+  private val sinkRoundtrip = QueryDef(
+    "sink_roundtrip",
+    (s, dir) => {
+      val out = scratch("sink")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.option("header", true).csv(s"$out/csv")
+      ev.write.parquet(s"$out/parquet")
+      val fromCsv = s.read.option("header", true)
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(s"$out/csv")
+      val fromParquet = s.read.parquet(s"$out/parquet")
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.agg(count(lit(1)).as("cnt"), Exact.dsumR(col("value")).as("sum_value"))
+          .select(lit(fmt).as("format"), col("cnt"), col("sum_value"))
+      agg(fromCsv, "csv").unionAll(agg(fromParquet, "parquet")).orderBy("format")
+    },
+    Some(s"""SELECT 'csv' AS format, CAST(count(*) AS BIGINT) AS cnt,
+             ${Exact.sqlSum("value")} AS sum_value FROM events
+             UNION ALL
+             SELECT 'parquet', CAST(count(*) AS BIGINT), ${Exact.sqlSum("value")}
+             FROM events ORDER BY format"""),
+  )
+
+  /** S6+S3 `partitioned_sink_scan`: hive-layout write (year=YYYY dirs,
+    * README.md:389–398) then a partition-pruned read over the glob
+    * (README.md:404–421, 631–639) — the pruning is assertable in the plan
+    * (PlanSpec) and the pruned aggregate is oracle-checked here. */
+  private val partitionedSinkScan = QueryDef(
+    "partitioned_sink_scan",
+    (s, dir) => {
+      val out = scratch("psink") + "/orders_by_year"
+      val o = Tables.orders(s, dir).withColumn("year", year(col("o_orderdate")))
+      o.repartition(col("year")).write.partitionBy("year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("year") === 1996) // prunes to the year=1996 directory
+        .agg(count(lit(1)).as("cnt"), Exact.dsumR(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+             ${Exact.sqlSum("o_totalprice")} AS total
+             FROM orders WHERE year(o_orderdate) = 1996"""),
+  )
+
+  /** S10 `file_listing_walk` (README.md:470–484): recursive walk of the
+    * hive layout → (dir, files). Clustered writes put exactly one file per
+    * year directory, which is what makes this oracle-able. */
+  private val fileListingWalk = QueryDef(
+    "file_listing_walk",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("walk") + "/orders_by_year"
+      Tables.orders(s, dir).withColumn("year", year(col("o_orderdate")))
+        .repartition(col("year")).write.partitionBy("year").parquet(out)
+      val fs = new Path(out).getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(new Path(out), true)
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          rows += ((st.getPath.getParent.getName, 1L))
+      }
+      rows.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .toDF("dir", "file_count").orderBy("dir")
+    },
+    Some("""SELECT 'year=' || CAST(year(o_orderdate) AS VARCHAR) AS dir,
+            CAST(1 AS BIGINT) AS file_count
+            FROM orders GROUP BY 1 ORDER BY dir"""),
+  )
+
+  /** S8 `schema_describe` (README.md:313–316): DESCRIBE of a parquet file —
+    * names + Spark types from the footer. The oracle pins the expected
+    * schema as literals, so drift in inference is caught. */
+  private val schemaDescribe = QueryDef(
+    "schema_describe",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString))
+        .toDF("col_name", "data_type").orderBy("col_name")
+    },
+    Some("""WITH expected(col_name, data_type) AS (VALUES
+              ('l_orderkey','bigint'), ('l_partkey','bigint'), ('l_suppkey','bigint'),
+              ('l_linenumber','int'), ('l_quantity','double'), ('l_extendedprice','double'),
+              ('l_discount','double'), ('l_tax','double'), ('l_returnflag','string'),
+              ('l_linestatus','string'), ('l_shipdate','timestamp_ntz'))
+            SELECT col_name, data_type FROM expected ORDER BY col_name"""),
+  )
+
+  /** S9 `parquet_footer_metadata` (README.md:320–337): row groups, per-
+    * column value counts and min/max presence straight from the footer via
+    * parquet-hadoop — the stats that drive row-group skipping. */
+  private val footerMetadata = QueryDef(
+    "parquet_footer_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val conf = s.sessionState.newHadoopConf()
+      val p = new Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(p)
+      val rows = files.flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          r.getFooter.getBlocks.asScala.flatMap(b =>
+            b.getColumns.asScala.map(c =>
+              (c.getPath.toDotString, c.getValueCount,
+                c.getStatistics != null && !c.getStatistics.isEmpty)))
+        } finally r.close()
+      }
+      rows.groupBy(_._1).map { case (name, cs) =>
+        (name, cs.map(_._2).sum, cs.forall(_._3))
+      }.toSeq.toDF("column_name", "total_values", "has_stats").orderBy("column_name")
+    },
+    Some("""WITH cols(column_name) AS (VALUES
+              ('l_orderkey'),('l_partkey'),('l_suppkey'),('l_linenumber'),
+              ('l_quantity'),('l_extendedprice'),('l_discount'),('l_tax'),
+              ('l_returnflag'),('l_linestatus'),('l_shipdate'))
+            SELECT column_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS total_values,
+                   true AS has_stats
+            FROM cols ORDER BY column_name"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    sinkRoundtrip, partitionedSinkScan, fileListingWalk, schemaDescribe,
+    footerMetadata,
+  )
+}

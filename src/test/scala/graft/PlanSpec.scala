@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (SURVEY.md §4) — the optimizations the
+  * reference teaches must actually appear in the executed plan:
+  * predicate pushdown to parquet, partition pruning on hive layouts,
+  * broadcast joins for dimensions, whole-stage codegen on the agg path.
+  * These are the 100 TB guarantees: a plan that silently loses its
+  * PushedFilters reads the whole table.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pushdown_count pushes the user_id predicate into the parquet scan") {
+    val plan = planOf("pushdown_count")
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(user_id,42)"),
+      s"predicate not pushed:\n$plan")
+  }
+
+  test("pushdown_count prunes columns to user_id only") {
+    val plan = planOf("pushdown_count")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && !readSchema.contains("event_type"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("pk_lookup pushes the key equality (row-group skipping eligible)") {
+    val plan = planOf("pk_lookup")
+    assert(plan.contains("EqualTo(o_orderkey,500)"), s"no pushed key filter:\n$plan")
+  }
+
+  test("hive-partitioned scan prunes to the matching year directory") {
+    val out = Files.createTempDirectory("planspec_part").toString + "/t"
+    Tables.orders(spark, sf).withColumn("year", year(col("o_orderdate")))
+      .repartition(col("year")).write.partitionBy("year").parquet(out)
+    val df = spark.read.parquet(out).filter(col("year") === 1996)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:") && scan.contains("year"),
+      s"no partition filter:\n$scan")
+    // pruning proof by files read: one year dir = 1 clustered file
+    val filesRead = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles }
+    assert(filesRead.contains(1L), s"expected 1 file after pruning, got $filesRead")
+  }
+
+  test("join_revenue_by_nation broadcasts all three dimension tables") {
+    val plan = planOf("join_revenue_by_nation")
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("pricing_summary aggregates inside whole-stage codegen") {
+    val df = Registry.queries("pricing_summary")(spark, sf)
+    df.collect() // finalize the adaptive plan — codegen spans only show then
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Op" in the simple plan string
+    assert(plan.contains("*(") && plan.contains("*(2) HashAggregate") ||
+      plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      s"HashAggregate not inside a codegen stage:\n$plan")
+  }
+
+  test("order_topk plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("order_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$plan")
+  }
+
+  test("IceLite manifest pruning reads only matching files (I/O level)") {
+    val loc = Files.createTempDirectory("planspec_il").toString + "/t"
+    val t = graft.icelite.IceLite.createFrom(spark, loc,
+      Tables.orders(spark, sf), partition = Seq("o_orderdate" -> "year"))
+    t.append(Tables.orders(spark, sf))
+    val all = t.meta.currentSnapshot.get.dataFiles.size
+    val pruned = t.read(p => p("o_orderdate_year") == "1996")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length }
+    assert(all > 1 && scanned.exists(_ < all),
+      s"manifest pruning ineffective: $scanned of $all files")
+  }
+}

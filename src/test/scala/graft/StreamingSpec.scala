@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.icelite.IceLite
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming demo (SURVEY.md §7.7): windowed agg with watermark
+  * + micro-batch appends into IceLite (one snapshot per batch).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingIngest.windowedEventAgg(
+      mem.toDF.toDF("ts", "event_type", "value"), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:10:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 11:15:00"), "view", 5.0))
+      q.processAllAvailable()
+      // watermark is now 11:15 - 2h = 09:15; this event is older → dropped
+      mem.addData((ts("2024-01-01 06:00:00"), "click", 99.0))
+      // advance watermark far past the 10:00 window
+      mem.addData((ts("2024-01-01 20:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .groupBy("window_start", "event_type")
+        .agg(max("cnt").as("cnt"), max("sum_value").as("sv"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)), s"got $rows")
+      assert(!rows.exists(_._4 == 99.0), s"late event leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("stream appends become IceLite snapshots; content matches input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF.toDF("id", "kind", "value")
+    val loc = Files.createTempDirectory("streamspec").toString + "/t"
+    val table = IceLite.createFrom(spark, loc, df)
+    val q = StreamingIngest.writeToIceLite(
+      df, table, Files.createTempDirectory("streamspec_cp").toString).start()
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, "a", 3.0))
+      q.processAllAvailable()
+      val snaps = table.meta.snapshots
+      assert(snaps.size == 2, s"expected 2 snapshots, got ${snaps.map(_.operation)}")
+      assert(table.read().count() == 3)
+      assert(table.readAsOf(1).count() == 2)
+      val total = table.read().agg(sum(col("value"))).head.getDouble(0)
+      assert(total == 6.0)
+    } finally q.stop()
+  }
+}
