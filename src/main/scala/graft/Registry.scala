@@ -25,6 +25,8 @@ object Registry {
       operators.Joins.defs ++
       operators.Sources.defs ++
       operators.VariantOps.defs ++
+      operators.WindowOps.defs ++
+      operators.GeoOps.defs ++
       operators.TextOps.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++

@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Scaled-integer dot product of two float vectors: round(x*y*1e4) per
-    * element (deterministic double ops), then exact Long sum. */
+    * element (deterministic double ops), then exact Long sum. Backed by the
+    * native codegen'd [[graft.functions.DotScaled]] expression — a tight
+    * generated loop instead of interpreted per-element lambdas. Callers
+    * must have run `DotScaled.register(spark)` (all entry points here do). */
   private def dotScaled(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => round(x.cast("double") * y.cast("double") * lit(10000))),
-      lit(0L), (acc, v) => acc + v.cast("long"))
+    graft.functions.DotScaled.dotScaled(a, b)
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
@@ -36,6 +37,7 @@ object VectorOps {
   private val cosineTopk = QueryDef(
     "cosine_topk",
     (s, dir) => {
+      graft.functions.DotScaled.register(s)
       val e = emb(s, dir)
       val q = broadcast(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe")))
@@ -66,15 +68,15 @@ object VectorOps {
     * sanity stats a vector pipeline materializes before indexing. */
   private val embedNorms = QueryDef(
     "embed_norms",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
       emb(s, dir)
         .select(
           col("vec_id"),
           col("label").cast("long").as("label"),
-          aggregate(
-            transform(col("embedding"), x => round(x.cast("double") * x.cast("double") * lit(10000))),
-            lit(0L), (acc, v) => acc + v.cast("long")).as("norm_sq_scaled"))
-        .orderBy("vec_id"),
+          dotScaled(col("embedding"), col("embedding")).as("norm_sq_scaled"))
+        .orderBy("vec_id")
+    },
     Some("""SELECT vec_id, CAST(label AS BIGINT) AS label,
             CAST(list_sum(list_transform(embedding,
                  x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 10000))) AS BIGINT)
@@ -104,6 +106,7 @@ object VectorOps {
   private val annIvfTopk = QueryDef(
     "ann_ivf_topk",
     (s, dir) => {
+      graft.functions.DotScaled.register(s)
       import s.implicits._
       val e = emb(s, dir)
       val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") % 200 === 0)

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.DotScaled
+import org.apache.spark.sql.functions._
+
+/** Native dot_scaled expression: value correctness, SQL registration,
+  * codegen/interpreted agreement, and type checking. */
+class DotScaledSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_scaled matches the composable HOF formulation exactly") {
+    DotScaled.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(0.3f, 0.4f)),
+      (Array[Float](), Array[Float]()),
+    ).toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => round(x.cast("double") * y.cast("double") * lit(10000))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+    val rows = df.select(
+      DotScaled.dotScaled(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+    assert(rows(0).getLong(0) == 320000L) // (4+10+18)*1e4
+  }
+
+  test("usable from SQL after registration") {
+    DotScaled.register(spark)
+    Seq((Array(1.0f, 1.0f), Array(2.0f, 2.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT dot_scaled(a, b) AS d FROM vecs").head.getLong(0)
+    assert(r == 40000L)
+  }
+
+  test("rejects non-float-array inputs at analysis time") {
+    DotScaled.register(spark)
+    val bad = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception](bad.select(DotScaled.dotScaled(col("a"), col("b"))).collect())
+    assert(e.getMessage.toLowerCase.contains("dot_scaled") ||
+      e.getMessage.toLowerCase.contains("array<float>"))
+  }
+}
