@@ -361,6 +361,16 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       s"merge rewrote ${hit.size} files")
   }
 
+  /** INSERT OVERWRITE: replace the whole table content in one snapshot. */
+  def overwrite(df: DataFrame): Unit = {
+    val m = meta
+    val sch = m.currentSchema
+    val aligned = df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+    val files = writeFiles(aligned, m, m.currentSchemaId, m.defaultSpec)
+    commit(newSnapshot(m, "overwrite", files, Seq()),
+      s"overwrite with ${files.map(_.rows).sum} rows")
+  }
+
   // ------------------------------------------------------------ DDL / evolution
 
   /** ADD COLUMN [DEFAULT] (README.md:976, 1159–1166) — metadata-only; old

@@ -1,0 +1,160 @@
+package graft.icelite.connector
+
+import java.util
+
+import graft.icelite.{Catalog, IceLite, IceLiteTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** DSv2 TableCatalog over IceLite (SURVEY.md §7.4) — mounts the lakehouse
+  * into Spark SQL proper:
+  *
+  * {{{
+  * spark.sql.catalog.icelite           = graft.icelite.connector.IceLiteCatalog
+  * spark.sql.catalog.icelite.warehouse = /path/to/warehouse
+  *
+  * CREATE TABLE icelite.db.orders (...) PARTITIONED BY (months(o_orderdate))
+  * INSERT INTO icelite.db.orders SELECT ...
+  * SELECT * FROM icelite.db.orders VERSION AS OF 3
+  * SELECT * FROM icelite.db.orders TIMESTAMP AS OF '2026-01-01 00:00:00'
+  * ALTER TABLE icelite.db.orders ADD COLUMN note STRING
+  * ALTER TABLE icelite.db.orders RENAME COLUMN note TO comment
+  * }}}
+  *
+  * The analog of the reference's Spark↔Iceberg REST-catalog wiring
+  * (/root/reference/README.md:862–874, 901–919) with IceLite as the table
+  * format. Single-level namespaces (catalog.db.table).
+  */
+class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def cat: Catalog = new Catalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def ns1(namespace: Array[String]): String = {
+    require(namespace.length == 1, s"only single-level namespaces: ${namespace.mkString(".")}")
+    namespace.head
+  }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(ns1(namespace)).map(t => Identifier.of(namespace, t)).toArray
+
+  private def load(ident: Identifier): IceLiteTable = {
+    val loc = cat.tableLocation(ns1(ident.namespace()), ident.name())
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(loc, "metadata/version-hint.text")))
+      throw new NoSuchTableException(ident)
+    IceLite.load(spark, loc)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new IceLiteSparkTable(load(ident), None)
+
+  /** VERSION AS OF <snapshotId> (README.md:1007). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    new IceLiteSparkTable(load(ident), Some(Left(version.toLong)))
+
+  /** TIMESTAMP AS OF — Spark hands micros since epoch (README.md:1010). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    new IceLiteSparkTable(load(ident), Some(Right(timestampMicros / 1000L)))
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partSpec = partitions.toSeq.map { t =>
+      val column = t.references().head.fieldNames().head
+      t.name() match {
+        case "identity" => column -> "identity"
+        case "years"    => column -> "year"
+        case "months"   => column -> "month"
+        case "days"     => column -> "day"
+        case "bucket" =>
+          val n = t.arguments().collectFirst { case l: Literal[_] => l.value.toString }.get
+          column -> s"bucket[$n]"
+        case other => sys.error(s"unsupported partition transform $other")
+      }
+    }
+    val props = properties.asScala.toMap -- Seq("owner", "provider", "location")
+    cat.createTable(
+      ns1(ident.namespace()), ident.name(),
+      schema.fields.toSeq.map(f => f.name -> f.dataType.sql), partSpec, props)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = load(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested add unsupported")
+        t.addColumn(add.fieldNames().head, add.dataType().sql)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "nested rename unsupported")
+        t.renameColumn(ren.fieldNames().head, ren.newName())
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case other => throw new UnsupportedOperationException(s"table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val exists = cat.listTables(ns1(ident.namespace())).contains(ident.name())
+    if (exists) cat.dropTable(ns1(ident.namespace()), ident.name())
+    exists
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename table")
+
+  // ------------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && cat.listNamespaces().contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    cat.createNamespace(ns1(namespace))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alter namespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = cat.listTables(ns1(namespace))
+    require(cascade || tables.isEmpty, s"namespace not empty: $tables")
+    val fs = new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(warehouse, ns1(namespace)), true)
+  }
+}

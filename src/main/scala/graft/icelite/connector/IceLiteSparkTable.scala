@@ -1,0 +1,114 @@
+package graft.icelite.connector
+
+import java.util
+
+import graft.icelite.IceLiteTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import scala.jdk.CollectionConverters._
+
+/** DSv2 Table over an IceLite table, reading/writing through the V1
+  * fallback bridges (V1Scan / V1Write).
+  *
+  * Read path: pushed filters and column pruning are translated back onto
+  * the library's DataFrame scan — which is a parquet scan, so the
+  * predicates continue down into the parquet reader (PushedFilters) and
+  * manifest pruning applies for identity-partition equality. All pushed
+  * filters are also reported back as residuals, so Spark re-applies them:
+  * translation gaps cost performance only, never correctness.
+  *
+  * `asOf`: Left(snapshotId) for VERSION AS OF, Right(tsMillis) for
+  * TIMESTAMP AS OF.
+  */
+class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tbl.location
+
+  override def schema(): StructType = StructType(
+    tbl.meta.currentSchema.fields.map(f =>
+      StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)))
+
+  override def properties(): util.Map[String, String] = tbl.meta.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  private def baseDf: DataFrame = asOf match {
+    case None                  => tbl.read()
+    case Some(Left(snapshot))  => tbl.readAsOf(snapshot)
+    case Some(Right(tsMillis)) => tbl.readAsOfTimestamp(tsMillis)
+  }
+
+  /** sources.Filter → Column for the common shapes; None = not translated
+    * (Spark re-applies it post-scan anyway). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === v)
+    case sources.GreaterThan(a, v)        => Some(col(a) > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case sources.LessThan(a, v)           => Some(col(a) < v)
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= v)
+    case sources.In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _              => None
+  }
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = schema()
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // everything is also a residual — correctness never depends on us
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.fields.nonEmpty) required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val filtered = pushed.flatMap(toColumn).foldLeft(baseDf)(_ filter _)
+          val projected =
+            if (required.fields.isEmpty) filtered
+            else filtered.select(required.fields.map(f => col(f.name)).toSeq: _*)
+          new IceLiteV1Relation(context, required, projected).asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwriteFlag: Boolean) =>
+            if (overwrite || overwriteFlag) tbl.overwrite(data) else tbl.append(data)
+      }
+    }
+}
+
+class IceLiteV1Relation(
+    val sqlContext: SQLContext, override val schema: StructType, df: DataFrame)
+    extends BaseRelation with TableScan {
+  override def buildScan(): RDD[Row] = df.rdd
+}

@@ -314,9 +314,48 @@ object LakehouseOps {
             ORDER BY namespace, table_name"""),
   )
 
+  /** S11+DSv2: the whole pipeline through the SQL catalog — CREATE TABLE /
+    * INSERT INTO ... SELECT / aggregate SELECT, plus a VERSION AS OF read,
+    * entirely via spark.sql against the mounted `icelite` catalog. */
+  private val sqlCatalog = QueryDef(
+    "icelite_sql_catalog",
+    (s, dir) => {
+      // one fixed warehouse per JVM: Spark caches catalog instances by name,
+      // so the warehouse conf only takes effect on first initialization
+      s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.icelite.warehouse",
+        System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
+      val tbl = s"orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldemo")
+      s.sql(s"""CREATE TABLE icelite.sqldemo.$tbl (
+                  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+                  o_orderdate DATE)
+                PARTITIONED BY (years(o_orderdate))""")
+      orders(s, dir).createOrReplaceTempView("orders_src")
+      s.sql(s"""INSERT INTO icelite.sqldemo.$tbl
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       CAST(o_orderdate AS DATE)
+                FROM orders_src WHERE o_orderkey < 1000""")
+      s.sql(s"""INSERT INTO icelite.sqldemo.$tbl
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       CAST(o_orderdate AS DATE)
+                FROM orders_src WHERE o_orderkey >= 1000""")
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS total,
+                       CAST((SELECT count(*) FROM icelite.sqldemo.$tbl VERSION AS OF 1) AS BIGINT) AS rows_v1
+                FROM icelite.sqldemo.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+             ${graft.Exact.sqlSum("o_totalprice")} AS total,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey < 1000) AS rows_v1
+             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
+    sqlCatalog,
   )
 }
