@@ -283,10 +283,77 @@ object Relational {
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"""),
   )
 
+  /** COUNT(DISTINCT) family: distinct users + events per type. Spark plans
+    * the distinct as an expand + two-phase aggregate — the shuffle is on
+    * (event_type, user_id), so cardinality per reducer stays bounded at
+    * scale. */
+  private val distinctAgg = QueryDef(
+    "distinct_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** Skew-mitigation pattern: two-phase salted aggregation — partial
+    * aggregate on (key, salt) spreads a hot key over 16 reducers, then the
+    * final aggregate collapses the salts. Result is identical to the
+    * direct groupBy (the oracle proves it); the shape is what survives a
+    * hot key at 100 TB when AQE skew handling isn't available (e.g.
+    * pre-AQE engines or custom shuffles). */
+  private val skewSaltedAgg = QueryDef(
+    "skew_salted_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("salt", (col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+          sum(col("value").cast("decimal(28,2)")).as("partial_sum"),
+          count(lit(1)).as("partial_cnt"))
+        .groupBy("event_type")
+        .agg(
+          round(sum(col("partial_sum")).cast("double"), 2).as("sum_value"),
+          sum(col("partial_cnt")).as("cnt"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, ${Exact.sqlSum("value")} AS sum_value,
+             CAST(count(*) AS BIGINT) AS cnt
+             FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** V3 TIMESTAMP_NS (SURVEY.md §7.6; README.md:1173–1179): Spark tops out
+    * at µs precision, so nanosecond timestamps are carried as a raw
+    * nanos-since-epoch LONG companion (lossless) next to the truncated µs
+    * view. The oracle can only see the µs projection — DuckDB itself
+    * truncates parquet ns→µs on read — so this query exposes the µs
+    * agreement; TimestampNsSpec proves the Spark-side LONG really retains
+    * sub-µs precision the µs path drops. */
+  private val timestampNs = QueryDef(
+    "timestamp_ns",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .select(
+          col("event_id"),
+          expr("ts div 1000").as("ts_micros"),
+          date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("ts_str")) // zero-padded µs — Spark's cast-to-string trims trailing zeros, DuckDB's %f doesn't
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS ts_micros,
+            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+            FROM events ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     pkLookup, pushdownCount, filterRangeAgg, eventTypeAgg, dailyCountAvg,
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
-    jsonBucketAgg, orderTopk,
+    jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
   )
 }
