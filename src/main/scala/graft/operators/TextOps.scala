@@ -282,8 +282,76 @@ object TextOps {
       .orderBy("id1", "id2")
   }
 
+  /** BPE-ish regex tokenizer: alnum runs as tokens (vs the whitespace
+    * tokenizer in token_counts) + alpha-char mass — the usual token-budget
+    * accounting pass. */
+  private val tokenizeRegex = QueryDef(
+    "tokenize_regex",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), "[^a-zA-Z0-9]+"), t => length(t) > 0))
+            .cast("long").as("n_tokens_regex"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+            .as("n_alpha_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                 t -> len(t) > 0)) AS BIGINT) AS n_tokens_regex,
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha_chars
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  /** X2 SimHash near-dup: 64-bit signature (per-bit majority vote over
+    * token hashes, computed in a mapPartitions kernel), candidates from
+    * 4×16-bit band buckets (any pair within hamming distance 3 shares at
+    * least one band), verified by bit_count(xor) ≤ 3. Engine-specific
+    * hashing → no SQL oracle; SimHashSpec plants near-identical docs. */
+  private val simhashDedup = QueryDef(
+    "simhash_dedup",
+    (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3),
+    None,
+  )
+
+  /** Shared SimHash pipeline (also used by SimHashSpec). */
+  def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val sigs = d.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val votes = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          val h = hash64(tok, 7)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }).toDF("doc_id", "sig")
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id1", "id2")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
-    docFingerprint, jaccardPairs, minhashDedup,
+    docFingerprint, jaccardPairs, minhashDedup, tokenizeRegex, simhashDedup,
   )
 }

@@ -133,5 +133,35 @@ object VectorOps {
     None,
   )
 
-  val defs: Seq[QueryDef] = Seq(cosineTopk, embedNorms, annIvfTopk)
+  /** X2 embedding-cosine near-dup: pairs in a bounded probe set whose
+    * scaled dot ≥ 0.4 (fixture vectors are ~unit-norm). The quadratic
+    * verification is bounded; at corpus scale the candidate set would come
+    * from the IVF cells or an LSH bucket join first, then this exact pass
+    * runs only on candidates. */
+  private val embedNearDup = QueryDef(
+    "embed_near_dup",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      val sub = emb(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          dotScaled(col("a.embedding"), col("b.embedding")).as("score"))
+        .filter(col("score") >= 4000)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000)))
+                        AS BIGINT) AS score
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000)))
+                  AS BIGINT) >= 4000
+            ORDER BY id1, id2"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(cosineTopk, embedNorms, annIvfTopk, embedNearDup)
 }
