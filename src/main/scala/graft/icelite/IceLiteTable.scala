@@ -143,9 +143,10 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       }.toMap
       val dest = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      val rows = try reader.getRecordCount finally reader.close()
+      val (rows, stats) =
+        try (reader.getRecordCount, Stats.fromFooter(reader)) finally reader.close()
       if (!f.rename(p, dest)) sys.error(s"rename $p -> $dest failed")
-      DataFile(dest.toString, rows, schemaId, spec.specId, partVals)
+      DataFile(dest.toString, rows, schemaId, spec.specId, partVals, stats)
     }.filter(_.rows > 0).toSeq
     f.delete(stagingDir, true)
     out
@@ -197,8 +198,13 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   }
 
   private def scanSnapshot(m: TableMetadata, snap: Snapshot, lineage: Boolean,
-      prune: Map[String, String] => Boolean): DataFrame = {
-    val files = snap.dataFiles.filter(df => prune(df.partition))
+      prune: Map[String, String] => Boolean,
+      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame = {
+    // manifest-level pruning: partition values + per-file column stats,
+    // evaluated driver-side against metadata only
+    val files = snap.dataFiles.filter(df =>
+      prune(df.partition) && statFilters.forall(flt =>
+        Stats.mayContain(df, m.schema(df.schemaId), m.currentSchema, flt)))
     if (files.isEmpty) {
       val cur = m.currentSchema
       val empty = StructType(cur.fields.map(f =>
@@ -231,11 +237,13 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   /** Read the current snapshot (optionally manifest-pruned by partition
     * values — the pruning happens on the driver against metadata, so a
     * pruned read never even lists the excluded files). */
-  def read(prune: Map[String, String] => Boolean = _ => true): DataFrame = {
+  def read(prune: Map[String, String] => Boolean = _ => true,
+      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame = {
     val m = meta
     m.currentSnapshot match {
-      case Some(s) => scanSnapshot(m, s, lineage = false, prune)
-      case None    => scanSnapshot(m, Snapshot(0, None, 0, "empty", Seq(), Seq()), lineage = false, prune)
+      case Some(s) => scanSnapshot(m, s, lineage = false, prune, statFilters)
+      case None    => scanSnapshot(m, Snapshot(0, None, 0, "empty", Seq(), Seq()),
+        lineage = false, prune, statFilters)
     }
   }
 

@@ -37,9 +37,16 @@ final case class TableSchema(schemaId: Int, fields: Seq[Field]) {
 final case class SpecField(sourceId: Int, transform: String, name: String)
 final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
 
+/** Per-column min/max (stringified, field-id-keyed) harvested from the
+  * parquet footer at write time — drives file-level data skipping at read
+  * (the file-granularity analog of the row-group stats pruning the
+  * reference teaches at README.md:327–346). */
+final case class ColumnStats(min: String, max: String)
+
 final case class DataFile(
     path: String, rows: Long, schemaId: Int, specId: Int,
-    partition: Map[String, String])
+    partition: Map[String, String],
+    stats: Map[Int, ColumnStats] = Map())
 
 /** Positional delete file: parquet of (file_path STRING, pos BIGINT)
   * pairs — the V3 deletion-vector mechanism (README.md:1105–1121). */
@@ -124,6 +131,13 @@ object MetaJson {
         fn.put("schemaId", f.schemaId); fn.put("specId", f.specId)
         val pn = fn.putObject("partition")
         f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+        if (f.stats.nonEmpty) {
+          val sn = fn.putObject("stats")
+          f.stats.toSeq.sortBy(_._1).foreach { case (fid, cs) =>
+            val cn = sn.putObject(fid.toString)
+            cn.put("min", cs.min); cn.put("max", cs.max)
+          }
+        }
       }
       val dels = n.putArray("deleteFiles")
       s.deleteFiles.foreach { f =>
@@ -174,7 +188,12 @@ object MetaJson {
           arr(n, "dataFiles").map(fn => DataFile(
             fn.get("path").asText(), fn.get("rows").asLong(),
             fn.get("schemaId").asInt(), fn.get("specId").asInt(),
-            strMap(fn, "partition"))),
+            strMap(fn, "partition"),
+            Option(fn.get("stats")).map(sn =>
+              sn.properties().asScala.map(e =>
+                e.getKey.toInt -> ColumnStats(
+                  e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
+              .getOrElse(Map()))),
           arr(n, "deleteFiles").map(fn => DeleteFile(
             fn.get("path").asText(), fn.get("rows").asLong())))
       },

@@ -82,11 +82,30 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.fields.nonEmpty) required = requiredSchema
 
+      /** Pushed comparison filters double as manifest stat-pruners: the
+        * file list shrinks on the driver before Spark lists anything. */
+      private def toStatFilters(fs: Array[Filter]): Seq[graft.icelite.Stats.StatFilter] = {
+        import graft.icelite.Stats._
+        fs.toSeq.flatMap {
+          case sources.EqualTo(a, v)            => Seq(Eq(a, v))
+          case sources.GreaterThan(a, v)        => Seq(Gt(a, v))
+          case sources.GreaterThanOrEqual(a, v) => Seq(Ge(a, v))
+          case sources.LessThan(a, v)           => Seq(Lt(a, v))
+          case sources.LessThanOrEqual(a, v)    => Seq(Le(a, v))
+          case sources.And(l, r)                => toStatFilters(Array(l, r))
+          case _                                => Seq()
+        }
+      }
+
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
-          val filtered = pushed.flatMap(toColumn).foldLeft(baseDf)(_ filter _)
+          val statPruned = asOf match {
+            case None => tbl.read(statFilters = toStatFilters(pushed))
+            case _    => baseDf // time-travel reads skip stat pruning (rare path)
+          }
+          val filtered = pushed.flatMap(toColumn).foldLeft(statPruned)(_ filter _)
           val projected =
             if (required.fields.isEmpty) filtered
             else filtered.select(required.fields.map(f => col(f.name)).toSeq: _*)

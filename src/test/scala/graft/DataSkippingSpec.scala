@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.icelite.{IceLite, Stats}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping: min/max stats land in the manifest at write
+  * and prune the file list at read — without changing results.
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(n: String) = {
+    val loc = Files.createTempDirectory(s"skip_$n").toString + "/t"
+    // 4 files with disjoint id ranges → range predicates can skip files
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("bucket", (col("id") / 100).cast("int"))
+      .withColumn("name", concat(lit("row"), col("id")))
+      .withColumn("amount", (col("id") * 2).cast("double"))
+    val t = IceLite.createFrom(spark, loc, df.drop("bucket"))
+    (0 until 4).foreach(b => t.append(df.filter(col("bucket") === b).drop("bucket")))
+    t
+  }
+
+  test("writer harvests min/max stats into the manifest") {
+    val t = mkTable("harvest")
+    val files = t.meta.currentSnapshot.get.dataFiles
+    assert(files.size == 4)
+    val idField = t.meta.currentSchema.fieldByName("id")
+    files.foreach { f =>
+      val cs = f.stats(idField.id)
+      assert(cs.max.toLong - cs.min.toLong == 99, s"bad stats $cs")
+    }
+    // string stats too
+    val nameField = t.meta.currentSchema.fieldByName("name")
+    assert(files.forall(_.stats.contains(nameField.id)))
+  }
+
+  test("range and equality predicates skip non-matching files; results exact") {
+    val t = mkTable("prune")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length.toLong }.getOrElse(-1L)
+
+    val eq = t.read(statFilters = Seq(Stats.Eq("id", 150L)))
+    assert(filesRead(eq) == 1, s"Eq should touch 1 file, got ${filesRead(eq)}")
+    assert(eq.filter(col("id") === 150).count() == 1)
+
+    val gt = t.read(statFilters = Seq(Stats.Gt("id", 299L)))
+    assert(filesRead(gt) == 1)
+    assert(gt.filter(col("id") > 299).count() == 100)
+
+    val le = t.read(statFilters = Seq(Stats.Le("amount", 199.0)))
+    assert(filesRead(le) == 1) // amount = id*2 < 200 ⇒ id < 100 ⇒ first file
+    assert(le.filter(col("amount") <= 199.0).count() == 100)
+
+    val s = t.read(statFilters = Seq(Stats.Eq("name", "row42")))
+    assert(filesRead(s) <= 4) // string min/max pruning is lexicographic — best effort
+    assert(s.filter(col("name") === "row42").count() == 1)
+  }
+
+  test("SQL predicates through the DSv2 catalog prune files") {
+    spark.conf.set("spark.sql.catalog.ilskip", "graft.icelite.connector.IceLiteCatalog")
+    val wh = Files.createTempDirectory("skip_wh").toString
+    spark.conf.set("spark.sql.catalog.ilskip.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilskip.db")
+    spark.sql("CREATE TABLE ilskip.db.t (id BIGINT, v DOUBLE)")
+    (0 until 4).foreach(b =>
+      spark.sql(s"INSERT INTO ilskip.db.t SELECT id, id*1.0 FROM range(${b * 100}, ${b * 100 + 100})"))
+    val cat = new graft.icelite.Catalog(spark, wh)
+    val t = cat.loadTable("db", "t")
+    val total = t.meta.currentSnapshot.get.dataFiles.size
+    assert(total >= 4, s"need multiple files, got $total") // 4 inserts × write parallelism
+    val res = spark.sql("SELECT count(*) FROM ilskip.db.t WHERE id >= 350")
+    assert(res.head.getLong(0) == 50)
+    // same stat filter at the library surface proves the pruning the SQL
+    // path goes through (the V1 relation hides inner scan metrics)
+    val pruned = t.read(statFilters = Seq(Stats.Ge("id", 350L)))
+    val nFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length }
+    assert(nFiles.exists(n => n < total), s"no pruning: $nFiles of $total")
+    assert(pruned.filter(col("id") >= 350).count() == 50)
+  }
+
+  test("pruning is conservative after schema evolution (no stats → keep)") {
+    val t = mkTable("evo")
+    t.addColumn("extra", "BIGINT", Some("7"))
+    // files written before the column have no stats for it → never pruned
+    val r = t.read(statFilters = Seq(Stats.Eq("extra", 7L)))
+    assert(r.count() == 400)
+    assert(r.filter(col("extra") === 7).count() == 400)
+  }
+}
