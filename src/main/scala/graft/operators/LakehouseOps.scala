@@ -352,10 +352,27 @@ object LakehouseOps {
              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** M17 remove_orphan_files (README.md:1028): plant an orphan in the data
+    * dir, reclaim it, prove the table reads back intact. Oracle = content
+    * unchanged (orphan removal must never touch referenced files). */
+  private val orphans = QueryDef(
+    "icelite_orphans",
+    (s, dir) => {
+      val t = mkTable(s, dir, "orphans")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
+      val orphan = new org.apache.hadoop.fs.Path(t.location, "data/orphan-file.parquet")
+      val out = fs.create(orphan, true); out.write(42); out.close()
+      val removed = t.removeOrphanFiles()
+      require(removed.exists(_.endsWith("orphan-file.parquet")), s"orphan not removed: $removed")
+      state(t)
+    },
+    Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
-    sqlCatalog,
+    sqlCatalog, orphans,
   )
 }

@@ -350,10 +350,55 @@ object Relational {
             FROM events ORDER BY event_id"""),
   )
 
+  /** ROLLUP hierarchy totals (year → priority → grand total). Null group
+    * keys are coalesced to a sentinel IN the query so both engines sort
+    * identically (Spark orders NULLS FIRST asc, DuckDB NULLS LAST — a
+    * sentinel sidesteps the divergence). */
+  private val rollupAgg = QueryDef(
+    "rollup_agg",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(
+          year(col("o_orderdate")).cast("string").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsumR(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("yr"), lit("<all>")).as("yr"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("cnt"), col("total"))
+        .orderBy("yr", "priority"),
+    Some(s"""SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), '<all>') AS yr,
+             coalesce(o_orderpriority, '<all>') AS priority,
+             CAST(count(*) AS BIGINT) AS cnt, ${Exact.sqlSum("o_totalprice")} AS total
+             FROM orders GROUP BY ROLLUP (CAST(year(o_orderdate) AS VARCHAR), o_orderpriority)
+             ORDER BY yr, priority"""),
+  )
+
+  /** PIVOT: event values spread into one column per event_type. Spark's
+    * relational pivot with explicit values (stable output schema at any
+    * scale — never let pivot infer distinct values on a 100 TB table);
+    * oracle expresses the same as conditional aggregation. */
+  private val pivotAgg = QueryDef(
+    "pivot_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(Exact.dsumR(col("value")))
+        .na.fill(0.0, Seq("click", "view", "purchase"))
+        .orderBy("day"),
+    Some(s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             coalesce(round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 2), 0.0) AS click,
+             coalesce(round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 2), 0.0) AS view,
+             coalesce(round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE), 2), 0.0) AS purchase
+             FROM events GROUP BY 1 ORDER BY day"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     pkLookup, pushdownCount, filterRangeAgg, eventTypeAgg, dailyCountAvg,
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
     jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
+    rollupAgg, pivotAgg,
   )
 }
