@@ -396,6 +396,28 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       s"add column $name $dtype${defaultSql.map(d => s" default $d").getOrElse("")}")
   }
 
+  /** ALTER COLUMN TYPE (widening: INT→BIGINT, FLOAT→DOUBLE, precision
+    * growth) — metadata-only; old files cast up at read via the field-id
+    * projection. Narrowing is rejected: it could truncate existing data. */
+  def updateColumnType(name: String, newType: String): Unit = {
+    val m = meta
+    val sch = m.currentSchema
+    val fld = sch.fieldByName(name)
+    val widenings = Map(
+      "INT" -> Set("BIGINT"), "SMALLINT" -> Set("INT", "BIGINT"),
+      "FLOAT" -> Set("DOUBLE"))
+    def base(t: String) = t.toUpperCase.takeWhile(c => c.isLetter)
+    require(
+      base(fld.dtype) == base(newType) ||
+        widenings.getOrElse(base(fld.dtype), Set()).contains(base(newType)),
+      s"cannot narrow ${fld.dtype} to $newType")
+    val next = sch.copy(
+      schemaId = m.schemas.map(_.schemaId).max + 1,
+      fields = sch.fields.map(f => if (f.id == fld.id) f.copy(dtype = newType) else f))
+    commit(m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+      s"widen $name ${fld.dtype} -> $newType")
+  }
+
   /** RENAME COLUMN (README.md:979) — metadata-only via field ids. */
   def renameColumn(from: String, to: String): Unit = {
     val m = meta

@@ -109,6 +109,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
         t.renameColumn(ren.fieldNames().head, ren.newName())
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "nested type change unsupported")
+        t.updateColumnType(upd.fieldNames().head, upd.newDataType().sql)
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
     loadTable(ident)

@@ -132,6 +132,19 @@ class IceLiteSpec extends SparkSpec {
     assert(rows.forall(r => !r.isNullAt(1)))
   }
 
+  test("type widening is metadata-only; narrowing rejected") {
+    val t = IceLite.createFrom(spark, scratch("widen"),
+      spark.range(5).toDF("id").withColumn("n", col("id").cast("int")))
+    t.append(spark.range(5).toDF("id").withColumn("n", col("id").cast("int")))
+    val filesBefore = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.updateColumnType("n", "BIGINT")
+    assert(t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet == filesBefore)
+    val sch = t.read().schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.read().agg(sum(col("n"))).head.getLong(0) == 10)
+    intercept[IllegalArgumentException](t.updateColumnType("n", "INT"))
+  }
+
   test("merge-on-read delete leaves data files untouched; compact materializes") {
     val t = IceLite.createFrom(spark, scratch("mor"), sample,
       properties = Map("write.delete.mode" -> "merge-on-read"))
