@@ -30,6 +30,40 @@ object VectorOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  /** Per-key top-k with a map-side partial: each partition keeps at most k
+    * candidates per key in a bounded heap, then the exact window ranks the
+    * reduced set. A window alone shuffles EVERY score to |keys| reducers —
+    * with 10 probe keys that is a 10-task bottleneck no matter how many
+    * executors exist; the partial cuts the shuffle to ≤ partitions·k rows
+    * per key and the selection is lossless (any global top-k row is a
+    * partition top-k row). Input columns: (qid, neighbor_id, score);
+    * ordering: score desc, neighbor_id asc. */
+  private def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val partial = scored.select("qid", "neighbor_id", "score").as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // head of the queue = worst kept candidate (lowest score, then
+        // highest neighbor_id), so one compare decides admission
+        val worstFirst: Ordering[(Long, Long)] = Ordering.by(t => (-t._1, t._2))
+        val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]()
+        it.foreach { case (qid, nid, score) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)](worstFirst))
+          if (h.size < k) h.enqueue((score, nid))
+          else {
+            val (ws, wn) = h.head
+            if (score > ws || (score == ws && nid < wn)) { h.dequeue(); h.enqueue((score, nid)) }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._2, t._1)) }
+      }.toDF("qid", "neighbor_id", "score")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("neighbor_id"))
+    partial
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** X3 brute-force cosine/dot top-k: for each probe vector (vec_id < 10),
     * the 5 nearest corpus vectors by scaled dot product. (Fixture vectors
     * are ~unit-norm, so dot ≈ cosine; the scaled-int trick keeps ranking
@@ -45,11 +79,7 @@ object VectorOps {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           dotScaled(col("qe"), col("embedding")).as("score"))
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("neighbor_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .orderBy("qid", "rn")
+      topKPerKey(scored, 5).orderBy("qid", "rn")
     },
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),
@@ -122,13 +152,10 @@ object VectorOps {
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
         .flatMap { case (qid, qv) => topCells(qv, 4).map(c => (qid, c, qv)) }
       val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "cell", "qe"))
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("neighbor_id"))
-      assigned.join(probeDf, "cell")
+      val scored = assigned.join(probeDf, "cell")
         .filter(col("neighbor_id") =!= col("qid"))
         .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .orderBy("qid", "rn")
+      topKPerKey(scored, 3).orderBy("qid", "rn")
     },
     None,
   )
