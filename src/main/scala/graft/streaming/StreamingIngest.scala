@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.icelite.IceLiteTable
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming front for the engine (SURVEY.md §2.10/§7.7 — the
   * reference itself has no streaming code; this is the labeled stretch:
@@ -30,6 +30,52 @@ object StreamingIngest {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
+
+  /** One user-session aggregate (emitted when the session closes). */
+  case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
+      startMs: Long, endMs: Long)
+  /** Per-key state (public: Catalyst's generated encoder code needs
+    * constructor access). */
+  case class SessionState(nEvents: Long, totalValue: Double,
+      startMs: Long, lastMs: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: events are
+    * grouped per user; a session closes once the EVENT-TIME watermark
+    * passes `gapMs` beyond the user's last event, emitting one summary
+    * row. Event-time timeouts make sessions deterministic under replay and
+    * late data (a processing-time variant would depend on wall clock).
+    * State per key is O(1) — counts and bounds, never the events — which
+    * keeps the state store bounded by |active users|, not traffic.
+    * Input columns: user_id LONG, ts TIMESTAMP, value DOUBLE. */
+  def sessionize(events: DataFrame, gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs))
+          } else {
+            val batch = rows.map { case (_, ts, v) => (ts.getTime, v) }.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0, 0.0, batch.map(_._1).min, batch.map(_._1).min))
+            val next = SessionState(
+              prev.nEvents + batch.size,
+              prev.totalValue + batch.map(_._2).sum,
+              prev.startMs,
+              math.max(prev.lastMs, batch.map(_._1).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Stream → IceLite: every micro-batch appends as one snapshot. Restart
     * safety comes from the checkpoint (Spark replays uncommitted batches;

@@ -46,6 +46,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamingIngest.sessionize(
+      mem.toDF.toDF("user_id", "ts", "value"), gapMs = 60000) // 1-minute gap
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:30"), 2.0),
+        (2L, ts("2024-01-01 10:00:10"), 5.0))
+      q.processAllAvailable()
+      // watermark jumps far past both sessions → timeouts fire next batch
+      mem.addData((3L, ts("2024-01-01 11:00:00"), 0.5))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 11:00:01"), 0.5)) // drain timeout emissions
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"user 1 session wrong: $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"user 2 session wrong: $rows")
+      assert(!rows.exists(_._1 == 3L), s"user 3 still active, must not emit: $rows")
+    } finally q.stop()
+  }
+
   test("stream appends become IceLite snapshots; content matches input") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
