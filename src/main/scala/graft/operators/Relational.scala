@@ -394,11 +394,35 @@ object Relational {
              FROM events GROUP BY 1 ORDER BY day"""),
   )
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both linear-interpolate over the sorted values, so
+    * the doubles are bit-identical). At 100 TB you'd reach for
+    * percentile_approx/t-digest; the exact form is the oracle-able
+    * baseline it's validated against. */
+  private val percentiles = QueryDef(
+    "percentiles",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+            round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+            round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+            round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+            CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     pkLookup, pushdownCount, filterRangeAgg, eventTypeAgg, dailyCountAvg,
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
     jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
-    rollupAgg, pivotAgg,
+    rollupAgg, pivotAgg, percentiles,
   )
 }

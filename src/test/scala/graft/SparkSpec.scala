@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (BucketingSpec) must not land in the repo cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_spark_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
