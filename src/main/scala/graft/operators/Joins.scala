@@ -143,8 +143,40 @@ object Joins {
              GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
   )
 
+  /** Set operations (SURVEY.md §2.7 — the reference uses none; labeled
+    * extension): customers-with-orders vs high-balance customers via
+    * UNION / INTERSECT / EXCEPT, each reduced to a count. All three are
+    * hash-shuffle dedup ops keyed on the full row — same scaling shape as
+    * dropDuplicates. */
+  private val setOps = QueryDef(
+    "set_ops",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val active  = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      val wealthy = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k")).distinct()
+      def n(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("cnt")).select(lit(label).as("op"), col("cnt"))
+      n(active.union(wealthy).distinct(), "union")
+        .unionAll(n(active.intersect(wealthy), "intersect"))
+        .unionAll(n(active.except(wealthy), "except"))
+        .orderBy("op")
+    },
+    Some("""WITH active AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            wealthy AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+            SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT k FROM active EXCEPT SELECT k FROM wealthy)
+            UNION ALL
+            SELECT 'intersect', count(*)
+              FROM (SELECT k FROM active INTERSECT SELECT k FROM wealthy)
+            UNION ALL
+            SELECT 'union', count(*)
+              FROM (SELECT k FROM active UNION SELECT k FROM wealthy)
+            ORDER BY op"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     joinRevenueByNation, joinTopCustomers, joinOrdersNoLineitem,
-    joinSemiBigSpenders, joinSegmentPriority, pricingSummary,
+    joinSemiBigSpenders, joinSegmentPriority, pricingSummary, setOps,
   )
 }
