@@ -56,19 +56,50 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
   }
 
-  /** Atomic commit: write v{N+1}.json with create-if-absent (an existing
-    * file means a concurrent writer won — optimistic concurrency), then
-    * atomically swap the version hint. Readers that loaded vN keep a fully
-    * consistent view — snapshot isolation for free. */
-  private def commit(next: TableMetadata, note: String): Unit = {
-    val v = currentVersion + 1
+  /** Atomic commit at exactly version `v`: create-if-absent (an existing
+    * file means a concurrent writer claimed this version — the conflict
+    * detector; do NOT silently skip it), then atomically swap the version
+    * hint. Readers that loaded vN keep a fully consistent view — snapshot
+    * isolation for free. */
+  private def commitAt(v: Int, next: TableMetadata, note: String): Unit = {
+    val f = fs(spark, location)
     val entry = MetadataLogEntry(v, System.currentTimeMillis(), note)
     val withLog = next.copy(metadataLog = next.metadataLog :+ entry)
-    val f = fs(spark, location)
     val target = new Path(location, s"metadata/v$v.json")
     val out = f.create(target, /* overwrite = */ false) // CREATE_NEW: conflict check
     try out.write(MetaJson.toJson(withLog).getBytes("UTF-8")) finally out.close()
     atomicWrite(f, new Path(location, s"metadata/$HINT"), v.toString)
+  }
+
+  private def commit(next: TableMetadata, note: String): Unit =
+    commitAt(currentVersion + 1, next, note)
+
+  /** Optimistic-retry commit for operations whose intent can be REBUILT on
+    * top of a newer table state (append's add-files, MoR delete's
+    * add-positions, pure-metadata DDL): on a version-file collision the
+    * whole [load meta → rebuild → commit] cycle reruns against the
+    * winner's state. If the collision persists but the hint never moves
+    * across a backoff, the colliding file is an orphan from a crashed
+    * writer (its hint swap never happened = it never committed) and is
+    * stepped over. CoW rewrites must NOT use this — their new files are
+    * derived from the old file set, so a conflict there means the rewrite
+    * itself is stale and the caller must re-run the whole operation. */
+  private def commitWithRetry(build: TableMetadata => (TableMetadata, String),
+      retries: Int = 6): Unit = {
+    var attempt = 0
+    var skipOrphans = 0 // crashed-writer version files to step over
+    while (true) {
+      val hintBefore = currentVersion
+      val (next, note) = build(meta)
+      try { commitAt(hintBefore + 1 + skipOrphans, next, note); return }
+      catch {
+        case _: java.io.IOException if attempt < retries =>
+          attempt += 1
+          Thread.sleep(100L) // long enough for a live racer's hint swap to land
+          if (currentVersion > hintBefore) skipOrphans = 0 // racer committed: rebase
+          else skipOrphans += 1 // hint frozen: the file is an orphan
+      }
+    }
   }
 
   /** `_metadata.file_path` renders as `file:///x` while Hadoop `Path
@@ -163,12 +194,16 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       else fld.defaultSql.map(d => expr(d).cast(fld.dtype)).getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
     }: _*)
     val files = writeFiles(aligned, m, m.currentSchemaId, m.defaultSpec)
-    val cur = m.currentSnapshot
-    commit(
-      newSnapshot(m, "append",
-        cur.map(_.dataFiles).getOrElse(Seq()) ++ files,
-        cur.map(_.deleteFiles).getOrElse(Seq())),
-      s"append ${files.map(_.rows).sum} rows / ${files.size} files")
+    // add-files commits rebase cleanly: the files stay valid under any
+    // concurrent commit (their schemaId stays in the schema list), so a
+    // conflict just replays the snapshot build on the winner's state
+    commitWithRetry { cur =>
+      val snap = cur.currentSnapshot
+      (newSnapshot(cur, "append",
+        snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
+        snap.map(_.deleteFiles).getOrElse(Seq())),
+        s"append ${files.map(_.rows).sum} rows / ${files.size} files")
+    }
   }
 
   // ---------------------------------------------------------------- reading
@@ -334,8 +369,11 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       }
     }
     if (files.isEmpty) { f.delete(out, true); return }
-    commit(newSnapshot(m, "delete", snap.dataFiles, snap.deleteFiles ++ files),
-      s"delete (mor) ${files.map(_.rows).sum} positions")
+    commitWithRetry { cur =>
+      val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
+      (newSnapshot(cur, "delete", cs.dataFiles, cs.deleteFiles ++ files.toSeq),
+        s"delete (mor) ${files.map(_.rows).sum} positions")
+    }
   }
 
   /** MERGE INTO … ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -383,18 +421,17 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
   /** ADD COLUMN [DEFAULT] (README.md:976, 1159–1166) — metadata-only; old
     * files read the default (or null) without any rewrite. */
-  def addColumn(name: String, dtype: String, defaultSql: Option[String] = None): Unit = {
-    val m = meta
-    val sch = m.currentSchema
-    require(!sch.fields.exists(_.name == name), s"column $name exists")
-    val fid = m.lastFieldId + 1
-    val next = sch.copy(
-      schemaId = m.schemas.map(_.schemaId).max + 1,
-      fields = sch.fields :+ Field(fid, name, dtype, defaultSql))
-    commit(
-      m.copy(lastFieldId = fid, currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
-      s"add column $name $dtype${defaultSql.map(d => s" default $d").getOrElse("")}")
-  }
+  def addColumn(name: String, dtype: String, defaultSql: Option[String] = None): Unit =
+    commitWithRetry { m =>
+      val sch = m.currentSchema
+      require(!sch.fields.exists(_.name == name), s"column $name exists")
+      val fid = m.lastFieldId + 1
+      val next = sch.copy(
+        schemaId = m.schemas.map(_.schemaId).max + 1,
+        fields = sch.fields :+ Field(fid, name, dtype, defaultSql))
+      (m.copy(lastFieldId = fid, currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+        s"add column $name $dtype${defaultSql.map(d => s" default $d").getOrElse("")}")
+    }
 
   /** ALTER COLUMN TYPE (widening: INT→BIGINT, FLOAT→DOUBLE, precision
     * growth) — metadata-only; old files cast up at read via the field-id

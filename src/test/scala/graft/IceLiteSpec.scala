@@ -174,13 +174,27 @@ class IceLiteSpec extends SparkSpec {
     assert(cat.listTables("db") == Seq("t1"))
   }
 
-  test("concurrent commit conflict is detected") {
-    val t = IceLite.createFrom(spark, scratch("conflict"), sample)
+  test("orphaned version file from a crashed writer is skipped, not fatal") {
+    val t = IceLite.createFrom(spark, scratch("orphanv"), sample)
     t.append(sample.filter(col("id") < 10))
-    // simulate a racing writer that already claimed v3
+    // crashed writer: version file exists but the hint never advanced
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
     val racing = new org.apache.hadoop.fs.Path(t.location, "metadata/v3.json")
     val out = fs.create(racing, false); out.write('x'); out.close()
-    intercept[Exception](t.append(sample.filter(col("id") >= 10)))
+    t.append(sample.filter(col("id") >= 10)) // must skip v3 and land at v4
+    assert(t.currentVersion == 4)
+    assert(ids(t.read()) == (0L until 100L))
+  }
+
+  test("concurrent appends both land via optimistic retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = IceLite.createFrom(spark, scratch("race"), sample)
+    val f1 = Future(t.append(sample.filter(col("id") < 50)))
+    val f2 = Future(t.append(sample.filter(col("id") >= 50)))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    assert(t.meta.snapshots.size == 2, s"ops: ${t.meta.snapshots.map(_.operation)}")
+    assert(ids(t.read()) == (0L until 100L), "one append lost in the race")
   }
 }
