@@ -8,6 +8,8 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.SerializableConfiguration
 
 /** IceLite: a Spark-native lakehouse table (SURVEY.md §7.3, reproducing the
   * Iceberg semantics the reference teaches at
@@ -30,25 +32,43 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *
   * Scale design: all data moves through DataFrames (distributed); the
   * driver only touches metadata (file lists, row counts — KBs per commit).
-  * CoW rewrites read ONLY the affected files (manifest-pruned scan), so an
-  * UPDATE touching one partition of a 100 TB table rewrites one partition.
-  * Merge-on-read DELETE writes positions only — no data rewrite at all.
+  * Per-file footer stats are harvested EXECUTOR-side (one distributed job
+  * over the staged files), so a 10k-file commit doesn't serialize minutes
+  * of footer reads on the driver. CoW rewrites read ONLY the affected files
+  * (manifest-pruned scan), so an UPDATE touching one partition of a 100 TB
+  * table rewrites one partition. Merge-on-read DELETE writes positions
+  * only — no data rewrite at all — and the read path applies them as a
+  * broadcast per-file position filter, never a shuffle of the fact table.
+  *
+  * Concurrency: every operation loads (version, metadata) as one unit and
+  * commits at exactly loadedVersion+1 via create-if-absent, so ANY
+  * intervening commit collides with an existing version file — a lost
+  * update is impossible. Rebuildable operations (append, MoR delete,
+  * metadata DDL, expire) rebase-and-retry on collision; CoW rewrites
+  * surface the conflict to the caller, whose derived files are stale.
   */
 class IceLiteTable(val spark: SparkSession, val location: String) {
-  import IceLite.{HINT, atomicWrite, fs}
+  import IceLite.{HINT, atomicWrite, fs, normPath}
 
   // ---------------------------------------------------------------- metadata
 
-  def meta: TableMetadata = {
+  private def metaAt(v: Int): TableMetadata = {
     val f = fs(spark, location)
-    val hint = new Path(location, s"metadata/$HINT")
-    val in = f.open(hint)
-    val v = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-    val mf = new Path(location, s"metadata/v$v.json")
-    val min = f.open(mf)
+    val min = f.open(new Path(location, s"metadata/v$v.json"))
     val js = try scala.io.Source.fromInputStream(min).mkString finally min.close()
     MetaJson.fromJson(js)
   }
+
+  /** (version, metadata) loaded as ONE consistent unit — the version is
+    * read first and the metadata fetched for exactly that version, so a
+    * concurrent commit between the two reads cannot split them. All
+    * operations build on a versionedMeta and commit at version+1. */
+  def versionedMeta: (Int, TableMetadata) = {
+    val v = currentVersion
+    (v, metaAt(v))
+  }
+
+  def meta: TableMetadata = versionedMeta._2
 
   def currentVersion: Int = {
     val f = fs(spark, location)
@@ -58,9 +78,10 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
   /** Atomic commit at exactly version `v`: create-if-absent (an existing
     * file means a concurrent writer claimed this version — the conflict
-    * detector; do NOT silently skip it), then atomically swap the version
-    * hint. Readers that loaded vN keep a fully consistent view — snapshot
-    * isolation for free. */
+    * detector; do NOT silently skip it), then swap the version hint
+    * FORWARD-ONLY. A writer that was quarantine-stepped while paused (GC,
+    * slow FS) finds the hint already past `v` and fails loudly instead of
+    * regressing the table. */
   private def commitAt(v: Int, next: TableMetadata, note: String): Unit = {
     val f = fs(spark, location)
     val entry = MetadataLogEntry(v, System.currentTimeMillis(), note)
@@ -68,45 +89,61 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val target = new Path(location, s"metadata/v$v.json")
     val out = f.create(target, /* overwrite = */ false) // CREATE_NEW: conflict check
     try out.write(MetaJson.toJson(withLog).getBytes("UTF-8")) finally out.close()
+    val hintNow = currentVersion
+    if (hintNow >= v)
+      throw new IceLite.CommitSupersededException(
+        s"commit at v$v superseded: hint already at v$hintNow (stepped over as orphan); re-run")
     atomicWrite(f, new Path(location, s"metadata/$HINT"), v.toString)
   }
 
-  private def commit(next: TableMetadata, note: String): Unit =
-    commitAt(currentVersion + 1, next, note)
+  /** One-shot commit for operations whose output is DERIVED from the
+    * loaded snapshot (CoW rewrites, compaction, overwrite): any concurrent
+    * commit means the derived file set is stale, so the collision
+    * propagates to the caller, who must re-run the whole operation. */
+  private def commitFrom(loadedVersion: Int, next: TableMetadata, note: String): Unit =
+    commitAt(loadedVersion + 1, next, note)
 
   /** Optimistic-retry commit for operations whose intent can be REBUILT on
     * top of a newer table state (append's add-files, MoR delete's
-    * add-positions, pure-metadata DDL): on a version-file collision the
-    * whole [load meta → rebuild → commit] cycle reruns against the
-    * winner's state. If the collision persists but the hint never moves
-    * across a backoff, the colliding file is an orphan from a crashed
-    * writer (its hint swap never happened = it never committed) and is
-    * stepped over. CoW rewrites must NOT use this — their new files are
-    * derived from the old file set, so a conflict there means the rewrite
-    * itself is stale and the caller must re-run the whole operation. */
+    * add-positions, pure-metadata DDL, expire): on a version-file collision
+    * the whole [load (version, meta) → rebuild → commit] cycle reruns
+    * against the winner's state.
+    *
+    * Crashed-writer handling: a colliding version file whose hint never
+    * advanced is only stepped over after it provably AGED past the
+    * quarantine window (`commit.orphan-quarantine-ms`, default 5 min) — a
+    * live racer paused mid-commit (GC, slow FS) is younger than that, so
+    * its commit is never silently discarded; we keep backing off until it
+    * either finishes (hint advances → rebase) or ages out. */
   private def commitWithRetry(build: TableMetadata => (TableMetadata, String),
-      retries: Int = 6): Unit = {
+      retries: Int = 8): Unit = {
+    val f = fs(spark, location)
     var attempt = 0
-    var skipOrphans = 0 // crashed-writer version files to step over
     while (true) {
-      val hintBefore = currentVersion
-      val (next, note) = build(meta)
-      try { commitAt(hintBefore + 1 + skipOrphans, next, note); return }
+      val (v, m) = versionedMeta
+      val quarantineMs = m.properties.getOrElse(
+        "commit.orphan-quarantine-ms", "300000").toLong
+      // step over contiguous AGED orphan version files above the hint
+      var target = v + 1
+      var scanning = true
+      while (scanning) {
+        val p = new Path(location, s"metadata/v$target.json")
+        if (f.exists(p) &&
+          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime > quarantineMs)
+          target += 1
+        else scanning = false
+      }
+      val (next, note) = build(m)
+      try { commitAt(target, next, note); return }
       catch {
-        case _: java.io.IOException if attempt < retries =>
+        case e @ (_: java.io.IOException | _: IceLite.CommitSupersededException) =>
+          if (attempt >= retries) throw new RuntimeException(
+            s"commit failed after $retries retries (last: ${e.getMessage})", e)
           attempt += 1
-          Thread.sleep(100L) // long enough for a live racer's hint swap to land
-          if (currentVersion > hintBefore) skipOrphans = 0 // racer committed: rebase
-          else skipOrphans += 1 // hint frozen: the file is an orphan
+          Thread.sleep(50L + scala.util.Random.nextInt(100)) // jittered backoff
       }
     }
   }
-
-  /** `_metadata.file_path` renders as `file:///x` while Hadoop `Path
-    * .toString` renders `file:/x` — normalize both to the URI path before
-    * comparing, or CoW file matching silently misses everything. */
-  private def normPath(p: String): String =
-    try new java.net.URI(p).getPath catch { case _: Exception => p }
 
   private def nextSnapshotId(m: TableMetadata): Long =
     m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
@@ -135,8 +172,10 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
   /** Write `df` (current-schema column names) as new data files under the
     * given spec; returns manifest entries. Data flows executor-side via a
-    * normal distributed parquet write; the driver only lists the staged
-    * files and reads footers for row counts. */
+    * normal distributed parquet write; the staged files are then finalized
+    * (footer row-count/min-max harvest + rename into data/) by a SECOND
+    * distributed job — the driver never opens a footer, so commit metadata
+    * cost is O(files/parallelism), not O(files) serial. */
   private def writeFiles(df: DataFrame, m: TableMetadata, schemaId: Int, spec: PartitionSpec): Seq[DataFile] = {
     val sch = m.schema(schemaId)
     val phys = df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.physName)): _*)
@@ -156,31 +195,34 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       withP.repartition(partCols.map(col): _*)
         .write.partitionBy(partCols: _*).parquet(stagingDir.toString)
     }
-    // enumerate staged parquet files; derive partition values from dir names
+    // enumerate staged parquet files; partition values derive from dir names
     val it = f.listFiles(stagingDir, true)
-    val staged = scala.collection.mutable.ArrayBuffer[Path]()
+    val staged = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) staged += st.getPath
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) staged += st.getPath.toString
     }
     val dataDir = new Path(location, "data")
     f.mkdirs(dataDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val out = staged.map { p =>
-      val rel = p.toString.stripPrefix(stagingDir.toString).stripPrefix("/")
-      val partVals = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k.stripPrefix("_p_") -> v
-      }.toMap
-      val dest = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      val (rows, stats) =
-        try (reader.getRecordCount, Stats.fromFooter(reader)) finally reader.close()
-      if (!f.rename(p, dest)) sys.error(s"rename $p -> $dest failed")
-      DataFile(dest.toString, rows, schemaId, spec.specId, partVals, stats)
-    }.filter(_.rows > 0).toSeq
+    val stagingPrefix = stagingDir.toString
+    val dataDirStr = dataDir.toString
+    val specId = spec.specId
+    val confBc = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    // IceLite.finalizeStaged is a static helper so the task closure captures
+    // only (strings, ints, SerializableConfiguration) — never `this`, whose
+    // SparkSession doesn't serialize.
+    val out =
+      if (staged.size <= 2) // job-scheduling overhead beats 2 footer reads
+        staged.toSeq.map(p =>
+          IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
+      else
+        spark.sparkContext
+          .parallelize(staged.toSeq, math.min(staged.size, 64))
+          .map(p =>
+            IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
+          .collect().toSeq
     f.delete(stagingDir, true)
-    out
+    out.filter(_.rows > 0)
   }
 
   /** INSERT/append (README.md:1136–1138): new files + add-files snapshot.
@@ -188,12 +230,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * columns become null. */
   def append(df: DataFrame): Unit = {
     val m = meta
-    val sch = m.currentSchema
-    val aligned = df.select(sch.fields.map { fld =>
-      if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dtype).as(fld.name)
-      else fld.defaultSql.map(d => expr(d).cast(fld.dtype)).getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
-    }: _*)
-    val files = writeFiles(aligned, m, m.currentSchemaId, m.defaultSpec)
+    val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
     // add-files commits rebase cleanly: the files stay valid under any
     // concurrent commit (their schemaId stays in the schema list), so a
     // conflict just replays the snapshot build on the winner's state
@@ -202,8 +239,43 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       (newSnapshot(cur, "append",
         snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
         snap.map(_.deleteFiles).getOrElse(Seq())),
-        s"append ${files.map(_.rows).sum} rows / ${files.size} files")
+        s"append ${files.map(_.rows).sum} rows")
     }
+  }
+
+  /** Idempotent streaming append: commits `df` AND records `batchId` in the
+    * table properties inside the SAME atomic commit; a batch id at or below
+    * the recorded one is a replay (foreachBatch restart) and becomes a
+    * no-op. This upgrades foreachBatch's at-least-once to exactly-once per
+    * batch — the Iceberg streaming-writer pattern. */
+  def appendIfNewBatch(batchId: Long, df: DataFrame): Boolean = {
+    val key = "streaming.last-committed-batch-id"
+    val m = meta
+    if (m.properties.get(key).exists(_.toLong >= batchId)) return false
+    val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
+    var committed = true
+    commitWithRetry { cur =>
+      if (cur.properties.get(key).exists(_.toLong >= batchId)) {
+        committed = false // lost a race with another writer of the same batch
+        (cur, s"skip replayed batch $batchId")
+      } else {
+        val snap = cur.currentSnapshot
+        (newSnapshot(cur, "append",
+          snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
+          snap.map(_.deleteFiles).getOrElse(Seq()))
+          .copy(properties = cur.properties + (key -> batchId.toString)),
+          s"append batch $batchId: ${files.map(_.rows).sum} rows")
+      }
+    }
+    committed
+  }
+
+  private def alignToSchema(df: DataFrame, m: TableMetadata): DataFrame = {
+    val sch = m.currentSchema
+    df.select(sch.fields.map { fld =>
+      if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dtype).as(fld.name)
+      else fld.defaultSql.map(d => expr(d).cast(fld.dtype)).getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
+    }: _*)
   }
 
   // ---------------------------------------------------------------- reading
@@ -254,17 +326,33 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val grouped = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     val unioned = grouped.map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage) }
       .reduce(_ unionAll _)
-    // merge-on-read: anti-join out positions recorded in delete files
+    // merge-on-read: positional deletes applied as a BROADCAST per-file
+    // position filter inside the scan — the data side never joins or
+    // shuffles (the scale-killer a global (_file,_pos) anti-join becomes at
+    // 100 TB). Delete positions are grouped per data file (metadata-scale:
+    // one row per file) and shipped as sorted arrays; each data row does a
+    // map lookup + binary search. At extreme delete densities these arrays
+    // would be compressed bitmaps (Iceberg's puffin DVs) — same shape,
+    // and compaction materializes deletes to keep the map bounded.
     val afterDeletes =
       if (snap.deleteFiles.isEmpty) unioned
       else {
-        val dels = spark.read
+        val scannedFiles = files.map(df => normPath(df.path)).toSet
+        val delMap: Map[String, Array[Long]] = spark.read
           .schema("file_path STRING, pos BIGINT")
           .parquet(snap.deleteFiles.map(_.path): _*)
-        unioned.join(
-          dels,
-          unioned("_file") === dels("file_path") && unioned("_pos") === dels("pos"),
-          "left_anti")
+          .groupBy("file_path")
+          .agg(sort_array(collect_list("pos")).as("ps"))
+          .collect()
+          .map(r => normPath(r.getString(0)) -> r.getSeq[Long](1).toArray)
+          .filter { case (p, _) => scannedFiles.contains(p) } // pruned files need no positions
+          .toMap
+        val bc = spark.sparkContext.broadcast(delMap)
+        val live = udf((file: String, pos: Long) => {
+          val arr = bc.value.getOrElse(IceLite.normPath(file), null)
+          arr == null || java.util.Arrays.binarySearch(arr, pos) < 0
+        })
+        unioned.filter(live(col("_file"), col("_pos")))
       }
     if (lineage) afterDeletes else afterDeletes.drop("_file", "_pos")
   }
@@ -304,7 +392,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   /** UPDATE … SET … WHERE (README.md:954–956), copy-on-write: only files
     * containing matching rows are rewritten; untouched files carry over. */
   def update(cond: Column, assignments: Map[String, Column]): Unit = {
-    val m = meta
+    val (v, m) = versionedMeta
     val snap = m.currentSnapshot.getOrElse(return)
     val df = readWithLineage(m, snap)
     val touched = df.filter(cond).select("_file").distinct().collect()
@@ -318,7 +406,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
         .getOrElse(col(fld.name))
     }: _*)
     val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
-    commit(newSnapshot(m, "update", keep ++ newFiles, snap.deleteFiles),
+    commitFrom(v, newSnapshot(m, "update", keep ++ newFiles, snap.deleteFiles),
       s"update rewrote ${hit.size} files")
   }
 
@@ -326,13 +414,13 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * deletion vectors (README.md:1111–1121) per
     * `write.delete.mode` (README.md:1113, M18). */
   def delete(cond: Column): Unit = {
-    val m = meta
+    val (v, m) = versionedMeta
     if (m.properties.getOrElse("write.delete.mode", "copy-on-write") == "merge-on-read")
       deleteMor(m, cond)
-    else deleteCow(m, cond)
+    else deleteCow(v, m, cond)
   }
 
-  private def deleteCow(m: TableMetadata, cond: Column): Unit = {
+  private def deleteCow(v: Int, m: TableMetadata, cond: Column): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
     val df = readWithLineage(m, snap)
     val touched = df.filter(cond).select("_file").distinct().collect()
@@ -341,13 +429,14 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     val newFiles = writeFiles(hitDf.filter(!cond), m, m.currentSchemaId, m.defaultSpec)
-    commit(newSnapshot(m, "delete", keep ++ newFiles, snap.deleteFiles),
+    commitFrom(v, newSnapshot(m, "delete", keep ++ newFiles, snap.deleteFiles),
       s"delete (cow) rewrote ${hit.size} files")
   }
 
   /** Merge-on-read DELETE: write (file, pos) tuples — no data rewrite; the
-    * read path anti-joins them out. Exactly the V3 deletion-vector promise:
-    * delete cost is proportional to deleted rows, not file sizes. */
+    * read path filters them out with a broadcast per-file position set.
+    * Exactly the V3 deletion-vector promise: delete cost is proportional to
+    * deleted rows, not file sizes. */
   private def deleteMor(m: TableMetadata, cond: Column): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
     val df = readWithLineage(m, snap)
@@ -379,41 +468,52 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   /** MERGE INTO … ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
     * THEN INSERT * (README.md:963–967). ANSI semantics: a target row
     * matching >1 source rows is an error. CoW: rewrites only files holding
-    * matched rows; inserts append. */
+    * matched rows; inserts append.
+    *
+    * Job shape (kept lean — each scan runs once): the aligned source and
+    * the target's (key, _file) projection are cached; the duplicate-source
+    * check is one small agg over the cached source; touched-file discovery
+    * reuses both caches. At 100 TB the target cache is two columns wide
+    * (key + file path), the column-pruned shape, and spills to disk. */
   def merge(source: DataFrame, key: String): Unit = {
-    val m = meta
+    val (v, m) = versionedMeta
     val snap = m.currentSnapshot.getOrElse(sys.error("merge into empty table"))
     val sch = m.currentSchema
     val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
-    val dupCount = srcAligned.groupBy(key).count().filter(col("count") > 1).limit(1).count()
-    if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tgt = readWithLineage(m, snap)
-    val touched = tgt.join(srcAligned.select(key), Seq(key), "left_semi")
-      .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
-    val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
-    // rows of touched files, merged with their source matches
-    val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
-    val s = srcAligned.select(
-      col(key).as("_sk") +: sch.fields.filter(_.name != key).map(f => col(f.name).as(s"_s_${f.name}")): _*)
-    val mergedTouched = hitDf.join(s, hitDf(key) === s("_sk"), "left_outer")
-      .select(sch.fields.map { f =>
-        if (f.name == key) col(key)
-        else when(col("_sk").isNotNull, col(s"_s_${f.name}")).otherwise(col(f.name)).as(f.name)
-      }: _*)
-    // source rows matching NO target row anywhere → inserts
-    val inserts = srcAligned.join(tgt.select(key), Seq(key), "left_anti")
-    val newFiles = writeFiles(mergedTouched.unionByName(inserts), m, m.currentSchemaId, m.defaultSpec)
-    commit(newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles),
-      s"merge rewrote ${hit.size} files")
+    val tgtKeys = tgt.select(col(key), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupCount = srcAligned.groupBy(key).count().filter(col("count") > 1).limit(1).count()
+      if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $key")
+      val touched = tgtKeys.join(srcAligned.select(key), Seq(key), "left_semi")
+        .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
+      val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
+      // rows of touched files, merged with their source matches
+      val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
+      val s = srcAligned.select(
+        col(key).as("_sk") +: sch.fields.filter(_.name != key).map(f => col(f.name).as(s"_s_${f.name}")): _*)
+      val mergedTouched = hitDf.join(s, hitDf(key) === s("_sk"), "left_outer")
+        .select(sch.fields.map { f =>
+          if (f.name == key) col(key)
+          else when(col("_sk").isNotNull, col(s"_s_${f.name}")).otherwise(col(f.name)).as(f.name)
+        }: _*)
+      // source rows matching NO target row anywhere → inserts
+      val inserts = srcAligned.join(tgtKeys.select(key), Seq(key), "left_anti")
+      val newFiles = writeFiles(mergedTouched.unionByName(inserts), m, m.currentSchemaId, m.defaultSpec)
+      commitFrom(v, newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles),
+        s"merge rewrote ${hit.size} files")
+    } finally {
+      srcAligned.unpersist()
+      tgtKeys.unpersist()
+    }
   }
 
   /** INSERT OVERWRITE: replace the whole table content in one snapshot. */
   def overwrite(df: DataFrame): Unit = {
-    val m = meta
-    val sch = m.currentSchema
-    val aligned = df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
-    val files = writeFiles(aligned, m, m.currentSchemaId, m.defaultSpec)
-    commit(newSnapshot(m, "overwrite", files, Seq()),
+    val (v, m) = versionedMeta
+    val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
+    commitFrom(v, newSnapshot(m, "overwrite", files, Seq()),
       s"overwrite with ${files.map(_.rows).sum} rows")
   }
 
@@ -433,101 +533,114 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
         s"add column $name $dtype${defaultSql.map(d => s" default $d").getOrElse("")}")
     }
 
-  /** ALTER COLUMN TYPE (widening: INT→BIGINT, FLOAT→DOUBLE, precision
-    * growth) — metadata-only; old files cast up at read via the field-id
-    * projection. Narrowing is rejected: it could truncate existing data. */
+  /** ALTER COLUMN TYPE — metadata-only; old files cast up at read via the
+    * field-id projection. Only lossless widenings are allowed, comparing
+    * FULL parameterized types: INT→BIGINT / FLOAT→DOUBLE, DECIMAL(p,s)→
+    * DECIMAL(p',s') with p'-s' ≥ p-s and s' ≥ s (every old value fits),
+    * VARCHAR(n)→VARCHAR(n≥)|STRING. Narrowing is rejected — it would
+    * silently null out overflowing old values via the read-path cast. */
   def updateColumnType(name: String, newType: String): Unit = {
-    val m = meta
+    val (v, m) = versionedMeta
     val sch = m.currentSchema
     val fld = sch.fieldByName(name)
-    val widenings = Map(
-      "INT" -> Set("BIGINT"), "SMALLINT" -> Set("INT", "BIGINT"),
-      "FLOAT" -> Set("DOUBLE"))
-    def base(t: String) = t.toUpperCase.takeWhile(c => c.isLetter)
-    require(
-      base(fld.dtype) == base(newType) ||
-        widenings.getOrElse(base(fld.dtype), Set()).contains(base(newType)),
+    require(IceLite.isWidening(fld.dtype, newType),
       s"cannot narrow ${fld.dtype} to $newType")
     val next = sch.copy(
       schemaId = m.schemas.map(_.schemaId).max + 1,
       fields = sch.fields.map(f => if (f.id == fld.id) f.copy(dtype = newType) else f))
-    commit(m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+    commitFrom(v, m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
       s"widen $name ${fld.dtype} -> $newType")
   }
 
   /** RENAME COLUMN (README.md:979) — metadata-only via field ids. */
-  def renameColumn(from: String, to: String): Unit = {
-    val m = meta
-    val sch = m.currentSchema
-    val fld = sch.fieldByName(from)
-    val next = sch.copy(
-      schemaId = m.schemas.map(_.schemaId).max + 1,
-      fields = sch.fields.map(f => if (f.id == fld.id) f.copy(name = to) else f))
-    commit(m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
-      s"rename $from -> $to")
-  }
+  def renameColumn(from: String, to: String): Unit =
+    commitWithRetry { m =>
+      val sch = m.currentSchema
+      val fld = sch.fieldByName(from)
+      val next = sch.copy(
+        schemaId = m.schemas.map(_.schemaId).max + 1,
+        fields = sch.fields.map(f => if (f.id == fld.id) f.copy(name = to) else f))
+      (m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+        s"rename $from -> $to")
+    }
 
   /** ALTER TABLE … ADD PARTITION FIELD (README.md:991–992): future writes
     * use the new spec; existing files keep theirs (per-file specId). */
-  def setPartitionSpec(fields: Seq[(String, String)]): Unit = {
-    val m = meta
-    val sch = m.currentSchema
-    val specId = m.specs.map(_.specId).max + 1
-    val sfs = fields.map { case (srcName, transform) =>
-      val f = sch.fieldByName(srcName)
-      SpecField(f.id, transform, s"${srcName}_$transform")
+  def setPartitionSpec(fields: Seq[(String, String)]): Unit =
+    commitWithRetry { m =>
+      val sch = m.currentSchema
+      val specId = m.specs.map(_.specId).max + 1
+      val sfs = fields.map { case (srcName, transform) =>
+        val f = sch.fieldByName(srcName)
+        SpecField(f.id, transform, s"${srcName}_$transform")
+      }
+      (m.copy(defaultSpecId = specId, specs = m.specs :+ PartitionSpec(specId, sfs)),
+        s"set partition spec ${fields.mkString(",")}")
     }
-    commit(m.copy(defaultSpecId = specId, specs = m.specs :+ PartitionSpec(specId, sfs)),
-      s"set partition spec ${fields.mkString(",")}")
-  }
 
   /** SET TBLPROPERTIES (README.md:1113–1114). */
-  def setProperties(props: Map[String, String]): Unit = {
-    val m = meta
-    commit(m.copy(properties = m.properties ++ props), s"set properties ${props.keys.mkString(",")}")
-  }
+  def setProperties(props: Map[String, String]): Unit =
+    commitWithRetry { m =>
+      (m.copy(properties = m.properties ++ props),
+        s"set properties ${props.keys.toSeq.sorted.mkString(",")}")
+    }
 
   // ------------------------------------------------------------ maintenance
 
   /** rewrite_data_files (README.md:1022): many small files → `target`
     * files. Logical content unchanged; MoR deletes are materialized. */
   def compact(target: Int): Unit = {
-    val m = meta
+    val (v, m) = versionedMeta
     val snap = m.currentSnapshot.getOrElse(return)
     val df = scanSnapshot(m, snap, lineage = false, _ => true).repartition(target)
     val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec)
-    commit(newSnapshot(m, "replace", newFiles, Seq()),
+    commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
       s"compact ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
 
   /** rollback_to_snapshot (README.md:1013): pointer swap via a NEW snapshot
     * whose file set is the target's — history preserved. */
-  def rollbackTo(snapshotId: Long): Unit = {
-    val m = meta
-    val tgt = m.snapshot(snapshotId)
-    commit(newSnapshot(m, "rollback", tgt.dataFiles, tgt.deleteFiles),
-      s"rollback to $snapshotId")
-  }
+  def rollbackTo(snapshotId: Long): Unit =
+    commitWithRetry { m =>
+      val tgt = m.snapshot(snapshotId)
+      (newSnapshot(m, "rollback", tgt.dataFiles, tgt.deleteFiles),
+        s"rollback to $snapshotId")
+    }
 
   /** expire_snapshots(older_than) (README.md:1025): drop old snapshots
-    * (always keeping the current one) and physically delete files no live
-    * snapshot references. */
+    * (always keeping the current one), COMMIT the trimmed metadata FIRST,
+    * and only then physically delete files no live snapshot references —
+    * a failed commit can never leave live metadata pointing at deleted
+    * files (worst case: the files linger as orphans for the next
+    * removeOrphanFiles pass). */
   def expireSnapshots(olderThanMs: Long): Unit = {
-    val m = meta
-    val curId = m.currentSnapshotId.getOrElse(return)
-    val (dead, live) = m.snapshots.partition(s => s.timestampMs < olderThanMs && s.id != curId)
-    if (dead.isEmpty) return
-    val liveFiles = live.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
-      .map(normPath).toSet
+    val m0 = meta
+    val cur0 = m0.currentSnapshotId.getOrElse(return)
+    if (!m0.snapshots.exists(s => s.timestampMs < olderThanMs && s.id != cur0)) return
+    var toDelete: Seq[String] = Seq()
+    commitWithRetry { m =>
+      val curId = m.currentSnapshotId.getOrElse(sys.error("empty table"))
+      val (dead, live) = m.snapshots.partition(s => s.timestampMs < olderThanMs && s.id != curId)
+      if (dead.isEmpty) { toDelete = Seq(); (m, "expire 0 snapshots") }
+      else {
+        val liveFiles = live.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
+          .map(normPath).toSet
+        toDelete = dead.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
+          .filterNot(p => liveFiles.contains(normPath(p))).distinct
+        (m.copy(snapshots = live), s"expire ${dead.size} snapshots")
+      }
+    }
     val f = fs(spark, location)
-    dead.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
-      .filterNot(p => liveFiles.contains(normPath(p))).distinct
-      .foreach(p => f.delete(new Path(p), false))
-    commit(m.copy(snapshots = live), s"expire ${dead.size} snapshots")
+    toDelete.foreach(p => f.delete(new Path(p), false))
   }
 
-  /** remove_orphan_files (README.md:1028): FS listing ∖ referenced files. */
-  def removeOrphanFiles(): Seq[String] = {
+  /** remove_orphan_files (README.md:1028): FS listing ∖ referenced files,
+    * restricted to files OLDER than the grace threshold (default 3 h) — an
+    * in-flight append that has renamed files into data/ but not yet
+    * committed must never be reclaimed (the same guard as Iceberg's
+    * remove_orphan_files `older_than`). */
+  def removeOrphanFiles(
+      olderThanMs: Long = System.currentTimeMillis() - IceLite.OrphanGraceMs): Seq[String] = {
     val m = meta
     val referenced = m.snapshots
       .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
@@ -540,7 +653,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
         val it = f.listFiles(d, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile && !referenced.contains(normPath(st.getPath.toString))) {
+          if (st.isFile && !referenced.contains(normPath(st.getPath.toString)) &&
+            st.getModificationTime < olderThanMs) {
             f.delete(st.getPath, false)
             removed += st.getPath.toString
           }
@@ -593,8 +707,44 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 object IceLite {
   private[icelite] val HINT = "version-hint.text"
 
+  /** Grace period for removeOrphanFiles: younger files may belong to an
+    * in-flight (not yet committed) write and are never reclaimed. */
+  val OrphanGraceMs: Long = 3L * 3600 * 1000
+
+  /** Thrown when a commit's version file was quarantine-stepped by another
+    * writer before the hint swap — the commit did NOT take effect. */
+  final class CommitSupersededException(msg: String) extends RuntimeException(msg)
+
+  /** Finalize one staged parquet file (executor-side): harvest footer
+    * row-count + column stats, rename into data/, return the manifest
+    * entry. Static so RDD closures capture no table/session state. */
+  private[icelite] def finalizeStaged(
+      conf: org.apache.hadoop.conf.Configuration, stagingPrefix: String,
+      dataDir: String, schemaId: Int, specId: Int, pStr: String): DataFile = {
+    val p = new Path(pStr)
+    val rel = pStr.stripPrefix(stagingPrefix).stripPrefix("/")
+    val partVals = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k.stripPrefix("_p_") -> v
+    }.toMap
+    val dest = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val (rows, stats) =
+      try (reader.getRecordCount, Stats.fromFooter(reader)) finally reader.close()
+    val lfs = p.getFileSystem(conf)
+    if (!lfs.rename(p, dest)) sys.error(s"rename $p -> $dest failed")
+    DataFile(dest.toString, rows, schemaId, specId, partVals, stats)
+  }
+
   private[icelite] def fs(spark: SparkSession, location: String): FileSystem =
     new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** `_metadata.file_path` renders as `file:///x` while Hadoop `Path
+    * .toString` renders `file:/x` — normalize both to the URI path before
+    * comparing, or CoW file matching silently misses everything. (Static:
+    * also called from executor-side closures.) */
+  def normPath(p: String): String =
+    try new java.net.URI(p).getPath catch { case _: Exception => p }
 
   /** tmp-write + rename — the atomic pointer swap that gives ACID commits
     * (the reference's catalog-pointer-swap, README.md:511–529). */
@@ -604,6 +754,38 @@ object IceLite {
     try out.write(content.getBytes("UTF-8")) finally out.close()
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target)) sys.error(s"atomic rename to $target failed")
+  }
+
+  /** Lossless type widening check over FULL parameterized types.
+    * DECIMAL(p,s)→DECIMAL(p',s'): needs s'≥s (no fraction digits lost) and
+    * p'-s' ≥ p-s (no integer digits lost). VARCHAR(n)→VARCHAR(n'≥n)|STRING.
+    * CHAR likewise. Unparameterized same-type is always fine. */
+  private[icelite] def isWidening(from: String, to: String): Boolean = {
+    val f = from.toUpperCase.replaceAll("\\s", "")
+    val t = to.toUpperCase.replaceAll("\\s", "")
+    if (f == t) return true
+    def base(x: String) = x.takeWhile(_.isLetter)
+    def params(x: String): Seq[Int] =
+      if (!x.contains("(")) Seq()
+      else x.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").split(",").toSeq.map(_.trim.toInt)
+    (base(f), base(t)) match {
+      case ("SMALLINT", "INT" | "BIGINT") => true
+      case ("INT" | "INTEGER", "BIGINT")  => true
+      case ("FLOAT", "DOUBLE")            => true
+      case ("DECIMAL" | "NUMERIC", "DECIMAL" | "NUMERIC") =>
+        (params(f), params(t)) match {
+          case (Seq(p1, s1), Seq(p2, s2)) => s2 >= s1 && (p2 - s2) >= (p1 - s1)
+          case (Seq(p1), Seq(p2))         => p2 >= p1
+          case _                          => f == t
+        }
+      case ("VARCHAR" | "CHAR", "STRING") => true
+      case ("VARCHAR", "VARCHAR") | ("CHAR", "CHAR") =>
+        (params(f), params(t)) match {
+          case (Seq(n1), Seq(n2)) => n2 >= n1
+          case _                  => f == t
+        }
+      case _ => false
+    }
   }
 
   /** CREATE TABLE (README.md:944–951). `schema` = (name, sparkDdlType).

@@ -362,7 +362,9 @@ object LakehouseOps {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
       val orphan = new org.apache.hadoop.fs.Path(t.location, "data/orphan-file.parquet")
       val out = fs.create(orphan, true); out.write(42); out.close()
-      val removed = t.removeOrphanFiles()
+      // explicit threshold: the default 3 h grace period (in-flight-write
+      // safety) would keep this just-planted orphan
+      val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
       require(removed.exists(_.endsWith("orphan-file.parquet")), s"orphan not removed: $removed")
       state(t)
     },

@@ -77,16 +77,22 @@ object StreamingIngest {
       }
   }
 
-  /** Stream → IceLite: every micro-batch appends as one snapshot. Restart
-    * safety comes from the checkpoint (Spark replays uncommitted batches;
-    * IceLite appends are atomic per batch). */
+  /** Stream → IceLite: every micro-batch appends as one snapshot,
+    * EXACTLY-ONCE per batch. foreachBatch alone is at-least-once (a restart
+    * after the table append but before the checkpoint commit replays the
+    * batch); appendIfNewBatch closes that window by recording the batch id
+    * in the table properties inside the same atomic commit and skipping
+    * replayed ids — the idempotent-writer pattern Iceberg streaming sinks
+    * use. Append output mode: each row is emitted exactly once (Update mode
+    * would re-append every changed aggregate row per trigger, duplicating
+    * rows in an append-only table). */
   def writeToIceLite(stream: DataFrame, table: IceLiteTable,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) table.append(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { table.appendIfNewBatch(batchId, batch); () }
       }
 }

@@ -103,7 +103,11 @@ class IceLiteSpec extends SparkSpec {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
     val orphan = new org.apache.hadoop.fs.Path(loc, "data/orphan.parquet")
     val out = fs.create(orphan, true); out.write(1); out.close()
-    val removed = t.removeOrphanFiles()
+    // default grace period: a young unreferenced file may be an in-flight
+    // append — must NOT be reclaimed
+    assert(t.removeOrphanFiles().isEmpty, "grace period ignored for a young orphan")
+    assert(fs.exists(orphan))
+    val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
     assert(removed.exists(_.endsWith("orphan.parquet")))
     assert(ids(t.read()) == (0L until 100L))
   }
@@ -174,16 +178,63 @@ class IceLiteSpec extends SparkSpec {
     assert(cat.listTables("db") == Seq("t1"))
   }
 
-  test("orphaned version file from a crashed writer is skipped, not fatal") {
+  test("orphaned version file from a crashed writer is skipped after quarantine") {
     val t = IceLite.createFrom(spark, scratch("orphanv"), sample)
     t.append(sample.filter(col("id") < 10))
-    // crashed writer: version file exists but the hint never advanced
+    // crashed writer: version file exists but the hint never advanced.
+    // Backdate it past the quarantine window — a YOUNG file might be a
+    // live racer mid-commit and must never be stepped over.
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
     val racing = new org.apache.hadoop.fs.Path(t.location, "metadata/v3.json")
     val out = fs.create(racing, false); out.write('x'); out.close()
-    t.append(sample.filter(col("id") >= 10)) // must skip v3 and land at v4
+    fs.setTimes(racing, System.currentTimeMillis() - 600000L, -1)
+    t.append(sample.filter(col("id") >= 10)) // must skip aged v3 and land at v4
     assert(t.currentVersion == 4)
     assert(ids(t.read()) == (0L until 100L))
+  }
+
+  test("young colliding version file is never stepped over (live-racer safety)") {
+    val t = IceLite.createFrom(spark, scratch("youngv"), sample)
+    t.append(sample.filter(col("id") < 10))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val racing = new org.apache.hadoop.fs.Path(t.location, "metadata/v3.json")
+    val out = fs.create(racing, false); out.write('x'); out.close()
+    // fresh file (inside quarantine): append must fail rather than discard
+    // what might be a live writer's in-flight commit
+    val e = intercept[RuntimeException](t.append(sample.filter(col("id") >= 10)))
+    assert(e.getMessage.contains("retries"), e.getMessage)
+    fs.delete(racing, false) // "writer" aborts; now the append goes through
+    t.append(sample.filter(col("id") >= 10))
+    assert(ids(t.read()) == (0L until 100L))
+  }
+
+  test("appendIfNewBatch skips replayed batch ids (exactly-once per batch)") {
+    val t = IceLite.createFrom(spark, scratch("batchid"), sample)
+    assert(t.appendIfNewBatch(0L, sample.filter(col("id") < 10)))
+    assert(t.appendIfNewBatch(1L, sample.filter(col("id") >= 10 && col("id") < 20)))
+    // restart replays batch 1: must be a no-op, not a duplicate append
+    assert(!t.appendIfNewBatch(1L, sample.filter(col("id") >= 10 && col("id") < 20)))
+    assert(!t.appendIfNewBatch(0L, sample.filter(col("id") < 10)))
+    assert(ids(t.read()) == (0L until 20L))
+    assert(t.appendIfNewBatch(2L, sample.filter(col("id") >= 20 && col("id") < 30)))
+    assert(ids(t.read()) == (0L until 30L))
+  }
+
+  test("parameterized type narrowing rejected; decimal widening metadata-only") {
+    val df = spark.range(5).toDF("id")
+      .withColumn("amt", (col("id") * 100 + 42).cast("decimal(10,2)"))
+    val t = IceLite.createFrom(spark, scratch("decw"), df)
+    t.append(df)
+    val filesBefore = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.updateColumnType("amt", "DECIMAL(14,4)") // p-s grows, s grows: lossless
+    assert(t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet == filesBefore)
+    assert(t.read().agg(sum(col("amt"))).head.getDecimal(0).longValue == 1210)
+    // the ADVICE regression: same-base parameter NARROWING must be rejected
+    intercept[IllegalArgumentException](t.updateColumnType("amt", "DECIMAL(5,0)"))
+    intercept[IllegalArgumentException](t.updateColumnType("amt", "DECIMAL(18,14)")) // int digits shrink
+    val ts = IceLite.createFrom(spark, scratch("vcw"),
+      spark.range(3).toDF("id").withColumn("s", lit("ab")))
+    intercept[IllegalArgumentException](ts.updateColumnType("s", "VARCHAR(1)"))
   }
 
   test("concurrent appends both land via optimistic retry") {

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$plan")
   }
 
+  test("MoR delete read applies positions without a join or exchange") {
+    val loc = Files.createTempDirectory("planspec_mor").toString + "/t"
+    val t = graft.icelite.IceLite.createFrom(spark, loc, Tables.orders(spark, sf),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append(Tables.orders(spark, sf))
+    t.delete(col("o_orderkey") % 7 === 0)
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty, "MoR delete wrote no delete files")
+    val plan = t.read().queryExecution.executedPlan.toString
+    // deletion vectors must be a broadcast per-file position FILTER in the
+    // scan stage — at 100 TB a (_file,_pos) anti-join shuffles the fact table
+    assert(!plan.contains("Join"), s"MoR read plans a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"MoR read shuffles the data side:\n$plan")
+    val expected = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 =!= 0).count()
+    assert(t.read().count() == expected)
+  }
+
   test("IceLite manifest pruning reads only matching files (I/O level)") {
     val loc = Files.createTempDirectory("planspec_il").toString + "/t"
     val t = graft.icelite.IceLite.createFrom(spark, loc,
