@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * (/root/reference/README.md:862–874, 901–919) with IceLite as the table
   * format. Single-level namespaces (catalog.db.table).
   */
-class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+class IceLiteCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -64,8 +64,18 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     IceLite.load(spark, loc)
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // 4-part metadata tables: icelite.db.t.snapshots|history|partitions|files
+    // (README.md:982–1004) — namespace resolves to [db, t], name to the kind
+    if (ident.namespace().length == 2 && IceLiteMetaTable.Kinds(ident.name().toLowerCase)) {
+      val Array(ns, tn) = ident.namespace()
+      val loc = cat.tableLocation(ns, tn)
+      val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new Path(loc, "metadata/version-hint.text")))
+        return new IceLiteMetaTable(IceLite.load(spark, loc), ident.name().toLowerCase)
+    }
     new IceLiteSparkTable(load(ident), None)
+  }
 
   /** VERSION AS OF <snapshotId> (README.md:1007). */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -125,6 +135,20 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename table")
+
+  // ------------------------------------------------------------- procedures
+
+  /** `CALL icelite.system.<proc>(...)` (README.md:1013–1028). */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace, got ${ident.namespace().mkString(".")}")
+    IceLiteProcedures.load(warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      IceLiteProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ------------------------------------------------------------- namespaces
 

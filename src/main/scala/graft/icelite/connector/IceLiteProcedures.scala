@@ -1,0 +1,82 @@
+package graft.icelite.connector
+
+import graft.icelite.{Catalog, IceLiteTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, DataTypes, StructField, StructType}
+
+/** `CALL icelite.system.*` maintenance procedures via Spark 4's DSv2
+  * procedure API (the reference runs these as Spark SQL procedures,
+  * /root/reference/README.md:1013–1028):
+  *
+  * {{{
+  * CALL icelite.system.rollback_to_snapshot('db.t', 1)
+  * CALL icelite.system.rewrite_data_files('db.t', 2)
+  * CALL icelite.system.expire_snapshots('db.t', <older_than_epoch_ms>)
+  * CALL icelite.system.remove_orphan_files('db.t', <older_than_epoch_ms>)
+  * }}}
+  *
+  * Each bound procedure runs the engine-side maintenance op and returns a
+  * one-row LocalScan summary (metadata-scale — no distributed result). */
+object IceLiteProcedures {
+
+  val Names: Seq[String] = Seq(
+    "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+
+  def load(warehouse: String, name: String): UnboundProcedure = name match {
+    case "rollback_to_snapshot" => proc(warehouse, name, "snapshot_id",
+      out = Seq("current_snapshot_id" -> DataTypes.LongType)) { (t, arg) =>
+        t.rollbackTo(arg)
+        Seq(t.meta.currentSnapshotId.getOrElse(-1L))
+      }
+    case "rewrite_data_files" => proc(warehouse, name, "target_files",
+      out = Seq("files_before" -> DataTypes.LongType, "files_after" -> DataTypes.LongType)) { (t, arg) =>
+        val before = t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L)
+        t.compact(arg.toInt)
+        Seq(before, t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L))
+      }
+    case "expire_snapshots" => proc(warehouse, name, "older_than_ms",
+      out = Seq("remaining_snapshots" -> DataTypes.LongType)) { (t, arg) =>
+        t.expireSnapshots(arg)
+        Seq(t.meta.snapshots.size.toLong)
+      }
+    case "remove_orphan_files" => proc(warehouse, name, "older_than_ms",
+      out = Seq("removed_files" -> DataTypes.LongType)) { (t, arg) =>
+        Seq(t.removeOrphanFiles(olderThanMs = arg).size.toLong)
+      }
+    case other => sys.error(s"no such procedure icelite.system.$other " +
+      s"(available: ${Names.mkString(", ")})")
+  }
+
+  /** One (table STRING, <argName> BIGINT) → one-row BIGINT-columns
+    * procedure. Table is 'namespace.table' within this catalog's
+    * warehouse, the Iceberg CALL convention. */
+  private def proc(warehouse: String, name0: String, argName: String,
+      out: Seq[(String, DataType)])(body: (IceLiteTable, Long) => Seq[Long]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = name0
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = name0
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in(argName, DataTypes.LongType).build())
+        override def isDeterministic: Boolean = false // mutates table state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tableRef = input.getUTF8String(0).toString
+          val arg = input.getLong(1)
+          val Array(ns, tn) = tableRef.split("\\.", 2)
+          val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
+          val values = body(t, arg)
+          val schema = StructType(out.map { case (n, dt) => StructField(n, dt, nullable = false) })
+          val row: InternalRow = new GenericInternalRow(values.map(Long.box).toArray[Any])
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
+    }
+}

@@ -30,6 +30,10 @@ import scala.jdk.CollectionConverters._
 class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
     extends Table with SupportsRead with SupportsWrite {
 
+  /** The engine-side table handle — IceLiteDmlRule delegates SQL
+    * UPDATE/DELETE/MERGE here. */
+  def underlying: IceLiteTable = tbl
+
   override def name(): String = tbl.location
 
   override def schema(): StructType = StructType(
@@ -42,7 +46,9 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  private def baseDf: DataFrame = asOf match {
+  /** The snapshot scan this relation reads (honoring AS OF) —
+    * IceLiteReadSubstitution splices its analyzed plan into SQL queries. */
+  def baseDf: DataFrame = asOf match {
     case None                  => tbl.read()
     case Some(Left(snapshot))  => tbl.readAsOf(snapshot)
     case Some(Right(tsMillis)) => tbl.readAsOfTimestamp(tsMillis)

@@ -352,6 +352,162 @@ object LakehouseOps {
              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** Shared SQL-catalog mount (one fixed warehouse per JVM — Spark caches
+    * catalog instances by name, so the warehouse conf only takes effect on
+    * first initialization). Returns a fresh unique table name. */
+  private def sqlTable(s: SparkSession, tag: String): String = {
+    s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+    s.conf.set("spark.sql.catalog.icelite.warehouse",
+      System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldml")
+    s"${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  }
+
+  private def mkSqlOrders(s: SparkSession, dir: String, tag: String): String = {
+    val tbl = sqlTable(s, tag)
+    s.sql(s"""CREATE TABLE icelite.sqldml.$tbl (
+                o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+                o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING)""")
+    orders(s, dir).createOrReplaceTempView(s"orders_src_$tag")
+    s.sql(s"""INSERT INTO icelite.sqldml.$tbl
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     CAST(o_orderdate AS DATE), o_orderpriority
+              FROM orders_src_$tag""")
+    tbl
+  }
+
+  /** SQL row-level UPDATE through the DSv2 catalog (README.md:954–956) —
+    * the analyzer extension routes it to the CoW rewrite. */
+  private val sqlUpdate = QueryDef(
+    "icelite_sql_update",
+    (s, dir) => {
+      val tbl = mkSqlOrders(s, dir, "u")
+      s.sql(s"""UPDATE icelite.sqldml.$tbl
+                SET o_orderstatus = 'X', o_totalprice = 1500.0
+                WHERE o_orderkey % 100 = 0""")
+      s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 100 = 0 THEN 1500.0 ELSE o_totalprice END AS o_totalprice,
+            CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders ORDER BY o_orderkey"""),
+  )
+
+  /** SQL DELETE through the catalog (README.md:959–960, 1117–1121). */
+  private val sqlDelete = QueryDef(
+    "icelite_sql_delete",
+    (s, dir) => {
+      val tbl = mkSqlOrders(s, dir, "d")
+      s.sql(s"DELETE FROM icelite.sqldml.$tbl WHERE o_orderkey % 10 = 0")
+      s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey"""),
+  )
+
+  /** SQL MERGE INTO (README.md:963–967): UPDATE SET * / INSERT * — the
+    * same semantics as `icelite_merge`, driven entirely from SQL. */
+  private val sqlMerge = QueryDef(
+    "icelite_sql_merge",
+    (s, dir) => {
+      val tbl = mkSqlOrders(s, dir, "m")
+      s.sql(s"""MERGE INTO icelite.sqldml.$tbl AS t
+                USING (
+                  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                         999.99 AS o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate,
+                         o_orderpriority
+                  FROM orders_src_m WHERE o_orderkey % 100 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+                         CAST(o_orderdate AS DATE), o_orderpriority
+                  FROM orders_src_m WHERE o_orderkey % 500 = 0
+                ) AS src
+                ON t.o_orderkey = src.o_orderkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 100 = 0 THEN 999.99 ELSE o_totalprice END AS o_totalprice,
+            CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+            CAST(o_orderdate AS DATE), o_orderpriority
+            FROM orders WHERE o_orderkey % 500 = 0
+            ORDER BY o_orderkey"""),
+  )
+
+  /** SQL metadata table `t.snapshots` (README.md:1004) resolved through
+    * the catalog's 4-part identifier → driver-local scan. */
+  private val sqlSnapshots = QueryDef(
+    "icelite_sql_snapshots",
+    (s, dir) => {
+      val tbl = mkSqlOrders(s, dir, "sn")
+      s.sql(s"DELETE FROM icelite.sqldml.$tbl WHERE o_orderkey % 10 = 0")
+      s.sql(s"""SELECT snapshot_id, operation, total_rows
+                FROM icelite.sqldml.$tbl.snapshots ORDER BY snapshot_id""")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+            CAST(count(*) AS BIGINT) AS total_rows FROM orders
+            UNION ALL
+            SELECT 2, 'delete', count(*) FROM orders WHERE o_orderkey % 10 <> 0
+            ORDER BY snapshot_id"""),
+  )
+
+  /** `CALL icelite.system.*` maintenance pipeline via SQL
+    * (README.md:1013–1028): rollback → compact → expire → orphan sweep,
+    * then prove the table state. */
+  private val sqlMaintenance = QueryDef(
+    "icelite_sql_maintenance",
+    (s, dir) => {
+      val tbl = sqlTable(s, "mx")
+      s.sql(s"""CREATE TABLE icelite.sqldml.$tbl (
+                  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""")
+      orders(s, dir).createOrReplaceTempView("orders_src_mx")
+      s.sql(s"""INSERT INTO icelite.sqldml.$tbl
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders_src_mx WHERE o_orderkey < 1000""")
+      s.sql(s"""INSERT INTO icelite.sqldml.$tbl
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders_src_mx WHERE o_orderkey >= 1000""")
+      s.sql(s"CALL icelite.system.rollback_to_snapshot('sqldml.$tbl', 1)")
+      s.sql(s"CALL icelite.system.rewrite_data_files('sqldml.$tbl', 2)")
+      val future = System.currentTimeMillis() + 3600000L
+      s.sql(s"CALL icelite.system.expire_snapshots('sqldml.$tbl', $future)")
+      s.sql(s"CALL icelite.system.remove_orphan_files('sqldml.$tbl', $future)")
+      s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+  )
+
+  /** V3 VARIANT column stored IN an IceLite table (README.md:1127–1153):
+    * parse_json → VARIANT column written to table storage, schema-evolved
+    * (metadata-only add), read back and path-extracted. */
+  private val variantTable = QueryDef(
+    "icelite_variant",
+    (s, dir) => {
+      val t = IceLite.create(s, scratch("variant"),
+        Seq("event_id" -> "BIGINT", "payload" -> "VARIANT"))
+      val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+      t.append(ev.select(col("event_id"), expr("parse_json(props)").as("payload")))
+      t.addColumn("src", "STRING", Some("'events'"))
+      t.read()
+        .select(
+          col("event_id"),
+          expr("variant_get(payload, '$.k', 'long')").as("k"),
+          col("src"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            'events' AS src
+            FROM events WHERE event_id < 3000 ORDER BY event_id"""),
+  )
+
   /** M17 remove_orphan_files (README.md:1028): plant an orphan in the data
     * dir, reclaim it, prove the table reads back intact. Oracle = content
     * unchanged (orphan removal must never touch referenced files). */
@@ -375,6 +531,7 @@ object LakehouseOps {
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
-    sqlCatalog, orphans,
+    sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
+    sqlMaintenance, variantTable,
   )
 }

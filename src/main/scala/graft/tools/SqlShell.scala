@@ -22,6 +22,7 @@ object SqlShell {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
       .config("spark.sql.catalog.icelite.warehouse", wh)
+      .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { sql =>

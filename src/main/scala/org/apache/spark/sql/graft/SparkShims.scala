@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** Minimal bridge into Spark's `private[sql]` surface, used by the IceLite
+  * DSv2 connector (the same trick every third-party table format uses to
+  * plug logical plans in and out of a live session). Kept to three
+  * one-liners so the private-API exposure is auditable at a glance.
+  */
+object SparkShims {
+
+  /** A DataFrame over an already-analyzed logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The analyzed logical plan under a DataFrame (for splicing an IceLite
+    * scan into a SQL query plan). */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  /** Collect a (small, driver-local) DataFrame as InternalRows — the shape
+    * DSv2 LocalScan serves. */
+  def collectInternal(df: DataFrame): Array[InternalRow] =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.executedPlan.executeCollect()
+}

@@ -17,6 +17,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       // saveAsTable targets (BucketingSpec) must not land in the repo cwd
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_spark_wh").toString)

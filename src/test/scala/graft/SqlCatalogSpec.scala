@@ -79,7 +79,7 @@ class SqlCatalogSpec extends SparkSpec {
       .head.getLong(0) == 1)
   }
 
-  test("filters push into the underlying parquet scan through the bridge") {
+  test("SQL reads plan as a native vectorized parquet scan with pushdown") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db4")
     spark.sql("CREATE TABLE ilsql.db4.t (id BIGINT, v DOUBLE)")
@@ -87,8 +87,97 @@ class SqlCatalogSpec extends SparkSpec {
     val df = spark.sql("SELECT v FROM ilsql.db4.t WHERE id = 7")
     assert(df.head.getDouble(0) == 10.5)
     val inner = df.queryExecution.executedPlan.toString
-    assert(inner.contains("PushedFilters") || inner.contains("RowDataSourceScan"),
-      s"unexpected plan shape:\n$inner")
+    // the read-substitution rule must splice a real FileScan (vectorized,
+    // codegen-able), not the V1 df.rdd bridge's RowDataSourceScan
+    assert(inner.contains("FileScan parquet"), s"not a native parquet scan:\n$inner")
+    assert(!inner.contains("RowDataSourceScan"), s"V1 bridge still in the plan:\n$inner")
+    assert(inner.contains("PushedFilters") && inner.contains("7"),
+      s"filter not pushed into the scan:\n$inner")
+  }
+
+  test("SQL UPDATE and DELETE run copy-on-write through the catalog") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.dml")
+    spark.sql("CREATE TABLE ilsql.dml.t (id BIGINT, status STRING, amount DOUBLE)")
+    spark.sql("INSERT INTO ilsql.dml.t SELECT id, 'OPEN', CAST(id AS DOUBLE) FROM range(100)")
+    spark.sql("UPDATE ilsql.dml.t SET status = 'CLOSED', amount = amount * 2 WHERE id % 10 = 0")
+    val closed = spark.sql(
+      "SELECT id, amount FROM ilsql.dml.t WHERE status = 'CLOSED' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(closed == (0L until 100L by 10).map(i => (i, i * 2.0)))
+    spark.sql("DELETE FROM ilsql.dml.t WHERE id >= 50")
+    assert(spark.sql("SELECT count(*) FROM ilsql.dml.t").head.getLong(0) == 50)
+    assert(spark.sql("SELECT count(*) FROM ilsql.dml.t WHERE status='CLOSED'").head.getLong(0) == 5)
+    // unqualified-name conditions and qualified ones both resolve
+    spark.sql("UPDATE ilsql.dml.t SET amount = 0 WHERE ilsql.dml.t.id = 1")
+    assert(spark.sql("SELECT amount FROM ilsql.dml.t WHERE id = 1").head.getDouble(0) == 0.0)
+  }
+
+  test("SQL MERGE INTO updates matches and inserts the rest") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.mrg")
+    spark.sql("CREATE TABLE ilsql.mrg.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO ilsql.mrg.t SELECT id, 1.0 FROM range(10)")
+    spark.range(5, 15).toDF("id").createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO ilsql.mrg.t AS t
+                 USING (SELECT id, 99.0 AS v FROM mrg_src) AS s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, v FROM ilsql.mrg.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.size == 15)
+    assert(rows.filter(_._1 < 5).forall(_._2 == 1.0), s"untouched rows changed: $rows")
+    assert(rows.filter(_._1 >= 5).forall(_._2 == 99.0), s"matched/inserted rows wrong: $rows")
+  }
+
+  test("SQL metadata tables: snapshots, history, partitions, files") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.meta")
+    spark.sql("""CREATE TABLE ilsql.meta.t (id BIGINT, d DATE)
+                 PARTITIONED BY (months(d))""")
+    spark.sql("INSERT INTO ilsql.meta.t VALUES (1, DATE'2024-01-05'), (2, DATE'2024-02-06')")
+    spark.sql("DELETE FROM ilsql.meta.t WHERE id = 2")
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM ilsql.meta.t.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq((1L, "append"), (2L, "delete")), s"got $snaps")
+    assert(spark.sql("SELECT count(*) FROM ilsql.meta.t.history").head.getLong(0) >= 3)
+    val parts = spark.sql(
+      "SELECT partition, row_count FROM ilsql.meta.t.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("d_month=2024-01", 1L)), s"got $parts")
+    assert(spark.sql("SELECT count(*) FROM ilsql.meta.t.files").head.getLong(0) == 1)
+    // the plan is a driver-local scan — no V1 bridge, no file read
+    val plan = spark.sql("SELECT * FROM ilsql.meta.t.snapshots")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"metadata table not LocalScan:\n$plan")
+  }
+
+  test("CALL icelite.system procedures run maintenance via SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.proc")
+    spark.sql("CREATE TABLE ilsql.proc.t (id BIGINT)")
+    spark.sql("INSERT INTO ilsql.proc.t SELECT id FROM range(10)")
+    spark.sql("INSERT INTO ilsql.proc.t SELECT id FROM range(10, 20)")
+    // rollback to snapshot 1
+    val rb = spark.sql("CALL ilsql.system.rollback_to_snapshot('proc.t', 1)").collect()
+    assert(rb.head.getLong(0) == 3, s"rollback returned $rb") // new snapshot id
+    assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 10)
+    // compact to 1 file
+    spark.sql("INSERT INTO ilsql.proc.t SELECT id FROM range(10, 20)")
+    val cp = spark.sql("CALL ilsql.system.rewrite_data_files('proc.t', 1)").collect()
+    assert(cp.head.getLong(1) <= cp.head.getLong(0), s"compact returned ${cp.toSeq}")
+    assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 20)
+    // expire everything but current
+    val ex = spark.sql(
+      s"CALL ilsql.system.expire_snapshots('proc.t', ${System.currentTimeMillis() + 3600000})").collect()
+    assert(ex.head.getLong(0) == 1, s"expire left ${ex.toSeq}")
+    // orphan sweep (nothing to remove)
+    val orp = spark.sql(
+      s"CALL ilsql.system.remove_orphan_files('proc.t', ${System.currentTimeMillis() + 3600000})").collect()
+    assert(orp.head.getLong(0) == 0, s"orphans removed ${orp.toSeq}")
+    assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 20)
   }
 
   test("drop table and namespace") {
