@@ -144,22 +144,26 @@ object Joins {
   )
 
   /** Set operations (SURVEY.md §2.7 — the reference uses none; labeled
-    * extension): customers-with-orders vs high-balance customers via
-    * UNION / INTERSECT / EXCEPT, each reduced to a count. All three are
-    * hash-shuffle dedup ops keyed on the full row — same scaling shape as
-    * dropDuplicates. */
+    * extension): customers-with-orders vs high-balance customers, the
+    * UNION / INTERSECT / EXCEPT counts derived in ONE pass from a
+    * full-outer join of the two distinct key sets (null-side membership
+    * tags) instead of three separate shuffle-dedup scans — each input is
+    * scanned and deduplicated exactly once regardless of how many set-op
+    * results are read off the join. */
   private val setOps = QueryDef(
     "set_ops",
     (s, dir) => {
-      import org.apache.spark.sql.DataFrame
-      val active  = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      val active = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+        .withColumn("a", lit(1))
       val wealthy = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
         .select(col("c_custkey").as("k")).distinct()
-      def n(df: DataFrame, label: String) =
-        df.agg(count(lit(1)).as("cnt")).select(lit(label).as("op"), col("cnt"))
-      n(active.union(wealthy).distinct(), "union")
-        .unionAll(n(active.intersect(wealthy), "intersect"))
-        .unionAll(n(active.except(wealthy), "except"))
+        .withColumn("w", lit(1))
+      active.join(wealthy, Seq("k"), "full_outer")
+        .agg(
+          count(lit(1)).as("u"),
+          count(when(col("a").isNotNull && col("w").isNotNull, 1)).as("i"),
+          count(when(col("a").isNotNull && col("w").isNull, 1)).as("e"))
+        .select(expr("stack(3, 'union', u, 'intersect', i, 'except', e) AS (op, cnt)"))
         .orderBy("op")
     },
     Some("""WITH active AS (SELECT DISTINCT o_custkey AS k FROM orders),

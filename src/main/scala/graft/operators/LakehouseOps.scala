@@ -283,8 +283,10 @@ object LakehouseOps {
             FROM orders GROUP BY 1 ORDER BY partition"""),
   )
 
-  /** M10 history metadata table (README.md:982) — rows-only (note text and
-    * timestamps are engine-side). */
+  /** M10 history metadata table (README.md:982): the metadata log's
+    * (version, note) pairs. Note strings are pinned deterministic (no file
+    * counts — those vary with write parallelism), so the DuckDB oracle can
+    * reconstruct them: append notes carry only the row count. */
   private val historyTable = QueryDef(
     "icelite_history",
     (s, dir) => {
@@ -292,7 +294,12 @@ object LakehouseOps {
       t.renameColumn("o_orderpriority", "prio")
       t.historyDf.select(col("version"), col("note")).orderBy("version")
     },
-    None,
+    Some("""SELECT CAST(1 AS BIGINT) AS version, 'create table' AS note
+            UNION ALL
+            SELECT 2, 'append ' || count(*) || ' rows' FROM orders
+            UNION ALL
+            SELECT 3, 'rename o_orderpriority -> prio'
+            ORDER BY version"""),
   )
 
   /** S11 catalog surface (README.md:1042–1068): namespaces → tables. */

@@ -214,6 +214,41 @@ object TextOps {
     None,
   )
 
+  /** X2 oracle-checkable MinHash signature: same min-over-shingle-hashes
+    * construction as the LSH pipeline, but with md5 (the one hash BOTH
+    * engines implement identically) over 5-char shingles, so DuckDB can
+    * recompute the exact signature — a hash-matched anchor for the
+    * engine-hash variant above. min(hex) of a cryptographic hash is a
+    * uniform random min-permutation, so these ARE valid minhash values.
+    * Kept for the oracle only: the scale path is the JVM kernel
+    * (mapPartitions, no per-shingle row explosion). */
+  private val minhashSignature = QueryDef(
+    "minhash_signature",
+    (s, dir) => {
+      val sh = docs(s, dir).select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
+          .as("sh"))
+      sh.groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("1:"), col("sh")))).as("h1"),
+          min(md5(concat(lit("2:"), col("sh")))).as("h2"),
+          min(md5(concat(lit("3:"), col("sh")))).as("h3"),
+          min(md5(concat(lit("4:"), col("sh")))).as("h4"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 5) AS sh
+              FROM documents,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
+            )
+            SELECT doc_id,
+                   min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                   min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4
+            FROM sh GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   /** Seeded 64-bit string hash for the minhash kernel (two murmur32 mixes). */
   private def hash64(s: String, seed: Int): Long = {
     import scala.util.hashing.MurmurHash3
@@ -352,6 +387,7 @@ object TextOps {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
-    docFingerprint, jaccardPairs, minhashDedup, tokenizeRegex, simhashDedup,
+    docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
+    tokenizeRegex, simhashDedup,
   )
 }
