@@ -394,7 +394,10 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   def update(cond: Column, assignments: Map[String, Column]): Unit = {
     val (v, m) = versionedMeta
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = readWithLineage(m, snap)
+    // touched-file discovery scans only files whose stats admit the
+    // condition (conservative manifest pruning; cond is re-applied anyway)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true,
+      IceLite.statFiltersFromCondition(cond))
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
@@ -422,7 +425,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
   private def deleteCow(v: Int, m: TableMetadata, cond: Column): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = readWithLineage(m, snap)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true,
+      IceLite.statFiltersFromCondition(cond))
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
@@ -439,7 +443,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * deleted rows, not file sizes. */
   private def deleteMor(m: TableMetadata, cond: Column): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = readWithLineage(m, snap)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true,
+      IceLite.statFiltersFromCondition(cond))
     val pos = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
@@ -754,6 +759,64 @@ object IceLite {
     try out.write(content.getBytes("UTF-8")) finally out.close()
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target)) sys.error(s"atomic rename to $target failed")
+  }
+
+  /** Conservative translation of a DML condition into manifest stat
+    * filters: top-level AND conjuncts of `<column> <cmp> <literal>` become
+    * [[Stats.StatFilter]]s; everything else is ignored (the full condition
+    * is always re-applied on the scan). Lets a CoW UPDATE/DELETE whose
+    * predicate excludes most files skip SCANNING them during touched-file
+    * discovery — at 100 TB the difference between reading one partition
+    * and reading the table to find one partition. */
+  def statFiltersFromCondition(cond: Column): Seq[Stats.StatFilter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    def name(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: Attribute           => Some(a.name)
+      case _                      => None
+    }
+    def domainValue(l: Literal): Option[Any] = l.value match {
+      case null                                    => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case i: java.lang.Integer if l.dataType.typeName == "date" =>
+        Some(java.time.LocalDate.ofEpochDay(i.longValue))
+      case other                                   => Some(other)
+    }
+    // (attr cmp literal) / (literal cmp attr) → one stat filter; the `flip`
+    // constructor handles literal-on-the-left
+    def cmp(l: Expression, r: Expression,
+        mk: (String, Any) => Stats.StatFilter,
+        flip: (String, Any) => Stats.StatFilter): Seq[Stats.StatFilter] = (l, r) match {
+      case (a, lit: Literal) => (for (n <- name(a); v <- domainValue(lit)) yield mk(n, v)).toSeq
+      case (lit: Literal, a) => (for (n <- name(a); v <- domainValue(lit)) yield flip(n, v)).toSeq
+      case _                 => Seq()
+    }
+    def walk(e: Expression): Seq[Stats.StatFilter] = e match {
+      case And(a, b)                    => walk(a) ++ walk(b)
+      case EqualTo(l, r)                => cmp(l, r, Stats.Eq, Stats.Eq)
+      case GreaterThan(l, r)            => cmp(l, r, Stats.Gt, Stats.Lt)
+      case GreaterThanOrEqual(l, r)     => cmp(l, r, Stats.Ge, Stats.Le)
+      case LessThan(l, r)               => cmp(l, r, Stats.Lt, Stats.Gt)
+      case LessThanOrEqual(l, r)        => cmp(l, r, Stats.Le, Stats.Ge)
+      // Column DSL conditions surface as unresolved function calls
+      // ("=", "<", "and", …) until analysis — same shapes, by name
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.size == 2 =>
+        val (l, r) = (f.arguments.head, f.arguments(1))
+        f.nameParts.last match {
+          case "and"      => walk(l) ++ walk(r)
+          case "=" | "==" => cmp(l, r, Stats.Eq, Stats.Eq)
+          case ">"        => cmp(l, r, Stats.Gt, Stats.Lt)
+          case ">="       => cmp(l, r, Stats.Ge, Stats.Le)
+          case "<"        => cmp(l, r, Stats.Lt, Stats.Gt)
+          case "<="       => cmp(l, r, Stats.Le, Stats.Ge)
+          case _          => Seq()
+        }
+      case _ => Seq()
+    }
+    try walk(org.apache.spark.sql.graft.SparkShims.toExpression(cond))
+    catch { case _: Exception => Seq() }
   }
 
   /** Lossless type widening check over FULL parameterized types.

@@ -1,0 +1,135 @@
+package graft.icelite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** HTTP REST catalog endpoint over an IceLite warehouse — the wire-protocol
+  * analog of the Iceberg REST catalog the reference runs as its tutorial
+  * backend (/root/reference/README.md:1042–1068: GET /v1/namespaces,
+  * /v1/namespaces/{ns}/tables, /v1/namespaces/{ns}/tables/{t}).
+  *
+  * Served with the JDK's built-in HttpServer (zero dependencies):
+  *
+  *  - `GET  /v1/config`                        → catalog defaults
+  *  - `GET  /v1/namespaces`                    → {"namespaces": [["db"], …]}
+  *  - `POST /v1/namespaces`                    → create ({"namespace": ["db"]})
+  *  - `GET  /v1/namespaces/{ns}/tables`        → {"identifiers": [{…}, …]}
+  *  - `POST /v1/namespaces/{ns}/tables`        → create table
+  *    (body {"name": "t", "schema": [{"name": "id", "type": "BIGINT"}, …]})
+  *  - `GET  /v1/namespaces/{ns}/tables/{t}`    → {"metadata-location", "metadata"}
+  *  - `DELETE /v1/namespaces/{ns}/tables/{t}`  → drop
+  *
+  * The metadata payload is the IceLite table-metadata document (MetaJson) —
+  * the GetTable response analog. Catalog state lives on the filesystem, so
+  * the server is stateless and any number of instances can front one
+  * warehouse; commits stay safe under concurrent writers because the table
+  * protocol (version-file claim + hint swap) does the locking, not HTTP. */
+class RestCatalogServer(spark: SparkSession, warehouse: String) {
+  private val cat = new Catalog(spark, warehouse)
+  private val M = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/v1", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single-threaded: metadata-scale traffic
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val parts = ex.getRequestURI.getPath.stripPrefix("/v1").split("/").filter(_.nonEmpty).toList
+      val method = ex.getRequestMethod
+      (method, parts) match {
+        case ("GET", List("config")) =>
+          val root = M.createObjectNode()
+          root.putObject("defaults").put("warehouse", warehouse)
+          root.putObject("overrides")
+          json(ex, 200, M.writeValueAsString(root))
+
+        case ("GET", List("namespaces")) =>
+          val root = M.createObjectNode()
+          val arr = root.putArray("namespaces")
+          cat.listNamespaces().foreach(ns => arr.addArray().add(ns))
+          json(ex, 200, M.writeValueAsString(root))
+
+        case ("POST", List("namespaces")) =>
+          val body = M.readTree(ex.getRequestBody)
+          val ns = body.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+          cat.createNamespace(ns)
+          json(ex, 200, M.writeValueAsString(M.createObjectNode()
+            .set[com.fasterxml.jackson.databind.node.ObjectNode](
+              "namespace", M.createArrayNode().add(ns))))
+
+        case ("GET", List("namespaces", ns)) =>
+          if (!cat.listNamespaces().contains(ns)) error(ex, 404, s"namespace $ns not found")
+          else {
+            val root = M.createObjectNode()
+            root.putArray("namespace").add(ns)
+            root.putObject("properties")
+            json(ex, 200, M.writeValueAsString(root))
+          }
+
+        case ("GET", List("namespaces", ns, "tables")) =>
+          val root = M.createObjectNode()
+          val arr = root.putArray("identifiers")
+          cat.listTables(ns).foreach { t =>
+            val id = arr.addObject()
+            id.putArray("namespace").add(ns)
+            id.put("name", t)
+          }
+          json(ex, 200, M.writeValueAsString(root))
+
+        case ("POST", List("namespaces", ns, "tables")) =>
+          val body = M.readTree(ex.getRequestBody)
+          val name = body.get("name").asText()
+          val schema = body.get("schema").elements().asScala.toSeq
+            .map(f => f.get("name").asText() -> f.get("type").asText())
+          cat.createTable(ns, name, schema)
+          json(ex, 200, loadTableJson(ns, name))
+
+        case ("GET", List("namespaces", ns, "tables", t)) =>
+          if (!cat.listTables(ns).contains(t)) error(ex, 404, s"table $ns.$t not found")
+          else json(ex, 200, loadTableJson(ns, t))
+
+        case ("DELETE", List("namespaces", ns, "tables", t)) =>
+          if (!cat.listTables(ns).contains(t)) error(ex, 404, s"table $ns.$t not found")
+          else { cat.dropTable(ns, t); ex.sendResponseHeaders(204, -1); ex.close() }
+
+        case _ => error(ex, 404, s"no route: $method /v1/${parts.mkString("/")}")
+      }
+    } catch {
+      case e: Exception => error(ex, 500, String.valueOf(e.getMessage))
+    }
+
+  /** LoadTableResponse analog: metadata-location + full metadata doc. */
+  private def loadTableJson(ns: String, t: String): String = {
+    val tbl = cat.loadTable(ns, t)
+    val root = M.createObjectNode()
+    root.put("metadata-location",
+      s"${tbl.location}/metadata/v${tbl.currentVersion}.json")
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "metadata", M.readTree(MetaJson.toJson(tbl.meta)))
+    M.writeValueAsString(root)
+  }
+
+  private def json(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit =
+    json(ex, code, M.writeValueAsString(M.createObjectNode().put("error", msg)))
+}

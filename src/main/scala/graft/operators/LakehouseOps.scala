@@ -321,6 +321,46 @@ object LakehouseOps {
             ORDER BY namespace, table_name"""),
   )
 
+  /** S11 via HTTP: the REST catalog endpoint end-to-end — create tables,
+    * then LIST namespaces and tables over the wire (README.md:1042–1068's
+    * GET /v1/namespaces + /v1/namespaces/{ns}/tables) and return the parsed
+    * response as rows. The server is an ephemeral-port instance over a
+    * scratch warehouse; catalog state lives on the filesystem, so the HTTP
+    * front is stateless. */
+  private val restCatalog = QueryDef(
+    "icelite_rest_catalog",
+    (s, dir) => {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import scala.jdk.CollectionConverters._
+      val wh = scratch("rest")
+      val cat = new Catalog(s, wh)
+      cat.createTable("db", "orders_a", Seq("o_orderkey" -> "BIGINT"))
+      cat.createTable("db", "orders_b", Seq("o_orderkey" -> "BIGINT"))
+      cat.createTable("analytics", "events_t", Seq("event_id" -> "BIGINT"))
+      val srv = new graft.icelite.RestCatalogServer(s, wh)
+      val port = srv.start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val M = new ObjectMapper()
+        def getJson(path: String) = M.readTree(http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/v1$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+        val rows = for {
+          nsNode <- getJson("/namespaces").get("namespaces").elements().asScala.toSeq
+          ns = nsNode.get(0).asText()
+          t <- getJson(s"/namespaces/$ns/tables").get("identifiers").elements().asScala.toSeq
+        } yield (ns, t.get("name").asText())
+        import s.implicits._
+        rows.toDF("namespace", "table_name").orderBy("namespace", "table_name")
+      } finally srv.stop()
+    },
+    Some("""SELECT 'analytics' AS namespace, 'events_t' AS table_name
+            UNION ALL SELECT 'db', 'orders_a'
+            UNION ALL SELECT 'db', 'orders_b'
+            ORDER BY namespace, table_name"""),
+  )
+
   /** S11+DSv2: the whole pipeline through the SQL catalog — CREATE TABLE /
     * INSERT INTO ... SELECT / aggregate SELECT, plus a VERSION AS OF read,
     * entirely via spark.sql against the mounted `icelite` catalog. */
@@ -539,6 +579,6 @@ object LakehouseOps {
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
-    sqlMaintenance, variantTable,
+    sqlMaintenance, variantTable, restCatalog,
   )
 }

@@ -25,4 +25,11 @@ object SparkShims {
     * DSv2 LocalScan serves. */
   def collectInternal(df: DataFrame): Array[InternalRow] =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.executedPlan.executeCollect()
+
+  /** The (possibly unresolved) expression under a Column — for pattern-
+    * matching simple comparison shapes into manifest stat filters. Forces
+    * the ColumnNode → Catalyst conversion (ExpressionUtils alone returns a
+    * lazy ColumnNodeExpression wrapper). */
+  def toExpression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -85,6 +85,27 @@ class DataSkippingSpec extends SparkSpec {
     assert(pruned.filter(col("id") >= 350).count() == 50)
   }
 
+  test("CoW DML conditions translate to manifest stat filters") {
+    import graft.icelite.IceLite.statFiltersFromCondition
+    assert(statFiltersFromCondition(col("id") === 150L) == Seq(Stats.Eq("id", 150L)))
+    assert(statFiltersFromCondition(lit(10) < col("id")) == Seq(Stats.Gt("id", 10)))
+    assert(statFiltersFromCondition(col("id") >= 5L && col("amount") <= 2.0) ==
+      Seq(Stats.Ge("id", 5L), Stats.Le("amount", 2.0)))
+    // strings come out of Catalyst literals as JVM strings, not UTF8String
+    assert(statFiltersFromCondition(col("name") === "row42") == Seq(Stats.Eq("name", "row42")))
+    // non-translatable shapes are conservatively dropped, never wrong
+    assert(statFiltersFromCondition(col("id") % 10 === 0) == Seq())
+    assert(statFiltersFromCondition(col("id") === 1L || col("id") === 2L) == Seq())
+    // DELETE touching one file's range rewrites only that file, and the
+    // discovery scan was admitted by stats (results stay exact)
+    val t = mkTable("dml")
+    val before = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.delete(col("id") >= 300L && col("id") < 310L)
+    val after = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    assert((before -- after).size == 1, "only the admitted file should be rewritten")
+    assert(t.read().count() == 390)
+  }
+
   test("pruning is conservative after schema evolution (no stats → keep)") {
     val t = mkTable("evo")
     t.addColumn("extra", "BIGINT", Some("7"))

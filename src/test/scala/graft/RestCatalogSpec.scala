@@ -1,0 +1,83 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.icelite.{Catalog, RestCatalogServer}
+
+/** The HTTP REST catalog front (README.md:1042–1068 analog): list/create
+  * namespaces and tables, serve table metadata over the wire, 404 on
+  * unknowns — full loop against a live ephemeral-port server.
+  */
+class RestCatalogSpec extends SparkSpec {
+
+  private val M = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("REST catalog serves namespaces, tables and metadata over HTTP") {
+    val wh = Files.createTempDirectory("rest_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "orders", Seq("o_orderkey" -> "BIGINT", "note" -> "STRING"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      // config
+      assert(M.readTree(get(s"$base/config").body())
+        .get("defaults").get("warehouse").asText() == wh)
+
+      // list namespaces
+      val ns = M.readTree(get(s"$base/namespaces").body()).get("namespaces")
+      assert(ns.get(0).get(0).asText() == "db")
+
+      // create a namespace over the wire
+      assert(post(s"$base/namespaces", """{"namespace": ["analytics"]}""").statusCode() == 200)
+      assert(cat.listNamespaces().contains("analytics"))
+
+      // create a table over the wire
+      val created = post(s"$base/namespaces/analytics/tables",
+        """{"name": "events", "schema": [{"name": "event_id", "type": "BIGINT"}]}""")
+      assert(created.statusCode() == 200)
+      assert(M.readTree(created.body()).get("metadata").get("formatVersion").asInt() == 1)
+      assert(cat.listTables("analytics") == Seq("events"))
+
+      // list tables
+      val tl = M.readTree(get(s"$base/namespaces/db/tables").body()).get("identifiers")
+      assert(tl.get(0).get("name").asText() == "orders")
+
+      // load table metadata: the GetTable response analog
+      val load = M.readTree(get(s"$base/namespaces/db/tables/orders").body())
+      assert(load.get("metadata-location").asText().endsWith("v1.json"))
+      val fields = load.get("metadata").get("schemas").get(0).get("fields")
+      assert(fields.get(0).get("name").asText() == "o_orderkey")
+
+      // metadata reflects table evolution made OUTSIDE the server (stateless)
+      cat.loadTable("db", "orders").renameColumn("note", "comment")
+      val reloaded = M.readTree(get(s"$base/namespaces/db/tables/orders").body())
+      assert(reloaded.get("metadata").get("schemas").get(1).get("fields")
+        .get(1).get("name").asText() == "comment")
+
+      // 404s
+      assert(get(s"$base/namespaces/db/tables/nope").statusCode() == 404)
+      assert(get(s"$base/namespaces/ghost").statusCode() == 404)
+
+      // drop over the wire
+      val del = http.send(HttpRequest.newBuilder(
+        URI.create(s"$base/namespaces/analytics/tables/events")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 204)
+      assert(cat.listTables("analytics").isEmpty)
+    } finally srv.stop()
+  }
+}
