@@ -211,8 +211,12 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     // IceLite.finalizeStaged is a static helper so the task closure captures
     // only (strings, ints, SerializableConfiguration) — never `this`, whose
     // SparkSession doesn't serialize.
+    // adaptive cutoff: a local footer read is ~5–10 ms, a Spark job costs
+    // ~150 ms to schedule — driver-side wins below ~16 files; a 10k-file
+    // commit (the 100 TB case) runs O(files/64) per executor instead of
+    // O(files) serial on the driver
     val out =
-      if (staged.size <= 2) // job-scheduling overhead beats 2 footer reads
+      if (staged.size <= 16)
         staged.toSeq.map(p =>
           IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
       else

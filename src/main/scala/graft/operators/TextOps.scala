@@ -198,6 +198,63 @@ object TextOps {
             ORDER BY id1, id2"""),
   )
 
+  /** Deterministic corpus sampling: md5-bucket the doc id and keep ~1/16
+    * of documents — the reproducible, engine-portable alternative to
+    * `TABLESAMPLE`/`rand()` for carving train/eval splits. A narrow filter
+    * (no shuffle, no state); the same doc always lands in the same split
+    * on any cluster size, and DuckDB computes the identical assignment. */
+  private val deterministicSample = QueryDef(
+    "deterministic_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) === "0")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            ORDER BY doc_id"""),
+  )
+
+  /** The composed training-data pipeline, end-to-end in ONE declarative
+    * plan: quality-gate (unique-token ratio ≥ 0.5) → exact dedup (min
+    * doc_id per distinct text) → per-language token budget. The shape a
+    * 100 TB curation run has: narrow quality scoring, one dedup shuffle on
+    * the text key, one aggregation shuffle on language — Catalyst pipelines
+    * the gate into the dedup scan, so the corpus is read once. */
+  private val curationPipeline = QueryDef(
+    "curation_pipeline",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val ratio = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .filter(ratio >= 0.5)
+        .groupBy("text")
+        // min (not first): duplicate texts could carry different langs, and
+        // first() is partition-order-dependent — not oracle-deterministic
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("n_tokens")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs_kept"),
+          sum(col("n_tokens")).as("token_budget"))
+        .orderBy("lang")
+    },
+    Some("""WITH gated AS (
+              SELECT doc_id, text, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+              WHERE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.5),
+            deduped AS (
+              SELECT min(doc_id) AS doc_id, text,
+                     min(lang) AS lang, min(n_tokens) AS n_tokens
+              FROM gated GROUP BY text)
+            SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS token_budget
+            FROM deduped GROUP BY lang ORDER BY lang"""),
+  )
+
   /** X2 MinHash+LSH near-dup detection — the linear-scale fuzzy dedup:
     * 3-token shingles → k=24 minhash permutations (xxhash64 seeds) → 6 bands
     * of 4 → band-bucket self-join yields candidates → exact shingle-Jaccard
@@ -388,6 +445,6 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
-    tokenizeRegex, simhashDedup,
+    tokenizeRegex, simhashDedup, deterministicSample, curationPipeline,
   )
 }
