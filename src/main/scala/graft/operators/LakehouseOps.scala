@@ -122,6 +122,23 @@ object LakehouseOps {
              ORDER BY o_orderkey"""),
   )
 
+  /** Incremental append scan (the Iceberg incremental-read analog): three
+    * appends, consume only what snapshots 1→3 added — file-set diff on the
+    * driver, scan proportional to the delta, not the table. */
+  private val incrementalRead = QueryDef(
+    "icelite_incremental",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("incr"), o)
+      t.append(o.filter(col("o_orderkey") < 1000))
+      t.append(o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000))
+      t.append(o.filter(col("o_orderkey") >= 3000))
+      stateOf(t.readAppendedBetween(1, 3))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey >= 1000 ORDER BY o_orderkey"""),
+  )
+
   /** M12 time travel VERSION AS OF (README.md:1007): two appends, read the
     * first snapshot. */
   private val timeTravel = QueryDef(
@@ -579,6 +596,6 @@ object LakehouseOps {
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
-    sqlMaintenance, variantTable, restCatalog,
+    sqlMaintenance, variantTable, restCatalog, incrementalRead,
   )
 }

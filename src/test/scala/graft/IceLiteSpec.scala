@@ -208,6 +208,26 @@ class IceLiteSpec extends SparkSpec {
     assert(ids(t.read()) == (0L until 100L))
   }
 
+  test("incremental read returns appended rows; refuses rewrites in range") {
+    val t = IceLite.createFrom(spark, scratch("incr"), sample)
+    t.append(sample.filter(col("id") < 30))
+    t.append(sample.filter(col("id") >= 30 && col("id") < 60))
+    t.append(sample.filter(col("id") >= 60))
+    assert(ids(t.readAppendedBetween(1, 2)) == (30L until 60L))
+    assert(ids(t.readAppendedBetween(1, 3)) == (30L until 100L))
+    assert(ids(t.readAppendedBetween(2, 2)) == Seq())
+    // MoR delete in range only adds delete files → still readable, and the
+    // deleted positions are filtered out of the incremental slice
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read")) // no snapshot
+    t.delete(col("id") === 40) // snapshot 4 (delete files only)
+    assert(ids(t.readAppendedBetween(1, 4)) == (30L until 100L).filterNot(_ == 40))
+    // CoW rewrite in range is ambiguous → loud refusal
+    t.setProperties(Map("write.delete.mode" -> "copy-on-write"))
+    t.delete(col("id") === 50) // snapshot 5 rewrites a file
+    val e = intercept[IllegalArgumentException](t.readAppendedBetween(1, 5))
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("appendIfNewBatch skips replayed batch ids (exactly-once per batch)") {
     val t = IceLite.createFrom(spark, scratch("batchid"), sample)
     assert(t.appendIfNewBatch(0L, sample.filter(col("id") < 10)))
