@@ -335,28 +335,35 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     // shuffles (the scale-killer a global (_file,_pos) anti-join becomes at
     // 100 TB). Delete positions are grouped per data file (metadata-scale:
     // one row per file) and shipped as sorted arrays; each data row does a
-    // map lookup + binary search. At extreme delete densities these arrays
-    // would be compressed bitmaps (Iceberg's puffin DVs) — same shape,
-    // and compaction materializes deletes to keep the map bounded.
+    // codegen'd HashMap probe + binary search (functions.PositionLive —
+    // keeps the vectorized scan inside one whole-stage-codegen span, where
+    // a UDF would cut it). Keys are the raw `_metadata.file_path` strings
+    // the delete files recorded, so no per-row path normalization happens.
+    // At extreme delete densities these arrays would be compressed bitmaps
+    // (Iceberg's puffin DVs) — same shape — and compaction materializes
+    // deletes to keep the map bounded.
     val afterDeletes =
       if (snap.deleteFiles.isEmpty) unioned
       else {
         val scannedFiles = files.map(df => normPath(df.path)).toSet
-        val delMap: Map[String, Array[Long]] = spark.read
+        val delMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+        spark.read
           .schema("file_path STRING, pos BIGINT")
           .parquet(snap.deleteFiles.map(_.path): _*)
           .groupBy("file_path")
           .agg(sort_array(collect_list("pos")).as("ps"))
           .collect()
-          .map(r => normPath(r.getString(0)) -> r.getSeq[Long](1).toArray)
-          .filter { case (p, _) => scannedFiles.contains(p) } // pruned files need no positions
-          .toMap
+          .foreach { r =>
+            if (scannedFiles.contains(normPath(r.getString(0)))) // pruned files need no positions
+              delMap.put(
+                org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+                r.getSeq[Long](1).toArray)
+          }
         val bc = spark.sparkContext.broadcast(delMap)
-        val live = udf((file: String, pos: Long) => {
-          val arr = bc.value.getOrElse(IceLite.normPath(file), null)
-          arr == null || java.util.Arrays.binarySearch(arr, pos) < 0
-        })
-        unioned.filter(live(col("_file"), col("_pos")))
+        unioned.filter(org.apache.spark.sql.graft.SparkShims.columnOf(
+          graft.functions.PositionLive(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_pos"), bc)))
       }
     if (lineage) afterDeletes else afterDeletes.drop("_file", "_pos")
   }

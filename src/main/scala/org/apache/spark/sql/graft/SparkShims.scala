@@ -32,4 +32,9 @@ object SparkShims {
     * lazy ColumnNodeExpression wrapper). */
   def toExpression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** A Column over a raw Catalyst expression (e.g. a custom codegen
+    * Predicate with UnresolvedAttribute children, resolved at analysis). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

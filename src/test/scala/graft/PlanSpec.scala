@@ -77,11 +77,20 @@ class PlanSpec extends SparkSpec {
     t.append(Tables.orders(spark, sf))
     t.delete(col("o_orderkey") % 7 === 0)
     assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty, "MoR delete wrote no delete files")
-    val plan = t.read().queryExecution.executedPlan.toString
+    val df = t.read()
+    df.collect() // finalize adaptive plan so codegen spans render
+    val plan = df.queryExecution.executedPlan.toString
     // deletion vectors must be a broadcast per-file position FILTER in the
     // scan stage — at 100 TB a (_file,_pos) anti-join shuffles the fact table
     assert(!plan.contains("Join"), s"MoR read plans a join:\n$plan")
     assert(!plan.contains("Exchange"), s"MoR read shuffles the data side:\n$plan")
+    // and the filter is the codegen'd expression inside a WholeStageCodegen
+    // span, not a codegen-breaking UDF
+    assert(plan.contains("position_live"), s"PositionLive missing:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
+      s"MoR filter fell back to a UDF:\n$plan")
+    val filterLine = plan.linesIterator.find(_.contains("position_live")).getOrElse("")
+    assert(filterLine.contains("*("), s"MoR filter not in a codegen span: $filterLine")
     val expected = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 =!= 0).count()
     assert(t.read().count() == expected)
   }
