@@ -89,11 +89,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val target = new Path(location, s"metadata/v$v.json")
     val out = f.create(target, /* overwrite = */ false) // CREATE_NEW: conflict check
     try out.write(MetaJson.toJson(withLog).getBytes("UTF-8")) finally out.close()
-    val hintNow = currentVersion
-    if (hintNow >= v)
-      throw new IceLite.CommitSupersededException(
-        s"commit at v$v superseded: hint already at v$hintNow (stepped over as orphan); re-run")
-    atomicWrite(f, new Path(location, s"metadata/$HINT"), v.toString)
+    IceLite.swapHintForward(f, new Path(location, s"metadata/$HINT"), v)
   }
 
   /** One-shot commit for operations whose output is DERIVED from the
@@ -257,12 +253,14 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val m = meta
     if (m.properties.get(key).exists(_.toLong >= batchId)) return false
     val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
-    var committed = true
-    commitWithRetry { cur =>
-      if (cur.properties.get(key).exists(_.toLong >= batchId)) {
-        committed = false // lost a race with another writer of the same batch
-        (cur, s"skip replayed batch $batchId")
-      } else {
+    try {
+      commitWithRetry { cur =>
+        // authoritative replay check INSIDE the retry loop: losing the race
+        // aborts the commit entirely (no no-op version file) and the loser
+        // proactively deletes its just-written files instead of stranding
+        // them until the orphan sweep
+        if (cur.properties.get(key).exists(_.toLong >= batchId))
+          throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val snap = cur.currentSnapshot
         (newSnapshot(cur, "append",
           snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
@@ -270,8 +268,13 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
       }
+      true
+    } catch {
+      case _: IceLite.BatchReplayedException =>
+        val f = fs(spark, location)
+        files.foreach(df0 => f.delete(new Path(df0.path), false))
+        false
     }
-    committed
   }
 
   private def alignToSchema(df: DataFrame, m: TableMetadata): DataFrame = {
@@ -476,7 +479,12 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     if (touched.isEmpty) return
     val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
-    val newFiles = writeFiles(hitDf.filter(!cond), m, m.currentSchemaId, m.defaultSpec)
+    // SQL DELETE removes only rows where cond is TRUE; a NULL condition
+    // (three-valued logic) KEEPS the row, so the kept-rows filter must be
+    // NOT(coalesce(cond, false)) — a bare !cond maps NULL→NULL and would
+    // silently drop NULL-condition rows from the rewritten files.
+    val newFiles = writeFiles(
+      hitDf.filter(!coalesce(cond, lit(false))), m, m.currentSchemaId, m.defaultSpec)
     commitFrom(v, newSnapshot(m, "delete", keep ++ newFiles, snap.deleteFiles),
       s"delete (cow) rewrote ${hit.size} files")
   }
@@ -507,10 +515,29 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       }
     }
     if (files.isEmpty) { f.delete(out, true); return }
-    commitWithRetry { cur =>
+    // The positions reference specific data files of the scanned snapshot.
+    // A rebase is only sound while those files are still live: a concurrent
+    // CoW rewrite / compaction / rollback replaces them, and attaching the
+    // stale positions would make this "successful" delete a silent no-op
+    // (the read path ignores positions for unknown files). Harvest the
+    // touched paths from the just-written delete files (metadata-scale) and
+    // verify them inside every retry attempt.
+    val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
+      .parquet(files.map(_.path): _*)
+      .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
+    try commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
+      val live = cs.dataFiles.map(df => normPath(df.path)).toSet
+      if (!touchedPaths.subsetOf(live))
+        throw new IceLite.ConcurrentRewriteException(
+          "merge-on-read delete conflicts with a concurrent rewrite: " +
+            "referenced data files were replaced; re-run the delete")
       (newSnapshot(cur, "delete", cs.dataFiles, cs.deleteFiles ++ files.toSeq),
         s"delete (mor) ${files.map(_.rows).sum} positions")
+    } catch {
+      case e: IceLite.ConcurrentRewriteException =>
+        f.delete(out, true) // the positions are stale; never commit them
+        throw e
     }
   }
 
@@ -558,9 +585,17 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** INSERT OVERWRITE: replace the whole table content in one snapshot. */
+  /** INSERT OVERWRITE: replace the whole table content in one snapshot.
+    * Strict alignment: overwrite REPLACES all data, so a source missing a
+    * schema column (typo, dropped projection) is an error — silently
+    * null-filling it (append's lenient behavior) would corrupt the whole
+    * table in one commit. Columns with declared defaults still fill. */
   def overwrite(df: DataFrame): Unit = {
     val (v, m) = versionedMeta
+    val missing = m.currentSchema.fields
+      .filter(f => !df.columns.contains(f.name) && f.defaultSql.isEmpty)
+    require(missing.isEmpty,
+      s"overwrite source is missing schema columns without defaults: ${missing.map(_.name).mkString(", ")}")
     val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
     commitFrom(v, newSnapshot(m, "overwrite", files, Seq()),
       s"overwrite with ${files.map(_.rows).sum} rows")
@@ -764,9 +799,25 @@ object IceLite {
     * writer before the hint swap — the commit did NOT take effect. */
   final class CommitSupersededException(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when a rebase would attach intent (e.g. MoR delete positions)
+    * that references data files a concurrent commit replaced — the caller
+    * must re-run the operation against the new table state. */
+  final class ConcurrentRewriteException(msg: String) extends RuntimeException(msg)
+
+  /** Thrown inside the retry loop when another writer already committed the
+    * same streaming batch — the append aborts without a commit. */
+  private[icelite] final class BatchReplayedException(msg: String) extends RuntimeException(msg)
+
   /** Finalize one staged parquet file (executor-side): harvest footer
     * row-count + column stats, rename into data/, return the manifest
-    * entry. Static so RDD closures capture no table/session state. */
+    * entry. Static so RDD closures capture no table/session state.
+    *
+    * IDEMPOTENT under task retry/speculation: the destination name is a
+    * deterministic function of the staged path (Spark part-file names are
+    * already unique per write job), so a re-run whose first attempt already
+    * renamed the file finds source-gone + dest-present and harvests the
+    * footer from the destination instead of failing — on a real cluster a
+    * routine executor loss must not fail a 10k-file commit. */
   private[icelite] def finalizeStaged(
       conf: org.apache.hadoop.conf.Configuration, stagingPrefix: String,
       dataDir: String, schemaId: Int, specId: Int, pStr: String): DataFile = {
@@ -776,12 +827,20 @@ object IceLite {
       val Array(k, v) = seg.split("=", 2)
       k.stripPrefix("_p_") -> v
     }.toMap
-    val dest = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    // flatten "part=value/" dirs into the name: deterministic AND unique
+    // within the write (same part-file basename appears under many dirs)
+    val dest = new Path(dataDir, rel.split('/').mkString("_"))
+    val lfs = p.getFileSystem(conf)
+    val src = if (lfs.exists(p)) p
+      else if (lfs.exists(dest)) dest // prior attempt finished the rename
+      else sys.error(s"staged file $p vanished and $dest does not exist")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
     val (rows, stats) =
       try (reader.getRecordCount, Stats.fromFooter(reader)) finally reader.close()
-    val lfs = p.getFileSystem(conf)
-    if (!lfs.rename(p, dest)) sys.error(s"rename $p -> $dest failed")
+    if (src != dest && !lfs.rename(p, dest)) {
+      // lost a rename race with a speculative twin — fine iff the twin won
+      if (!lfs.exists(dest)) sys.error(s"rename $p -> $dest failed")
+    }
     DataFile(dest.toString, rows, schemaId, specId, partVals, stats)
   }
 
@@ -794,6 +853,30 @@ object IceLite {
     * also called from executor-side closures.) */
   def normPath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  /** Forward-only hint swap for commits: re-reads the hint at the LAST
+    * instant before the rename and aborts with [[CommitSupersededException]]
+    * if it already reached `v` — a writer that was quarantine-stepped while
+    * paused (GC, slow FS) between creating its version file and swapping the
+    * hint almost always observes the step here and retries instead of
+    * regressing the table to a version that omits the winner's commit. The
+    * residual window is a second multi-minute stall between this re-read and
+    * the rename — two independent quarantine-length stalls in a row — which a
+    * plain check-at-entry would leave open for the whole commit duration. */
+  private[icelite] def swapHintForward(f: FileSystem, hint: Path, v: Int): Unit = {
+    val tmp = new Path(hint.getParent, s".${hint.getName}.${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val in = f.open(hint)
+    val hintNow = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    if (hintNow >= v) {
+      f.delete(tmp, false)
+      throw new CommitSupersededException(
+        s"commit at v$v superseded: hint already at v$hintNow (stepped over as orphan); re-run")
+    }
+    if (f.exists(hint)) f.delete(hint, false)
+    if (!f.rename(tmp, hint)) sys.error(s"atomic rename to $hint failed")
+  }
 
   /** tmp-write + rename — the atomic pointer swap that gives ACID commits
     * (the reference's catalog-pointer-swap, README.md:511–529). */
