@@ -523,7 +523,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     // touched paths from the just-written delete files (metadata-scale) and
     // verify them inside every retry attempt.
     val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
-      .parquet(files.map(_.path): _*)
+      .parquet(files.map(_.path).toSeq: _*)
       .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
     try commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
@@ -822,7 +822,11 @@ object IceLite {
       conf: org.apache.hadoop.conf.Configuration, stagingPrefix: String,
       dataDir: String, schemaId: Int, specId: Int, pStr: String): DataFile = {
     val p = new Path(pStr)
-    val rel = pStr.stripPrefix(stagingPrefix).stripPrefix("/")
+    // listFiles returns scheme-qualified paths (file:/x) while Path.toString
+    // on a constructed dir may be scheme-less (/x) — strip on the normalized
+    // URI path of BOTH sides or rel keeps a "file:" prefix whose colon makes
+    // the dest Path an invalid relative-path-in-absolute-URI.
+    val rel = normPath(pStr).stripPrefix(normPath(stagingPrefix)).stripPrefix("/")
     val partVals = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
       val Array(k, v) = seg.split("=", 2)
       k.stripPrefix("_p_") -> v
