@@ -172,14 +172,28 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * (footer row-count/min-max harvest + rename into data/) by a SECOND
     * distributed job — the driver never opens a footer, so commit metadata
     * cost is O(files/parallelism), not O(files) serial. */
-  private def writeFiles(df: DataFrame, m: TableMetadata, schemaId: Int, spec: PartitionSpec): Seq[DataFile] = {
+  private def writeFiles(df: DataFrame, m: TableMetadata, schemaId: Int, spec: PartitionSpec,
+      targetFiles: Option[Int] = None): Seq[DataFile] = {
     val sch = m.schema(schemaId)
     val phys = df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.physName)): _*)
     val stagingDir = new Path(location, s"staging-${UUID.randomUUID()}")
     val f = fs(spark, location)
     val partCols = spec.fields.map(sf => "_p_" + sf.name)
+    // write.sort-order (setSortOrder): cluster rows so each file covers a
+    // TIGHT, near-disjoint range of the sort key — that turns the manifest
+    // min/max stats into a real index (a point/range predicate on the sort
+    // key prunes all but a few files at plan time). Unpartitioned writes
+    // range-repartition globally (disjoint ranges across files);
+    // partitioned writes keep the partition clustering and sort within it.
+    val sortPhys = m.properties.get("write.sort-order").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(n => sch.fieldByName(n).physName)
     if (spec.fields.isEmpty) {
-      phys.write.parquet(stagingDir.toString)
+      if (sortPhys.isEmpty) phys.write.parquet(stagingDir.toString)
+      else targetFiles.fold(phys.repartitionByRange(sortPhys.map(col): _*))(
+          n => phys.repartitionByRange(n, sortPhys.map(col): _*))
+        .sortWithinPartitions(sortPhys.map(col): _*)
+        .write.parquet(stagingDir.toString)
     } else {
       val withP = spec.fields.foldLeft(phys) { (d, sf) =>
         d.withColumn("_p_" + sf.name, transformExpr(sf, col(m.schema(schemaId).byId(sf.sourceId).physName)))
@@ -188,8 +202,11 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       // partition writes a sliver of every partition value (N_input × N_values
       // tiny files — metadata and read-path poison at scale); with it, file
       // count ≈ distinct partition values.
-      withP.repartition(partCols.map(col): _*)
-        .write.partitionBy(partCols: _*).parquet(stagingDir.toString)
+      val clustered =
+        if (sortPhys.isEmpty) withP.repartition(partCols.map(col): _*)
+        else withP.repartition(partCols.map(col): _*)
+          .sortWithinPartitions((partCols ++ sortPhys).map(col): _*)
+      clustered.write.partitionBy(partCols: _*).parquet(stagingDir.toString)
     }
     // enumerate staged parquet files; partition values derive from dir names
     val it = f.listFiles(stagingDir, true)
@@ -662,6 +679,19 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
         s"set partition spec ${fields.mkString(",")}")
     }
 
+  /** WRITE ORDERED BY — declare the table's sort order. Applies to every
+    * subsequent write ([[writeFiles]] range-clusters + sorts on these
+    * columns), so file-level min/max stats become an index over the sort
+    * key: at 100 TB a point/range filter on the sort key plans down to a
+    * handful of files instead of a full scan. Existing files are untouched
+    * (re-cluster them with [[compact]]). */
+  def setSortOrder(cols: Seq[String]): Unit =
+    commitWithRetry { m =>
+      cols.foreach(m.currentSchema.fieldByName) // validate against live schema
+      (m.copy(properties = m.properties + ("write.sort-order" -> cols.mkString(","))),
+        s"set sort order ${cols.mkString(",")}")
+    }
+
   /** SET TBLPROPERTIES (README.md:1113–1114). */
   def setProperties(props: Map[String, String]): Unit =
     commitWithRetry { m =>
@@ -676,8 +706,12 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
   def compact(target: Int): Unit = {
     val (v, m) = versionedMeta
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = scanSnapshot(m, snap, lineage = false, _ => true).repartition(target)
-    val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec)
+    // with a declared sort order, writeFiles range-clusters into `target`
+    // files itself — repartitioning here too would just add a second
+    // shuffle (and destroy the range clustering)
+    val df0 = scanSnapshot(m, snap, lineage = false, _ => true)
+    val df = if (m.properties.contains("write.sort-order")) df0 else df0.repartition(target)
+    val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec, targetFiles = Some(target))
     commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
       s"compact ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
@@ -704,7 +738,11 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     var toDelete: Seq[String] = Seq()
     commitWithRetry { m =>
       val curId = m.currentSnapshotId.getOrElse(sys.error("empty table"))
-      val (dead, live) = m.snapshots.partition(s => s.timestampMs < olderThanMs && s.id != curId)
+      // every named ref's head stays live no matter its age — expiring a
+      // branch head would silently truncate staged-but-unpublished work
+      val pinned = m.refs.values.map(_.snapshotId).toSet + curId
+      val (dead, live) = m.snapshots.partition(s =>
+        s.timestampMs < olderThanMs && !pinned.contains(s.id))
       if (dead.isEmpty) { toDelete = Seq(); (m, "expire 0 snapshots") }
       else {
         val liveFiles = live.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
@@ -746,6 +784,99 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       }
     }
     removed.toSeq
+  }
+
+  // ------------------------------------------------------------ refs (branches / tags)
+
+  /** CREATE BRANCH — a movable named head for write-audit-publish staging:
+    * writers land commits on the branch while readers of the table (and of
+    * "main") never see them until [[fastForward]] publishes. Snapshots are
+    * shared with the main log (branching is metadata-only — zero data copy,
+    * exactly Iceberg's branch model). */
+  def createBranch(name: String, fromSnapshotId: Option[Long] = None): Unit =
+    commitWithRetry { m =>
+      IceLite.validateRefName(name)
+      require(!m.refs.contains(name), s"ref $name already exists")
+      val base = fromSnapshotId.orElse(m.currentSnapshotId)
+        .getOrElse(sys.error("cannot branch an empty table"))
+      m.snapshot(base) // existence check
+      (m.copy(refs = m.refs + (name -> Ref(base, "branch"))), s"create branch $name at $base")
+    }
+
+  /** CREATE TAG — an immutable named pin (release audit points). */
+  def createTag(name: String, snapshotId: Long): Unit =
+    commitWithRetry { m =>
+      IceLite.validateRefName(name)
+      require(!m.refs.contains(name), s"ref $name already exists")
+      m.snapshot(snapshotId)
+      (m.copy(refs = m.refs + (name -> Ref(snapshotId, "tag"))), s"create tag $name at $snapshotId")
+    }
+
+  def dropRef(name: String): Unit =
+    commitWithRetry { m =>
+      require(m.refs.contains(name), s"no ref $name")
+      (m.copy(refs = m.refs - name), s"drop ref $name")
+    }
+
+  /** Read a named ref ("main" = the published table). */
+  def readRef(name: String): DataFrame =
+    if (name == "main") read()
+    else {
+      val m = meta
+      val ref = m.refs.getOrElse(name, sys.error(s"no ref $name"))
+      scanSnapshot(m, m.snapshot(ref.snapshotId), lineage = false, _ => true)
+    }
+
+  /** Append onto a BRANCH head: main (and every other ref) is untouched —
+    * the staging half of write-audit-publish. Same add-files rebase story
+    * as [[append]], so concurrent main-branch commits interleave safely. */
+  def appendToBranch(branch: String, df: DataFrame): Unit = {
+    val m0 = meta
+    val files = writeFiles(alignToSchema(df, m0), m0, m0.currentSchemaId, m0.defaultSpec)
+    commitWithRetry { cur =>
+      val ref = cur.refs.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(ref.refType == "branch", s"$branch is a tag; tags are immutable")
+      val head = cur.snapshot(ref.snapshotId)
+      val snap = Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
+        "append", head.dataFiles ++ files, head.deleteFiles)
+      (cur.copy(snapshots = cur.snapshots :+ snap,
+        refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),
+        s"append ${files.map(_.rows).sum} rows to branch $branch")
+    }
+  }
+
+  /** Publish a branch: fast-forward main to the branch head — the publish
+    * half of write-audit-publish. Requires main's current snapshot to be an
+    * ancestor of the branch head (pointer swap only, no merge): if main
+    * advanced independently since the branch was cut, the publish is
+    * rejected and the auditor must re-stage on a fresh branch. */
+  def fastForward(branch: String): Unit =
+    commitWithRetry { m =>
+      val ref = m.refs.getOrElse(branch, sys.error(s"no branch $branch"))
+      require(ref.refType == "branch", s"cannot fast-forward to tag $branch")
+      val target = m.snapshot(ref.snapshotId)
+      val mainId = m.currentSnapshotId.getOrElse(sys.error("empty table"))
+      // walk the parent chain from the branch head back to main's snapshot
+      var cur: Option[Long] = Some(target.id)
+      var isAncestor = false
+      while (cur.isDefined && !isAncestor) {
+        if (cur.get == mainId) isAncestor = true
+        else cur = m.snapshots.find(_.id == cur.get).flatMap(_.parentId)
+      }
+      require(isAncestor,
+        s"main ($mainId) is not an ancestor of branch $branch (${target.id}): " +
+          "main advanced since the branch was cut; re-stage and re-audit")
+      (m.copy(currentSnapshotId = Some(target.id)),
+        s"fast-forward main to branch $branch (${target.id})")
+    }
+
+  /** `SELECT * FROM t.refs` — named refs plus the implicit main branch. */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    (m.currentSnapshotId.map(id => ("main", "branch", id)).toSeq ++
+      m.refs.toSeq.sortBy(_._1).map { case (n, r) => (n, r.refType, r.snapshotId) })
+      .toDF("name", "type", "snapshot_id")
   }
 
   // ------------------------------------------------------------ metadata tables
@@ -794,6 +925,11 @@ object IceLite {
   /** Grace period for removeOrphanFiles: younger files may belong to an
     * in-flight (not yet committed) write and are never reclaimed. */
   val OrphanGraceMs: Long = 3L * 3600 * 1000
+
+  private[icelite] def validateRefName(name: String): Unit = {
+    require(name != "main", "main is the implicit published branch")
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+  }
 
   /** Thrown when a commit's version file was quarantine-stepped by another
     * writer before the hint swap — the commit did NOT take effect. */

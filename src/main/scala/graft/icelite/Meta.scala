@@ -60,6 +60,12 @@ final case class Snapshot(
 
 final case class MetadataLogEntry(version: Int, timestampMs: Long, note: String)
 
+/** Named ref into the snapshot log — `refType` ∈ branch | tag. Branches are
+  * movable heads (write-audit-publish staging); tags are immutable pins.
+  * The table's "main" branch is `currentSnapshotId` itself, not a map entry,
+  * so every pre-refs metadata file stays readable unchanged. */
+final case class Ref(snapshotId: Long, refType: String)
+
 final case class TableMetadata(
     location: String,
     lastFieldId: Int,
@@ -70,7 +76,8 @@ final case class TableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
-    metadataLog: Seq[MetadataLogEntry]) {
+    metadataLog: Seq[MetadataLogEntry],
+    refs: Map[String, Ref] = Map()) {
 
   def currentSchema: TableSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schema(id: Int): TableSchema = schemas.find(_.schemaId == id).get
@@ -144,6 +151,13 @@ object MetaJson {
         val fn = dels.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
       }
     }
+    if (m.refs.nonEmpty) {
+      val refs = root.putObject("refs")
+      m.refs.toSeq.sortBy(_._1).foreach { case (name, ref) =>
+        val rn = refs.putObject(name)
+        rn.put("snapshotId", ref.snapshotId); rn.put("type", ref.refType)
+      }
+    }
     val log = root.putArray("metadataLog")
     m.metadataLog.foreach { e =>
       val n = log.addObject()
@@ -199,6 +213,10 @@ object MetaJson {
       },
       metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(
         n.get("version").asInt(), n.get("timestampMs").asLong(), n.get("note").asText())),
+      refs = Option(r.get("refs")).map(o =>
+        o.properties().asScala.map(e => e.getKey -> Ref(
+          e.getValue.get("snapshotId").asLong(), e.getValue.get("type").asText())).toMap)
+        .getOrElse(Map()),
     )
   }
 }

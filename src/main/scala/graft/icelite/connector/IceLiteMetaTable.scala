@@ -28,6 +28,7 @@ class IceLiteMetaTable(tbl: IceLiteTable, kind: String) extends Table with Suppo
     case "history"    => tbl.historyDf
     case "partitions" => tbl.partitionsDf
     case "files"      => tbl.filesDf
+    case "refs"       => tbl.refsDf
     case other        => sys.error(s"unknown metadata table $other")
   }
 
@@ -48,5 +49,5 @@ class IceLiteMetaTable(tbl: IceLiteTable, kind: String) extends Table with Suppo
 }
 
 object IceLiteMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "history", "partitions", "files")
+  val Kinds: Set[String] = Set("snapshots", "history", "partitions", "files", "refs")
 }

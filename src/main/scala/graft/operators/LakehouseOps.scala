@@ -591,11 +591,75 @@ object LakehouseOps {
     Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
   )
 
+  /** Branches + tags + write-audit-publish (Iceberg's branch model,
+    * metadata-only: snapshots are shared, zero data copy). A good batch is
+    * staged on a branch, audited there, and fast-forward published; a bad
+    * batch staged on a second branch fails its audit and is dropped —
+    * final table state is base + good batch only. Embedded requires prove
+    * main never saw staged rows before publish. */
+  private val branchWap = QueryDef(
+    "icelite_branch_wap",
+    (s, dir) => {
+      val t = mkTable(s, dir, "wap")
+      val o = orders(s, dir)
+      val baseCount = o.count()
+      t.createTag("pre-publish", t.meta.currentSnapshotId.get)
+      t.createBranch("audit")
+      val good = o.filter(col("o_orderkey") % 200 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      t.appendToBranch("audit", good)
+      require(t.read().count() == baseCount, "staged rows leaked into main before publish")
+      require(t.readRef("audit").filter(col("o_totalprice") < 0).count() == 0, "audit failed")
+      t.fastForward("audit")
+      // bad batch: audit rejects, branch is dropped, main keeps the clean state
+      t.createBranch("audit2")
+      t.appendToBranch("audit2", good.withColumn("o_totalprice", lit(-1.0)))
+      if (t.readRef("audit2").filter(col("o_totalprice") < 0).count() > 0) t.dropRef("audit2")
+      require(t.readRef("pre-publish").count() == baseCount, "tag must stay pinned")
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             UNION ALL
+             SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+                    CAST(o_orderdate AS DATE), o_orderpriority
+             FROM orders WHERE o_orderkey % 200 = 0
+             ORDER BY o_orderkey"""),
+  )
+
+  /** WRITE ORDERED BY: range-clustered sorted writes turn per-file min/max
+    * stats into an index — the manifest prunes a sort-key range predicate
+    * to a small fraction of files at plan time (embedded require), the
+    * 100 TB answer to point/range queries without a full scan. */
+  private val sortedWrite = QueryDef(
+    "icelite_sorted_write",
+    (s, dir) => {
+      val t = IceLite.createFrom(s, scratch("sorted"), orders(s, dir))
+      t.setSortOrder(Seq("o_custkey"))
+      t.append(orders(s, dir))
+      // re-cluster to an explicit file count: the plain append coalesces
+      // small shuffles under AQE (file count ∝ data size), so at test SF it
+      // may land in one file — the compaction pins 12 range-disjoint files
+      t.compact(12)
+      val cond = col("o_custkey") >= 100L && col("o_custkey") <= 200L
+      val flts = IceLite.statFiltersFromCondition(cond)
+      val m = t.meta
+      val snap = m.currentSnapshot.get
+      val hit = snap.dataFiles.count(f =>
+        flts.forall(graft.icelite.Stats.mayContain(f, m.schema(f.schemaId), m.currentSchema, _)))
+      require(snap.dataFiles.size == 1 || hit * 2 < snap.dataFiles.size,
+        s"sorted write should prune most files: $hit of ${snap.dataFiles.size} survive")
+      stateOf(t.read(statFilters = flts).filter(cond))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
+    branchWap, sortedWrite,
   )
 }

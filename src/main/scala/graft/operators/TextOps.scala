@@ -162,25 +162,66 @@ object TextOps {
   /** X2 n-gram Jaccard near-dup pairs: distinct-token Jaccard ≥ 0.7 among a
     * bounded probe set (doc_id < 300). Exact quadratic verification is the
     * oracle-able baseline; minhash_dedup below is the linear-scale path. */
+  /** Near-dup candidate edges: distinct-token Jaccard ≥ 0.7 among the
+    * bounded probe set (doc_id < 300). Shared by `jaccard_pairs` (the pair
+    * listing) and `dedup_components` (the transitive closure). */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+    val sub = docs(s, dir).filter(col("doc_id") < 300)
+    val tok = sub.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+    val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a")
+      .join(tok.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sa.n") + col("sb.n") - col("i")).cast("double")
+    inter
+      .join(sz.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id2") === col("sb.doc_id"))
+      .filter(j >= 0.7)
+      .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
+  }
+
+  /** Distributed connected components by min-label propagation over an
+    * undirected edge list (id1, id2) → (id, comp) where comp is the
+    * smallest node id in the component. Each round is one shuffle join +
+    * min-aggregation; labels are monotone non-increasing, so the monotone
+    * label sum detects the fixpoint without an extra change-join. Round
+    * count = cluster diameter (shallow for dup graphs); an adversarially
+    * deep graph would swap in large-star/small-star (O(log n) rounds) with
+    * the same per-round plan shape. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist(lvl)
+    var labels = e.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    try {
+      var prevSum = Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 25) {
+        val prop = e.join(labels, e("a") === labels("id"))
+          .groupBy(col("b")).agg(min("comp").as("ncomp"))
+        val next = labels.join(prop, labels("id") === prop("b"), "left")
+          .select(labels("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .persist(lvl)
+        val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+        labels.unpersist()
+        labels = next
+        converged = s2 == prevSum // monotone: equal sum ⇔ no label moved
+        prevSum = s2
+        iter += 1
+      }
+      labels
+    } finally e.unpersist()
+  }
+
   private val jaccardPairs = QueryDef(
     "jaccard_pairs",
-    (s, dir) => {
-      val sub = docs(s, dir).filter(col("doc_id") < 300)
-      val tok = sub.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = tok.as("a")
-        .join(tok.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("i"))
-      val j = col("i").cast("double") /
-        (col("sa.n") + col("sb.n") - col("i")).cast("double")
-      inter
-        .join(sz.as("sa"), col("id1") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("id2") === col("sb.doc_id"))
-        .filter(j >= 0.7)
-        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
-        .orderBy("id1", "id2")
-    },
+    (s, dir) => jaccardEdges(s, dir).orderBy("id1", "id2"),
     Some("""WITH tok AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
               FROM documents WHERE doc_id < 300),
@@ -196,6 +237,47 @@ object TextOps {
             JOIN sz sb ON sb.doc_id = id2
             WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7
             ORDER BY id1, id2"""),
+  )
+
+  /** X2 duplicate-CLUSTER resolution: near-dup candidate pairs only say
+    * "A~B"; a curation run needs the transitive closure (A~B, B~C ⇒ one
+    * cluster) to keep exactly one canonical doc per group. Connected
+    * components via distributed min-label propagation: each round is one
+    * shuffle join + aggregation, labels only ever decrease, and the round
+    * count is the cluster diameter — near-dup clusters are shallow (dup
+    * chains, not long paths), so this converges in a handful of rounds at
+    * any corpus size. Convergence is detected by the monotone sum of
+    * labels (no extra join); adversarially deep graphs would switch to
+    * the large-star/small-star variant (O(log n) rounds), same per-round
+    * plan shape. Oracle: DuckDB recursive CTE over the same edge set. */
+  private val dedupComponents = QueryDef(
+    "dedup_components",
+    (s, dir) =>
+      connectedComponents(jaccardEdges(s, dir).select("id1", "id2"))
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("component"))
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sz sa ON sa.doc_id = id1
+              JOIN sz sb ON sb.doc_id = id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+            e AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r)
+            SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY doc_id"""),
   )
 
   /** Deterministic corpus sampling: md5-bucket the doc id and keep ~1/16
@@ -446,5 +528,6 @@ object TextOps {
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, deterministicSample, curationPipeline,
+    dedupComponents,
   )
 }

@@ -106,6 +106,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.read().count() == 390)
   }
 
+  test("declared sort order range-clusters writes so the sort key prunes files") {
+    val loc = Files.createTempDirectory("skip_sorted").toString + "/t"
+    // k = id*37 mod 4000 is a bijection on [0,4000): arrival order is fully
+    // shuffled w.r.t. k, so without clustering every file would span ~the
+    // whole k domain and stats could prune nothing
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(4000)))
+    val t = IceLite.createFrom(spark, loc, df)
+    t.setSortOrder(Seq("k"))
+    t.append(df)
+    // the plain append coalesces under AQE (file count ∝ data size — right
+    // at scale, where partitions are advisory-sized); compaction takes an
+    // explicit file target, which pins the range partitioning
+    t.compact(8)
+    val m = t.meta
+    val files = m.currentSnapshot.get.dataFiles
+    assert(files.size > 4, s"expected a multi-file range-clustered write, got ${files.size}")
+    // near-disjoint coverage: total span ≈ domain size, not files × domain
+    val kf = m.currentSchema.fieldByName("k")
+    val covered = files.map(f => f.stats(kf.id).max.toLong - f.stats(kf.id).min.toLong + 1).sum
+    assert(covered <= 4000 + files.size, s"files overlap: covered=$covered")
+    // a point predicate on the sort key plans down to exactly one file
+    val flts = Seq(Stats.Eq("k", 1234L))
+    val hit = files.count(f => flts.forall(Stats.mayContain(f, m.schema(f.schemaId), m.currentSchema, _)))
+    assert(hit == 1, s"point lookup should touch 1 file, got $hit")
+    assert(t.read(statFilters = flts).filter(col("k") === 1234).count() == 1)
+  }
+
   test("pruning is conservative after schema evolution (no stats → keep)") {
     val t = mkTable("evo")
     t.addColumn("extra", "BIGINT", Some("7"))

@@ -31,4 +31,19 @@ class DedupSpec extends SparkSpec {
     // 6 shingles each, 5 shared → 5/7
     if (got.nonEmpty) assert(math.abs(got.head.getDouble(2) - 5.0 / 7.0) < 1e-3)
   }
+
+  test("connected components resolve transitive duplicate clusters") {
+    // chain 1-2-3-4 (diameter 3: propagation needs multiple rounds),
+    // pair 10-11, singleton edge endpoints only — no isolated nodes
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = TextOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), s"got $got")
+  }
+
+  test("connected components on an empty edge list is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(TextOps.connectedComponents(edges).count() == 0)
+  }
 }

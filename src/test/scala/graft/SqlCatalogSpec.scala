@@ -152,6 +152,13 @@ class SqlCatalogSpec extends SparkSpec {
     val plan = spark.sql("SELECT * FROM ilsql.meta.t.snapshots")
       .queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), s"metadata table not LocalScan:\n$plan")
+    // refs: implicit main + any named branches
+    val loc = spark.sql("SELECT * FROM ilsql.meta.t.files").head.getString(0)
+    val tblLoc = loc.substring(0, loc.indexOf("/data/"))
+    graft.icelite.IceLite.load(spark, tblLoc).createBranch("audit")
+    val refs = spark.sql("SELECT name, type FROM ilsql.meta.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("audit", "branch"), ("main", "branch")), s"got $refs")
   }
 
   test("CALL icelite.system procedures run maintenance via SQL") {
