@@ -188,12 +188,24 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val sortPhys = m.properties.get("write.sort-order").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(n => sch.fieldByName(n).physName)
+    // write.parquet.bloom-filter-enabled.column.<name>=true (Iceberg's
+    // property shape) → per-column parquet bloom filters. The row-group
+    // complement to min/max skipping: point lookups on high-cardinality
+    // UNSORTED columns (ids, uuids) — where min/max spans everything — get
+    // row-group-level pruning from any parquet reader, no table-format
+    // machinery needed at read time.
+    val bloomKey = "write.parquet.bloom-filter-enabled.column."
+    val writeOpts = m.properties.collect {
+      case (k, v) if k.startsWith(bloomKey) =>
+        s"parquet.bloom.filter.enabled#${sch.fieldByName(k.stripPrefix(bloomKey)).physName}" -> v
+    }
+    def writer(d: DataFrame) = writeOpts.foldLeft(d.write)((w, kv) => w.option(kv._1, kv._2))
     if (spec.fields.isEmpty) {
-      if (sortPhys.isEmpty) phys.write.parquet(stagingDir.toString)
-      else targetFiles.fold(phys.repartitionByRange(sortPhys.map(col): _*))(
+      if (sortPhys.isEmpty) writer(phys).parquet(stagingDir.toString)
+      else writer(targetFiles.fold(phys.repartitionByRange(sortPhys.map(col): _*))(
           n => phys.repartitionByRange(n, sortPhys.map(col): _*))
-        .sortWithinPartitions(sortPhys.map(col): _*)
-        .write.parquet(stagingDir.toString)
+        .sortWithinPartitions(sortPhys.map(col): _*))
+        .parquet(stagingDir.toString)
     } else {
       val withP = spec.fields.foldLeft(phys) { (d, sf) =>
         d.withColumn("_p_" + sf.name, transformExpr(sf, col(m.schema(schemaId).byId(sf.sourceId).physName)))
@@ -206,7 +218,7 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
         if (sortPhys.isEmpty) withP.repartition(partCols.map(col): _*)
         else withP.repartition(partCols.map(col): _*)
           .sortWithinPartitions((partCols ++ sortPhys).map(col): _*)
-      clustered.write.partitionBy(partCols: _*).parquet(stagingDir.toString)
+      writer(clustered).partitionBy(partCols: _*).parquet(stagingDir.toString)
     }
     // enumerate staged parquet files; partition values derive from dir names
     val it = f.listFiles(stagingDir, true)
@@ -568,38 +580,58 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * check is one small agg over the cached source; touched-file discovery
     * reuses both caches. At 100 TB the target cache is two columns wide
     * (key + file path), the column-pruned shape, and spills to disk. */
-  def merge(source: DataFrame, key: String): Unit = {
+  def merge(source: DataFrame, key: String): Unit = { mergeImpl(source, key, None); () }
+
+  /** Idempotent streaming upsert: MERGE whose commit also records
+    * `batchId` in the table properties — a replayed foreachBatch id is
+    * detected and skipped, upgrading restart-replayed micro-batch upserts
+    * to exactly-once (the MERGE sibling of [[appendIfNewBatch]]). Returns
+    * false when the batch was already merged. */
+  def mergeIfNewBatch(batchId: Long, source: DataFrame, key: String): Boolean =
+    mergeImpl(source, key, Some(batchId))
+
+  private def mergeImpl(source: DataFrame, key: String, batchId: Option[Long]): Boolean = {
+    val bkey = "streaming.last-merged-batch-id"
     val (v, m) = versionedMeta
-    val snap = m.currentSnapshot.getOrElse(sys.error("merge into empty table"))
+    if (batchId.exists(b => m.properties.get(bkey).exists(_.toLong >= b))) return false
+    def withBatch(nm: TableMetadata): TableMetadata =
+      batchId.fold(nm)(b => nm.copy(properties = nm.properties + (bkey -> b.toString)))
     val sch = m.currentSchema
     val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tgt = readWithLineage(m, snap)
-    val tgtKeys = tgt.select(col(key), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dupCount = srcAligned.groupBy(key).count().filter(col("count") > 1).limit(1).count()
       if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $key")
-      val touched = tgtKeys.join(srcAligned.select(key), Seq(key), "left_semi")
-        .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
-      val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
-      // rows of touched files, merged with their source matches
-      val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
-      val s = srcAligned.select(
-        col(key).as("_sk") +: sch.fields.filter(_.name != key).map(f => col(f.name).as(s"_s_${f.name}")): _*)
-      val mergedTouched = hitDf.join(s, hitDf(key) === s("_sk"), "left_outer")
-        .select(sch.fields.map { f =>
-          if (f.name == key) col(key)
-          else when(col("_sk").isNotNull, col(s"_s_${f.name}")).otherwise(col(f.name)).as(f.name)
-        }: _*)
-      // source rows matching NO target row anywhere → inserts
-      val inserts = srcAligned.join(tgtKeys.select(key), Seq(key), "left_anti")
-      val newFiles = writeFiles(mergedTouched.unionByName(inserts), m, m.currentSchemaId, m.defaultSpec)
-      commitFrom(v, newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles),
-        s"merge rewrote ${hit.size} files")
-    } finally {
-      srcAligned.unpersist()
-      tgtKeys.unpersist()
-    }
+      m.currentSnapshot match {
+        case None => // empty target: every source row is an insert
+          val newFiles = writeFiles(srcAligned, m, m.currentSchemaId, m.defaultSpec)
+          commitFrom(v, withBatch(newSnapshot(m, "merge", newFiles, Seq())),
+            s"merge into empty table: ${newFiles.map(_.rows).sum} inserts")
+        case Some(snap) =>
+          val tgt = readWithLineage(m, snap)
+          val tgtKeys = tgt.select(col(key), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val touched = tgtKeys.join(srcAligned.select(key), Seq(key), "left_semi")
+              .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
+            val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
+            // rows of touched files, merged with their source matches
+            val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
+            val s = srcAligned.select(
+              col(key).as("_sk") +: sch.fields.filter(_.name != key).map(f => col(f.name).as(s"_s_${f.name}")): _*)
+            val mergedTouched = hitDf.join(s, hitDf(key) === s("_sk"), "left_outer")
+              .select(sch.fields.map { f =>
+                if (f.name == key) col(key)
+                else when(col("_sk").isNotNull, col(s"_s_${f.name}")).otherwise(col(f.name)).as(f.name)
+              }: _*)
+            // source rows matching NO target row anywhere → inserts
+            val inserts = srcAligned.join(tgtKeys.select(key), Seq(key), "left_anti")
+            val newFiles = writeFiles(mergedTouched.unionByName(inserts), m, m.currentSchemaId, m.defaultSpec)
+            commitFrom(v, withBatch(newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles)),
+              s"merge rewrote ${hit.size} files")
+          } finally tgtKeys.unpersist()
+      }
+      true
+    } finally srcAligned.unpersist()
   }
 
   /** INSERT OVERWRITE: replace the whole table content in one snapshot.

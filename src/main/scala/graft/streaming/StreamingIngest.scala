@@ -95,4 +95,35 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { table.appendIfNewBatch(batchId, batch); () }
       }
+
+  /** Streaming UPSERT into IceLite: each micro-batch MERGEs on `key`
+    * (update matches, insert the rest) — the CDC-apply pattern for keyed
+    * streams (dimension updates, latest-state tables). Exactly-once per
+    * batch via the same idempotent-writer protocol as appends: the batch
+    * id commits atomically with the merge, so a restart-replayed batch is
+    * a no-op instead of a double-apply. Update output mode: the stream
+    * re-emits changed keys per trigger, and MERGE makes re-application
+    * idempotent in content (last write per key wins). */
+  def upsertToIceLite(stream: DataFrame, table: IceLiteTable, key: String,
+      seqCol: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a micro-batch can carry several events per key: MERGE requires
+        // unique source keys, so pre-collapse to the LATEST event per key
+        // by `seqCol` (event time / CDC sequence number). One max-struct
+        // aggregation — deterministic, no window shuffle.
+        if (!batch.isEmpty) {
+          val payload = batch.columns.filter(_ != key)
+          val ordered = seqCol +: payload.filterNot(_ == seqCol)
+          val collapsed = batch
+            .groupBy(col(key))
+            .agg(max(struct(ordered.map(col): _*)).as("_last"))
+            .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
+          table.mergeIfNewBatch(batchId, collapsed, key)
+          ()
+        }
+      }
 }

@@ -93,4 +93,36 @@ class StreamingSpec extends SparkSpec {
       assert(total == 6.0)
     } finally q.stop()
   }
+
+  test("stream upserts MERGE per batch: last event per key wins, replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF.toDF("id", "seq", "value")
+    val loc = Files.createTempDirectory("streamup").toString + "/t"
+    val table = IceLite.createFrom(spark, loc, df)
+    val q = StreamingIngest.upsertToIceLite(
+      df, table, "id", "seq", Files.createTempDirectory("streamup_cp").toString).start()
+    try {
+      // batch 0: two keys, with an intra-batch double-write on key 1
+      mem.addData((1L, 1L, 10.0), (1L, 2L, 11.0), (2L, 1L, 20.0))
+      q.processAllAvailable()
+      // batch 1: update key 2, insert key 3
+      mem.addData((2L, 2L, 21.0), (3L, 1L, 30.0))
+      q.processAllAvailable()
+      val state = table.read().orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(state == Seq((1L, 11.0), (2L, 21.0), (3L, 30.0)), s"got $state")
+      // restart-replay of an already-committed batch id: no-op
+      import spark.implicits._
+      val replay = Seq((2L, 2L, 99.0)).toDF("id", "seq", "value")
+      assert(!table.mergeIfNewBatch(1L, replay, "id"), "replayed batch must be skipped")
+      val after = table.read().filter(col("id") === 2L).head.getDouble(2)
+      assert(after == 21.0, "replay changed committed state")
+      // merge into an EMPTY table inserts everything (stream cold start)
+      val loc2 = Files.createTempDirectory("streamup2").toString + "/t"
+      val t2 = IceLite.createFrom(spark, loc2, df)
+      assert(t2.mergeIfNewBatch(0L, replay, "id"))
+      assert(t2.read().count() == 1)
+    } finally q.stop()
+  }
 }
