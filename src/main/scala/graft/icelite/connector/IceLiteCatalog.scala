@@ -78,8 +78,16 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
   }
 
   /** VERSION AS OF <snapshotId> (README.md:1007). */
-  override def loadTable(ident: Identifier, version: String): Table =
-    new IceLiteSparkTable(load(ident), Some(Left(version.toLong)))
+  /** `VERSION AS OF <n | 'ref'>`: a numeric version is a snapshot id; a
+    * string names a branch or tag (Iceberg's ref time travel). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = load(ident)
+    val snapId = version.toLongOption.getOrElse {
+      t.meta.refs.getOrElse(version,
+        sys.error(s"no branch or tag '$version' on ${ident.name}")).snapshotId
+    }
+    new IceLiteSparkTable(t, Some(Left(snapId)))
+  }
 
   /** TIMESTAMP AS OF — Spark hands micros since epoch (README.md:1010). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{DataType, DataTypes, StructField, StructType}
 object IceLiteProcedures {
 
   val Names: Seq[String] = Seq(
-    "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+    "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
+    "create_branch", "create_tag", "fast_forward", "drop_ref")
 
   def load(warehouse: String, name: String): UnboundProcedure = name match {
     case "rollback_to_snapshot" => proc(warehouse, name, "snapshot_id",
@@ -47,9 +48,57 @@ object IceLiteProcedures {
       out = Seq("removed_files" -> DataTypes.LongType)) { (t, arg) =>
         Seq(t.removeOrphanFiles(olderThanMs = arg).size.toLong)
       }
+    case "create_branch" => procStr(warehouse, name, "branch",
+      out = Seq("head_snapshot_id" -> DataTypes.LongType)) { (t, ref) =>
+        t.createBranch(ref)
+        Seq(t.meta.refs(ref).snapshotId)
+      }
+    case "create_tag" => procStr(warehouse, name, "tag",
+      out = Seq("tagged_snapshot_id" -> DataTypes.LongType)) { (t, ref) =>
+        t.createTag(ref, t.meta.currentSnapshotId.getOrElse(sys.error("empty table")))
+        Seq(t.meta.refs(ref).snapshotId)
+      }
+    case "fast_forward" => procStr(warehouse, name, "branch",
+      out = Seq("current_snapshot_id" -> DataTypes.LongType)) { (t, ref) =>
+        t.fastForward(ref)
+        Seq(t.meta.currentSnapshotId.getOrElse(-1L))
+      }
+    case "drop_ref" => procStr(warehouse, name, "ref",
+      out = Seq("remaining_refs" -> DataTypes.LongType)) { (t, ref) =>
+        t.dropRef(ref)
+        Seq(t.meta.refs.size.toLong)
+      }
     case other => sys.error(s"no such procedure icelite.system.$other " +
       s"(available: ${Names.mkString(", ")})")
   }
+
+  /** One (table STRING, <argName> STRING) → one-row summary procedure —
+    * the ref-management (branch/tag) family. */
+  private def procStr(warehouse: String, name0: String, argName: String,
+      out: Seq[(String, DataType)])(body: (IceLiteTable, String) => Seq[Long]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = name0
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = name0
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in(argName, DataTypes.StringType).build())
+        override def isDeterministic: Boolean = false // mutates table state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tableRef = input.getUTF8String(0).toString
+          val arg = input.getUTF8String(1).toString
+          val Array(ns, tn) = tableRef.split("\\.", 2)
+          val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
+          val values = body(t, arg)
+          val schema = StructType(out.map { case (n, dt) => StructField(n, dt, nullable = false) })
+          val row: InternalRow = new GenericInternalRow(values.map(Long.box).toArray[Any])
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
+    }
 
   /** One (table STRING, <argName> BIGINT) → one-row BIGINT-columns
     * procedure. Table is 'namespace.table' within this catalog's

@@ -190,33 +190,41 @@ object TextOps {
     * count = cluster diameter (shallow for dup graphs); an adversarially
     * deep graph would swap in large-star/small-star (O(log n) rounds) with
     * the same per-round plan shape. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // cache the pair source BEFORE mirroring it, or the union evaluates the
+    // (possibly expensive) candidate-pair plan twice
+    val pairs = pairs0.persist(lvl)
+    // localCheckpoint (not persist) each iteration: iterative plans grow a
+    // level of join lineage per round, and while caching shortcuts
+    // EXECUTION, every action still re-analyzes the full logical tree — the
+    // per-round driver cost compounds until it dwarfs the actual work.
+    // Checkpointing truncates the plan to the materialized result, pinning
+    // per-round cost constant. (A fault-tolerant 1000-executor run would
+    // use reliable checkpoint(dir) every few rounds instead; same shape.)
     val e = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .persist(lvl)
+      .localCheckpoint()
+    pairs.unpersist()
     var labels = e.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).persist(lvl)
-    try {
-      var prevSum = Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 25) {
-        val prop = e.join(labels, e("a") === labels("id"))
-          .groupBy(col("b")).agg(min("comp").as("ncomp"))
-        val next = labels.join(prop, labels("id") === prop("b"), "left")
-          .select(labels("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-          .persist(lvl)
-        val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
-        labels.unpersist()
-        labels = next
-        converged = s2 == prevSum // monotone: equal sum ⇔ no label moved
-        prevSum = s2
-        iter += 1
-      }
-      labels
-    } finally e.unpersist()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var prevSum = Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = e.join(labels, e("a") === labels("id"))
+        .groupBy(col("b")).agg(min("comp").as("ncomp"))
+      val next = labels.join(prop, labels("id") === prop("b"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+      labels = next
+      converged = s2 == prevSum // monotone: equal sum ⇔ no label moved
+      prevSum = s2
+      iter += 1
+    }
+    labels
   }
 
   private val jaccardPairs = QueryDef(

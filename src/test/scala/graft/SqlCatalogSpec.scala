@@ -187,6 +187,30 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 20)
   }
 
+  test("branch/tag procedures and ref time travel run the WAP flow via SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.wap")
+    spark.sql("CREATE TABLE ilsql.wap.t (id BIGINT)")
+    spark.sql("INSERT INTO ilsql.wap.t SELECT id FROM range(10)")
+    val cb = spark.sql("CALL ilsql.system.create_branch('wap.t', 'stage')").collect()
+    assert(cb.head.getLong(0) == 1, s"branch head ${cb.toSeq}")
+    // stage rows on the branch (engine API; SQL INSERT targets main)
+    val t = new graft.icelite.Catalog(spark, wh).loadTable("wap", "t")
+    t.appendToBranch("stage", spark.range(10, 15).toDF("id"))
+    assert(spark.sql("SELECT count(*) FROM ilsql.wap.t").head.getLong(0) == 10,
+      "main must not see staged rows")
+    assert(spark.sql("SELECT count(*) FROM ilsql.wap.t VERSION AS OF 'stage'")
+      .head.getLong(0) == 15, "branch read via ref time travel")
+    spark.sql("CALL ilsql.system.create_tag('wap.t', 'before-publish')")
+    spark.sql("CALL ilsql.system.fast_forward('wap.t', 'stage')")
+    assert(spark.sql("SELECT count(*) FROM ilsql.wap.t").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) FROM ilsql.wap.t VERSION AS OF 'before-publish'")
+      .head.getLong(0) == 10, "tag must pin the pre-publish state")
+    spark.sql("CALL ilsql.system.drop_ref('wap.t', 'stage')")
+    intercept[Exception](
+      spark.sql("SELECT * FROM ilsql.wap.t VERSION AS OF 'stage'").collect())
+  }
+
   test("drop table and namespace") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db5")
