@@ -748,6 +748,52 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       s"compact ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
 
+  /** Z-ORDER rewrite: cluster on the interleaved bit pattern of two
+    * columns' equal-frequency bucket ranks, so BOTH dimensions' min/max
+    * stats stay narrow per file — a predicate on either column (or both)
+    * prunes files, where a plain sort order only serves its leading column.
+    * Scale shape: per-column quantile boundaries come from a distributed
+    * sketch (approxQuantile — driver holds 2×255 doubles), the bucket
+    * mapping + bit interleave are narrow per-row arithmetic (codegen'd
+    * shift/mask ops), and the write is one range shuffle on the z-value.
+    * Two columns; more would interleave with stride N the same way. */
+  def compactZOrder(target: Int, c1: String, c2: String): Unit = {
+    val (v, m) = versionedMeta
+    val snap = m.currentSnapshot.getOrElse(return)
+    Seq(c1, c2).foreach(m.currentSchema.fieldByName)
+    require(!m.properties.contains("write.sort-order"),
+      "table declares a linear sort order; drop it before z-ordering (the clusterings conflict)")
+    val df0 = scanSnapshot(m, snap, lineage = false, _ => true)
+    // 64 equal-frequency buckets per column (6 bits): robust to skew,
+    // unlike equal-width bucketing; small enough that the comparison chain
+    // stays comfortably inside one codegen'd method
+    val probs = (1 to 63).map(_ / 64.0).toArray
+    def bucketExpr(c: String): Column = {
+      val bounds = df0.select(col(c).cast("double").as(c))
+        .na.drop(Seq(c)).stat.approxQuantile(c, probs, 0.001)
+        .distinct.sorted
+      // bucket = #boundaries below the value; the comparison chain folds to
+      // a codegen'd sum of branch-free conditionals over a literal array
+      bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, _)) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      }
+    }
+    // spread 8 bits to even positions (morton magic numbers), interleave
+    def spread(x: Column): Column = {
+      val a = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F))
+      val b = (a.bitwiseOR(shiftleft(a, 2))).bitwiseAND(lit(0x3333))
+      (b.bitwiseOR(shiftleft(b, 1))).bitwiseAND(lit(0x5555))
+    }
+    val z = spread(bucketExpr(c1)).bitwiseOR(shiftleft(spread(bucketExpr(c2)), 1))
+    val clustered = df0.withColumn("_z", z)
+      .repartitionByRange(target, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    val newFiles = writeFiles(clustered, m, m.currentSchemaId, m.defaultSpec)
+    commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
+      s"z-order rewrite on ($c1, $c2): ${snap.dataFiles.size} -> ${newFiles.size} files")
+  }
+
   /** rollback_to_snapshot (README.md:1013): pointer swap via a NEW snapshot
     * whose file set is the target's — history preserved. */
   def rollbackTo(snapshotId: Long): Unit =

@@ -25,7 +25,7 @@ object IceLiteProcedures {
 
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
-    "create_branch", "create_tag", "fast_forward", "drop_ref")
+    "create_branch", "create_tag", "fast_forward", "drop_ref", "rewrite_zorder")
 
   def load(warehouse: String, name: String): UnboundProcedure = name match {
     case "rollback_to_snapshot" => proc(warehouse, name, "snapshot_id",
@@ -68,6 +68,33 @@ object IceLiteProcedures {
         t.dropRef(ref)
         Seq(t.meta.refs.size.toLong)
       }
+    case "rewrite_zorder" => new UnboundProcedure {
+      // CALL icelite.system.rewrite_zorder('db.t', 'c1,c2', 16)
+      override def name(): String = "rewrite_zorder"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "rewrite_zorder"
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("columns", DataTypes.StringType).build(),
+          ProcedureParameter.in("target_files", DataTypes.LongType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val Array(ns, tn) = input.getUTF8String(0).toString.split("\\.", 2)
+          val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+          require(cols.length == 2, s"rewrite_zorder takes exactly 2 columns, got ${cols.length}")
+          val target = input.getLong(2)
+          val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
+          t.compactZOrder(target.toInt, cols(0), cols(1))
+          val schema = StructType(Seq(StructField("files_after", DataTypes.LongType, nullable = false)))
+          val row: InternalRow = new GenericInternalRow(
+            Array[Any](Long.box(t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L))))
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
+    }
     case other => sys.error(s"no such procedure icelite.system.$other " +
       s"(available: ${Names.mkString(", ")})")
   }

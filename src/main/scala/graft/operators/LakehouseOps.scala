@@ -654,12 +654,39 @@ object LakehouseOps {
              WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey"""),
   )
 
+  /** Z-ORDER rewrite: morton-interleaved clustering on (custkey,
+    * totalprice) — after it, range predicates on EITHER column prune files
+    * via manifest min/max (embedded require), where a linear sort order
+    * serves only its leading column. */
+  private val zorderWrite = QueryDef(
+    "icelite_zorder",
+    (s, dir) => {
+      val t = IceLite.createFrom(s, scratch("zorder"), orders(s, dir))
+      t.append(orders(s, dir))
+      t.compactZOrder(12, "o_custkey", "o_totalprice")
+      val m = t.meta
+      val snap = m.currentSnapshot.get
+      def hits(flts: Seq[graft.icelite.Stats.StatFilter]) = snap.dataFiles.count(f =>
+        flts.forall(graft.icelite.Stats.mayContain(f, m.schema(f.schemaId), m.currentSchema, _)))
+      val cf = Seq(graft.icelite.Stats.Ge("o_custkey", 100L),
+        graft.icelite.Stats.Le("o_custkey", 200L))
+      val pf = Seq(graft.icelite.Stats.Le("o_totalprice", 20000.0))
+      require(snap.dataFiles.size == 1 ||
+        (hits(cf) < snap.dataFiles.size && hits(pf) < snap.dataFiles.size),
+        s"z-order should prune both dims: ${hits(cf)}, ${hits(pf)} of ${snap.dataFiles.size}")
+      val cond = col("o_custkey") >= 100L && col("o_custkey") <= 200L
+      stateOf(t.read(statFilters = cf).filter(cond))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
-    branchWap, sortedWrite,
+    branchWap, sortedWrite, zorderWrite,
   )
 }

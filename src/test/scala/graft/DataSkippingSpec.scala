@@ -134,6 +134,47 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.read(statFilters = flts).filter(col("k") === 1234).count() == 1)
   }
 
+  test("z-order rewrite prunes on BOTH dimensions; linear sort only on one") {
+    def hits(t: graft.icelite.IceLiteTable, flts: Seq[Stats.StatFilter]): Int = {
+      val m = t.meta
+      m.currentSnapshot.get.dataFiles.count(f =>
+        flts.forall(Stats.mayContain(f, m.schema(f.schemaId), m.currentSchema, _)))
+    }
+    // x, y independent uniform dims (y decorrelated from x via multiplicative hash)
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("x", col("id") % 64)
+      .withColumn("y", pmod(col("id") * 2654435761L, lit(4096)) % 64)
+      .withColumn("payload", col("id"))
+    val xq = Seq(Stats.Ge("x", 10L), Stats.Le("x", 17L)) // 1/8 of the x domain
+    val yq = Seq(Stats.Ge("y", 10L), Stats.Le("y", 17L))
+
+    // baseline: linear sort on x — x prunes, y cannot
+    val loc1 = Files.createTempDirectory("zorder_lin").toString + "/t"
+    val lin = IceLite.createFrom(spark, loc1, df)
+    lin.setSortOrder(Seq("x"))
+    lin.append(df)
+    lin.compact(16)
+    val linTotal = lin.meta.currentSnapshot.get.dataFiles.size
+    assert(hits(lin, xq) * 2 < linTotal, s"sort on x must prune x: ${hits(lin, xq)}/$linTotal")
+    assert(hits(lin, yq) == linTotal, "sorting by x leaves y unprunable — every file spans y")
+
+    // z-order on (x, y): both dimensions prune
+    val loc2 = Files.createTempDirectory("zorder_z").toString + "/t"
+    val zt = IceLite.createFrom(spark, loc2, df)
+    zt.append(df)
+    zt.compactZOrder(16, "x", "y")
+    val zTotal = zt.meta.currentSnapshot.get.dataFiles.size
+    assert(zTotal > 8, s"expected ~16 z files, got $zTotal")
+    val (hx, hy) = (hits(zt, xq), hits(zt, yq))
+    assert(hx < zTotal && hy < zTotal, s"z-order must prune both dims: x=$hx y=$hy of $zTotal")
+    assert(hx + hy < 2 * zTotal * 3 / 4, s"expected real pruning on both dims: x=$hx y=$hy of $zTotal")
+    // content is unchanged by the rewrite
+    assert(zt.read().agg(sum(col("payload"))).head.getLong(0) == 4096L * 4095 / 2)
+    // and the filtered read is exact
+    assert(zt.read(statFilters = xq).filter(col("x").between(10, 17)).count() ==
+      df.filter(col("x").between(10, 17)).count())
+  }
+
   test("pruning is conservative after schema evolution (no stats → keep)") {
     val t = mkTable("evo")
     t.addColumn("extra", "BIGINT", Some("7"))

@@ -211,6 +211,26 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM ilsql.wap.t VERSION AS OF 'stage'").collect())
   }
 
+  test("CALL rewrite_zorder clusters a table from SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.zo")
+    spark.sql("CREATE TABLE ilsql.zo.t (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO ilsql.zo.t SELECT id % 64, (id * 37) % 64 FROM range(4096)")
+    val out = spark.sql("CALL ilsql.system.rewrite_zorder('zo.t', 'x, y', 8)").collect()
+    assert(out.head.getLong(0) >= 4, s"z-order produced ${out.toSeq} files")
+    assert(spark.sql("SELECT count(*) FROM ilsql.zo.t").head.getLong(0) == 4096)
+  }
+
+  test("CREATE TABLE AS SELECT materializes a query into a new table") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.ctas")
+    spark.sql("""CREATE TABLE ilsql.ctas.evens AS
+                 SELECT id, id * 2 AS dbl FROM range(10) WHERE id % 2 = 0""")
+    val rows = spark.sql("SELECT id, dbl FROM ilsql.ctas.evens ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 0L), (2L, 4L), (4L, 8L), (6L, 12L), (8L, 16L)), s"got $rows")
+  }
+
   test("drop table and namespace") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db5")
