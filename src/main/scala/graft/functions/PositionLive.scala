@@ -9,20 +9,28 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.icelite.DeleteIndex
+
 /** Deletion-vector membership test, codegen'd: `(file, pos)` is alive iff
-  * the broadcast per-file sorted-position array does not contain `pos`.
+  * the data file's recorded delete-position set does not contain `pos`.
   *
   * This is the merge-on-read read-path filter (IceLiteTable.scanSnapshot):
   * a Scala UDF here would cut the whole-stage-codegen span right after the
   * vectorized parquet scan and pay boxing + Row conversion per row; this
-  * expression generates a HashMap probe + `Arrays.binarySearch` inline, so
-  * scan→filter→downstream stays one codegen stage. The map is keyed by
-  * UTF8String (the scan's native string type — no per-row String
-  * conversion) and rides an ordinary broadcast to every executor.
+  * expression generates an inline `Arrays.binarySearch` probe, so
+  * scan→filter→downstream stays one codegen stage.
+  *
+  * The broadcast carries a [[graft.icelite.DeleteIndex]] — delete-file
+  * PATHS only, O(delete files) driver memory — and each task resolves its
+  * own files' sorted position arrays lazily executor-side. Because a scan
+  * task reads one parquet split at a time, `file` is constant for long row
+  * runs; a one-entry (lastFile → lastPositions) memo in generated mutable
+  * state makes the per-row cost a UTF8String equality check + binary
+  * search, with the index probe paid once per file per task.
   */
 case class PositionLive(
     left: Expression, right: Expression,
-    positions: Broadcast[java.util.HashMap[UTF8String, Array[Long]]])
+    index: Broadcast[DeleteIndex])
     extends BinaryExpression with Predicate {
 
   override def prettyName: String = "position_live"
@@ -34,6 +42,11 @@ case class PositionLive(
     else TypeCheckResult.TypeCheckFailure(
       s"position_live needs (STRING, BIGINT), got (${left.dataType.sql}, ${right.dataType.sql})")
 
+  // interpreted-mode memo (a Predicate instance is per-partition, so this
+  // is single-threaded state; worst case under sharing is a re-probe)
+  @transient private var lastFile: UTF8String = _
+  @transient private var lastArr: Array[Long] = _
+
   /** Null-safe and total: an (impossible) null lineage value reads as
     * alive — deletion may only ever suppress explicitly recorded
     * positions, never unknown rows. */
@@ -42,29 +55,37 @@ case class PositionLive(
     val p = right.eval(input)
     if (f == null || p == null) true
     else {
-      val arr = positions.value.get(f.asInstanceOf[UTF8String])
-      arr == null || java.util.Arrays.binarySearch(arr, p.asInstanceOf[Long]) < 0
+      val fu = f.asInstanceOf[UTF8String]
+      if (lastFile == null || !lastFile.equals(fu)) {
+        lastFile = fu.clone() // vectorized readers reuse string buffers
+        lastArr = index.value.positionsFor(fu)
+      }
+      java.util.Arrays.binarySearch(lastArr, p.asInstanceOf[Long]) < 0
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bcRef = ctx.addReferenceObj("delVectors", positions,
-      classOf[Broadcast[_]].getName)
+    val bcRef = ctx.addReferenceObj("delIndex", index, classOf[Broadcast[_]].getName)
+    val idxCls = classOf[DeleteIndex].getName
     // resolve the broadcast once per generated class, not per row
-    val mapVar = ctx.addMutableState("java.util.HashMap", "delMap",
-      v => s"$v = (java.util.HashMap) ((${classOf[Broadcast[_]].getName}) $bcRef).value();")
+    val idxVar = ctx.addMutableState(idxCls, "delIdx",
+      v => s"$v = ($idxCls) ((${classOf[Broadcast[_]].getName}) $bcRef).value();")
+    val lastFileVar = ctx.addMutableState("UTF8String", "delLastFile")
+    val lastArrVar = ctx.addMutableState("long[]", "delLastArr")
     val fEv = left.genCode(ctx)
     val pEv = right.genCode(ctx)
-    val arr = ctx.freshName("positions")
     ev.copy(
       code = code"""
         ${fEv.code}
         ${pEv.code}
         boolean ${ev.value} = true;
         if (!${fEv.isNull} && !${pEv.isNull}) {
-          long[] $arr = (long[]) $mapVar.get(${fEv.value});
-          ${ev.value} = ($arr == null) ||
-            (java.util.Arrays.binarySearch($arr, ${pEv.value}) < 0);
+          if ($lastFileVar == null || !$lastFileVar.equals(${fEv.value})) {
+            $lastFileVar = ${fEv.value}.clone();
+            $lastArrVar = (long[]) $idxVar.positionsFor(${fEv.value});
+          }
+          ${ev.value} =
+            java.util.Arrays.binarySearch($lastArrVar, ${pEv.value}) < 0;
         }""",
       isNull = FalseLiteral)
   }

@@ -365,33 +365,23 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     // merge-on-read: positional deletes applied as a BROADCAST per-file
     // position filter inside the scan — the data side never joins or
     // shuffles (the scale-killer a global (_file,_pos) anti-join becomes at
-    // 100 TB). Delete positions are grouped per data file (metadata-scale:
-    // one row per file) and shipped as sorted arrays; each data row does a
-    // codegen'd HashMap probe + binary search (functions.PositionLive —
-    // keeps the vectorized scan inside one whole-stage-codegen span, where
-    // a UDF would cut it). Keys are the raw `_metadata.file_path` strings
-    // the delete files recorded, so no per-row path normalization happens.
-    // At extreme delete densities these arrays would be compressed bitmaps
-    // (Iceberg's puffin DVs) — same shape — and compaction materializes
-    // deletes to keep the map bounded.
+    // 100 TB). The broadcast is a DeleteIndex holding only the snapshot's
+    // delete-file PATHS — O(delete files) driver memory, no Spark job at
+    // plan time; each scan task lazily loads the sorted position array for
+    // its own data files executor-side (file_path predicate pushed to the
+    // delete parquets' row groups — they are written sorted by file_path).
+    // Each data row then does a codegen'd memoized binary search
+    // (functions.PositionLive — keeps the vectorized scan inside one
+    // whole-stage-codegen span, where a UDF would cut it). Lookups key on
+    // the raw `_metadata.file_path` strings the delete files recorded, so
+    // no per-row path normalization happens. At extreme delete densities
+    // the arrays would be compressed bitmaps (Iceberg's puffin DVs) — same
+    // shape — and compaction materializes deletes to keep them bounded.
     val afterDeletes =
       if (snap.deleteFiles.isEmpty) unioned
       else {
-        val scannedFiles = files.map(df => normPath(df.path)).toSet
-        val delMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
-        spark.read
-          .schema("file_path STRING, pos BIGINT")
-          .parquet(snap.deleteFiles.map(_.path): _*)
-          .groupBy("file_path")
-          .agg(sort_array(collect_list("pos")).as("ps"))
-          .collect()
-          .foreach { r =>
-            if (scannedFiles.contains(normPath(r.getString(0)))) // pruned files need no positions
-              delMap.put(
-                org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-                r.getSeq[Long](1).toArray)
-          }
-        val bc = spark.sparkContext.broadcast(delMap)
+        val bc = spark.sparkContext.broadcast(
+          DeleteIndex.build(snap.deleteFiles.map(_.path), spark))
         unioned.filter(org.apache.spark.sql.graft.SparkShims.columnOf(
           graft.functions.PositionLive(
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
@@ -530,7 +520,10 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
     val out = new Path(delDir, s"${UUID.randomUUID()}")
-    pos.write.parquet(out.toString)
+    // globally sorted by (file_path, pos): a scan task resolving its own
+    // file's positions (DeleteIndex) prunes to the row groups covering
+    // that file via parquet min/max stats, and the loaded runs are sorted
+    pos.sort("file_path", "pos").write.parquet(out.toString)
     val f = fs(spark, location)
     val it = f.listFiles(out, true)
     val files = scala.collection.mutable.ArrayBuffer[DeleteFile]()

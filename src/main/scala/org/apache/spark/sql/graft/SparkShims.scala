@@ -37,4 +37,9 @@ object SparkShims {
     * Predicate with UnresolvedAttribute children, resolved at analysis). */
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Drain the listener bus — lets tests assert "zero jobs ran" without
+    * racing event delivery. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
