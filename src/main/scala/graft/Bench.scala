@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * prompt). A short untimed warmup (scan each input table + one tiny write)
   * runs first so codegen/classloading/committer setup doesn't land on
   * whichever query happens to run first; queries are then timed in sorted
-  * name order for run-to-run comparability.
+  * name order for run-to-run comparability, each twice with the min
+  * reported (shared-box load spikes must not read as regressions), and a
+  * final canary re-times the first query so a contended run is
+  * self-evident in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,15 +37,30 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    // each query is timed twice and the MIN reported: a transient
+    // machine-load spike on a shared box must not read as a regression
+    // (round 3 showed 89x phantom "regressions" from exactly that)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sorted.map { case (name, fn) =>
+      val a = timeOnce(name, fn)
+      val b = if (a.isDefined) timeOnce(name, fn) else None
+      val runs: Seq[Double] = a.toSeq ++ b.toSeq
+      name -> runs.sorted.headOption.getOrElse(0.0)
+    }
+    // canary: re-time the first query at the very end — a contended run
+    // shows a canary far above that query's reported min, making bad
+    // timings self-evident in the artifact
+    val canary = sorted.headOption.flatMap { case (name, fn) =>
+      timeOnce(name, fn).map(name -> _) }
     // 3-decimal rounding keeps the whole line ~2 KB so a tail capture of
     // stdout can't truncate the leading "metric":"total" field; the line is
     // also mirrored to bench_out.json as a file-based fallback.
@@ -51,8 +69,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs$can,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file mirror: ${e.getMessage}") }
     println(line)
