@@ -141,15 +141,15 @@ object TextOps {
   private val docFingerprint = QueryDef(
     "doc_fingerprint",
     (s, dir) => {
-      // fold(chars, h = 0; h = h*31 + code) with Long wraparound — identical
-      // two's-complement semantics in Spark and DuckDB BIGINT arithmetic is
-      // NOT guaranteed (DuckDB errors on overflow), so stay in a safe range:
-      // h = (h*31 + code) % 1e15 keeps every intermediate < 9.2e18.
-      val fp = expr(
-        """aggregate(transform(split(text, ''), ch -> ascii(ch)),
-                     0L, (h, c) -> (h * 31 + c) % 1000000000000000)""")
+      // fold(codepoints, h = 0; h = (h*31 + cp) % 1e15) — one codegen'd
+      // JVM loop per row (functions.RollingFingerprint); the composable
+      // aggregate(transform(split(...))) formulation allocates per
+      // character through interpreted HOF lambdas. The modulus keeps every
+      // intermediate < 2^63 (DuckDB errors on BIGINT overflow).
+      graft.functions.RollingFingerprint.register(s)
       docs(s, dir)
-        .select(col("doc_id"), fp.as("fingerprint"))
+        .select(col("doc_id"),
+          graft.functions.RollingFingerprint.rollingFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
