@@ -745,8 +745,9 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * columns' equal-frequency bucket ranks, so BOTH dimensions' min/max
     * stats stay narrow per file — a predicate on either column (or both)
     * prunes files, where a plain sort order only serves its leading column.
-    * Scale shape: per-column quantile boundaries come from a distributed
-    * sketch (approxQuantile — driver holds 2×255 doubles), the bucket
+    * Scale shape: both columns' quantile boundaries come from ONE
+    * distributed sketch pass (multi-column approxQuantile — driver holds
+    * 2×63 doubles), the bucket
     * mapping + bit interleave are narrow per-row arithmetic (codegen'd
     * shift/mask ops), and the write is one range shuffle on the z-value.
     * Two columns; more would interleave with stride N the same way. */
@@ -761,10 +762,14 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     // unlike equal-width bucketing; small enough that the comparison chain
     // stays comfortably inside one codegen'd method
     val probs = (1 to 63).map(_ / 64.0).toArray
-    def bucketExpr(c: String): Column = {
-      val bounds = df0.select(col(c).cast("double").as(c))
-        .na.drop(Seq(c)).stat.approxQuantile(c, probs, 0.001)
-        .distinct.sorted
+    // ONE multi-column sketch pass: both dimensions' boundaries from a
+    // single scan (nulls are ignored per column) — a rewrite that by
+    // definition reads the whole table must not read it twice more first
+    val allBounds = df0
+      .select(col(c1).cast("double").as("_zc1"), col(c2).cast("double").as("_zc2"))
+      .stat.approxQuantile(Array("_zc1", "_zc2"), probs, 0.001)
+    def bucketExpr(c: String, rawBounds: Array[Double]): Column = {
+      val bounds = rawBounds.distinct.sorted
       // bucket = #boundaries below the value; the comparison chain folds to
       // a codegen'd sum of branch-free conditionals over a literal array
       bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, _)) =>
@@ -777,7 +782,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       val b = (a.bitwiseOR(shiftleft(a, 2))).bitwiseAND(lit(0x3333))
       (b.bitwiseOR(shiftleft(b, 1))).bitwiseAND(lit(0x5555))
     }
-    val z = spread(bucketExpr(c1)).bitwiseOR(shiftleft(spread(bucketExpr(c2)), 1))
+    val z = spread(bucketExpr(c1, allBounds(0)))
+      .bitwiseOR(shiftleft(spread(bucketExpr(c2, allBounds(1))), 1))
     val clustered = df0.withColumn("_z", z)
       .repartitionByRange(target, col("_z"))
       .sortWithinPartitions("_z")
