@@ -584,47 +584,136 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     mergeImpl(source, key, Some(batchId))
 
   private def mergeImpl(source: DataFrame, key: String, batchId: Option[Long]): Boolean = {
+    // the reference shape — SET * / INSERT * — expressed as clauses over
+    // the general machinery (source pre-aligned to the target schema so
+    // star expansion is exact)
+    val sch = meta.currentSchema
+    val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+    val matched = Seq(IceLite.MergeUpdate(None,
+      sch.fields.filter(_.name != key).map(f => f.name -> col(s"_s_${f.name}")).toMap))
+    val notMatched = Seq(IceLite.MergeInsert(None,
+      sch.fields.map(f => f.name -> col(s"_s_${f.name}")).toMap))
+    mergeClausesImpl(srcAligned, key, key, matched, notMatched, Seq(), batchId)
+  }
+
+  /** General MERGE: differing key names, conditional matched / not-matched
+    * clauses, DELETE actions, and WHEN NOT MATCHED BY SOURCE. Clause
+    * conditions and assignment values are Columns over the joined frame:
+    * target columns by their own names, source columns prefixed `_s_`.
+    * Clauses apply first-match-wins per row (ANSI MERGE); a matched row no
+    * clause applies to is kept unchanged.
+    *
+    * Scale shape (same as the star-action path): one semi-join finds the
+    * files holding matched rows, only those are rewritten (CoW); untouched
+    * files carry over by reference. WHEN NOT MATCHED BY SOURCE inspects
+    * every target row, so it rewrites all files — that is its semantics,
+    * not an implementation shortcut. */
+  def mergeClauses(source: DataFrame, targetKey: String, sourceKey: String,
+      matched: Seq[IceLite.MergeClause], notMatched: Seq[IceLite.MergeInsert],
+      notMatchedBySource: Seq[IceLite.MergeClause] = Seq()): Unit = {
+    mergeClausesImpl(source, targetKey, sourceKey, matched, notMatched, notMatchedBySource, None)
+    ()
+  }
+
+  private def mergeClausesImpl(source: DataFrame, targetKey: String, sourceKey: String,
+      matched: Seq[IceLite.MergeClause], notMatched: Seq[IceLite.MergeInsert],
+      notMatchedBySource: Seq[IceLite.MergeClause], batchId: Option[Long]): Boolean = {
+    require(matched.forall(!_.isInstanceOf[IceLite.MergeInsert]),
+      "MERGE: INSERT is not a matched action")
+    require(notMatchedBySource.forall(!_.isInstanceOf[IceLite.MergeInsert]),
+      "MERGE: INSERT is not a not-matched-by-source action")
     val bkey = "streaming.last-merged-batch-id"
     val (v, m) = versionedMeta
     if (batchId.exists(b => m.properties.get(bkey).exists(_.toLong >= b))) return false
     def withBatch(nm: TableMetadata): TableMetadata =
       batchId.fold(nm)(b => nm.copy(properties = nm.properties + (bkey -> b.toString)))
     val sch = m.currentSchema
-    val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+    val srcPrefixed = source.select(source.columns.map(c => col(c).as(s"_s_$c")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sKey = col(s"_s_$sourceKey")
+    def aligned(df: DataFrame): DataFrame =
+      df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+    // first applicable insert clause per unmatched source row (none → no insert)
+    def insertRows(candidates: DataFrame): Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val iAct = notMatched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+          when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els) }
+        val withAct = candidates.withColumn("_act", iAct).filter(col("_act") >= 0)
+        Some(withAct.select(sch.fields.map { f =>
+          val fallback: Column = f.defaultSql.map(d => expr(d)).getOrElse(lit(null))
+          notMatched.zipWithIndex.foldRight(fallback) { case ((cl, i), els) =>
+            cl.assignments.get(f.name)
+              .map(a => when(col("_act") === i, a).otherwise(els)).getOrElse(els)
+          }.as(f.name)
+        }: _*))
+      }
     try {
-      val dupCount = srcAligned.groupBy(key).count().filter(col("count") > 1).limit(1).count()
-      if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $key")
+      // ANSI cardinality check: a target row matching >1 source rows is an
+      // error whenever a matched clause could fire
+      if (matched.nonEmpty) {
+        val dupCount = srcPrefixed.groupBy(sKey).count().filter(col("count") > 1).limit(1).count()
+        if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $sourceKey")
+      }
       m.currentSnapshot match {
-        case None => // empty target: every source row is an insert
-          val newFiles = writeFiles(srcAligned, m, m.currentSchemaId, m.defaultSpec)
+        case None => // empty target: only insert clauses can fire
+          val rows = insertRows(srcPrefixed).map(aligned)
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(sch.fields.map(f => StructField(f.name, DataType.fromDDL(f.dtype))))))
+          val newFiles = writeFiles(rows, m, m.currentSchemaId, m.defaultSpec)
           commitFrom(v, withBatch(newSnapshot(m, "merge", newFiles, Seq())),
             s"merge into empty table: ${newFiles.map(_.rows).sum} inserts")
         case Some(snap) =>
           val tgt = readWithLineage(m, snap)
-          val tgtKeys = tgt.select(col(key), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
+          val tgtKeys = tgt.select(col(targetKey), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            val touched = tgtKeys.join(srcAligned.select(key), Seq(key), "left_semi")
-              .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
+            // CoW discovery: only files holding matched rows are rewritten —
+            // unless NOT MATCHED BY SOURCE clauses exist, which by
+            // definition inspect every target row
+            val touched =
+              if (notMatchedBySource.nonEmpty) snap.dataFiles.map(f => normPath(f.path)).toSet
+              else tgtKeys.join(srcPrefixed.select(sKey.as("_sk")), col(targetKey) === col("_sk"), "left_semi")
+                .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
             val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
-            // rows of touched files, merged with their source matches
             val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
-            val s = srcAligned.select(
-              col(key).as("_sk") +: sch.fields.filter(_.name != key).map(f => col(f.name).as(s"_s_${f.name}")): _*)
-            val mergedTouched = hitDf.join(s, hitDf(key) === s("_sk"), "left_outer")
-              .select(sch.fields.map { f =>
-                if (f.name == key) col(key)
-                else when(col("_sk").isNotNull, col(s"_s_${f.name}")).otherwise(col(f.name)).as(f.name)
-              }: _*)
-            // source rows matching NO target row anywhere → inserts
-            val inserts = srcAligned.join(tgtKeys.select(key), Seq(key), "left_anti")
-            val newFiles = writeFiles(mergedTouched.unionByName(inserts), m, m.currentSchemaId, m.defaultSpec)
+            val joined = hitDf.join(srcPrefixed, col(targetKey) === sKey, "left_outer")
+            val matchedFlag = sKey.isNotNull // equi-join: non-null iff matched
+            // first-match-wins clause index per row; matched clauses count
+            // from 0, not-matched-by-source from 1000, -1 = keep unchanged
+            val mAct = matched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+              when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els) }
+            val nAct = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+              when(cl.condition.getOrElse(lit(true)), lit(1000 + i)).otherwise(els) }
+            val withAct = joined.withColumn("_act",
+              when(matchedFlag, mAct).otherwise(nAct))
+            val delIdx: Seq[Int] =
+              matched.zipWithIndex.collect { case (_: IceLite.MergeDelete, i) => i } ++
+                notMatchedBySource.zipWithIndex.collect { case (_: IceLite.MergeDelete, i) => 1000 + i }
+            val kept = if (delIdx.isEmpty) withAct
+              else withAct.filter(!col("_act").isInCollection(delIdx))
+            val updates: Seq[(IceLite.MergeUpdate, Int)] =
+              matched.zipWithIndex.collect { case (u: IceLite.MergeUpdate, i) => (u, i) } ++
+                notMatchedBySource.zipWithIndex.collect { case (u: IceLite.MergeUpdate, i) => (u, 1000 + i) }
+            val mergedTouched = kept.select(sch.fields.map { f =>
+              updates.foldRight(col(f.name)) { case ((u, i), els) =>
+                u.assignments.get(f.name)
+                  .map(a => when(col("_act") === i, a).otherwise(els)).getOrElse(els)
+              }.as(f.name)
+            }: _*)
+            // source rows matching NO target row anywhere → insert candidates
+            val srcNoMatch = srcPrefixed.join(
+              tgtKeys.select(col(targetKey).as("_tk")), sKey === col("_tk"), "left_anti")
+            val outRows = insertRows(srcNoMatch)
+              .map(ins => aligned(mergedTouched).unionByName(aligned(ins)))
+              .getOrElse(aligned(mergedTouched))
+            val newFiles = writeFiles(outRows, m, m.currentSchemaId, m.defaultSpec)
             commitFrom(v, withBatch(newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles)),
               s"merge rewrote ${hit.size} files")
           } finally tgtKeys.unpersist()
       }
       true
-    } finally srcAligned.unpersist()
+    } finally srcPrefixed.unpersist()
   }
 
   /** INSERT OVERWRITE: replace the whole table content in one snapshot.
@@ -998,6 +1087,20 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
 object IceLite {
   private[icelite] val HINT = "version-hint.text"
+
+  /** One lowered MERGE clause ([[IceLiteTable.mergeClauses]]). Conditions
+    * and assignment values are Columns over the joined row: target columns
+    * by their own names, source columns prefixed `_s_`. */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET ... */
+  final case class MergeUpdate(condition: Option[Column],
+      assignments: Map[String, Column]) extends MergeClause
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT ... (unassigned columns take
+    * their declared default, else null) */
+  final case class MergeInsert(condition: Option[Column],
+      assignments: Map[String, Column]) extends MergeClause
 
   /** Grace period for removeOrphanFiles: younger files may belong to an
     * in-flight (not yet committed) write and are never reclaimed. */

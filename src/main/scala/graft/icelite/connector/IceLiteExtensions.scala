@@ -64,15 +64,47 @@ object IceLiteDmlRule extends Rule[LogicalPlan] {
     case _                       => None
   }
 
+  /** Largest IN-subquery result materialized into a DML condition. A
+    * result this size is broadcast-shaped (the same bound a broadcast
+    * semi-join would impose); past it the right tool is MERGE with delete
+    * clauses, and the error says so. */
+  private val MaxInSubqueryValues = 1000000
+
   /** Re-express a resolved expression against the table's own DataFrame:
     * strip qualifiers (they name the catalog relation, not the scan) and
     * round-trip through SQL text so attribute ids re-resolve. Covers every
-    * deterministic scalar condition/assignment; subqueries are rejected
-    * with a clear error rather than silently mis-planned. */
+    * deterministic scalar condition/assignment. UNCORRELATED subqueries
+    * (`WHERE id IN (SELECT …)`, scalar comparisons) are materialized here —
+    * the command runs eagerly anyway, so evaluating the subquery at
+    * rewrite time is its natural schedule; the values become an IN-set
+    * literal, the predicate shape of a broadcast semi-join. Correlated
+    * subqueries are rejected with a clear error. */
   private def recol(e: Expression): Column = {
-    require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-      s"subqueries in IceLite DML conditions are unsupported: ${e.sql}")
-    expr(e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql)
+    import org.apache.spark.sql.catalyst.expressions.{In, InSubquery, Literal, ScalarSubquery, SubqueryExpression}
+    val spark = SparkSession.active
+    val noSub = e.transform {
+      case s: ScalarSubquery =>
+        require(s.outerAttrs.isEmpty,
+          s"correlated subqueries in IceLite DML are unsupported: ${e.sql}")
+        val rows = SparkShims.ofRows(spark, s.plan).limit(2).collect()
+        require(rows.length <= 1, "scalar subquery in DML condition returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+      case in: InSubquery =>
+        require(in.query.outerAttrs.isEmpty,
+          s"correlated subqueries in IceLite DML are unsupported: ${e.sql}")
+        require(in.values.length == 1,
+          s"only single-column IN subqueries are supported in IceLite DML: ${e.sql}")
+        val vals = SparkShims.ofRows(spark, in.query.plan)
+          .distinct().limit(MaxInSubqueryValues + 1).collect()
+        require(vals.length <= MaxInSubqueryValues,
+          s"IN-subquery result exceeds $MaxInSubqueryValues rows; express this DML as MERGE with clauses")
+        if (vals.isEmpty) Literal(false) // x IN (empty set) is false
+        else In(in.values.head,
+          vals.toSeq.map(r => Literal.create(r.get(0), in.query.plan.output.head.dataType)))
+    }
+    require(!noSub.exists(_.isInstanceOf[SubqueryExpression]),
+      s"this subquery shape is unsupported in IceLite DML conditions: ${e.sql}")
+    expr(noSub.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -97,35 +129,53 @@ object IceLiteDmlRule extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if m.childrenResolved =>
       iceTable(m.targetTable).map { t =>
-        require(m.notMatchedBySourceActions.isEmpty,
-          "MERGE: WHEN NOT MATCHED BY SOURCE is unsupported")
-        val key = m.mergeCondition match {
-          case EqualTo(l: AttributeReference, r: AttributeReference) if l.name == r.name => l.name
+        // rewire resolved expressions onto the joined frame the table's
+        // merge machinery builds: source attributes (by exprId) become
+        // `_s_<name>`, target attributes keep their names — so shared
+        // column names never ambiguate after qualifier stripping
+        val srcIds = m.sourceTable.output.map(a => a.exprId -> a.name).toMap
+        val tgtIds = m.targetTable.output.map(a => a.exprId).toSet
+        def rewire(e: Expression): Column = {
+          require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+            s"subqueries in MERGE clauses are unsupported: ${e.sql}")
+          SparkShims.columnOf(e.transform {
+            case a: AttributeReference if srcIds.contains(a.exprId) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_s_" + srcIds(a.exprId)))
+            case a: AttributeReference if tgtIds.contains(a.exprId) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+          })
+        }
+        val (tKey, sKey) = m.mergeCondition match {
+          case EqualTo(l: AttributeReference, r: AttributeReference)
+              if tgtIds.contains(l.exprId) && srcIds.contains(r.exprId) => (l.name, srcIds(r.exprId))
+          case EqualTo(l: AttributeReference, r: AttributeReference)
+              if srcIds.contains(l.exprId) && tgtIds.contains(r.exprId) => (r.name, srcIds(l.exprId))
           case other => sys.error(
-            s"MERGE: only `ON target.k = source.k` (same column name) is supported, got ${other.sql}")
+            s"MERGE: the ON condition must be one target-source column equality, got ${other.sql}")
         }
-        // resolved star actions expand to one source attribute per target
-        // column — verify the expansion is exactly SET * / INSERT *
-        def isStar(assignments: Seq[Assignment]): Boolean =
-          assignments.forall { a =>
-            (a.key, a.value) match {
-              case (k: AttributeReference, v: AttributeReference) => k.name == v.name
-              case (k: AttributeReference, v) => // aligned default/cast of same-name source col
-                v.references.size == 1 && v.references.head.name == k.name
-              case _ => false
+        def assignsOf(assignments: Seq[Assignment]): Map[String, Column] =
+          assignments.map { a =>
+            val name = a.key match {
+              case attr: AttributeReference => attr.name
+              case other => sys.error(s"unsupported MERGE assignment target ${other.sql}")
             }
-          }
-        (m.matchedActions, m.notMatchedActions) match {
-          case (Seq(u: UpdateAction), Seq(i: InsertAction))
-              if u.condition.isEmpty && i.condition.isEmpty &&
-                isStar(u.assignments) && isStar(i.assignments) => ()
-          case _ => sys.error(
-            "MERGE: only WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * is supported " +
-              s"(got matched=${m.matchedActions}, notMatched=${m.notMatchedActions})")
+            name -> rewire(a.value)
+          }.toMap
+        def clauseOf(action: MergeAction): graft.icelite.IceLite.MergeClause = action match {
+          case u: UpdateAction => graft.icelite.IceLite.MergeUpdate(u.condition.map(rewire), assignsOf(u.assignments))
+          case d: DeleteAction => graft.icelite.IceLite.MergeDelete(d.condition.map(rewire))
+          case other => sys.error(s"unsupported MERGE action $other")
         }
+        val matched = m.matchedActions.map(clauseOf)
+        val notMatched = m.notMatchedActions.map {
+          case i: InsertAction => graft.icelite.IceLite.MergeInsert(i.condition.map(rewire), assignsOf(i.assignments))
+          case other => sys.error(s"unsupported MERGE not-matched action $other")
+        }
+        val nmbs = m.notMatchedBySourceActions.map(clauseOf)
         val spark = SparkSession.active
         val sourceDf = SparkShims.ofRows(spark, m.sourceTable)
-        IceLiteDmlCommand("MERGE", t.location)(() => t.merge(sourceDf, key))
+        IceLiteDmlCommand("MERGE", t.location)(() =>
+          t.mergeClauses(sourceDf, tKey, sKey, matched, notMatched, nmbs))
       }.getOrElse(plan)
 
     case _ => plan

@@ -505,6 +505,46 @@ object LakehouseOps {
             ORDER BY o_orderkey"""),
   )
 
+  /** General SQL MERGE, beyond the reference's star shape (README.md:963–967
+    * generalized): differing key names in the ON condition, a conditional
+    * matched DELETE ahead of the UPDATE (first-match-wins), and a
+    * conditional INSERT with an explicit column list. */
+  private val sqlMergeCond = QueryDef(
+    "icelite_sql_merge_cond",
+    (s, dir) => {
+      val tbl = mkSqlOrders(s, dir, "mc")
+      s.sql(s"""MERGE INTO icelite.sqldml.$tbl AS t
+                USING (
+                  SELECT o_orderkey AS k, o_totalprice AS p
+                  FROM orders_src_mc WHERE o_orderkey % 50 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 10000000, o_totalprice
+                  FROM orders_src_mc WHERE o_orderkey % 500 = 0
+                ) AS src
+                ON t.o_orderkey = src.k
+                WHEN MATCHED AND t.o_orderkey % 100 = 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET o_orderstatus = 'C', o_totalprice = src.p + 1.0
+                WHEN NOT MATCHED AND src.p > 1000.0 THEN INSERT
+                  (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+                  VALUES (src.k, CAST(1 AS BIGINT), 'Z', src.p, DATE '1995-06-17', '1-URGENT')""")
+      s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
+    },
+    Some("""WITH src AS (
+              SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 50 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 500 = 0)
+            SELECT t.o_orderkey, t.o_custkey,
+                   CASE WHEN s.k IS NOT NULL THEN 'C' ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.k IS NOT NULL THEN s.p + 1.0 ELSE t.o_totalprice END AS o_totalprice,
+                   CAST(t.o_orderdate AS DATE) AS o_orderdate, t.o_orderpriority
+            FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+            WHERE NOT (s.k IS NOT NULL AND t.o_orderkey % 100 = 0)
+            UNION ALL
+            SELECT k, CAST(1 AS BIGINT), 'Z', p, DATE '1995-06-17', '1-URGENT'
+            FROM src WHERE k >= 10000000 AND p > 1000.0
+            ORDER BY o_orderkey"""),
+  )
+
   /** SQL metadata table `t.snapshots` (README.md:1004) resolved through
     * the catalog's 4-part identifier → driver-local scan. */
   private val sqlSnapshots = QueryDef(
@@ -685,7 +725,7 @@ object LakehouseOps {
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
-    sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlSnapshots,
+    sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
     branchWap, sortedWrite, zorderWrite,
   )

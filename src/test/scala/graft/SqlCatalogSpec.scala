@@ -131,6 +131,52 @@ class SqlCatalogSpec extends SparkSpec {
     assert(rows.filter(_._1 >= 5).forall(_._2 == 99.0), s"matched/inserted rows wrong: $rows")
   }
 
+  test("SQL DML with uncorrelated subquery conditions: IN and scalar") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.subq")
+    spark.sql("CREATE TABLE ilsql.subq.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO ilsql.subq.t SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+    spark.range(0, 20, 4).toDF("bad").createOrReplaceTempView("subq_bad")
+    spark.sql("DELETE FROM ilsql.subq.t WHERE id IN (SELECT bad FROM subq_bad)")
+    val afterDelete = spark.sql("SELECT id FROM ilsql.subq.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterDelete == (0L until 20L).filter(_ % 4 != 0), s"got $afterDelete")
+    spark.sql("UPDATE ilsql.subq.t SET v = -1.0 WHERE id > (SELECT max(bad) - 2 FROM subq_bad)")
+    val updated = spark.sql("SELECT id FROM ilsql.subq.t WHERE v = -1.0 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(updated == Seq(15L, 17L, 18L, 19L), s"got $updated")
+    // NOT IN keeps working through the same rewrite
+    spark.sql("DELETE FROM ilsql.subq.t WHERE id NOT IN (SELECT bad + 1 FROM subq_bad)")
+    val afterNotIn = spark.sql("SELECT id FROM ilsql.subq.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterNotIn == Seq(1L, 5L, 9L, 13L, 17L), s"got $afterNotIn")
+  }
+
+  test("SQL MERGE general clauses: differing key names, conditions, NOT MATCHED BY SOURCE") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.mrg2")
+    spark.sql("CREATE TABLE ilsql.mrg2.t (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO ilsql.mrg2.t SELECT id, CAST(id AS DOUBLE), 'old' FROM range(10)")
+    spark.range(6, 14).toDF("sid").createOrReplaceTempView("mrg2_src")
+    spark.sql("""MERGE INTO ilsql.mrg2.t AS t
+                 USING (SELECT sid, CAST(sid AS DOUBLE) * 10 AS sv FROM mrg2_src) AS s
+                 ON t.id = s.sid
+                 WHEN MATCHED AND t.id = 7 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = s.sv, tag = 'upd'
+                 WHEN NOT MATCHED AND s.sid < 12 THEN INSERT (id, v, tag) VALUES (s.sid, s.sv, 'ins')
+                 WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE AND t.id < 4 THEN UPDATE SET tag = 'stale'""")
+    val rows = spark.sql("SELECT id, v, tag FROM ilsql.mrg2.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // 0,1 deleted (NMBS); 2,3 tagged stale (NMBS); 4,5 untouched; 7 deleted
+    // (matched); 6,8,9 updated; 10,11 inserted; 12,13 insert condition false
+    assert(rows.map(_._1) == Seq(2L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 11L), s"got $rows")
+    assert(rows.filter(r => Seq(2L, 3L).contains(r._1)).forall(_._3 == "stale"), s"got $rows")
+    assert(rows.filter(r => Seq(4L, 5L).contains(r._1)).forall(r => r._3 == "old" && r._2 == r._1), s"got $rows")
+    assert(rows.filter(r => Seq(6L, 8L, 9L).contains(r._1)).forall(r => r._3 == "upd" && r._2 == r._1 * 10), s"got $rows")
+    assert(rows.filter(r => Seq(10L, 11L).contains(r._1)).forall(r => r._3 == "ins" && r._2 == r._1 * 10), s"got $rows")
+  }
+
   test("SQL metadata tables: snapshots, history, partitions, files") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.meta")
