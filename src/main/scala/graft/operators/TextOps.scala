@@ -496,6 +496,50 @@ object TextOps {
     None,
   )
 
+  /** X2 oracle-checkable SimHash signature: the same per-bit majority-vote
+    * construction as the LSH pipeline, but the 32 bits per token come from
+    * md5 hex digits (the one hash BOTH engines implement identically), so
+    * DuckDB can recompute the exact signature — the hash-matched anchor
+    * for the engine-hash `simhash_dedup` variant (the minhash_signature
+    * pattern). Kept for the oracle only: the scale path is the JVM kernel
+    * in [[simhashPairs]] (no per-token-per-bit row explosion). */
+  private val simhashSignature = QueryDef(
+    "simhash_signature",
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> length(t) > 0)")).as("tok"))
+      val bits = tok
+        .select(col("doc_id"), md5(col("tok")).as("h"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("d",
+          expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
+        .withColumn("bit", expr("shiftright(d, b % 4) % 2"))
+      bits.groupBy("doc_id", "b")
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("sig"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, md5(t) AS h
+              FROM documents,
+              LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t) u
+            ), bits AS (
+              SELECT doc_id, b,
+                     strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1 AS d
+              FROM tok,
+              LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb
+            ), votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (d >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   /** Shared SimHash pipeline (also used by SimHashSpec). */
   def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     val spark = d.sparkSession
@@ -535,7 +579,7 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
-    tokenizeRegex, simhashDedup, deterministicSample, curationPipeline,
+    tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents,
   )
 }
