@@ -1,0 +1,65 @@
+package graft.icelite
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The commit control plane's storage contract — every atomicity
+  * assumption the IceLite protocol makes, isolated in one small trait so
+  * the substrate can be swapped (HDFS-semantics filesystems today, an
+  * object store / catalog service at 100 TB).
+  *
+  * The protocol needs exactly two guarantees:
+  *
+  *  1. [[createExclusive]] is an atomic create-if-absent: exactly one of N
+  *     concurrent writers of the same path succeeds, the rest throw
+  *     `IOException`. This is the whole conflict detector — version file
+  *     `vN.json` is claimed through it, so two commits can never both land
+  *     on the same version.
+  *  2. [[replace]] is atomic for READERS: a reader sees the old content or
+  *     the new content, never a partial write or a missing file. Writers
+  *     may race freely (last writer wins) — the hint file is advisory, and
+  *     [[IceLite.swapHintForward]] re-validates forward motion before
+  *     swapping; a lost hint write is re-derived from the version files.
+  *
+  * Neither guarantee requires atomic RENAME: the Hadoop implementation
+  * uses tmp-file + rename because HDFS/local rename is atomic, but an S3
+  * implementation would use conditional PUT (If-None-Match) for
+  * [[createExclusive]] and a plain PUT (atomic per object) for
+  * [[replace]] — which is why the contract is stated in these terms and
+  * not as "rename". The commit protocol itself (claim exactly hint+1,
+  * quarantine-aged orphan stepping, forward-only hint swap) is
+  * substrate-independent above this line.
+  */
+trait CommitStore {
+  /** Full content of `p`; throws if absent. */
+  def readString(p: Path): String
+  /** Atomic create-if-absent; throws `java.io.IOException` if `p` exists. */
+  def createExclusive(p: Path, content: String): Unit
+  /** Replace `p` with `content`; readers never observe a partial write. */
+  def replace(p: Path, content: String): Unit
+  def exists(p: Path): Boolean
+  def modificationTime(p: Path): Long
+  def delete(p: Path): Unit
+}
+
+/** HDFS-semantics implementation (local FS, HDFS): create-if-absent via
+  * `create(overwrite = false)`, reader-atomic replace via tmp + rename. */
+final class HadoopCommitStore(f: FileSystem) extends CommitStore {
+  override def readString(p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+  override def createExclusive(p: Path, content: String): Unit = {
+    val out = f.create(p, /* overwrite = */ false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+  override def replace(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) sys.error(s"atomic rename to $p failed")
+  }
+  override def exists(p: Path): Boolean = f.exists(p)
+  override def modificationTime(p: Path): Long = f.getFileStatus(p).getModificationTime
+  override def delete(p: Path): Unit = { f.delete(p, false); () }
+}

@@ -47,17 +47,20 @@ import org.apache.spark.util.SerializableConfiguration
   * metadata DDL, expire) rebase-and-retry on collision; CoW rewrites
   * surface the conflict to the caller, whose derived files are stale.
   */
-class IceLiteTable(val spark: SparkSession, val location: String) {
-  import IceLite.{HINT, atomicWrite, fs, normPath}
+class IceLiteTable(val spark: SparkSession, val location: String,
+    commitStore: Option[CommitStore] = None) {
+  import IceLite.{HINT, fs, normPath}
+
+  /** Commit control plane — all metadata atomicity flows through this
+    * ([[CommitStore]] documents the exact guarantees the protocol needs;
+    * tests inject an object-store double with no rename primitive). */
+  private[icelite] val store: CommitStore =
+    commitStore.getOrElse(new HadoopCommitStore(fs(spark, location)))
 
   // ---------------------------------------------------------------- metadata
 
-  private def metaAt(v: Int): TableMetadata = {
-    val f = fs(spark, location)
-    val min = f.open(new Path(location, s"metadata/v$v.json"))
-    val js = try scala.io.Source.fromInputStream(min).mkString finally min.close()
-    MetaJson.fromJson(js)
-  }
+  private def metaAt(v: Int): TableMetadata =
+    MetaJson.fromJson(store.readString(new Path(location, s"metadata/v$v.json")))
 
   /** (version, metadata) loaded as ONE consistent unit — the version is
     * read first and the metadata fetched for exactly that version, so a
@@ -70,11 +73,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
 
   def meta: TableMetadata = versionedMeta._2
 
-  def currentVersion: Int = {
-    val f = fs(spark, location)
-    val in = f.open(new Path(location, s"metadata/$HINT"))
-    try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-  }
+  def currentVersion: Int =
+    store.readString(new Path(location, s"metadata/$HINT")).trim.toInt
 
   /** Atomic commit at exactly version `v`: create-if-absent (an existing
     * file means a concurrent writer claimed this version — the conflict
@@ -83,13 +83,11 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * slow FS) finds the hint already past `v` and fails loudly instead of
     * regressing the table. */
   private def commitAt(v: Int, next: TableMetadata, note: String): Unit = {
-    val f = fs(spark, location)
     val entry = MetadataLogEntry(v, System.currentTimeMillis(), note)
     val withLog = next.copy(metadataLog = next.metadataLog :+ entry)
-    val target = new Path(location, s"metadata/v$v.json")
-    val out = f.create(target, /* overwrite = */ false) // CREATE_NEW: conflict check
-    try out.write(MetaJson.toJson(withLog).getBytes("UTF-8")) finally out.close()
-    IceLite.swapHintForward(f, new Path(location, s"metadata/$HINT"), v)
+    // create-if-absent: the conflict check
+    store.createExclusive(new Path(location, s"metadata/v$v.json"), MetaJson.toJson(withLog))
+    IceLite.swapHintForward(store, new Path(location, s"metadata/$HINT"), v)
   }
 
   /** One-shot commit for operations whose output is DERIVED from the
@@ -113,7 +111,6 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
     * either finishes (hint advances → rebase) or ages out. */
   private def commitWithRetry(build: TableMetadata => (TableMetadata, String),
       retries: Int = 8): Unit = {
-    val f = fs(spark, location)
     var attempt = 0
     while (true) {
       val (v, m) = versionedMeta
@@ -124,8 +121,8 @@ class IceLiteTable(val spark: SparkSession, val location: String) {
       var scanning = true
       while (scanning) {
         val p = new Path(location, s"metadata/v$target.json")
-        if (f.exists(p) &&
-          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime > quarantineMs)
+        if (store.exists(p) &&
+          System.currentTimeMillis() - store.modificationTime(p) > quarantineMs)
           target += 1
         else scanning = false
       }
@@ -1183,31 +1180,16 @@ object IceLite {
     * residual window is a second multi-minute stall between this re-read and
     * the rename — two independent quarantine-length stalls in a row — which a
     * plain check-at-entry would leave open for the whole commit duration. */
-  private[icelite] def swapHintForward(f: FileSystem, hint: Path, v: Int): Unit = {
-    val tmp = new Path(hint.getParent, s".${hint.getName}.${UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val in = f.open(hint)
-    val hintNow = try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
-    if (hintNow >= v) {
-      f.delete(tmp, false)
+  private[icelite] def swapHintForward(st: CommitStore, hint: Path, v: Int): Unit = {
+    val hintNow = st.readString(hint).trim.toInt
+    if (hintNow >= v)
       throw new CommitSupersededException(
         s"commit at v$v superseded: hint already at v$hintNow (stepped over as orphan); re-run")
-    }
-    if (f.exists(hint)) f.delete(hint, false)
-    if (!f.rename(tmp, hint)) sys.error(s"atomic rename to $hint failed")
+    st.replace(hint, v.toString)
   }
 
   /** tmp-write + rename — the atomic pointer swap that gives ACID commits
     * (the reference's catalog-pointer-swap, README.md:511–529). */
-  private[icelite] def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
-    val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target)) sys.error(s"atomic rename to $target failed")
-  }
-
   /** Conservative translation of a DML condition into manifest stat
     * filters: top-level AND conjuncts of `<column> <cmp> <literal>` become
     * [[Stats.StatFilter]]s; everything else is ignored (the full condition
@@ -1326,10 +1308,9 @@ object IceLite {
       currentSnapshotId = None,
       snapshots = Seq(),
       metadataLog = Seq(MetadataLogEntry(1, System.currentTimeMillis(), "create table")))
-    val target = new Path(metaDir, "v1.json")
-    val out = f.create(target, false)
-    try out.write(MetaJson.toJson(m).getBytes("UTF-8")) finally out.close()
-    atomicWrite(f, new Path(metaDir, HINT), "1")
+    val st = new HadoopCommitStore(f)
+    st.createExclusive(new Path(metaDir, "v1.json"), MetaJson.toJson(m))
+    st.replace(new Path(metaDir, HINT), "1")
     new IceLiteTable(spark, location)
   }
 
