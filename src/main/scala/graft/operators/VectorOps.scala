@@ -160,6 +160,62 @@ object VectorOps {
     None,
   )
 
+  /** X3 scale path #2: random-hyperplane LSH ANN (the bucket-join sibling
+    * of IVF). A fixed-seed bank of `tables × bits` gaussian hyperplanes is
+    * broadcast; each vector's per-table code is the sign pattern of its
+    * hyperplane dots (one narrow flatMap, `tables` rows per vector — no
+    * shuffle of embeddings beyond the bucket join). Candidates are corpus
+    * vectors sharing any (table, code) bucket with a probe — a broadcast
+    * join on the bucket key — then the exact scaled-int dot ranks only
+    * candidates. Knobs: more bits → fewer, purer candidates; more tables →
+    * higher recall. At 100 TB each probe touches ~tables·N/2^bits vectors
+    * instead of N. Fixture vectors are uniform random (worst case for any
+    * ANN); AnnSpec checks recall against brute force. No SQL oracle
+    * (hyperplane bank is engine-side); driver records rows-only. */
+  private val annLshTopk = QueryDef(
+    "ann_lsh_topk",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      import s.implicits._
+      val e = emb(s, dir)
+      val tables = 16; val bits = 6; val dim = 64
+      val rnd = new java.util.Random(42) // fixed seed: same bank everywhere
+      val planes: Array[Array[Float]] =
+        Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val bc = s.sparkContext.broadcast(planes)
+      def codes(v: Array[Float]): Array[Int] = {
+        val ps = bc.value
+        Array.tabulate(tables) { t =>
+          var code = 0; var b = 0
+          while (b < bits) {
+            val p = ps(t * bits + b)
+            var acc = 0.0; var i = 0
+            val n = math.min(p.length, v.length)
+            while (i < n) { acc += p(i) * v(i); i += 1 }
+            if (acc > 0) code |= (1 << b)
+            b += 1
+          }
+          code
+        }
+      }
+      val bucketed = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .mapPartitions(_.flatMap { case (id, v) =>
+          codes(v).zipWithIndex.map { case (c, t) => (id, t, c, v) } })
+        .toDF("neighbor_id", "tbl", "code", "emb")
+      val probes = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+        .flatMap { case (qid, qv) =>
+          codes(qv).zipWithIndex.map { case (c, t) => (qid, t, c, qv) } }
+      val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "tbl", "code", "qe"))
+      val scored = bucketed.join(probeDf, Seq("tbl", "code"))
+        .filter(col("neighbor_id") =!= col("qid"))
+        .dropDuplicates("qid", "neighbor_id") // a pair may collide in several tables
+        .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
+      topKPerKey(scored, 3).orderBy("qid", "rn")
+    },
+    None,
+  )
+
   /** X2 embedding-cosine near-dup: pairs in a bounded probe set whose
     * scaled dot ≥ 0.4 (fixture vectors are ~unit-norm). The quadratic
     * verification is bounded; at corpus scale the candidate set would come
@@ -190,5 +246,5 @@ object VectorOps {
             ORDER BY id1, id2"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cosineTopk, embedNorms, annIvfTopk, embedNearDup)
+  val defs: Seq[QueryDef] = Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, embedNearDup)
 }
