@@ -6,13 +6,37 @@ import org.apache.spark.sql.SparkSession
   * SparkEntry.queries at SPARK_GRAFT_SF_DIR (contract per the builder
   * prompt). A short untimed warmup (scan each input table + one tiny write)
   * runs first so codegen/classloading/committer setup doesn't land on
-  * whichever query happens to run first; queries are then timed in sorted
-  * name order for run-to-run comparability, each twice with the min
-  * reported (shared-box load spikes must not read as regressions), and a
-  * final canary re-times the first query so a contended run is
-  * self-evident in the artifact.
+  * whichever query happens to run first.
+  *
+  * Timing defenses (the driver runs on a shared box):
+  *   - every query is timed in TWO full interleaved passes (all queries
+  *     once, then all again) and the min is reported — a transient load
+  *     spike hits different queries in each pass, unlike back-to-back
+  *     reps which round 4 showed share the same spike window;
+  *   - a final canary re-times the first query so a contended run is
+  *     self-evident in the artifact.
+  *
+  * Output-size defense: the driver captures only the LAST 2000 chars of
+  * stdout (observed across BENCH_r01–r04: a full ~2.8 KB per-query map has
+  * NEVER parsed), so the final line carries a curated headline subset and
+  * stays well under the window; the full per-query map goes to
+  * bench_out.json and to an earlier (allowed-to-truncate) stdout line.
   */
 object Bench {
+  /** Representative queries across all SURVEY §2 families — kept ≈30 so the
+    * final JSON line stays < ~1.3 KB (driver tail window is 2000 chars
+    * minus sbt's trailing "[success]" line). */
+  private val headline = Seq(
+    "complex_agg", "pricing_summary", "daily_count_avg", "monthly_revenue",
+    "join_revenue_by_nation", "join_top_customers", "join_semi_big_spenders",
+    "window_rank", "cumulative_revenue", "order_topk", "pivot_agg",
+    "percentiles", "skew_salted_agg", "pushdown_count", "json_bucket_agg",
+    "variant_get", "dedup_exact", "minhash_dedup", "dedup_components",
+    "cosine_topk", "ann_ivf_topk", "curation_pipeline", "doc_fingerprint",
+    "token_counts", "multimodal_binary_meta", "icelite_append_read",
+    "icelite_delete_mor", "icelite_merge", "icelite_compaction",
+    "icelite_zorder", "icelite_time_travel")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,7 +60,7 @@ object Bench {
       spark.range(1000).toDF("i").write.parquet(wtmp + "/w")
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -46,35 +70,41 @@ object Bench {
         None
       }
     }
-    // each query is timed twice and the MIN reported: a transient
-    // machine-load spike on a shared box must not read as a regression
-    // (round 3 showed 89x phantom "regressions" from exactly that)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = sorted.map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      val b = if (a.isDefined) timeOnce(name, fn) else None
-      val runs: Seq[Double] = a.toSeq ++ b.toSeq
+    // two full interleaved passes; per-query min
+    val passA = sorted.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val passB = sorted.map { case (name, fn) =>
+      name -> (if (passA(name).isDefined) timeOnce(name, fn) else None)
+    }.toMap
+    val results = sorted.map { case (name, _) =>
+      val runs = passA(name).toSeq ++ passB(name).toSeq
       name -> runs.sorted.headOption.getOrElse(0.0)
     }
     // canary: re-time the first query at the very end — a contended run
-    // shows a canary far above that query's reported min, making bad
-    // timings self-evident in the artifact
+    // shows a canary far above that query's reported min
     val canary = sorted.headOption.flatMap { case (name, fn) =>
       timeOnce(name, fn).map(name -> _) }
-    // 3-decimal rounding keeps the whole line ~2 KB so a tail capture of
-    // stdout can't truncate the leading "metric":"total" field; the line is
-    // also mirrored to bench_out.json as a file-based fallback.
+
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
+    val byName = results.toMap
+    val head = results.filter { case (k, _) => headline.contains(k) }
+    val fullLine =
+      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can,"sf":"$sfDir"}"""
+    // the ONE parseable line, printed LAST: headline subset keeps it inside
+    // the driver's 2000-char tail window
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs$can,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file mirror: ${e.getMessage}") }
+    println(fullLine)
     println(line)
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING final line ${line.length} chars may exceed tail window")
     spark.stop()
   }
 }
