@@ -91,7 +91,6 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
-    val byName = results.toMap
     val head = results.filter { case (k, _) => headline.contains(k) }
     val fullLine =
       s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can,"sf":"$sfDir"}"""

@@ -26,6 +26,8 @@ object Registry {
       operators.Sources.defs ++
       operators.VariantOps.defs ++
       operators.WindowOps.defs ++
+      operators.TemporalOps.defs ++
+      operators.SketchOps.defs ++
       operators.GeoOps.defs ++
       operators.TextOps.defs ++
       operators.VectorOps.defs ++

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.KmvKth
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation. At 100 TB, `count(DISTINCT x)`
+  * is one of the most expensive shapes there is — every distinct value
+  * shuffles. A KMV (k-minimum-values) sketch replaces it with a bounded
+  * k-element state that partial-aggregates map-side and merges
+  * associatively, at ~1/sqrt(k) relative error. Unlike Spark's built-in
+  * `approx_count_distinct` (HLL++ with an engine-specific hash), the hash
+  * here is md5-derived, so DuckDB computes the IDENTICAL estimate and the
+  * sketch is oracle-checkable — same reason minhash_signature uses md5.
+  */
+object SketchOps {
+
+  /** Per-event-type distinct-user estimate from a k=64 KMV sketch, next to
+    * the exact distinct count (the oracle's ground truth AND the fallback
+    * for groups with < k distinct values, where the sketch IS exact).
+    *
+    * Estimator: E = (k-1) / (kth/2^60) with kth the k-th smallest distinct
+    * 60-bit hash — plain double arithmetic on both engines, bit-identical.
+    * The aggregation runs as a native TypedImperativeAggregate
+    * ([[graft.functions.KmvKth]]) with O(k) state per group per partition.
+    */
+  private val kmvDistinct = QueryDef(
+    "kmv_distinct",
+    (s, dir) => {
+      KmvKth.register(s)
+      val h = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      h.groupBy("event_type")
+        .agg(countDistinct(col("h")).cast("long").as("exact_ndv"),
+          expr("kmv_kth(h, 64)").as("kth"))
+        .select(col("event_type"), col("exact_ndv"),
+          when(col("kth").isNull, col("exact_ndv").cast("double"))
+            .otherwise(round(
+              lit(63.0d * 1152921504606846976.0d) / col("kth").cast("double"), 2))
+            .as("est_ndv"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+              SELECT event_type,
+                     CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events)
+            SELECT event_type,
+                   CAST(count(DISTINCT h) AS BIGINT) AS exact_ndv,
+                   CASE WHEN count(DISTINCT h) < 64
+                        THEN CAST(count(DISTINCT h) AS DOUBLE)
+                        ELSE round(63.0 * 1152921504606846976.0 /
+                               (list_sort(list_distinct(list(h))))[64], 2)
+                   END AS est_ndv
+            FROM h GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(kmvDistinct)
+}

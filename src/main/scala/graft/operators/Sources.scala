@@ -148,8 +148,41 @@ object Sources {
             FROM cols ORDER BY column_name"""),
   )
 
+  /** JSON-lines + ORC sink/scan roundtrip — the other two formats a
+    * training-data pipeline meets (raw crawl dumps arrive as JSONL; ORC is
+    * the other columnar). Write → read back with an explicit schema →
+    * prove content survives (count + exact sum per format). The oracle is
+    * the same aggregate over the ORIGINAL table: a roundtrip is identity,
+    * so DuckDB never needs to read the intermediate files. Spark's JSON
+    * writer emits shortest-roundtrip doubles (Jackson), so value survives
+    * bit-exactly.
+    */
+  private val jsonOrcRoundtrip = QueryDef(
+    "json_orc_roundtrip",
+    (s, dir) => {
+      val out = scratch("jsonorc")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.json(s"$out/json")
+      ev.write.orc(s"$out/orc")
+      val fromJson = s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(s"$out/json")
+      val fromOrc = s.read.orc(s"$out/orc")
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.agg(count(lit(1)).as("cnt"), Exact.dsumR(col("value")).as("sum_value"))
+          .select(lit(fmt).as("format"), col("cnt"), col("sum_value"))
+      agg(fromJson, "json").unionAll(agg(fromOrc, "orc")).orderBy("format")
+    },
+    Some(s"""SELECT 'json' AS format, CAST(count(*) AS BIGINT) AS cnt,
+             ${Exact.sqlSum("value")} AS sum_value FROM events
+             UNION ALL
+             SELECT 'orc', CAST(count(*) AS BIGINT), ${Exact.sqlSum("value")}
+             FROM events ORDER BY format"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     sinkRoundtrip, partitionedSinkScan, fileListingWalk, schemaDescribe,
-    footerMetadata,
+    footerMetadata, jsonOrcRoundtrip,
   )
 }

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal operators — as-of join, range/band join, sessionization.
+  *
+  * These are the time-series primitives a training-data/event pipeline
+  * reaches for right after plain joins (the reference's event table,
+  * /root/reference/README.md:799–809, is exactly this shape). None exist
+  * as built-in Spark operators; each is composed so the physical plan is
+  * the one you'd want at 100 TB:
+  *
+  *   - as-of join: union + partitioned last-value carry-forward — ONE
+  *     shuffle on the key, no join node at all, no range explosion;
+  *   - range join: band bucketing — the dimension's ranges are exploded to
+  *     covering buckets and BROADCAST, the fact side computes its bucket
+  *     with a narrow map, and the non-equi predicate becomes an equi-join
+  *     plus a residual filter (no BroadcastNestedLoopJoin);
+  *   - sessionization: two windows over one shuffle on the key (gap flag →
+  *     running sum = session id), then ordinary aggregation.
+  */
+object TemporalOps {
+
+  /** As-of join (backward): for each left row, attach `payloads` from the
+    * most recent right row with the same `key` and right.`time` <=
+    * left.`time`. Ties on `time` include the right row (inclusive
+    * semantics, like DuckDB/kdb ASOF).
+    *
+    * Implemented as the merge formulation, not a join: tag both sides,
+    * union, carry payloads forward with `last(_, ignoreNulls = true)` over
+    * (key ORDER BY time, tag) — right rows (tag 0) sort before left rows
+    * (tag 1) at equal times. One hash shuffle on `key`, per-key ordering
+    * local to each partition, no candidate-pair explosion: the shape that
+    * survives a 1000-executor 100 TB join where a range-join formulation
+    * degenerates. Right side should be unique per (key, time) — ties
+    * within it are resolved by whichever sorts last, so pre-aggregate.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      payloads: Seq[String]): DataFrame = {
+    require(payloads.nonEmpty, "asofJoin: payloads must be non-empty")
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(col(key) :: col(time).as("__t") :: col("__tag") ::
+        leftCols.filterNot(c => c == key || c == time).map(col).toList :::
+        payloads.map(p => lit(null).cast(rightSchema(p).dataType).as(p)).toList: _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(col(key) :: col(time).as("__t") :: col("__tag") ::
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)).toList :::
+        payloads.map(col).toList: _*)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col(key) :: col("__t") :: col("__tag") ::
+        leftCols.filterNot(c => c == key || c == time).map(col).toList :::
+        payloads.map(p =>
+          last(col(p), ignoreNulls = true).over(w).as(p)).toList: _*)
+    carried.filter(col("__tag") === 1)
+      .drop("__tag")
+      .withColumnRenamed("__t", time)
+      .select(leftCols.map(col) ++ payloads.map(col): _*)
+  }
+
+  /** Band (range) join: attach to each fact row the unique band whose
+    * [lo, hi) interval contains `value`. `bandsDf` needs columns
+    * (label, lo, hi) with integer bounds; `bucketW` must divide every
+    * bound. Bands explode to covering fixed-width buckets (broadcast), the
+    * fact computes floor(value/W) with a narrow map, and the range
+    * predicate becomes equi-join + residual filter — a BroadcastHashJoin,
+    * never a nested loop, fact scanned once.
+    */
+  def bandJoin(fact: DataFrame, valueCol: String, bandsDf: DataFrame,
+      bucketW: Int): DataFrame = {
+    val exploded = bandsDf.select(col("label"), col("lo"), col("hi"),
+      explode(sequence((col("lo") / bucketW).cast("long"),
+        (col("hi") / bucketW).cast("long") - 1)).as("__bucket"))
+    fact
+      .withColumn("__bucket", floor(col(valueCol) / bucketW))
+      .join(broadcast(exploded), "__bucket")
+      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .drop("__bucket")
+  }
+
+  /** Sessionization: assign a session id (`sid`, 1-based per key) that
+    * increments whenever consecutive events of the same `key` (ordered by
+    * `timeUs` µs, tie-broken by `tieCol`) are more than `gapUs` apart.
+    * Two window passes over ONE shuffle on `key`.
+    */
+  def sessionize(events: DataFrame, key: String, timeUs: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(timeUs), col(tieCol))
+    events
+      .withColumn("__new_s",
+        when(col(timeUs) - lag(col(timeUs), 1).over(w) > gapUs ||
+          lag(col(timeUs), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_s")
+  }
+
+  /** As-of join query: every event gets the same customer's most recent
+    * order-day revenue at-or-before the event's day (DuckDB: ASOF JOIN). */
+  private val asofJoinQ = QueryDef(
+    "asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("day"))
+      // one rate row per (customer, day): deterministic right side — ties
+      // inside a day are pre-aggregated away
+      val rates = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 2))).as("rev"))
+        .select(col("user_id"), col("day"), col("rev"),
+          col("day").as("last_order_day"))
+      asofJoin(ev, rates, "user_id", "day", Seq("rev", "last_order_day"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          col("last_order_day"),
+          round(col("rev").cast("double"), 2).as("last_rev"))
+        .orderBy("event_id")
+    },
+    Some("""WITH rates AS (
+              SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+              FROM orders GROUP BY 1, 2),
+            ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day FROM events)
+            SELECT e.event_id, e.user_id, e.day,
+                   r.day AS last_order_day,
+                   round(CAST(r.rev AS DOUBLE), 2) AS last_rev
+            FROM ev e ASOF LEFT JOIN rates r
+              ON e.user_id = r.user_id AND e.day >= r.day
+            ORDER BY e.event_id"""),
+  )
+
+  /** Value bands for the range join: [lo, hi) half-open, varying widths.
+    * events.value spans 0.01–490.02, so the bands cover everything. */
+  private val bands: Seq[(String, Int, Int)] = Seq(
+    ("b1_tiny", 0, 25), ("b2_small", 25, 75), ("b3_mid", 75, 150),
+    ("b4_large", 150, 300), ("b5_huge", 300, 500))
+
+  /** Range join query: classify each event's value into a non-uniform
+    * [lo, hi) band, aggregate per band. */
+  private val rangeJoinBandsQ = QueryDef(
+    "range_join_bands",
+    (s, dir) => {
+      import s.implicits._
+      val bandsDf = bands.toDF("label", "lo", "hi")
+      val ev = Tables.events(s, dir).select("value")
+      bandJoin(ev, "value", bandsDf, bucketW = 25)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsumR(col("value")).as("sum_value"))
+        .orderBy("label")
+    },
+    Some(s"""SELECT label, count(*) AS n,
+                   ${graft.Exact.sqlSum("value")} AS sum_value
+            FROM events e
+            JOIN (VALUES ${bands.map { case (l, lo, hi) => s"('$l', $lo, $hi)" }.mkString(", ")})
+                 b(label, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY label ORDER BY label"""),
+  )
+
+  /** Sessionization query: >30-minute-gap sessions per user, per-user
+    * session stats. Durations stay integer microseconds end-to-end (exact
+    * on both engines). */
+  private val sessionizeQ = QueryDef(
+    "sessionize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val sess = sessionize(ev, "user_id", "us", "event_id", 30L * 60 * 1000000)
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"), (max("us") - min("us")).as("dur_us"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_ev").as("n_events"),
+          max("n_ev").as("max_sess_events"),
+          sum("dur_us").as("total_sess_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+            flagged AS (
+              SELECT user_id, event_id, us,
+                     CASE WHEN us - lag(us, 1) OVER w > 1800000000
+                          OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            sids AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+            sess AS (
+              SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS dur_us
+              FROM sids GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_ev) AS BIGINT) AS n_events,
+                   CAST(max(n_ev) AS BIGINT) AS max_sess_events,
+                   CAST(sum(dur_us) AS BIGINT) AS total_sess_us
+            FROM sess GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(asofJoinQ, rangeJoinBandsQ, sessionizeQ)
+}

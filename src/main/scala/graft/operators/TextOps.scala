@@ -576,10 +576,123 @@ object TextOps {
       .orderBy("id1", "id2")
   }
 
+  /** PII redaction: scrub email addresses and phone-shaped numbers from
+    * document text before it reaches a training set. The corpus is
+    * synthetic words with no PII, so the query injects a deterministic
+    * email + phone per doc first — the operator under test is the scrub
+    * (ordered regexp_replace chain) and the audit columns (match counts,
+    * redacted length, content hash). Narrow per-row maps, no shuffle;
+    * Java and RE2 agree on this regex subset (character classes +
+    * bounded repetition, no lookaround), which is what keeps the scrub
+    * oracle-checkable.
+    */
+  private val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val phoneRe = "[0-9]{3}-[0-9]+"
+  private val piiRedact = QueryDef(
+    "pii_redact",
+    (s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"), col("doc_id")).as("t"))
+      val red = regexp_replace(
+        regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+      withPii.select(
+        col("doc_id"),
+        (size(split(col("t"), emailRe)) - 1).cast("long").as("n_emails"),
+        (size(split(col("t"), phoneRe)) - 1).cast("long").as("n_phones"),
+        length(red).cast("long").as("red_len"),
+        md5(red).as("red_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pii AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', doc_id, '@example.com or 555-', doc_id) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(string_split_regex(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) - 1 AS BIGINT) AS n_emails,
+                   CAST(len(string_split_regex(t, '[0-9]{3}-[0-9]+')) - 1 AS BIGINT) AS n_phones,
+                   CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]+', '[PHONE]', 'g')) AS BIGINT) AS red_len,
+                   md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]+', '[PHONE]', 'g')) AS red_md5
+            FROM pii ORDER BY doc_id"""),
+  )
+
+  /** Top-3 word bigrams per language — the n-gram frequency profile used
+    * for corpus analysis / contamination checks. Pairs are formed with a
+    * narrow per-row map (no self-join), counted with one hash shuffle on
+    * (lang, bigram) — partial map-side aggregation absorbs the heavy
+    * duplication — and ranked with a window over the (small) per-language
+    * count table. Deterministic tie-break on the bigram itself.
+    */
+  private val ngramTopk = QueryDef(
+    "ngram_topk",
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("lang"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("ts"))
+      val big = tok.select(col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .as("bg"))
+      val counted = big.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("cnt").desc, col("bg"))
+      counted
+        .select(col("lang"), col("bg"), col("cnt"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH tok AS (
+              SELECT lang, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            big AS (
+              SELECT lang, ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bg
+              FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+            c AS (SELECT lang, bg, count(*) AS cnt FROM big GROUP BY 1, 2)
+            SELECT lang, bg, CAST(cnt AS BIGINT) AS cnt, rn FROM (
+              SELECT lang, bg, cnt,
+                     CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS BIGINT) AS rn
+              FROM c)
+            WHERE rn <= 3 ORDER BY lang, rn"""),
+  )
+
+  /** Stratified deterministic sampling: per-language sample rates from the
+    * same md5-bucket split as `deterministic_sample` (first hex digit in
+    * 0–2 ≈ 3/16), reported per stratum in ONE scan (conditional count, no
+    * join against a totals table). The property that matters at 100 TB:
+    * membership is a pure function of the key, so the sample is stable
+    * across partitionings, retries, and engines — no RNG state to
+    * coordinate, and train/eval splits never leak rows when the corpus is
+    * re-sharded.
+    */
+  private val stratifiedSample = QueryDef(
+    "stratified_sample",
+    (s, dir) => {
+      val bucket = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+      docs(s, dir)
+        .withColumn("in_sample", bucket.isin("0", "1", "2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+        .select(col("lang"), col("n_total"), col("n_sampled"),
+          round(col("n_sampled").cast("double") / col("n_total").cast("double"), 4)
+            .as("rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH flagged AS (
+              SELECT lang,
+                     substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') AS in_sample
+              FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                   round(CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 4) AS rate
+            FROM flagged GROUP BY lang ORDER BY lang"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
-    dedupComponents,
+    dedupComponents, piiRedact, ngramTopk, stratifiedSample,
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the temporal operators (as-of join, band
+  * join, sessionization) plus plan-shape guarantees: the as-of join must
+  * compile to a window over ONE shuffle (no Join node), the band join to a
+  * BroadcastHashJoin (no nested loop).
+  */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at-or-before, inclusive on ties") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (1L, 25L, 250.0),
+      (3L, 1L, 999.0)).toDF("k", "t", "price")
+    val got = TemporalOps.asofJoin(left, right, "k", "t", Seq("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some(100.0)), // tie at t=10 → inclusive
+      (1L, 20L, Some(150.0)), // 15 < 20 < 25 → 150
+      (2L, 5L, None),         // no right rows for k=2 → null payload
+    ), s"got $got")
+  }
+
+  test("asofJoin plan has no join node — one shuffle + window") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "p")
+    val plan = TemporalOps.asofJoin(left, right, "k", "t", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+    assert(plan.contains("Window"), s"expected window:\n$plan")
+  }
+
+  test("bandJoin classifies half-open bands via broadcast equi-join") {
+    val bandsDf = Seq(("low", 0, 50), ("high", 50, 100)).toDF("label", "lo", "hi")
+    val fact = Seq(0.0, 49.999, 50.0, 99.9).toDF("value")
+    val got = TemporalOps.bandJoin(fact, "value", bandsDf, bucketW = 25)
+      .select("value", "label").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(got == Set((0.0, "low"), (49.999, "low"), (50.0, "high"), (99.9, "high")))
+    val plan = TemporalOps.bandJoin(fact, "value", bandsDf, 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested loop leaked:\n$plan")
+  }
+
+  test("bandJoin drops values outside every band") {
+    val bandsDf = Seq(("only", 0, 25)).toDF("label", "lo", "hi")
+    val fact = Seq(10.0, 30.0).toDF("value")
+    val got = TemporalOps.bandJoin(fact, "value", bandsDf, 25).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("value") == 10.0)
+  }
+
+  test("sessionize splits on gaps strictly greater than gapUs") {
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 101L), // gap 1 ≤ 100 → same session
+      (1L, 4L, 300L),                               // gap 199 > 100 → new session
+      (2L, 5L, 0L),
+    ).toDF("k", "id", "us")
+    val got = TemporalOps.sessionize(ev, "k", "us", "id", gapUs = 100L)
+      .select("k", "id", "sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (1L, 4L) -> 2L, (2L, 5L) -> 1L), s"got $got")
+  }
+}
