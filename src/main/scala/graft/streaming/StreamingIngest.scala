@@ -77,6 +77,28 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream interval join — the attribution shape: match each
+    * right-stream event (click) to the left-stream event (impression) with
+    * the same `key` where right.ts lands in [left.ts, left.ts + within].
+    * Watermarks on BOTH sides are what bound the join state: Spark keeps
+    * only rows younger than watermark + interval, so state is
+    * O(traffic × window), not unbounded — the property that lets this run
+    * for months on a 1000-executor cluster. Inputs carry (key LONG,
+    * ts TIMESTAMP, value DOUBLE); output is one row per matched pair. */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val imp = impressions.withWatermark("ts", watermark)
+      .select(col("key").as("i_key"), col("ts").as("i_ts"),
+        col("value").as("i_value"))
+    val clk = clicks.withWatermark("ts", watermark)
+      .select(col("key").as("c_key"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    imp.join(clk,
+      expr(s"i_key = c_key AND c_ts >= i_ts AND c_ts <= i_ts + interval $within"))
+      .select(col("i_key").as("key"), col("i_ts"), col("c_ts"),
+        col("i_value"), col("c_value"))
+  }
+
   /** Stream → IceLite: every micro-batch appends as one snapshot,
     * EXACTLY-ONCE per batch. foreachBatch alone is at-least-once (a restart
     * after the table append but before the checkpoint commit replays the

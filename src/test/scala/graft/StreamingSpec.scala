@@ -125,4 +125,28 @@ class StreamingSpec extends SparkSpec {
       assert(t2.read().count() == 1)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches clicks inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp, Double)]
+    val clk = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingIngest.intervalJoin(
+      imp.toDF.toDF("key", "ts", "value"),
+      clk.toDF.toDF("key", "ts", "value"),
+      within = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imp.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0))
+      clk.addData(
+        (1L, ts("2024-01-01 10:10:00"), 0.5), // inside 30 min → match
+        (2L, ts("2024-01-01 11:30:00"), 0.7), // outside → no match
+        (3L, ts("2024-01-01 10:05:00"), 0.9)) // no impression → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(rows == Set((1L, 0.5)), s"got $rows")
+    } finally q.stop()
+  }
 }
