@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.KmvKth
+import graft.functions.{KmvKth, MisraGries}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregation. At 100 TB, `count(DISTINCT x)`
@@ -55,5 +55,39 @@ object SketchOps {
             FROM h GROUP BY event_type ORDER BY event_type"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(kmvDistinct)
+  /** Heavy hitters, two-pass: a Misra-Gries sketch (31 counters, O(k)
+    * state shuffled instead of every distinct key) proposes candidates,
+    * an exact count over just those candidates filters to keys with
+    * freq > n/16. The MG merge guarantee (any key with freq > n/32
+    * survives arbitrary merge trees) makes the verified output
+    * deterministic and oracle-equal to a plain GROUP BY ... HAVING —
+    * which is the point: same answer, sketch-sized shuffle. The key is
+    * synthesized 70/30 skewed (events keys are uniform) so there IS a
+    * heavy hitter to find.
+    */
+  private val heavyHitters = QueryDef(
+    "heavy_hitters",
+    (s, dir) => {
+      MisraGries.register(s)
+      val keyed = Tables.events(s, dir).select(
+        when(col("event_id") % 10 < 7, -1L).otherwise(col("user_id")).as("k"))
+      val scal = keyed.agg(expr("misra_gries(k, 31)").as("cands"),
+        count(lit(1)).as("n"))
+      keyed.join(broadcast(scal))
+        .filter(array_contains(col("cands"), col("k")))
+        .groupBy("k", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > col("n") / 16)
+        .select(col("k").as("key"), col("cnt"))
+        .orderBy("key")
+    },
+    Some("""WITH keyed AS (
+              SELECT CASE WHEN event_id % 10 < 7 THEN -1 ELSE user_id END AS key
+              FROM events),
+            tot AS (SELECT count(*) AS n FROM keyed)
+            SELECT key, CAST(count(*) AS BIGINT) AS cnt
+            FROM keyed, tot
+            GROUP BY key, n HAVING count(*) > n / 16 ORDER BY key"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(kmvDistinct, heavyHitters)
 }

@@ -54,6 +54,14 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Double]("value") == 10.0)
   }
 
+  test("sessionize plan has exactly one shuffle (both windows share it)") {
+    val ev = Seq((1L, 1L, 0L)).toDF("k", "id", "us")
+    val plan = TemporalOps.sessionize(ev, "k", "us", "id", 100L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$plan")
+  }
+
   test("sessionize splits on gaps strictly greater than gapUs") {
     val ev = Seq(
       (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 101L), // gap 1 ≤ 100 → same session
