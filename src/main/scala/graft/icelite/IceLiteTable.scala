@@ -450,6 +450,109 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     scanSnapshot(m, to.copy(dataFiles = added), lineage = false, _ => true)
   }
 
+  /** CDC changelog read (Iceberg's `create_changelog_view`): the row-level
+    * changes between two snapshots as table columns + `_change_type`
+    * ('insert' | 'delete'; an update surfaces as its delete+insert pair)
+    * + `_commit_version` (the snapshot that made the change).
+    *
+    * Planning is metadata-only: each snapshot step diffs FILE SETS on the
+    * driver, and only changed files are ever scanned — consuming a day of
+    * commits on a 100 TB table reads the day's churn, not the table.
+    * Per step:
+    *  - pure "replace" snapshots (compaction / z-order) are skipped — a
+    *    physical rewrite is not a logical change;
+    *  - added-file rows vs removed-file rows go through null-safe
+    *    full-row anti-joins so carried rows cancel (a CoW rewrite re-adds
+    *    every kept row; only genuinely changed rows surface). The joins
+    *    are scoped to the step's changed files only;
+    *  - newly added MoR delete files surface the deleted rows by scanning
+    *    the surviving files with the step's NEW delete index inverted
+    *    (rows that stop being live are the deletes) — no data rewrite was
+    *    ever done, and none is needed to report the change.
+    *
+    * Expired intermediate snapshots degrade gracefully: steps diff against
+    * the latest surviving predecessor, preserving net-change semantics.
+    * Caveat (shared with set-based CDC generally): rows fully identical
+    * across ALL columns collapse in the anti-join diff, so multiplicity
+    * changes of exact duplicates under CoW are not individually reported.
+    */
+  def readChangesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId <= toSnapshotId,
+      s"from $fromSnapshotId must be <= to $toSnapshotId")
+    val m = meta
+    val names = m.currentSchema.fields.map(_.name).toSeq
+    val steps = m.snapshots
+      .filter(s => s.id > fromSnapshotId && s.id <= toSnapshotId).sortBy(_.id)
+    // from=0 (or an expired id) means "since before the first surviving
+    // snapshot": diff starts from an empty base
+    var base = m.snapshots.find(_.id == fromSnapshotId).getOrElse(
+      Snapshot(fromSnapshotId, None, 0, "empty", Seq(), Seq()))
+    val parts = steps.flatMap { cur =>
+      val out =
+        if (cur.operation == "replace") Seq() // compaction/z-order: no logical change
+        else stepChanges(m, base, cur, names)
+      base = cur
+      out
+    }
+    if (parts.isEmpty) {
+      val st = StructType(m.currentSchema.fields.map(f =>
+        StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)) ++
+        Seq(StructField("_change_type", DataType.fromDDL("string")),
+          StructField("_commit_version", DataType.fromDDL("bigint"))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    } else parts.reduce(_ unionAll _)
+  }
+
+  /** One changelog step: net changes prev → cur (see readChangesBetween). */
+  private def stepChanges(m: TableMetadata, prev: Snapshot, cur: Snapshot,
+      names: Seq[String]): Seq[DataFrame] = {
+    val prevSet = prev.dataFiles.map(f => normPath(f.path)).toSet
+    val curSet = cur.dataFiles.map(f => normPath(f.path)).toSet
+    val added = cur.dataFiles.filterNot(f => prevSet(normPath(f.path)))
+    val removed = prev.dataFiles.filterNot(f => curSet(normPath(f.path)))
+    val addedDf = if (added.isEmpty) None
+      else Some(scanSnapshot(m, cur.copy(dataFiles = added), lineage = false, _ => true))
+    val removedDf = if (removed.isEmpty) None
+      else Some(scanSnapshot(m, prev.copy(dataFiles = removed), lineage = false, _ => true))
+    val (ins, del) = (addedDf, removedDf) match {
+      case (Some(a), Some(r)) =>
+        // CoW rewrite: carried rows appear on both sides — cancel them with
+        // null-safe full-row anti-joins, scoped to this step's files only
+        def diff(l: DataFrame, rt: DataFrame) =
+          l.join(rt, names.map(n => l(n) <=> rt(n)).reduce(_ && _), "left_anti")
+        (Some(diff(a, r)), Some(diff(r, a)))
+      case _ => (addedDf, removedDf)
+    }
+    // merge-on-read: delete files added this step kill rows in SURVIVING
+    // data files — scan those as of prev, keep rows the new index marks dead
+    val prevDel = prev.deleteFiles.map(d => normPath(d.path)).toSet
+    val newDel = cur.deleteFiles.filterNot(d => prevDel(normPath(d.path)))
+    val morDel =
+      if (newDel.isEmpty) None
+      else {
+        val common = cur.dataFiles.filter(f => prevSet(normPath(f.path)))
+        if (common.isEmpty) None
+        else {
+          val visPrev = scanSnapshot(m, prev.copy(dataFiles = common),
+            lineage = true, _ => true)
+          val bc = spark.sparkContext.broadcast(
+            DeleteIndex.build(newDel.map(_.path), spark))
+          Some(visPrev.filter(!org.apache.spark.sql.graft.SparkShims.columnOf(
+            graft.functions.PositionLive(
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_pos"), bc)))
+            .drop("_file", "_pos"))
+        }
+      }
+    def stamp(df: DataFrame, kind: String): DataFrame =
+      df.select(names.map(col): _*)
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(cur.id))
+    (del.toSeq ++ morDel.toSeq).map(stamp(_, "delete")) ++
+      ins.toSeq.map(stamp(_, "insert"))
+  }
+
   // ---------------------------------------------------------------- DML
 
   /** UPDATE … SET … WHERE (README.md:954–956), copy-on-write: only files

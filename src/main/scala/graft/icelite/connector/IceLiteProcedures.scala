@@ -25,7 +25,8 @@ object IceLiteProcedures {
 
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
-    "create_branch", "create_tag", "fast_forward", "drop_ref", "rewrite_zorder")
+    "create_branch", "create_tag", "fast_forward", "drop_ref", "rewrite_zorder",
+    "create_changelog_view")
 
   def load(warehouse: String, name: String): UnboundProcedure = name match {
     case "rollback_to_snapshot" => proc(warehouse, name, "snapshot_id",
@@ -88,6 +89,37 @@ object IceLiteProcedures {
           val schema = StructType(Seq(StructField("files_after", DataTypes.LongType, nullable = false)))
           val row: InternalRow = new GenericInternalRow(
             Array[Any](Long.box(t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L))))
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
+    }
+    case "create_changelog_view" => new UnboundProcedure {
+      // CALL icelite.system.create_changelog_view('db.t', 0, 4, 'changes_v')
+      // → registers a temp view of readChangesBetween(0, 4) named changes_v
+      //   (Iceberg's spark procedure of the same name)
+      override def name(): String = "create_changelog_view"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "create_changelog_view"
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("from_snapshot", DataTypes.LongType).build(),
+          ProcedureParameter.in("to_snapshot", DataTypes.LongType).build(),
+          ProcedureParameter.in("view_name", DataTypes.StringType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val Array(ns, tn) = input.getUTF8String(0).toString.split("\\.", 2)
+          val from = input.getLong(1)
+          val to = input.getLong(2)
+          val view = input.getUTF8String(3).toString
+          val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
+          t.readChangesBetween(from, to).createOrReplaceTempView(view)
+          val schema = StructType(Seq(
+            StructField("changelog_view", DataTypes.StringType, nullable = false)))
+          val row: InternalRow = new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(view)))
           java.util.List.of[Scan](new LocalScan {
             override def rows(): Array[InternalRow] = Array(row)
             override def readSchema(): StructType = schema

@@ -721,12 +721,51 @@ object LakehouseOps {
              WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey"""),
   )
 
+  /** CDC changelog (Iceberg's create_changelog_view): two appends, a CoW
+    * delete, and a CoW update; the changelog over the whole range must
+    * report the appended rows as inserts, the deleted rows as deletes, and
+    * the update as its delete+insert pair — all reconstructible by the
+    * oracle from the raw source table. Carried rows in the CoW rewrites
+    * must NOT surface (the anti-join diff cancels them). */
+  private val changelog = QueryDef(
+    "icelite_changelog",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("cdc"), o)
+      t.append(o.filter(col("o_orderkey") < 2000))                          // v1
+      t.append(o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)) // v2
+      t.delete(col("o_orderkey") < 500)                                     // v3 CoW
+      t.update(col("o_orderkey") >= 3000 && col("o_orderkey") < 3200,       // v4 CoW
+        Map("o_orderpriority" -> lit("0-CHANGED")))
+      t.readChangesBetween(0, t.meta.currentSnapshot.get.id)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"), col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    },
+    Some(s"""WITH src AS (SELECT $ordersCols FROM orders)
+             SELECT * FROM (
+               SELECT *, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+               FROM src WHERE o_orderkey < 2000
+               UNION ALL
+               SELECT *, 'insert', 2 FROM src WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+               UNION ALL
+               SELECT *, 'delete', 3 FROM src WHERE o_orderkey < 500
+               UNION ALL
+               SELECT *, 'delete', 4 FROM src WHERE o_orderkey >= 3000 AND o_orderkey < 3200
+               UNION ALL
+               SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                      '0-CHANGED', 'insert', 4
+               FROM src WHERE o_orderkey >= 3000 AND o_orderkey < 3200)
+             ORDER BY _commit_version, _change_type, o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
-    branchWap, sortedWrite, zorderWrite,
+    branchWap, sortedWrite, zorderWrite, changelog,
   )
 }

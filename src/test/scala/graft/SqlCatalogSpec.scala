@@ -233,6 +233,24 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 20)
   }
 
+  test("CALL create_changelog_view exposes the CDC feed to SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.cdc")
+    spark.sql("CREATE TABLE ilsql.cdc.t (id BIGINT)")
+    spark.sql("INSERT INTO ilsql.cdc.t SELECT id FROM range(5)")
+    spark.sql("INSERT INTO ilsql.cdc.t SELECT id FROM range(5, 8)")
+    spark.sql("DELETE FROM ilsql.cdc.t WHERE id = 1")
+    val v = spark.sql(
+      "CALL ilsql.system.create_changelog_view('cdc.t', 0, 3, 'cdc_changes')").collect()
+    assert(v.head.getString(0) == "cdc_changes")
+    val got = spark.sql(
+      "SELECT id, _change_type, _commit_version FROM cdc_changes ORDER BY _commit_version, _change_type, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = (0L until 5L).map(i => (i, "insert", 1L)) ++
+      (5L until 8L).map(i => (i, "insert", 2L)) :+ ((1L, "delete", 3L))
+    assert(got == want, s"got ${got.toSeq}")
+  }
+
   test("branch/tag procedures and ref time travel run the WAP flow via SQL") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.wap")
