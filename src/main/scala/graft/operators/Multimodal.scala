@@ -91,8 +91,14 @@ object Multimodal {
   )
 
   /** Full binary pipeline: synthesize fake images → partition-wise decode
-    * kernel → per-source stats over decoded metadata. Decode itself is the
-    * STUB codec, so no SQL oracle; MultimodalSpec pins exact values. */
+    * kernel → corpus stats over decoded metadata. The STUB codec is
+    * deterministic, so the oracle recomputes every output from first
+    * principles on the raw fixture — header fields from the width/height
+    * derivation, pixel count from utf-8 byte length, and the pixel-mean
+    * path via a brightness count (sum-of-bytes ÷ length is exact integer
+    * math in both engines before the one double division). A decode bug in
+    * header parsing, payload slicing, or the mean shows up as a hash
+    * mismatch. */
   private val imageDecodeStats = QueryDef(
     "multimodal_decode_stats",
     (s, dir) => {
@@ -112,9 +118,24 @@ object Multimodal {
           sum(col("ok").cast("long")).as("n_decoded"),
           max(col("width")).as("max_width"),
           max(col("height")).as("max_height"),
-          sum(col("n_pixels")).as("total_pixels"))
+          sum(col("n_pixels")).as("total_pixels"),
+          sum(when(col("mean_byte") > 100.0, 1L).otherwise(0L)).as("n_bright"))
     },
-    None,
+    Some("""WITH px AS (
+              SELECT doc_id,
+                     n_chars % 64 + 1 AS width,
+                     n_chars % 48 + 1 AS height,
+                     octet_length(encode(text)) AS n,
+                     list_sum(list_transform(string_split_regex(text, ''),
+                                             c -> ascii(c))) AS s
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(count(*) AS BIGINT) AS n_decoded,
+                   CAST(max(width) AS INT) AS max_width,
+                   CAST(max(height) AS INT) AS max_height,
+                   CAST(sum(n) AS BIGINT) AS total_pixels,
+                   CAST(sum(CASE WHEN CAST(s AS DOUBLE) / n > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+            FROM px"""),
   )
 
   val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats)

@@ -182,14 +182,19 @@ object TextOps {
       .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
   }
 
-  /** Distributed connected components by min-label propagation over an
-    * undirected edge list (id1, id2) → (id, comp) where comp is the
-    * smallest node id in the component. Each round is one shuffle join +
-    * min-aggregation; labels are monotone non-increasing, so the monotone
-    * label sum detects the fixpoint without an extra change-join. Round
-    * count = cluster diameter (shallow for dup graphs); an adversarially
-    * deep graph would swap in large-star/small-star (O(log n) rounds) with
-    * the same per-round plan shape. */
+  /** Distributed connected components by min-label propagation WITH
+    * pointer jumping, over an undirected edge list (id1, id2) → (id, comp)
+    * where comp is the smallest node id in the component. Each round is
+    * (1) propagate: comp(v) ← min(comp(v), min over neighbors' comp) —
+    * one shuffle join + min-aggregation — then (2) jump: comp(v) ←
+    * comp(comp(v)) — a self-join of the label table, sound because every
+    * label is itself a node id in the same component. Propagation alone
+    * needs diameter rounds; the jump halves remaining chain depth each
+    * round, so convergence is O(log diameter) — a 200-node path closes in
+    * ~9 rounds (DedupSpec) and the 25-round cap covers diameters beyond
+    * 2^25. Labels are monotone non-increasing, so the monotone label sum
+    * detects the fixpoint without an extra change-join, and
+    * non-convergence is an ERROR, never a silently partial merge. */
   private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // cache the pair source BEFORE mirroring it, or the union evaluates the
@@ -214,9 +219,17 @@ object TextOps {
     while (!converged && iter < 25) {
       val prop = e.join(labels, e("a") === labels("id"))
         .groupBy(col("b")).agg(min("comp").as("ncomp"))
-      val next = labels.join(prop, labels("id") === prop("b"), "left")
+      val propagated = labels.join(prop, labels("id") === prop("b"), "left")
         .select(labels("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // pointer jump: comp(v) ← comp(comp(v)). comp(c) ≤ c for every node
+      // c (labels start at the id and only decrease), so the jump is
+      // monotone too; inner join is total because every label value is a
+      // node id present in the label table.
+      val jump = propagated.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = propagated.join(jump, propagated("comp") === jump("jid"))
+        .select(propagated("id"), col("jcomp").as("comp"))
         .localCheckpoint()
       val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
       labels = next
@@ -224,6 +237,10 @@ object TextOps {
       prevSum = s2
       iter += 1
     }
+    require(converged,
+      s"connectedComponents: no fixpoint after $iter rounds — component " +
+        "diameter exceeds 2^25 or the edge list mutated mid-run; results " +
+        "would be partially-merged labels, refusing to return them")
     labels
   }
 
@@ -346,29 +363,74 @@ object TextOps {
   )
 
   /** X2 MinHash+LSH near-dup detection — the linear-scale fuzzy dedup:
-    * 3-token shingles → k=24 minhash permutations (xxhash64 seeds) → 6 bands
-    * of 4 → band-bucket self-join yields candidates → exact shingle-Jaccard
-    * verifies ≥ 0.5. No DuckDB oracle (hash functions are engine-specific);
-    * correctness is covered by MinHashSpec on planted near-duplicates, and
-    * the driver records a rows-only check.
+    * 3-token shingles → k=8 md5 min-hashes → 4 bands of 2 → band-bucket
+    * self-join yields candidates → exact shingle-Jaccard verifies ≥ 0.5.
     *
-    * Scale: candidates come from equality self-join on (band, bandHash) —
+    * Every stage is md5-derived (the one hash Spark and DuckDB compute
+    * identically), so the FULL pipeline — signatures, banding, candidate
+    * pairs, verified Jaccard — is recomputable in SQL and hash-matched by
+    * the oracle, not just spec-trusted. min(md5) of a cryptographic hash is
+    * a uniform random min-permutation, so these are valid minhash values.
+    *
+    * Scale: candidates come from equality self-join on (band, bucket) —
     * one shuffle keyed on the bucket; no quadratic blow-up unless buckets
     * collide, which banding parameters control. */
   private val minhashDedup = QueryDef(
     "minhash_dedup",
-    (s, dir) => minhashPairs(docs(s, dir), bands = 6, rowsPerBand = 4, threshold = 0.5),
-    None,
+    (s, dir) => minhashPairs(docs(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.5),
+    Some("""WITH ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id1, c.id2, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.id1
+              JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+              GROUP BY 1, 2)
+            SELECT inter.id1, inter.id2,
+                   round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.id1
+            JOIN sz sb ON sb.doc_id = inter.id2
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+            ORDER BY id1, id2"""),
   )
 
-  /** X2 oracle-checkable MinHash signature: same min-over-shingle-hashes
-    * construction as the LSH pipeline, but with md5 (the one hash BOTH
-    * engines implement identically) over 5-char shingles, so DuckDB can
-    * recompute the exact signature — a hash-matched anchor for the
-    * engine-hash variant above. min(hex) of a cryptographic hash is a
-    * uniform random min-permutation, so these ARE valid minhash values.
-    * Kept for the oracle only: the scale path is the JVM kernel
-    * (mapPartitions, no per-shingle row explosion). */
+  /** X2 oracle-checkable MinHash signature over CHARACTER shingles: the
+    * same min-over-md5 construction as the LSH pipeline but on 5-char
+    * shingles — the second granularity a fuzzy-dedup pass runs at (word
+    * shingles catch re-orderings, char shingles catch in-word edits).
+    * min(hex) of a cryptographic hash is a uniform random min-permutation,
+    * so these ARE valid minhash values. The explode formulation is the
+    * SQL-shaped anchor; the scale path is the JVM kernel in
+    * [[minhashPairs]] (mapPartitions, no per-shingle row explosion). */
   private val minhashSignature = QueryDef(
     "minhash_signature",
     (s, dir) => {
@@ -396,14 +458,21 @@ object TextOps {
             FROM sh GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  /** Seeded 64-bit string hash for the minhash kernel (two murmur32 mixes). */
-  private def hash64(s: String, seed: Int): Long = {
-    import scala.util.hashing.MurmurHash3
-    (MurmurHash3.stringHash(s, seed).toLong << 32) ^
-      (MurmurHash3.stringHash(s, seed * 31 + 17).toLong & 0xffffffffL)
+  /** Lowercase md5 hex — byte-identical to Spark's `md5()` and DuckDB's
+    * `md5()`, which is what makes the LSH pipelines oracle-recomputable.
+    * Callers reuse one MessageDigest per partition. */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(java.lang.Integer.toHexString((bytes(i) & 0xff) | 0x100).substring(1))
+      i += 1
+    }
+    sb.toString
   }
 
-  /** Shared MinHash pipeline (also used by MinHashSpec).
+  /** Shared MinHash pipeline (also used by DedupSpec).
     *
     * Shaped for scale: ONE narrow mapPartitions kernel computes
     * shingles → k minhashes → band buckets per document in primitive JVM
@@ -413,35 +482,48 @@ object TextOps {
     * only (doc_id, band, bucket) — never shingle arrays; shingles are
     * joined back to verify exact Jaccard only for the deduped candidate
     * pairs. At 100 TB: one scan, one bucket-keyed shuffle whose width is
-    * set by banding, verification proportional to candidates. */
+    * set by banding, verification proportional to candidates.
+    *
+    * Hashing is min(md5("seed:" ++ shingle)) — k digests per shingle buys
+    * a pipeline every stage of which a second engine can recompute (the
+    * oracle hash-matches the pair output). A throughput-only deployment
+    * would swap in a seeded 64-bit mixer here; the plan shape is identical. */
   def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
     val withSig = d.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val toks = text.split(' ')
-        val shingles =
-          if (toks.length >= 3)
-            Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
-          else Array(text)
-        val sig = Array.tabulate(k) { s =>
-          var min = Long.MaxValue
-          var i = 0
-          while (i < shingles.length) {
-            val h = hash64(shingles(i), s); if (h < min) min = h; i += 1
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(' ').filter(_.nonEmpty)
+          val shingles =
+            if (toks.length >= 3)
+              Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+            else Array(text)
+          val sig = Array.tabulate(k) { s =>
+            var min: String = null
+            var i = 0
+            while (i < shingles.length) {
+              val h = md5Hex(md, s"${s + 1}:${shingles(i)}")
+              if (min == null || h.compareTo(min) < 0) min = h
+              i += 1
+            }
+            min
           }
-          min
+          // band bucket = concatenated minhashes of the band's rows; at
+          // 100 TB you'd hash this 64*rows-char string to a fixed 8-byte
+          // shuffle key — equality semantics are unchanged
+          val buckets = Array.tabulate(bands) { b =>
+            val sb = new java.lang.StringBuilder(32 * rowsPerBand)
+            var r = 0
+            while (r < rowsPerBand) { sb.append(sig(b * rowsPerBand + r)); r += 1 }
+            sb.toString
+          }
+          (id, shingles, buckets)
         }
-        val buckets = Array.tabulate(bands) { b =>
-          var acc = -3750763034362895579L // FNV-1a offset basis
-          var r = 0
-          while (r < rowsPerBand) { acc = (acc ^ sig(b * rowsPerBand + r)) * 1099511628211L; r += 1 }
-          acc
-        }
-        (id, shingles, buckets)
-      })
+      }
       .toDF("doc_id", "shingles", "buckets")
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
@@ -485,24 +567,58 @@ object TextOps {
             FROM documents ORDER BY doc_id"""),
   )
 
-  /** X2 SimHash near-dup: 64-bit signature (per-bit majority vote over
-    * token hashes, computed in a mapPartitions kernel), candidates from
-    * 4×16-bit band buckets (any pair within hamming distance 3 shares at
-    * least one band), verified by bit_count(xor) ≤ 3. Engine-specific
-    * hashing → no SQL oracle; SimHashSpec plants near-identical docs. */
+  /** X2 SimHash near-dup: 32-bit signature (per-bit majority vote over
+    * md5-derived token bits, computed in a mapPartitions kernel — the SAME
+    * construction as `simhash_signature`, so the two stay mutually
+    * consistent), candidates from 4×8-bit band buckets (any pair within
+    * hamming distance 3 shares at least one band by pigeonhole), verified
+    * by bit_count(xor) ≤ 3. md5 is engine-portable, so the whole pair
+    * output is oracle-recomputable; SimHashSpec additionally plants
+    * near-identical docs. */
   private val simhashDedup = QueryDef(
     "simhash_dedup",
     (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3),
-    None,
+    Some("""WITH tok AS (
+              SELECT doc_id, md5(t) AS h
+              FROM documents,
+              LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t) u
+            ), bits AS (
+              SELECT doc_id, b,
+                     strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1 AS d
+              FROM tok,
+              LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb
+            ), votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (d >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY doc_id, b
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+              FROM votes GROUP BY doc_id
+            ), cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+              FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255) AND a.doc_id < b.doc_id)
+            SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(s1, s2)) <= 3
+            ORDER BY id1, id2"""),
   )
 
   /** X2 oracle-checkable SimHash signature: the same per-bit majority-vote
-    * construction as the LSH pipeline, but the 32 bits per token come from
-    * md5 hex digits (the one hash BOTH engines implement identically), so
-    * DuckDB can recompute the exact signature — the hash-matched anchor
-    * for the engine-hash `simhash_dedup` variant (the minhash_signature
-    * pattern). Kept for the oracle only: the scale path is the JVM kernel
-    * in [[simhashPairs]] (no per-token-per-bit row explosion). */
+    * md5 construction [[simhashPairs]] uses in its JVM kernel, expressed
+    * declaratively — the per-document signature table a dedup run would
+    * materialize. The explode-per-bit formulation is the SQL-shaped
+    * anchor; the scale path is the kernel (no per-token-per-bit row
+    * explosion). */
   private val simhashSignature = QueryDef(
     "simhash_signature",
     (s, dir) => {
@@ -540,29 +656,41 @@ object TextOps {
             FROM votes GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  /** Shared SimHash pipeline (also used by SimHashSpec). */
+  /** Shared SimHash pipeline (also used by SimHashSpec). Signature bits come
+    * from md5 hex digits — bit b of a token is bit (b%4) of hex digit b/4 of
+    * md5(token) — exactly the `simhash_signature` construction, so DuckDB
+    * recomputes identical signatures and the oracle hash-matches the pairs. */
   def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     val sigs = d.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val votes = new Array[Int](64)
-        text.split(' ').foreach { tok =>
-          val h = hash64(tok, 7)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val votes = new Array[Int](32)
+          text.split(' ').foreach { tok =>
+            if (tok.nonEmpty) {
+              val h = md5Hex(md, tok)
+              var b = 0
+              while (b < 32) {
+                val d0 = Character.digit(h.charAt(b >> 2), 16)
+                if (((d0 >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+          }
+          var sig = 0L
           var b = 0
-          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+          while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
         }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig)
-      }).toDF("doc_id", "sig")
+      }.toDF("doc_id", "sig")
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*))
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(0xffL).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("a")

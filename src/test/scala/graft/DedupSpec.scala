@@ -42,6 +42,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), s"got $got")
   }
 
+  test("connected components converge on a 200-node path graph in log rounds") {
+    // diameter 199: plain min-label propagation needs ~199 rounds and would
+    // trip the 25-round cap; pointer jumping closes it in ~9
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = TextOps.connectedComponents(edges).collect()
+    assert(got.length == 200, s"expected 200 labeled nodes, got ${got.length}")
+    assert(got.forall(_.getLong(1) == 1L),
+      s"all labels must be the component min 1, got ${got.map(_.getLong(1)).distinct.mkString(",")}")
+  }
+
   test("connected components on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(TextOps.connectedComponents(edges).count() == 0)
