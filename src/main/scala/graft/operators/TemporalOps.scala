@@ -34,10 +34,16 @@ object TemporalOps {
     * union, carry payloads forward with `last(_, ignoreNulls = true)` over
     * (key ORDER BY time, tag) — right rows (tag 0) sort before left rows
     * (tag 1) at equal times. One hash shuffle on `key`, per-key ordering
-    * local to each partition, no candidate-pair explosion: the shape that
-    * survives a 1000-executor 100 TB join where a range-join formulation
-    * degenerates. Right side should be unique per (key, time) — ties
-    * within it are resolved by whichever sorts last, so pre-aggregate.
+    * local to each partition, no candidate-pair explosion — unlike a
+    * range-join formulation, which degenerates quadratically. Right side
+    * should be unique per (key, time) — ties within it are resolved by
+    * whichever sorts last, so pre-aggregate.
+    *
+    * SKEW CAVEAT: partitionBy(key) serializes each key on one reducer.
+    * Fine for user-keyed data; a key holding a large share of rows (null
+    * user, bot id) becomes a straggler at 100×. For that shape use
+    * [[asofJoinSkewSafe]] — identical semantics, (key, time-bucket)
+    * partitioning with a carry-in fix-up pass.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       payloads: Seq[String]): DataFrame = {
@@ -62,6 +68,105 @@ object TemporalOps {
         leftCols.filterNot(c => c == key || c == time).map(col).toList :::
         payloads.map(p =>
           last(col(p), ignoreNulls = true).over(w).as(p)).toList: _*)
+    carried.filter(col("__tag") === 1)
+      .drop("__tag")
+      .withColumnRenamed("__t", time)
+      .select(leftCols.map(col) ++ payloads.map(col): _*)
+  }
+
+  /** Quantile cut points over the union of both sides' time columns —
+    * the bucket boundaries for [[asofJoinSkewSafe]]. Monotone numeric
+    * image: dates → days, timestamps → micros, numerics → double. */
+  private[graft] def timeBuckets(left: DataFrame, right: DataFrame, time: String,
+      buckets: Int): Seq[Double] = {
+    val samples = left.select(timeNum(left, time).as("__tn"))
+      .unionAll(right.select(timeNum(right, time).as("__tn")))
+    samples.stat.approxQuantile("__tn",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted.toSeq
+  }
+
+  private[graft] def timeNum(df: DataFrame, time: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(time).dataType match {
+      case DateType => unix_date(col(time)).cast("double")
+      case _: TimestampType | _: TimestampNTZType =>
+        unix_micros(col(time).cast("timestamp")).cast("double")
+      case _ => col(time).cast("double")
+    }
+  }
+
+  /** Bucket index of `c` given sorted boundaries: count of bounds ≤ c —
+    * a codegen'd comparison chain (≤ buckets-1 compares per row), no
+    * interpreted HOF in the hot path. */
+  private[graft] def bucketExpr(bounds: Seq[Double], c: Column): Column =
+    bounds.map(b => when(c >= lit(b), 1).otherwise(0))
+      .reduceOption((a, b) => a + b).getOrElse(lit(0))
+
+  /** Skew-safe as-of join: same semantics as [[asofJoin]], but the carry
+    * window partitions on (key, time-bucket) instead of key alone, so a
+    * hot key (null user, bot id) spreads over `buckets` reducers instead
+    * of serializing on one. Two passes:
+    *
+    *  1. bucket both sides by global time quantiles (one cheap sketch
+    *     pass), window per (key, bucket) as usual;
+    *  2. fix up bucket boundaries: the last right row of every
+    *     (key, bucket) — a tiny table, ≤ occupied-buckets rows per key —
+    *     is carried forward across buckets with a window over that SMALL
+    *     table, then re-injected as a synthetic earliest row per bucket.
+    *
+    * Shuffle volume is unchanged (one pass over the union + one over the
+    * per-bucket digest); the max rows per reducer drops from
+    * max-key-count to ~max-key-count/buckets for a time-uniform hot key.
+    * (A hot key also CONCENTRATED in time would need per-key quantiles —
+    * same shape, boundaries keyed by key.) Quantile boundaries are data-
+    * dependent but the OUTPUT is boundary-invariant: every (key, bucket)
+    * sees exactly the rows of a contiguous time slice plus the true
+    * carry-in, so results are identical to [[asofJoin]] for any bucketing.
+    */
+  def asofJoinSkewSafe(left: DataFrame, right: DataFrame, key: String, time: String,
+      payloads: Seq[String], buckets: Int = 32): DataFrame = {
+    require(payloads.nonEmpty, "asofJoinSkewSafe: payloads must be non-empty")
+    val leftCols = left.columns.toSeq
+    val otherCols = leftCols.filterNot(c => c == key || c == time)
+    val rightSchema = right.schema
+    val bounds = timeBuckets(left, right, time, buckets)
+
+    val l = left.withColumn("__tag", lit(1))
+      .select(col(key) :: col(time).as("__t") :: timeNum(left, time).as("__tn") :: col("__tag") ::
+        otherCols.map(col).toList :::
+        payloads.map(p => lit(null).cast(rightSchema(p).dataType).as(p)).toList: _*)
+    val r = right.withColumn("__tag", lit(0))
+      .select(col(key) :: col(time).as("__t") :: timeNum(right, time).as("__tn") :: col("__tag") ::
+        otherCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)).toList :::
+        payloads.map(col).toList: _*)
+    val u = l.unionByName(r).withColumn("__bn", bucketExpr(bounds, col("__tn")))
+
+    // last right row per (key, bucket) — payloads travel as ONE struct so
+    // the carry-in is always a consistent single right row
+    val rlast = u.filter(col("__tag") === 0)
+      .groupBy(col(key), col("__bn"))
+      .agg(max_by(struct(payloads.map(col): _*), col("__tn")).as("__lastp"))
+    val occ = u.select(col(key), col("__bn")).distinct()
+    val wCarry = Window.partitionBy(key).orderBy(col("__bn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryRows = occ.join(rlast, Seq(key, "__bn"), "left")
+      .withColumn("__carry", last(col("__lastp"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(col(key) :: lit(null).cast(left.schema(time).dataType).as("__t") ::
+        lit(null).cast("double").as("__tn") :: lit(-1).as("__tag") ::
+        otherCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)).toList :::
+        payloads.map(p => col("__carry").getField(p).as(p)).toList :::
+        List(col("__bn")): _*)
+
+    // synthetic carry rows have __t null → sort first in their bucket
+    val w = Window.partitionBy(col(key), col("__bn"))
+      .orderBy(col("__t").asc_nulls_first, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.unionByName(carryRows)
+      .select(col(key) :: col("__t") :: col("__tag") ::
+        otherCols.map(col).toList :::
+        payloads.map(p => last(col(p), ignoreNulls = true).over(w).as(p)).toList: _*)
     carried.filter(col("__tag") === 1)
       .drop("__tag")
       .withColumnRenamed("__t", time)
@@ -121,6 +226,40 @@ object TemporalOps {
         .select(col("user_id"), col("day"), col("rev"),
           col("day").as("last_order_day"))
       asofJoin(ev, rates, "user_id", "day", Seq("rev", "last_order_day"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          col("last_order_day"),
+          round(col("rev").cast("double"), 2).as("last_rev"))
+        .orderBy("event_id")
+    },
+    Some("""WITH rates AS (
+              SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+              FROM orders GROUP BY 1, 2),
+            ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day FROM events)
+            SELECT e.event_id, e.user_id, e.day,
+                   r.day AS last_order_day,
+                   round(CAST(r.rev AS DOUBLE), 2) AS last_rev
+            FROM ev e ASOF LEFT JOIN rates r
+              ON e.user_id = r.user_id AND e.day >= r.day
+            ORDER BY e.event_id"""),
+  )
+
+  /** The same as-of query through the SKEW-SAFE two-pass path — oracle is
+    * the identical DuckDB ASOF JOIN, proving the bucketed formulation is
+    * output-equivalent to the single-window one at fixture scale (the
+    * TemporalOpsSpec skew case proves the reducer-spread property). */
+  private val asofJoinSkewQ = QueryDef(
+    "asof_join_skew",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("day"))
+      val rates = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 2))).as("rev"))
+        .select(col("user_id"), col("day"), col("rev"),
+          col("day").as("last_order_day"))
+      asofJoinSkewSafe(ev, rates, "user_id", "day", Seq("rev", "last_order_day"), buckets = 8)
         .select(col("event_id"), col("user_id"), col("day"),
           col("last_order_day"),
           round(col("rev").cast("double"), 2).as("last_rev"))
@@ -208,5 +347,5 @@ object TemporalOps {
             FROM sess GROUP BY user_id ORDER BY user_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(asofJoinQ, rangeJoinBandsQ, sessionizeQ)
+  val defs: Seq[QueryDef] = Seq(asofJoinQ, asofJoinSkewQ, rangeJoinBandsQ, sessionizeQ)
 }

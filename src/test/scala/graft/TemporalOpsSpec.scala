@@ -34,6 +34,51 @@ class TemporalOpsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected window:\n$plan")
   }
 
+  test("asofJoinSkewSafe matches asofJoin on data where one key holds 50% of rows") {
+    // hot key 1 owns half the left rows; keys 2..20 share the rest.
+    // right side: sparse rate changes per key.
+    val left = ((0 until 500).map(i => (1L, (i * 7 % 997).toLong, s"h$i")) ++
+      (0 until 500).map(i => ((2L + i % 19), (i * 13 % 997).toLong, s"c$i"))).toDF("k", "t", "tag")
+    val right = (for (k <- 1L to 20L; j <- 0 until 10)
+      yield (k, (j * 100).toLong, k * 1000.0 + j)).toDF("k", "t", "price")
+    val plain = TemporalOps.asofJoin(left, right, "k", "t", Seq("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted
+    val skewSafe = TemporalOps.asofJoinSkewSafe(left, right, "k", "t", Seq("price"), buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted
+    assert(skewSafe.length == 1000, s"row count ${skewSafe.length}")
+    assert(plain.toSeq == skewSafe.toSeq, "skew-safe output diverged from single-window asof")
+  }
+
+  test("asofJoinSkewSafe spreads a hot key over time buckets (no single-reducer blowup)") {
+    // the window's shuffle key is (k, bucket): recompute the per-group sizes
+    // the skew-safe plan shuffles on and assert the hot key's 50% share is
+    // split into near-even slices instead of one 500-row partition
+    val left = ((0 until 500).map(i => (1L, (i * 7 % 997).toLong, s"h$i")) ++
+      (0 until 500).map(i => ((2L + i % 19), (i * 13 % 997).toLong, s"c$i"))).toDF("k", "t", "tag")
+    val right = (for (k <- 1L to 20L; j <- 0 until 10)
+      yield (k, (j * 100).toLong, k * 1000.0 + j)).toDF("k", "t", "price")
+    val bounds = TemporalOps.timeBuckets(left, right, "t", 8)
+    val groups = left.select(col("k"), TemporalOps.bucketExpr(bounds, TemporalOps.timeNum(left, "t")).as("bn"))
+      .groupBy("k", "bn").count().collect()
+    val hot = groups.filter(_.getLong(0) == 1L).map(_.getLong(2))
+    assert(hot.length >= 6, s"hot key occupies only ${hot.length} buckets")
+    assert(hot.max <= 150, s"largest hot-key slice ${hot.max} rows — bucketing failed to spread the key")
+  }
+
+  test("asofJoinSkewSafe carries the last right row across empty buckets") {
+    // all right rows land in the earliest bucket; left rows in later
+    // buckets must still see the carry-in (t=5 → price 50)
+    val left = Seq((1L, 100L, "a"), (1L, 900L, "b"), (2L, 900L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 1L, 10.0), (1L, 5L, 50.0)).toDF("k", "t", "price")
+    val got = TemporalOps.asofJoinSkewSafe(left, right, "k", "t", Seq("price"), buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some(50.0)),
+      (1L, 900L, Some(50.0)),
+      (2L, 900L, None),
+    ), s"got $got")
+  }
+
   test("bandJoin classifies half-open bands via broadcast equi-join") {
     val bandsDf = Seq(("low", 0, 50), ("high", 50, 100)).toDF("label", "lo", "hi")
     val fact = Seq(0.0, 49.999, 50.0, 99.9).toDF("value")
