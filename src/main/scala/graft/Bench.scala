@@ -85,19 +85,47 @@ object Bench {
     val canary = sorted.headOption.flatMap { case (name, fn) =>
       timeOnce(name, fn).map(name -> _) }
 
+    // perf probes, emitted as metrics (not ignored tests): raw parquet
+    // write cost, and the codegen-expression vs interpreted-HOF fingerprint
+    // times — the regression canaries for write-path overhead and for hot
+    // loops accidentally falling out of codegen
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    def probeOnce(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val probes: Seq[(String, Double)] =
+      try {
+        val o = Tables.orders(spark, sfDir)
+        val base = java.nio.file.Files.createTempDirectory("bench_probe").toString
+        val rawWrite = probeOnce(o.write.parquet(base + "/w"))
+        graft.functions.RollingFingerprint.register(spark)
+        val d = Tables.documents(spark, sfDir)
+        val fpCodegen = probeOnce(d.select(
+          graft.functions.RollingFingerprint.rollingFingerprint(col("text")).as("fp"))
+          .agg(fsum("fp")).collect())
+        val fpHof = probeOnce(d.select(expr(
+          """aggregate(transform(split(text, ''), ch -> ascii(ch)),
+                       0L, (h, c) -> (h * 31 + c) % 1000000000000000)""").as("fp"))
+          .agg(fsum("fp")).collect())
+        Seq("raw_write" -> rawWrite, "fp_codegen" -> fpCodegen, "fp_hof" -> fpHof)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] probes failed: ${e.getMessage}"); Seq.empty
+      }
+
     def r3(v: Double): String = f"$v%.3f"
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
+    val probeJson = if (probes.isEmpty) "" else s""","probes":${qmap(probes)}"""
     val head = results.filter { case (k, _) => headline.contains(k) }
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can$probeJson,"sf":"$sfDir"}"""
     // the ONE parseable line, printed LAST: headline subset keeps it inside
     // the driver's 2000-char tail window
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can$probeJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file mirror: ${e.getMessage}") }
     println(fullLine)

@@ -48,17 +48,62 @@ final class HadoopCommitStore(f: FileSystem) extends CommitStore {
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
-  override def createExclusive(p: Path, content: String): Unit = {
-    val out = f.create(p, /* overwrite = */ false)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-  override def replace(p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p)) sys.error(s"atomic rename to $p failed")
-  }
+  // create(overwrite = false) is NOT atomic on the local filesystem — it
+  // is an exists() check followed by an open, so two racing writers can
+  // BOTH pass the check and interleave writes into the same version file:
+  // a silent double-claim of one version (= a lost commit) plus corrupt
+  // JSON. ConcurrencyStressSpec reproduces it in ~50 racing schedules.
+  // posix O_CREAT|O_EXCL (nio CREATE_NEW) is the real create-if-absent;
+  // HDFS-class filesystems keep f.create(false), which IS atomic there
+  // (single-writer lease from the namenode).
+  override def createExclusive(p: Path, content: String): Unit =
+    if (f.getUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      try {
+        java.nio.file.Files.write(target, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+      }
+    } else {
+      val out = f.create(p, /* overwrite = */ false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  // The obvious FileSystem-API spelling — delete(p) then rename(tmp, p) —
+  // leaves a window where p does not exist, and a reader racing the hint
+  // swap throws FileNotFoundException; ConcurrencyStressSpec reproduces
+  // this within ~50 randomized racing schedules. A true atomic replace
+  // needs scheme-specific handling:
+  //   - local fs: java.nio ATOMIC_MOVE (posix rename). The Hadoop local
+  //     fs is additionally a ChecksumFileSystem, so any stale .crc
+  //     sidecar must go or readers validate fresh content against an old
+  //     checksum (nio-written files have no sidecar, so after the first
+  //     replace there is none to race on);
+  //   - HDFS-class schemes: FileContext.rename(OVERWRITE) is atomic
+  //     there (unlike on RawLocalFs, where it degrades to delete+rename).
+  private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+  override def replace(p: Path, content: String): Unit =
+    if (f.getUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      val crc = target.resolveSibling("." + p.getName + ".crc")
+      val tmp = target.resolveSibling(s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(crc)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   override def exists(p: Path): Boolean = f.exists(p)
   override def modificationTime(p: Path): Long = f.getFileStatus(p).getModificationTime
   override def delete(p: Path): Unit = { f.delete(p, false); () }

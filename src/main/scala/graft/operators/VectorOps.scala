@@ -68,19 +68,22 @@ object VectorOps {
     * the 5 nearest corpus vectors by scaled dot product. (Fixture vectors
     * are ~unit-norm, so dot ≈ cosine; the scaled-int trick keeps ranking
     * deterministic.) */
+  /** Exact brute-force top-k (query side broadcast, corpus scanned once) —
+    * the baseline and the ANN variants' ground truth. */
+  def bruteTopk(e: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    graft.functions.DotScaled.register(e.sparkSession)
+    val q = broadcast(
+      e.filter(probeFilter).select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        dotScaled(col("qe"), col("embedding")).as("score"))
+    topKPerKey(scored, k)
+  }
+
   private val cosineTopk = QueryDef(
     "cosine_topk",
-    (s, dir) => {
-      graft.functions.DotScaled.register(s)
-      val e = emb(s, dir)
-      val q = broadcast(
-        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe")))
-      val scored = e.crossJoin(q)
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("neighbor_id"),
-          dotScaled(col("qe"), col("embedding")).as("score"))
-      topKPerKey(scored, 5).orderBy("qid", "rn")
-    },
+    (s, dir) => bruteTopk(emb(s, dir), col("vec_id") < 10, 5).orderBy("qid", "rn"),
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),
             s AS (SELECT qid, e.vec_id AS neighbor_id,
@@ -133,30 +136,38 @@ object VectorOps {
     * are uniform random (no cluster structure), so recall is modest by
     * construction; AnnSpec checks it against brute force. No SQL oracle
     * (cell assignment is engine-side); driver records rows-only. */
+  /** Reusable IVF ANN: deterministic codebook (vec_id % codebookMod == 0)
+    * broadcast, one narrow assignment kernel, broadcast probe join against
+    * probed cells only. Shared by the QueryDef and AnnSpec's planted-
+    * cluster recall fixtures. */
+  def ivfTopk(e: DataFrame, probeFilter: Column, k: Int, nprobe: Int,
+      codebookMod: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.DotScaled.register(s)
+    import s.implicits._
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") % codebookMod === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val bc = s.sparkContext.broadcast(cents)
+    def topCells(v: Array[Float], n: Int): Seq[Long] =
+      bc.value.map { case (cid, c) => (cid, dotScaledJvm(c, v)) }
+        .sortBy { case (cid, sc) => (-sc, cid) }.take(n).map(_._1).toSeq
+    val assigned = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, topCells(v, 1).head, v) })
+      .toDF("neighbor_id", "cell", "emb")
+    val probes = e.filter(probeFilter)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .flatMap { case (qid, qv) => topCells(qv, nprobe).map(c => (qid, c, qv)) }
+    val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "cell", "qe"))
+    val scored = assigned.join(probeDf, "cell")
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
+    topKPerKey(scored, k)
+  }
+
   private val annIvfTopk = QueryDef(
     "ann_ivf_topk",
-    (s, dir) => {
-      graft.functions.DotScaled.register(s)
-      import s.implicits._
-      val e = emb(s, dir)
-      val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") % 200 === 0)
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      val bc = s.sparkContext.broadcast(cents)
-      def topCells(v: Array[Float], n: Int): Seq[Long] =
-        bc.value.map { case (cid, c) => (cid, dotScaledJvm(c, v)) }
-          .sortBy { case (cid, sc) => (-sc, cid) }.take(n).map(_._1).toSeq
-      val assigned = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .mapPartitions(_.map { case (id, v) => (id, topCells(v, 1).head, v) })
-        .toDF("neighbor_id", "cell", "emb")
-      val probes = e.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-        .flatMap { case (qid, qv) => topCells(qv, 4).map(c => (qid, c, qv)) }
-      val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "cell", "qe"))
-      val scored = assigned.join(probeDf, "cell")
-        .filter(col("neighbor_id") =!= col("qid"))
-        .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
-      topKPerKey(scored, 3).orderBy("qid", "rn")
-    },
+    (s, dir) => ivfTopk(emb(s, dir), col("vec_id") < 10, k = 3, nprobe = 4,
+      codebookMod = 200).orderBy("qid", "rn"),
     None,
   )
 
@@ -172,47 +183,52 @@ object VectorOps {
     * instead of N. Fixture vectors are uniform random (worst case for any
     * ANN); AnnSpec checks recall against brute force. No SQL oracle
     * (hyperplane bank is engine-side); driver records rows-only. */
+  /** Reusable random-hyperplane LSH ANN (fixed-seed plane bank). Shared by
+    * the QueryDef and AnnSpec's planted-cluster recall fixtures. */
+  def lshTopk(e: DataFrame, probeFilter: Column, k: Int, tables: Int,
+      bits: Int, dim: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.DotScaled.register(s)
+    import s.implicits._
+    val rnd = new java.util.Random(42) // fixed seed: same bank everywhere
+    val planes: Array[Array[Float]] =
+      Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val bc = s.sparkContext.broadcast(planes)
+    def codes(v: Array[Float]): Array[Int] = {
+      val ps = bc.value
+      Array.tabulate(tables) { t =>
+        var code = 0; var b = 0
+        while (b < bits) {
+          val p = ps(t * bits + b)
+          var acc = 0.0; var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { acc += p(i) * v(i); i += 1 }
+          if (acc > 0) code |= (1 << b)
+          b += 1
+        }
+        code
+      }
+    }
+    val bucketed = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        codes(v).zipWithIndex.map { case (c, t) => (id, t, c, v) } })
+      .toDF("neighbor_id", "tbl", "code", "emb")
+    val probes = e.filter(probeFilter)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .flatMap { case (qid, qv) =>
+        codes(qv).zipWithIndex.map { case (c, t) => (qid, t, c, qv) } }
+    val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "tbl", "code", "qe"))
+    val scored = bucketed.join(probeDf, Seq("tbl", "code"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .dropDuplicates("qid", "neighbor_id") // a pair may collide in several tables
+      .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
+    topKPerKey(scored, k)
+  }
+
   private val annLshTopk = QueryDef(
     "ann_lsh_topk",
-    (s, dir) => {
-      graft.functions.DotScaled.register(s)
-      import s.implicits._
-      val e = emb(s, dir)
-      val tables = 16; val bits = 6; val dim = 64
-      val rnd = new java.util.Random(42) // fixed seed: same bank everywhere
-      val planes: Array[Array[Float]] =
-        Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-      val bc = s.sparkContext.broadcast(planes)
-      def codes(v: Array[Float]): Array[Int] = {
-        val ps = bc.value
-        Array.tabulate(tables) { t =>
-          var code = 0; var b = 0
-          while (b < bits) {
-            val p = ps(t * bits + b)
-            var acc = 0.0; var i = 0
-            val n = math.min(p.length, v.length)
-            while (i < n) { acc += p(i) * v(i); i += 1 }
-            if (acc > 0) code |= (1 << b)
-            b += 1
-          }
-          code
-        }
-      }
-      val bucketed = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .mapPartitions(_.flatMap { case (id, v) =>
-          codes(v).zipWithIndex.map { case (c, t) => (id, t, c, v) } })
-        .toDF("neighbor_id", "tbl", "code", "emb")
-      val probes = e.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-        .flatMap { case (qid, qv) =>
-          codes(qv).zipWithIndex.map { case (c, t) => (qid, t, c, qv) } }
-      val probeDf = broadcast(s.createDataset(probes.toSeq).toDF("qid", "tbl", "code", "qe"))
-      val scored = bucketed.join(probeDf, Seq("tbl", "code"))
-        .filter(col("neighbor_id") =!= col("qid"))
-        .dropDuplicates("qid", "neighbor_id") // a pair may collide in several tables
-        .select(col("qid"), col("neighbor_id"), dotScaled(col("qe"), col("emb")).as("score"))
-      topKPerKey(scored, 3).orderBy("qid", "rn")
-    },
+    (s, dir) => lshTopk(emb(s, dir), col("vec_id") < 10, k = 3, tables = 16,
+      bits = 6, dim = 64).orderBy("qid", "rn"),
     None,
   )
 

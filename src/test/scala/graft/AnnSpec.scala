@@ -1,9 +1,18 @@
 package graft
 
-/** IVF ANN returns a subset of the brute-force candidates with decent
-  * recall on the fixture data (SURVEY.md §2.12 X3 scale path).
+import graft.operators.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN quality: (a) on the uniform-random fixture vectors (worst case for
+  * any ANN index — no cluster structure to exploit) the IVF/LSH variants
+  * keep modest recall vs brute force; (b) on PLANTED gaussian clusters —
+  * the shape real embedding corpora have — the same knobs reach ≥ 0.9
+  * recall, proving the index prunes without losing true neighbors
+  * (SURVEY.md §2.12 X3 scale path).
   */
 class AnnSpec extends SparkSpec {
+  import spark.implicits._
 
   private def recallOf(name: String): Double = {
     val brute = Registry.queries("cosine_topk")(spark, sf)
@@ -15,13 +24,54 @@ class AnnSpec extends SparkSpec {
     brute.count(approx.contains).toDouble / brute.size
   }
 
-  test("ann_ivf_topk recall@3 vs brute force >= 0.5") {
+  test("ann_ivf_topk recall@3 vs brute force >= 0.5 on uniform fixtures") {
     val recall = recallOf("ann_ivf_topk")
     assert(recall >= 0.5, s"recall $recall")
   }
 
-  test("ann_lsh_topk recall@3 vs brute force >= 0.5") {
+  test("ann_lsh_topk recall@3 vs brute force >= 0.5 on uniform fixtures") {
     val recall = recallOf("ann_lsh_topk")
     assert(recall >= 0.5, s"recall $recall")
+  }
+
+  /** 5 gaussian clusters of 100 unit vectors; ids are laid out so that
+    * vec_id % 200 == 0 picks exactly the cluster centers (the IVF
+    * codebook rule), and probes vec_id % 200 < 2 draw two queries from
+    * EVERY cluster. */
+  private def plantedClusters(dim: Int = 32, sigma: Float = 0.05f): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(5)(normalize(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val rows = for (c <- 0 until 5; i <- 0 until 100) yield {
+      val v = if (i == 0) centers(c)
+      else normalize(centers(c).map(x => x + sigma * rnd.nextGaussian().toFloat))
+      (c * 200L + i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def clusteredRecall(approx: DataFrame, e: DataFrame): Double = {
+    val brute = VectorOps.bruteTopk(e, col("vec_id") % 200 < 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 30, s"expected 10 probes x 3, got ${brute.size}")
+    brute.count(got.contains).toDouble / brute.size
+  }
+
+  test("IVF recall@3 >= 0.9 on planted clusters at nprobe=2") {
+    val e = plantedClusters()
+    val recall = clusteredRecall(
+      VectorOps.ivfTopk(e, col("vec_id") % 200 < 2, k = 3, nprobe = 2, codebookMod = 200), e)
+    assert(recall >= 0.9, s"IVF clustered recall $recall < 0.9")
+  }
+
+  test("LSH recall@3 >= 0.9 on planted clusters at 8 tables x 4 bits") {
+    val e = plantedClusters()
+    val recall = clusteredRecall(
+      VectorOps.lshTopk(e, col("vec_id") % 200 < 2, k = 3, tables = 8, bits = 4, dim = 32), e)
+    assert(recall >= 0.9, s"LSH clustered recall $recall < 0.9")
   }
 }

@@ -29,6 +29,27 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
+  test("Explain helper: golden formatted plan for pushdown_count") {
+    val txt = graft.tools.Explain.explain("pushdown_count", spark, sf)
+    assert(txt.contains("PushedFilters") && txt.contains("EqualTo(user_id,42)"),
+      s"formatted plan lost the pushed filter:\n$txt")
+    // the only exchange a global count needs is the SinglePartition gather
+    // for the final aggregate — a wide hash shuffle would mean the plan
+    // degenerated
+    assert(!txt.contains("Exchange hashpartitioning"),
+      s"unexpected wide shuffle in a pushed-down count:\n$txt")
+    // (whole-stage codegen is asserted on the EXECUTED plan in the
+    // pricing_summary test — AQE's formatted pre-execution plan does not
+    // carry codegen annotations)
+  }
+
+  test("Explain helper rejects unknown query names with the available list") {
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.Explain.explain("no_such_query", spark, sf)
+    }
+    assert(e.getMessage.contains("pushdown_count"))
+  }
+
   test("pk_lookup pushes the key equality (row-group skipping eligible)") {
     val plan = planOf("pk_lookup")
     assert(plan.contains("EqualTo(o_orderkey,500)"), s"no pushed key filter:\n$plan")
