@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pipeline operators over `documents` (SURVEY.md §2.12 —
+  * driver-mandated LLM-training-data extensions, round 6 additions).
+  *
+  * These four are the curation steps that sit BETWEEN the per-doc scoring
+  * in [[TextOps]] and the model: benchmark decontamination, repetition
+  * gating, sequence packing, and domain mixing. Scale design per op:
+  *
+  *  - `decontaminate_ngrams`: train-side n-grams are a narrow map; the
+  *    benchmark n-gram set is tiny by construction (eval sets are MBs, not
+  *    TBs), so the membership probe is a BROADCAST semi-join — the 100 TB
+  *    train side never shuffles.
+  *  - `repetition_signals`: zero-shuffle. Top-term frequency is computed
+  *    inside one whole-stage-codegen span with `array_sort` + `aggregate`
+  *    (max run length of a sorted array) — no explode, no groupBy, so a
+  *    100 TB corpus needs exactly one scan and no exchange before the
+  *    final order-by.
+  *  - `sequence_pack` / `domain_budget_sample`: windows partitioned by
+  *    `source` — parallel across domains. A single giant domain would make
+  *    one reducer hot; the fix is the same two-pass prefix-sum used by
+  *    [[TemporalOps.asofJoinSkewSafe]] (bucket by time/hash, carry bucket
+  *    totals forward), which these docs point at rather than duplicating.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  private val B = 512L // sequence-pack token budget
+  private val MixBudget = 600L // per-domain token budget
+
+  /** Word n-grams of `text` as an array column; empty array below n words. */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag training docs that share any word
+    * 5-gram with the benchmark/eval split (here: `source = 'src0'` stands
+    * in for the eval set). The standard contamination check (GPT-3 §C,
+    * Gopher §A.8 use 8–13-gram overlap; 5 fits this fixture's doc length).
+    * Output: contaminated train docs with their distinct-overlapping-gram
+    * count — the downstream pipeline drops or audits these. */
+  private val decontaminateNgrams = QueryDef(
+    "decontaminate_ngrams",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(wordNgrams(col("text"), 5)).as("g"))
+      val bench = grams.filter(col("source") === "src0").select("g").distinct()
+      grams
+        .filter(col("source") =!= "src0")
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_hits"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+            SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+            FROM grams g JOIN bench b ON g.g = b.g
+            WHERE g.source <> 'src0'
+            GROUP BY 1 ORDER BY doc_id"""),
+  )
+
+  /** Longest run length in a sorted string array — i.e. the max frequency
+    * of any element — computed entirely inside codegen (no explode/shuffle).
+    * The empty-string seed never collides: split() tokens are non-empty. */
+  private def maxFreq(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A.1.1): fraction of
+    * tokens taken by the single most frequent word, and by the most
+    * frequent word-bigram. High values mark boilerplate/spam for the
+    * quality gate. Zero-shuffle: both maxima come from `array_sort` +
+    * `aggregate` over per-row arrays, not an explode + groupBy. */
+  private val repetitionSignals = QueryDef(
+    "repetition_signals",
+    (s, dir) => {
+      val w = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(0), size(w) - 2),
+        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2)))
+      val nTok = size(w).cast("long")
+      docs(s, dir)
+        .filter(size(w) >= 2)
+        .select(
+          col("doc_id"),
+          round(maxFreq(w).cast("double") / nTok.cast("double"), 4).as("top_word_frac"),
+          round(maxFreq(bigrams).cast("double") / (nTok - 1L).cast("double"), 4)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+                          WHERE len(string_split(text,' ')) >= 2),
+            words AS (SELECT doc_id, unnest(w) AS tok, len(w) AS nt FROM toks),
+            wc AS (SELECT doc_id, tok, max(nt) nt, count(*) c FROM words GROUP BY 1,2),
+            wmax AS (SELECT doc_id, max(c) mc, max(nt) nt FROM wc GROUP BY 1),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS big,
+                          len(w)-1 AS nb FROM toks),
+            bc AS (SELECT doc_id, big, max(nb) nb, count(*) c FROM bg GROUP BY 1,2),
+            bmax AS (SELECT doc_id, max(c) mbc, max(nb) nb FROM bc GROUP BY 1)
+            SELECT w.doc_id, round(CAST(mc AS DOUBLE)/nt, 4) AS top_word_frac,
+                   round(CAST(mbc AS DOUBLE)/b.nb, 4) AS top_bigram_frac
+            FROM wmax w JOIN bmax b ON w.doc_id = b.doc_id ORDER BY w.doc_id"""),
+  )
+
+  /** Sequence packing: assign docs (in doc_id order, per source) to fixed
+    * token-budget training sequences by start offset in the concatenated
+    * token stream — the "concat then chunk every B tokens" packing every
+    * pretraining loader does. Output is per-sequence accounting. The
+    * prefix sum is a per-source window; see the object doc for the
+    * two-pass shape a single mega-domain needs. */
+  private val sequencePack = QueryDef(
+    "sequence_pack",
+    (s, dir) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val win = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(win))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / lit(B.toDouble)).cast("long"))
+        .groupBy("source", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+            SELECT source, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $B.0) AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+            FROM c GROUP BY 1,2 ORDER BY source, seq_id"""),
+  )
+
+  /** Domain mixing under a token budget: per source, keep documents in
+    * deterministic md5 order until the domain's cumulative token count
+    * reaches the budget — the reproducible version of "sample X tokens
+    * per domain" (reshard-stable like `deterministic_sample`: membership
+    * is a pure function of doc_id, never of partitioning or rand()). */
+  private val domainBudgetSample = QueryDef(
+    "domain_budget_sample",
+    (s, dir) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+      val win = Window.partitionBy("source").orderBy("h", "doc_id")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+        .withColumn("cum", sum(col("n_tokens")).over(win))
+        .filter(col("cum") <= MixBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM t)
+            SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+            FROM c WHERE cum <= $MixBudget GROUP BY 1 ORDER BY source"""),
+  )
+
+  def defs: Seq[QueryDef] =
+    Seq(decontaminateNgrams, repetitionSignals, sequencePack, domainBudgetSample)
+}

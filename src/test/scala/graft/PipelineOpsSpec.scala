@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Value-level checks for the round-6 curation pipeline operators
+  * (operators/PipelineOps.scala). Expected values were computed
+  * independently with DuckDB on sf0.001 — the same engine the driver's
+  * oracle gate uses, so these pin the semantics between driver runs.
+  */
+class PipelineOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def run(name: String) = Registry.queries(name)(spark, sf)
+
+  test("decontaminate_ngrams finds the planted overlaps and excludes the benchmark source") {
+    val rows = run("decontaminate_ngrams").collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // DuckDB at sf0.001: 6 contaminated docs; spot-pin three of them
+    assert(rows.length === 6)
+    assert(byDoc(8) === 72L)
+    assert(byDoc(50) === 18L)
+    assert(byDoc(391) === 86L)
+    // benchmark docs (source=src0) are never in the output
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => srcOf(r.getLong(0)) != "src0"))
+  }
+
+  test("decontaminate_ngrams probes the benchmark set with a broadcast join") {
+    val plan = run("decontaminate_ngrams").queryExecution.executedPlan
+    val hasBcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.toLowerCase.contains("broadcast") => p
+    }.nonEmpty
+    assert(hasBcast, "train-side n-grams must never shuffle for the membership probe")
+  }
+
+  test("repetition_signals matches DuckDB and needs no shuffle before the sort") {
+    val df = run("repetition_signals")
+    val first = df.collect().head
+    assert(first === Row(0L, 0.1304, 0.0909))
+    // zero-shuffle claim: the only Exchange in the plan is the final
+    // range partitioning for ORDER BY, never a hash partitioning
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(
+      _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"unexpected hash exchange: ${exchanges.map(_.outputPartitioning)}")
+  }
+
+  test("repetition_signals maxFreq agrees with an explode-groupBy recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val viaOp = run("repetition_signals").filter($"doc_id" < 50)
+      .select($"doc_id", $"top_word_frac").as[(Long, Double)].collect().toMap
+    val recount = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("mx"), sum("count").as("nt"))
+      .select($"doc_id", round($"mx".cast("double") / $"nt".cast("double"), 4))
+      .as[(Long, Double)].collect().toMap
+    assert(viaOp === recount)
+  }
+
+  test("sequence_pack fills sequences to the budget without overlap") {
+    val rows = run("sequence_pack").collect()
+    val src0 = rows.filter(_.getString(0) == "src0")
+    assert(src0.head === Row("src0", 0L, 10L, 527L, 0L, 180L))
+    // doc ranges of consecutive sequences within a source never overlap
+    rows.groupBy(_.getString(0)).foreach { case (_, seqs) =>
+      val sorted = seqs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _           =>
+      }
+    }
+  }
+
+  test("domain_budget_sample respects the per-domain token budget") {
+    val rows = run("domain_budget_sample").collect()
+    val bySrc = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("src0") === ((8L, 509L)))
+    assert(rows.forall(_.getLong(2) <= 600L))
+  }
+}
