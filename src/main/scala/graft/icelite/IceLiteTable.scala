@@ -141,6 +141,19 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def nextSnapshotId(m: TableMetadata): Long =
     m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
 
+  /** Next data sequence number: one past the highest stamped on any file
+    * in the snapshot log (0 = legacy). Derived, not stored — rollback and
+    * expire can never desync it. Commit paths that may REBASE (append,
+    * upsert) must re-stamp from the rebased metadata inside the retry
+    * lambda; ties that slip through a race are conservative (an equality
+    * delete applies only to strictly-lower seqs, so a tied row survives —
+    * the same outcome Iceberg's commit-ordered assignment gives the
+    * later-committing writer). */
+  private def nextSeq(m: TableMetadata): Long =
+    m.snapshots.iterator.flatMap(s =>
+      s.dataFiles.iterator.map(_.seq) ++ s.deleteFiles.iterator.map(_.seq))
+      .maxOption.getOrElse(0L) + 1
+
   private def newSnapshot(
       m: TableMetadata, op: String,
       dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]): TableMetadata = {
@@ -248,7 +261,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
           .collect().toSeq
     f.delete(stagingDir, true)
-    out.filter(_.rows > 0)
+    // stamp the data sequence from the op's loaded metadata; rebasing
+    // commit paths re-stamp from the winner's state (see nextSeq)
+    out.filter(_.rows > 0).map(_.copy(seq = nextSeq(m)))
   }
 
   /** INSERT/append (README.md:1136–1138): new files + add-files snapshot.
@@ -262,8 +277,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // conflict just replays the snapshot build on the winner's state
     commitWithRetry { cur =>
       val snap = cur.currentSnapshot
+      val stamped = files.map(_.copy(seq = nextSeq(cur)))
       (newSnapshot(cur, "append",
-        snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
+        snap.map(_.dataFiles).getOrElse(Seq()) ++ stamped,
         snap.map(_.deleteFiles).getOrElse(Seq())),
         s"append ${files.map(_.rows).sum} rows")
     }
@@ -289,7 +305,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val snap = cur.currentSnapshot
         (newSnapshot(cur, "append",
-          snap.map(_.dataFiles).getOrElse(Seq()) ++ files,
+          snap.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = nextSeq(cur))),
           snap.map(_.deleteFiles).getOrElse(Seq()))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
@@ -299,6 +315,39 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       case _: IceLite.BatchReplayedException =>
         val f = fs(spark, location)
         files.foreach(df0 => f.delete(new Path(df0.path), false))
+        false
+    }
+  }
+
+  /** Idempotent streaming upsert via EQUALITY deletes: [[upsertEq]] with
+    * the same batch-id protocol as [[appendIfNewBatch]]. The CDC-sink
+    * shape for 100 TB tables — per-batch cost is O(batch), no target scan
+    * or rewrite (contrast [[mergeIfNewBatch]], which CoW-rewrites every
+    * matched file), and a restart-replayed batch is a clean no-op. */
+  def upsertEqIfNewBatch(batchId: Long, rows: DataFrame, keyCols: Seq[String]): Boolean = {
+    val key = "streaming.last-committed-batch-id"
+    val m = meta
+    if (m.properties.get(key).exists(_.toLong >= batchId)) return false
+    val fields = keyCols.map(m.currentSchema.fieldByName)
+    val files = writeFiles(alignToSchema(rows, m), m, m.currentSchemaId, m.defaultSpec)
+    val dels = writeEqDeleteFiles(rows.select(keyCols.map(col): _*), fields)
+    try {
+      commitWithRetry { cur =>
+        if (cur.properties.get(key).exists(_.toLong >= batchId))
+          throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
+        val cs = cur.currentSnapshot
+        val sq = nextSeq(cur)
+        (newSnapshot(cur, "overwrite",
+          cs.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = sq)),
+          cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = sq)))
+          .copy(properties = cur.properties + (key -> batchId.toString)),
+          s"upsert (eq) batch $batchId: ${files.map(_.rows).sum} rows")
+      }
+      true
+    } catch {
+      case _: IceLite.BatchReplayedException =>
+        val f = fs(spark, location)
+        (files.map(_.path) ++ dels.map(_.path)).foreach(p => f.delete(new Path(p), false))
         false
     }
   }
@@ -355,10 +404,32 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(lin ++ empty))
     }
-    val needLineage = lineage || snap.deleteFiles.nonEmpty
-    val grouped = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
-    val unioned = grouped.map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage) }
-      .reduce(_ unionAll _)
+    val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
+    val needLineage = lineage || posDels.nonEmpty
+    def scanBySchema(fs: Seq[DataFile]): DataFrame =
+      fs.groupBy(_.schemaId).toSeq.sortBy(_._1)
+        .map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage) }
+        .reduce(_ unionAll _)
+    // equality deletes: an eq delete at sequence S removes matching rows
+    // from data files with seq < S only — rows re-inserted AFTER the
+    // delete (higher seq) survive. Files are grouped by their applicable
+    // delete set (at most a handful of distinct sets: deletes are
+    // monotone in seq, so the groups form a staircase) and each group is
+    // anti-joined against the BROADCAST key set — eq delete files are
+    // key-only and small by construction (the content-addressed delete
+    // exists so delete cost is O(keys), never a scan), so the 100 TB data
+    // side again neither joins nor shuffles.
+    val unioned =
+      if (eqDels.isEmpty) scanBySchema(files)
+      else files
+        .groupBy(f => eqDels.filter(_.seq > f.seq).map(_.path).sorted)
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (paths, fs) =>
+          paths.foldLeft(scanBySchema(fs)) { (d, p) =>
+            antiJoinEqKeys(d, eqDels.find(_.path == p).get, m)
+          }
+        }
+        .reduce(_ unionAll _)
     // merge-on-read: positional deletes applied as a BROADCAST per-file
     // position filter inside the scan — the data side never joins or
     // shuffles (the scale-killer a global (_file,_pos) anti-join becomes at
@@ -375,16 +446,29 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // the arrays would be compressed bitmaps (Iceberg's puffin DVs) — same
     // shape — and compaction materializes deletes to keep them bounded.
     val afterDeletes =
-      if (snap.deleteFiles.isEmpty) unioned
+      if (posDels.isEmpty) unioned
       else {
         val bc = spark.sparkContext.broadcast(
-          DeleteIndex.build(snap.deleteFiles.map(_.path), spark))
+          DeleteIndex.build(posDels.map(_.path), spark))
         unioned.filter(org.apache.spark.sql.graft.SparkShims.columnOf(
           graft.functions.PositionLive(
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_pos"), bc)))
       }
     if (lineage) afterDeletes else afterDeletes.drop("_file", "_pos")
+  }
+
+  /** Anti-join `d` against one equality delete file's key set. Keys are
+    * stored under physical `f<id>` names — rename/type evolution after the
+    * delete can't break the match (field-id semantics, like data files).
+    * Join keys use standard equality: NULL keys never match (a NULL in an
+    * eq delete deletes nothing; a NULL-keyed data row is never deleted). */
+  private def antiJoinEqKeys(d: DataFrame, del: DeleteFile, m: TableMetadata): DataFrame = {
+    val fields = del.eqFieldIds.map(m.currentSchema.byId)
+    val keys = spark.read.parquet(del.path)
+      .select(fields.map(f => col(f.physName).cast(f.dtype).as(f.name)): _*)
+      .distinct()
+    d.join(broadcast(keys), fields.map(_.name), "left_anti")
   }
 
   /** Read the current snapshot (optionally manifest-pruned by partition
@@ -528,28 +612,44 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // data files — scan those as of prev, keep rows the new index marks dead
     val prevDel = prev.deleteFiles.map(d => normPath(d.path)).toSet
     val newDel = cur.deleteFiles.filterNot(d => prevDel(normPath(d.path)))
+    val (newEqDel, newPosDel) = newDel.partition(_.kind == "eq")
+    val common = cur.dataFiles.filter(f => prevSet(normPath(f.path)))
     val morDel =
-      if (newDel.isEmpty) None
+      if (newPosDel.isEmpty || common.isEmpty) None
       else {
-        val common = cur.dataFiles.filter(f => prevSet(normPath(f.path)))
-        if (common.isEmpty) None
-        else {
-          val visPrev = scanSnapshot(m, prev.copy(dataFiles = common),
-            lineage = true, _ => true)
-          val bc = spark.sparkContext.broadcast(
-            DeleteIndex.build(newDel.map(_.path), spark))
-          Some(visPrev.filter(!org.apache.spark.sql.graft.SparkShims.columnOf(
-            graft.functions.PositionLive(
-              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
-              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_pos"), bc)))
-            .drop("_file", "_pos"))
-        }
+        val visPrev = scanSnapshot(m, prev.copy(dataFiles = common),
+          lineage = true, _ => true)
+        val bc = spark.sparkContext.broadcast(
+          DeleteIndex.build(newPosDel.map(_.path), spark))
+        Some(visPrev.filter(!org.apache.spark.sql.graft.SparkShims.columnOf(
+          graft.functions.PositionLive(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_file"),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_pos"), bc)))
+          .drop("_file", "_pos"))
       }
+    // equality deletes added this step kill PREV-visible rows of carried
+    // files with a lower seq that match the key set. Visibility is "as of
+    // prev" (prev's own deletes still apply), so a row already dead before
+    // this step is not re-reported. If several eq deletes land in one step
+    // (only possible when intermediate snapshots were expired), a row
+    // matched by more than one is reported once per matching delete.
+    val eqDel = newEqDel.flatMap { d =>
+      val appl = common.filter(_.seq < d.seq)
+      if (appl.isEmpty) None
+      else {
+        val fields = d.eqFieldIds.map(m.currentSchema.byId)
+        val keys = spark.read.parquet(d.path)
+          .select(fields.map(f => col(f.physName).cast(f.dtype).as(f.name)): _*)
+          .distinct()
+        Some(scanSnapshot(m, prev.copy(dataFiles = appl), lineage = false, _ => true)
+          .join(broadcast(keys), fields.map(_.name), "left_semi"))
+      }
+    }
     def stamp(df: DataFrame, kind: String): DataFrame =
       df.select(names.map(col): _*)
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(cur.id))
-    (del.toSeq ++ morDel.toSeq).map(stamp(_, "delete")) ++
+    (del.toSeq ++ morDel.toSeq ++ eqDel).map(stamp(_, "delete")) ++
       ins.toSeq.map(stamp(_, "insert"))
   }
 
@@ -660,6 +760,83 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       case e: IceLite.ConcurrentRewriteException =>
         f.delete(out, true) // the positions are stale; never commit them
         throw e
+    }
+  }
+
+  /** Write one equality-delete key set under deletes/ (physical `f<id>`
+    * column names, distinct keys). Returns one manifest entry per written
+    * parquet part, seq left 0 — the COMMIT lambda stamps it. */
+  private def writeEqDeleteFiles(keys: DataFrame, fields: Seq[Field]): Seq[DeleteFile] = {
+    val phys = keys.distinct()
+      .select(fields.map(f => col(f.name).cast(f.dtype).as(f.physName)): _*)
+    val delDir = new Path(location, "deletes")
+    val f = fs(spark, location)
+    f.mkdirs(delDir)
+    val out = new Path(delDir, s"eq-${UUID.randomUUID()}")
+    // key sets are broadcast at read — they are small by contract, and one
+    // file keeps the read-side group count at one per delete commit
+    phys.coalesce(1).write.parquet(out.toString)
+    val it = f.listFiles(out, true)
+    val files = scala.collection.mutable.ArrayBuffer[DeleteFile]()
+    val conf = spark.sessionState.newHadoopConf()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val n = try r.getRecordCount finally r.close()
+        if (n > 0)
+          files += DeleteFile(st.getPath.toString, n, "eq", fields.map(_.id))
+      }
+    }
+    if (files.isEmpty) f.delete(out, true)
+    files.toSeq
+  }
+
+  /** Merge-on-read equality DELETE: drop every row whose key columns match
+    * a row of `keys` — WITHOUT scanning the table (contrast [[deleteMor]],
+    * which runs the predicate over the data to find positions). Cost is
+    * O(keys) at write; the read path anti-joins the broadcast key set
+    * against data files with a LOWER sequence number only, so rows
+    * re-inserted after the delete are untouched. This is the delete shape
+    * a high-rate CDC/streaming pipeline needs at 100 TB: delete latency
+    * independent of table size. Commits rebase freely: content-addressed
+    * deletes reference no file, so no ConcurrentRewrite check is needed. */
+  def deleteEq(keys: DataFrame): Unit = {
+    val m = meta
+    val fields = keys.columns.toSeq.map(m.currentSchema.fieldByName)
+    require(fields.nonEmpty, "equality delete needs at least one key column")
+    val dels = writeEqDeleteFiles(keys, fields)
+    if (dels.isEmpty) return
+    commitWithRetry { cur =>
+      val cs = cur.currentSnapshot.getOrElse(sys.error("cannot delete from an empty table"))
+      val s = nextSeq(cur)
+      (newSnapshot(cur, "delete", cs.dataFiles, cs.deleteFiles ++ dels.map(_.copy(seq = s))),
+        s"delete (eq) ${dels.map(_.rows).sum} keys on ${fields.map(_.name).mkString(",")}")
+    }
+  }
+
+  /** Streaming-style upsert: ONE commit that equality-deletes the source
+    * keys and appends the source rows. Delete and new files share a
+    * sequence number — the delete applies to strictly-older files only,
+    * never to the rows it rides with (Iceberg v2 upsert semantics, what
+    * Flink's upsert writer emits per checkpoint). No target scan, no
+    * join: upsert cost is O(source) regardless of table size — the MERGE
+    * alternative reads and rewrites every matched file. Source rows are
+    * appended as-is; a key appearing twice in `rows` lands twice (dedup
+    * upstream if the source is not key-unique). */
+  def upsertEq(rows: DataFrame, keyCols: Seq[String]): Unit = {
+    val m = meta
+    val fields = keyCols.map(m.currentSchema.fieldByName)
+    require(fields.nonEmpty, "upsert needs at least one key column")
+    val files = writeFiles(alignToSchema(rows, m), m, m.currentSchemaId, m.defaultSpec)
+    val dels = writeEqDeleteFiles(rows.select(keyCols.map(col): _*), fields)
+    commitWithRetry { cur =>
+      val cs = cur.currentSnapshot
+      val s = nextSeq(cur)
+      (newSnapshot(cur, "overwrite",
+        cs.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = s)),
+        cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = s))),
+        s"upsert (eq) ${files.map(_.rows).sum} rows on ${keyCols.mkString(",")}")
     }
   }
 
@@ -1104,7 +1281,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       require(ref.refType == "branch", s"$branch is a tag; tags are immutable")
       val head = cur.snapshot(ref.snapshotId)
       val snap = Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
-        "append", head.dataFiles ++ files, head.deleteFiles)
+        "append", head.dataFiles ++ files.map(_.copy(seq = nextSeq(cur))), head.deleteFiles)
       (cur.copy(snapshots = cur.snapshots :+ snap,
         refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),
         s"append ${files.map(_.rows).sum} rows to branch $branch")

@@ -43,14 +43,26 @@ final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
   * reference teaches at README.md:327–346). */
 final case class ColumnStats(min: String, max: String)
 
+/** `seq` is the data sequence number (Iceberg v2): the commit-ordered
+  * stamp deciding which equality deletes apply — an equality delete at
+  * sequence S removes matching rows only from data files with seq < S.
+  * 0 = pre-sequence legacy file (every delete applies). */
 final case class DataFile(
     path: String, rows: Long, schemaId: Int, specId: Int,
     partition: Map[String, String],
-    stats: Map[Int, ColumnStats] = Map())
+    stats: Map[Int, ColumnStats] = Map(),
+    seq: Long = 0)
 
-/** Positional delete file: parquet of (file_path STRING, pos BIGINT)
-  * pairs — the V3 deletion-vector mechanism (README.md:1105–1121). */
-final case class DeleteFile(path: String, rows: Long)
+/** Delete file, two kinds (Iceberg v2 row-level deletes):
+  *  - `kind="pos"`: parquet of (file_path STRING, pos BIGINT) pairs — the
+  *    V3 deletion-vector mechanism (README.md:1105–1121); applies to the
+  *    exact rows it names, regardless of seq.
+  *  - `kind="eq"`: parquet of key values (physical `f<id>` columns listed
+  *    in `eqFieldIds`); removes ALL matching rows from data files with
+  *    seq < this file's seq. The content-addressed delete streaming
+  *    upserts need — no scan at delete time. */
+final case class DeleteFile(path: String, rows: Long,
+    kind: String = "pos", eqFieldIds: Seq[Int] = Seq(), seq: Long = 0)
 
 final case class Snapshot(
     id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
@@ -145,10 +157,18 @@ object MetaJson {
             cn.put("min", cs.min); cn.put("max", cs.max)
           }
         }
+        // non-default only: pre-sequence metadata files stay byte-stable
+        if (f.seq != 0) fn.put("seq", f.seq)
       }
       val dels = n.putArray("deleteFiles")
       s.deleteFiles.foreach { f =>
         val fn = dels.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
+        if (f.kind != "pos") {
+          fn.put("kind", f.kind)
+          val ids = fn.putArray("eqFieldIds")
+          f.eqFieldIds.foreach(ids.add)
+        }
+        if (f.seq != 0) fn.put("seq", f.seq)
       }
     }
     if (m.refs.nonEmpty) {
@@ -207,9 +227,13 @@ object MetaJson {
               sn.properties().asScala.map(e =>
                 e.getKey.toInt -> ColumnStats(
                   e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
-              .getOrElse(Map()))),
+              .getOrElse(Map()),
+            Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))),
           arr(n, "deleteFiles").map(fn => DeleteFile(
-            fn.get("path").asText(), fn.get("rows").asLong())))
+            fn.get("path").asText(), fn.get("rows").asLong(),
+            Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
+            arr(fn, "eqFieldIds").map(_.asInt()),
+            Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))))
       },
       metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(
         n.get("version").asInt(), n.get("timestampMs").asLong(), n.get("note").asText())),

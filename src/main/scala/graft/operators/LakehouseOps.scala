@@ -94,6 +94,56 @@ object LakehouseOps {
              WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""),
   )
 
+  /** M3c extension — EQUALITY deletes (Iceberg v2's second MoR delete
+    * kind): delete by key content with NO table scan at delete time, then
+    * re-insert a subset of the deleted keys — the sequence-number scoping
+    * (eq delete applies only to files with a lower data sequence) is what
+    * the oracle checks: re-inserted rows must survive. */
+  private val deleteMorEq = QueryDef(
+    "icelite_delete_mor_eq",
+    (s, dir) => {
+      val t = mkTable(s, dir, "deleq")
+      t.deleteEq(orders(s, dir).filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      t.append(orders(s, dir).filter(col("o_orderkey") % 14 === 0)) // re-insert half
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders WHERE o_orderkey % 7 <> 0
+             UNION ALL
+             SELECT $ordersCols FROM orders WHERE o_orderkey % 14 = 0
+             ORDER BY o_orderkey"""),
+  )
+
+  /** Streaming-style upsert in ONE commit (equality delete + append with a
+    * shared sequence number): updates keys %100=0 in place and inserts
+    * shifted copies of keys %500=0 — MERGE-equivalent output with O(source)
+    * cost, no target scan or file rewrite (what a CDC sink needs at
+    * 100 TB: upsert latency independent of table size). */
+  private val upsertEq = QueryDef(
+    "icelite_upsert_eq",
+    (s, dir) => {
+      val t = mkTable(s, dir, "upserteq")
+      val o = orders(s, dir)
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", lit(2222.0))
+      val inserts = o.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("I"))
+      t.upsertEq(updates.unionByName(inserts), Seq("o_orderkey"))
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0 THEN 2222.0 ELSE o_totalprice END AS o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders
+             UNION ALL
+             SELECT o_orderkey + 20000000, o_custkey, 'I', o_totalprice,
+             CAST(o_orderdate AS DATE), o_orderpriority
+             FROM orders WHERE o_orderkey % 500 = 0
+             ORDER BY o_orderkey"""),
+  )
+
   /** M4 MERGE INTO (README.md:963–967): updates keys %100=0, inserts
     * shifted copies of keys %500=0. */
   private val mergeInto = QueryDef(
@@ -761,7 +811,7 @@ object LakehouseOps {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    appendRead, updateCow, deleteCow, deleteMor, mergeInto, timeTravel,
+    appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,

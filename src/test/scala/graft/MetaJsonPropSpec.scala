@@ -40,7 +40,8 @@ class MetaJsonPropSpec extends AnyFunSuite {
     spec <- Gen.choose(0, 5)
     part <- Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
       .map(_.take(3))
-  } yield DataFile(path, rows, sid, spec, part)
+    seq <- Gen.choose(0L, 50L)
+  } yield DataFile(path, rows, sid, spec, part, seq = seq)
 
   private val genSnapshot = for {
     id <- Gen.choose(1L, 1000L)
@@ -48,8 +49,14 @@ class MetaJsonPropSpec extends AnyFunSuite {
     ts <- Gen.choose(0L, 2000000000000L)
     op <- Gen.oneOf("append", "delete", "update", "merge", "replace", "rollback", "overwrite")
     dfs <- Gen.listOf(genDataFile).map(_.take(5))
-    dels <- Gen.listOf(Gen.zip(Gen.identifier, Gen.choose(0L, 9999L))
-      .map { case (p, r) => DeleteFile(s"/del/$p.parquet", r) }).map(_.take(3))
+    dels <- Gen.listOf(for {
+      p <- Gen.identifier
+      r <- Gen.choose(0L, 9999L)
+      kind <- Gen.oneOf("pos", "eq")
+      fids <- if (kind == "eq") Gen.nonEmptyListOf(Gen.choose(1, 500)).map(_.take(3))
+              else Gen.const(List[Int]())
+      seq <- Gen.choose(0L, 50L)
+    } yield DeleteFile(s"/del/$p.parquet", r, kind, fids, seq)).map(_.take(3))
   } yield Snapshot(id, parent, ts, op, dfs, dels)
 
   private val genMeta: Gen[TableMetadata] = for {

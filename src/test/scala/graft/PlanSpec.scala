@@ -116,6 +116,34 @@ class PlanSpec extends SparkSpec {
     assert(t.read().count() == expected)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter: a selective predicate on the dim side
+    // of a shuffle join grows a bloom filter that is pushed into the fact
+    // scan — at 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling the ~1% that can possibly join. Thresholds
+    // are sized for clusters; lower them to demonstrate at test scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(3000)}")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("IceLite manifest pruning reads only matching files (I/O level)") {
     val loc = Files.createTempDirectory("planspec_il").toString + "/t"
     val t = graft.icelite.IceLite.createFrom(spark, loc,

@@ -126,6 +126,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream upserts via EQUALITY deletes: same semantics, no target rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF.toDF("id", "seq", "value")
+    val loc = Files.createTempDirectory("streameq").toString + "/t"
+    val table = IceLite.createFrom(spark, loc, df)
+    val q = StreamingIngest.upsertEqToIceLite(
+      df, table, "id", "seq", Files.createTempDirectory("streameq_cp").toString).start()
+    try {
+      mem.addData((1L, 1L, 10.0), (1L, 2L, 11.0), (2L, 1L, 20.0))
+      q.processAllAvailable()
+      val firstBatchFiles = table.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+      mem.addData((2L, 2L, 21.0), (3L, 1L, 30.0))
+      q.processAllAvailable()
+      val state = table.read().orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(state == Seq((1L, 11.0), (2L, 21.0), (3L, 30.0)), s"got $state")
+      // the O(batch) guarantee: batch 1 updated key 2 WITHOUT rewriting
+      // batch 0's data file (contrast the MERGE path, which CoW-rewrites)
+      val nowFiles = table.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+      assert(firstBatchFiles.subsetOf(nowFiles), "eq upsert must not rewrite data files")
+      // restart-replay of a committed batch id is a no-op
+      import spark.implicits._
+      val replay = Seq((2L, 2L, 99.0)).toDF("id", "seq", "value")
+      assert(!table.upsertEqIfNewBatch(1L, replay, Seq("id")))
+      assert(table.read().filter(col("id") === 2L).head.getDouble(2) == 21.0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks inside the window only") {
     implicit val sqlCtx = spark.sqlContext
     val imp = MemoryStream[(Long, Timestamp, Double)]
