@@ -1056,6 +1056,39 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         s"rename $from -> $to")
     }
 
+  /** ALTER TABLE … DROP COLUMN — metadata-only, like every IceLite DDL:
+    * the field leaves the CURRENT schema; data files keep their physical
+    * column (scans project by field id, so the dropped column is simply
+    * never read) and historical snapshots read through their own schema
+    * unchanged. The field id is never reused (`lastFieldId` is monotone),
+    * so a later ADD COLUMN with the same name is a NEW field — old files'
+    * orphaned values can never bleed into it. Refused for partition-source
+    * and sort-order columns (their transforms would dangle). */
+  def dropColumn(name: String): Unit =
+    commitWithRetry { m =>
+      val sch = m.currentSchema
+      val fld = sch.fieldByName(name)
+      require(sch.fields.size > 1, s"cannot drop the only column $name")
+      require(!m.specs.exists(_.fields.exists(_.sourceId == fld.id)),
+        s"$name is a partition source column; evolve the partition spec first")
+      require(!m.properties.get("write.sort-order").exists(
+        _.split(",").map(_.trim).contains(name)),
+        s"$name is in the declared sort order; clear it first")
+      // any RETAINED snapshot, not just the current one: time travel would
+      // re-apply the eq delete through the current schema, where the
+      // dropped field no longer resolves. Compact materializes the delete;
+      // expire ages the old snapshots out — then the drop is safe.
+      require(!m.snapshots.exists(_.deleteFiles.exists(d =>
+        d.kind == "eq" && d.eqFieldIds.contains(fld.id))),
+        s"$name keys an equality delete in a retained snapshot; " +
+          "compact, then expire those snapshots first")
+      val next = sch.copy(
+        schemaId = m.schemas.map(_.schemaId).max + 1,
+        fields = sch.fields.filterNot(_.id == fld.id))
+      (m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+        s"drop column $name")
+    }
+
   /** ALTER TABLE … ADD PARTITION FIELD (README.md:991–992): future writes
     * use the new spec; existing files keep theirs (per-file specId). */
   def setPartitionSpec(fields: Seq[(String, String)]): Unit =

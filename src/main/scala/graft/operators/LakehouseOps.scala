@@ -144,6 +144,25 @@ object LakehouseOps {
              ORDER BY o_orderkey"""),
   )
 
+  /** DROP COLUMN (schema evolution, metadata-only — completes the DDL set
+    * beside add/rename/widen): drop o_orderpriority, then ADD a column of
+    * the same name. Field ids are never reused, so the re-added column is
+    * a fresh field and must read back all-NULL — the oracle proves the old
+    * files' orphaned values cannot bleed into the new column. */
+  private val dropColumnDdl = QueryDef(
+    "icelite_drop_column",
+    (s, dir) => {
+      val t = mkTable(s, dir, "dropcol")
+      t.dropColumn("o_orderpriority")
+      t.addColumn("o_orderpriority", "STRING")
+      state(t)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+             FROM orders ORDER BY o_orderkey"""),
+  )
+
   /** M4 MERGE INTO (README.md:963–967): updates keys %100=0, inserts
     * shifted copies of keys %500=0. */
   private val mergeInto = QueryDef(
@@ -811,7 +830,8 @@ object LakehouseOps {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto, timeTravel,
+    appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
+    dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,

@@ -525,6 +525,11 @@ object TextOps {
         }
       }
       .toDF("doc_id", "shingles", "buckets")
+      // three consumers below (bucket explode + both verify sides): pin the
+      // signature pass so the k·shingles md5 kernel runs ONCE, not per
+      // consumer subtree (at 100 TB this is the difference between one
+      // corpus scan and three)
+      .localCheckpoint()
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cand = buckets.as("a")
@@ -686,6 +691,8 @@ object TextOps {
           (id, sig)
         }
       }.toDF("doc_id", "sig")
+      // self-joined below: pin so the bit-vote kernel runs once
+      .localCheckpoint()
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
@@ -699,8 +706,12 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
-      .dropDuplicates("id1", "id2")
+      // filter BEFORE the dedup shuffle: the hamming gate is a narrow map
+      // that kills the vast majority of bucket-collision pairs, so the
+      // distinct only shuffles survivors (a band-duplicate pair has the
+      // same hamming both times — dedup-then-filter is equivalent)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
       .orderBy("id1", "id2")
   }
 

@@ -136,6 +136,28 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(del.eqFieldIds.nonEmpty && del.seq > 0)
   }
 
+  test("drop column: metadata-only, re-added name is a fresh field, guards hold") {
+    val t = mkTable("dropcol", sample(0, 20))
+    val filesBefore = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+    t.dropColumn("grp")
+    assert(!t.read().columns.contains("grp"))
+    assert(t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet == filesBefore,
+      "drop rewrote data files")
+    // same-name re-add gets a new field id → all NULL, no value bleed
+    t.addColumn("grp", "INT")
+    assert(t.read().filter(col("grp").isNotNull).count() == 0)
+    // guards: eq-delete key, only column
+    val t2 = mkTable("dropcol2", sample(0, 10))
+    t2.deleteEq(Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException](t2.dropColumn("id"))
+    assert(e.getMessage.contains("equality delete"))
+    t2.compact(1) // materializes the delete for the CURRENT snapshot...
+    intercept[IllegalArgumentException](t2.dropColumn("id")) // ...history still holds it
+    t2.expireSnapshots(System.currentTimeMillis() + 1000) // age out the old snapshots
+    t2.dropColumn("id")
+    assert(!t2.read().columns.contains("id"))
+  }
+
   test("incremental read: appended-then-eq-deleted rows do not surface") {
     val t = mkTable("incr", sample(0, 10))
     val from = t.meta.currentSnapshotId.get
