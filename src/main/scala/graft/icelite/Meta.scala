@@ -13,9 +13,13 @@ import scala.jdk.CollectionConverters._
   * with transforms, snapshot isolation, and time travel. Metadata is
   * deliberately file-granular: each snapshot carries its full file manifest,
   * so reads resolve a snapshot without touching the filesystem beyond one
-  * JSON file. At true 100 TB scale the manifest list would itself be
-  * chunked parquet (Iceberg's manifest files); the protocol here is the
-  * same, minus that one indirection.
+  * JSON file. Snapshots share a single file TABLE (format v2): each
+  * distinct file entry is serialized once and snapshots reference it by
+  * index, so metadata is O(unique files + snapshots), not
+  * O(snapshots × files) — the property that keeps a long snapshot log on
+  * a millions-of-files table loadable. At true 100 TB scale the file
+  * table would additionally be chunked into side parquet (Iceberg's
+  * manifest files); the protocol is the same, minus that one indirection.
   *
   * Columns are stored in parquet under physical names `f<fieldId>` — the
   * moral equivalent of Iceberg's parquet field-id metadata
@@ -105,9 +109,41 @@ final case class TableMetadata(
 object MetaJson {
   private val M = new ObjectMapper()
 
+  /** Serialize one DataFile into `fn`. */
+  private def writeDataFile(fn: ObjectNode, f: DataFile): Unit = {
+    fn.put("path", f.path); fn.put("rows", f.rows)
+    fn.put("schemaId", f.schemaId); fn.put("specId", f.specId)
+    val pn = fn.putObject("partition")
+    f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    if (f.stats.nonEmpty) {
+      val sn = fn.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (fid, cs) =>
+        val cn = sn.putObject(fid.toString)
+        cn.put("min", cs.min); cn.put("max", cs.max)
+      }
+    }
+    // non-default only: pre-sequence metadata files stay byte-stable
+    if (f.seq != 0) fn.put("seq", f.seq)
+  }
+
+  private def writeDeleteFile(fn: ObjectNode, f: DeleteFile): Unit = {
+    fn.put("path", f.path); fn.put("rows", f.rows)
+    if (f.kind != "pos") {
+      fn.put("kind", f.kind)
+      val ids = fn.putArray("eqFieldIds")
+      f.eqFieldIds.foreach(ids.add)
+    }
+    if (f.seq != 0) fn.put("seq", f.seq)
+  }
+
   def toJson(m: TableMetadata): String = {
     val root = M.createObjectNode()
-    root.put("formatVersion", 1)
+    // v2: snapshots reference a shared file table by index, so the
+    // metadata stays O(unique files + snapshots) instead of
+    // O(snapshots × files) — at 100 TB (≈10^6 data files, long snapshot
+    // logs) the inline-v1 shape is driver poison: every retained snapshot
+    // re-serializes the whole live file set. fromJson reads both versions.
+    root.put("formatVersion", 2)
     root.put("location", m.location)
     root.put("lastFieldId", m.lastFieldId)
     root.put("currentSchemaId", m.currentSchemaId)
@@ -136,6 +172,17 @@ object MetaJson {
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(root.put("currentSnapshotId", _))
+    // shared file tables: each distinct file entry serialized exactly once
+    val dataIdx = scala.collection.mutable.LinkedHashMap[DataFile, Int]()
+    val delIdx = scala.collection.mutable.LinkedHashMap[DeleteFile, Int]()
+    m.snapshots.foreach { s =>
+      s.dataFiles.foreach(f => dataIdx.getOrElseUpdate(f, dataIdx.size))
+      s.deleteFiles.foreach(f => delIdx.getOrElseUpdate(f, delIdx.size))
+    }
+    val dft = root.putArray("dataFileTable")
+    dataIdx.keys.foreach(f => writeDataFile(dft.addObject(), f))
+    val det = root.putArray("deleteFileTable")
+    delIdx.keys.foreach(f => writeDeleteFile(det.addObject(), f))
     val snaps = root.putArray("snapshots")
     m.snapshots.foreach { s =>
       val n = snaps.addObject()
@@ -143,33 +190,10 @@ object MetaJson {
       s.parentId.foreach(n.put("parentId", _))
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
-      val dfs = n.putArray("dataFiles")
-      s.dataFiles.foreach { f =>
-        val fn = dfs.addObject()
-        fn.put("path", f.path); fn.put("rows", f.rows)
-        fn.put("schemaId", f.schemaId); fn.put("specId", f.specId)
-        val pn = fn.putObject("partition")
-        f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
-        if (f.stats.nonEmpty) {
-          val sn = fn.putObject("stats")
-          f.stats.toSeq.sortBy(_._1).foreach { case (fid, cs) =>
-            val cn = sn.putObject(fid.toString)
-            cn.put("min", cs.min); cn.put("max", cs.max)
-          }
-        }
-        // non-default only: pre-sequence metadata files stay byte-stable
-        if (f.seq != 0) fn.put("seq", f.seq)
-      }
-      val dels = n.putArray("deleteFiles")
-      s.deleteFiles.foreach { f =>
-        val fn = dels.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
-        if (f.kind != "pos") {
-          fn.put("kind", f.kind)
-          val ids = fn.putArray("eqFieldIds")
-          f.eqFieldIds.foreach(ids.add)
-        }
-        if (f.seq != 0) fn.put("seq", f.seq)
-      }
+      val dfs = n.putArray("dataFileRefs")
+      s.dataFiles.foreach(f => dfs.add(dataIdx(f)))
+      val dels = n.putArray("deleteFileRefs")
+      s.deleteFiles.foreach(f => dels.add(delIdx(f)))
     }
     if (m.refs.nonEmpty) {
       val refs = root.putObject("refs")
@@ -193,6 +217,24 @@ object MetaJson {
     def strMap(n: JsonNode, k: String): Map[String, String] =
       Option(n.get(k)).map(o => o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map())
+    def readDataFile(fn: JsonNode): DataFile = DataFile(
+      fn.get("path").asText(), fn.get("rows").asLong(),
+      fn.get("schemaId").asInt(), fn.get("specId").asInt(),
+      strMap(fn, "partition"),
+      Option(fn.get("stats")).map(sn =>
+        sn.properties().asScala.map(e =>
+          e.getKey.toInt -> ColumnStats(
+            e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
+        .getOrElse(Map()),
+      Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))
+    def readDeleteFile(fn: JsonNode): DeleteFile = DeleteFile(
+      fn.get("path").asText(), fn.get("rows").asLong(),
+      Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
+      arr(fn, "eqFieldIds").map(_.asInt()),
+      Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))
+    // v2 shared file tables (empty for v1 metadata, whose snapshots inline)
+    val dataTable = arr(r, "dataFileTable").map(readDataFile).toIndexedSeq
+    val delTable = arr(r, "deleteFileTable").map(readDeleteFile).toIndexedSeq
     TableMetadata(
       location = r.get("location").asText(),
       lastFieldId = r.get("lastFieldId").asInt(),
@@ -219,21 +261,11 @@ object MetaJson {
           Option(n.get("parentId")).map(_.asLong()),
           n.get("timestampMs").asLong(),
           n.get("operation").asText(),
-          arr(n, "dataFiles").map(fn => DataFile(
-            fn.get("path").asText(), fn.get("rows").asLong(),
-            fn.get("schemaId").asInt(), fn.get("specId").asInt(),
-            strMap(fn, "partition"),
-            Option(fn.get("stats")).map(sn =>
-              sn.properties().asScala.map(e =>
-                e.getKey.toInt -> ColumnStats(
-                  e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
-              .getOrElse(Map()),
-            Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))),
-          arr(n, "deleteFiles").map(fn => DeleteFile(
-            fn.get("path").asText(), fn.get("rows").asLong(),
-            Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
-            arr(fn, "eqFieldIds").map(_.asInt()),
-            Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))))
+          // v2 index refs, falling back to v1 inline entries
+          if (n.has("dataFileRefs")) arr(n, "dataFileRefs").map(i => dataTable(i.asInt()))
+          else arr(n, "dataFiles").map(readDataFile),
+          if (n.has("deleteFileRefs")) arr(n, "deleteFileRefs").map(i => delTable(i.asInt()))
+          else arr(n, "deleteFiles").map(readDeleteFile))
       },
       metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(
         n.get("version").asInt(), n.get("timestampMs").asLong(), n.get("note").asText())),

@@ -25,6 +25,7 @@ import scala.jdk.CollectionConverters._
   * SELECT * FROM icelite.db.orders TIMESTAMP AS OF '2026-01-01 00:00:00'
   * ALTER TABLE icelite.db.orders ADD COLUMN note STRING
   * ALTER TABLE icelite.db.orders RENAME COLUMN note TO comment
+  * ALTER TABLE icelite.db.orders DROP COLUMN note
   * }}}
   *
   * The analog of the reference's Spark↔Iceberg REST-catalog wiring
@@ -130,6 +131,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1, "nested type change unsupported")
         t.updateColumnType(upd.fieldNames().head, upd.newDataType().sql)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested drop unsupported")
+        t.dropColumn(del.fieldNames().head)
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
     loadTable(ident)

@@ -83,4 +83,48 @@ class MetaJsonPropSpec extends AnyFunSuite {
       assert(back == m, s"roundtrip mismatch at seed $i:\n$m\nvs\n$back")
     }
   }
+
+  test("v2 file table: a file carried across N snapshots is serialized once") {
+    val f = DataFile("/data/shared.parquet", 100, 0, 0, Map(), Map(), seq = 1)
+    val snaps = (1 to 20).map(i =>
+      Snapshot(i.toLong, if (i > 1) Some(i - 1L) else None, i * 1000L, "append",
+        Seq(f), Seq()))
+    val m = TableMetadata("/wh/t", 1, 0, Seq(TableSchema(0, Seq(Field(1, "id", "BIGINT", None)))),
+      0, Seq(PartitionSpec(0, Seq())), Map(), Some(20L), snaps, Seq())
+    val js = MetaJson.toJson(m)
+    // the path appears exactly once (file table), not once per snapshot —
+    // this is what keeps metadata O(unique files), not O(snapshots × files)
+    assert("shared\\.parquet".r.findAllIn(js).size == 1, js)
+    assert(MetaJson.fromJson(js) == m)
+  }
+
+  test("v1 (inline-files) metadata still parses — durability across the format bump") {
+    val v1 = """{
+      "formatVersion": 1, "location": "/wh/t", "lastFieldId": 2,
+      "currentSchemaId": 0,
+      "schemas": [{"schemaId": 0, "fields": [
+        {"id": 1, "name": "id", "type": "BIGINT"},
+        {"id": 2, "name": "v", "type": "DOUBLE", "default": "0.05"}]}],
+      "defaultSpecId": 0, "specs": [{"specId": 0, "fields": []}],
+      "properties": {"k": "v"}, "currentSnapshotId": 2,
+      "snapshots": [
+        {"id": 1, "timestampMs": 1000, "operation": "append",
+         "dataFiles": [{"path": "/data/a.parquet", "rows": 10, "schemaId": 0,
+           "specId": 0, "partition": {}, "stats": {"1": {"min": "0", "max": "9"}}}],
+         "deleteFiles": []},
+        {"id": 2, "parentId": 1, "timestampMs": 2000, "operation": "delete",
+         "dataFiles": [{"path": "/data/a.parquet", "rows": 10, "schemaId": 0,
+           "specId": 0, "partition": {}}],
+         "deleteFiles": [{"path": "/del/d.parquet", "rows": 2}]}],
+      "metadataLog": [{"version": 1, "timestampMs": 1000, "note": "create"}]
+    }"""
+    val m = MetaJson.fromJson(v1)
+    assert(m.snapshots.size == 2)
+    assert(m.snapshots.head.dataFiles.head.path == "/data/a.parquet")
+    assert(m.snapshots.head.dataFiles.head.stats(1).max == "9")
+    assert(m.snapshots(1).deleteFiles.head.kind == "pos")
+    assert(m.currentSnapshot.get.id == 2)
+    // and re-serializing upgrades it to v2 losslessly
+    assert(MetaJson.fromJson(MetaJson.toJson(m)) == m)
+  }
 }

@@ -51,6 +51,15 @@ class SqlCatalogSpec extends SparkSpec {
     assert(note == "hi")
     assert(spark.sql(
       "SELECT comment FROM ilsql.db.orders WHERE order_id = 1").head.isNullAt(0))
+
+    // DROP COLUMN via SQL — metadata-only; field id not reused, so a
+    // same-name re-add reads all-NULL (no value bleed from old files)
+    spark.sql("ALTER TABLE ilsql.db.orders DROP COLUMN comment")
+    assert(!spark.sql("SELECT * FROM ilsql.db.orders").columns.contains("comment"))
+    spark.sql("ALTER TABLE ilsql.db.orders ADD COLUMN comment STRING")
+    assert(spark.sql(
+      "SELECT count(*) FROM ilsql.db.orders WHERE comment IS NOT NULL")
+      .head.getLong(0) == 0)
   }
 
   test("INSERT OVERWRITE replaces content in one snapshot") {
