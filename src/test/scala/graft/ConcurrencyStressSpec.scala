@@ -67,7 +67,8 @@ class ConcurrencyStressSpec extends SparkSpec {
     case _ => false
   }
 
-  private def runStress(deleteMode: String, rounds: Int, seed: Int): Unit = {
+  private def runStress(deleteMode: String, rounds: Int, seed: Int,
+      eq: Boolean = false): Unit = {
     commits.set(0)
     val loc = Files.createTempDirectory(s"stress_$deleteMode").toString + "/t"
     val t0 = IceLite.create(spark, loc, Seq("id" -> "BIGINT"),
@@ -83,14 +84,28 @@ class ConcurrencyStressSpec extends SparkSpec {
     var expected = (0L until 100L).toSet
     for (r <- 0 until rounds) {
       val base = 10000L + r * 40L
-      val victim = { // a key committed in an earlier round
-        val live = expected.toIndexedSeq
-        live(rnd.nextInt(live.size))
+      // two DISTINCT keys committed in earlier rounds: eq delete vs eq
+      // upsert of the SAME key would not commute (their sequence order
+      // decides survival), so the harness keeps their targets disjoint —
+      // matching the order-commutative construction of the other ops
+      val live = expected.toIndexedSeq
+      val victim = live(rnd.nextInt(live.size))
+      val upKey = {
+        var k = live(rnd.nextInt(live.size))
+        while (k == victim) k = live(rnd.nextInt(live.size))
+        k
       }
+      val deleteOp: IceLiteTable => Unit =
+        if (eq) (t => t.deleteEq(Seq(victim).toDF("id")))
+        else (t => t.delete(col("id") === victim))
       val ops = Seq(
         Future(retrying(loc, s"append-a r$r")(_.append((base until base + 20L).toDF("id")))),
         Future(retrying(loc, s"append-b r$r")(_.append((base + 20L until base + 40L).toDF("id")))),
-        Future(retrying(loc, s"delete r$r")(_.delete(col("id") === victim)))) ++
+        Future(retrying(loc, s"delete r$r")(deleteOp))) ++
+        // eq upsert of a unique live key is identity on the id multiset —
+        // it must survive any interleaving (delete+insert share one seq)
+        (if (eq) Seq(Future(retrying(loc, s"upsert r$r")(
+          _.upsertEq(Seq(upKey).toDF("id"), Seq("id"))))) else Seq()) ++
         (if (r % 5 == 4) Seq(Future(retrying(loc, s"compact r$r")(_.compact(3)))) else Seq())
       ops.foreach(Await.result(_, 180.seconds))
       expected = expected ++ (base until base + 40L) - victim
@@ -115,5 +130,9 @@ class ConcurrencyStressSpec extends SparkSpec {
 
   test("50 merge-on-read schedules: racing append/delete/compact, exact end state") {
     runStress("merge-on-read", rounds = 50, seed = 23)
+  }
+
+  test("50 equality-delete schedules: racing append/deleteEq/upsertEq/compact, exact end state") {
+    runStress("merge-on-read", rounds = 50, seed = 37, eq = true)
   }
 }

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * These are the 100 TB guarantees: a plan that silently loses its
   * PushedFilters reads the whole table.
   */
-class PlanSpec extends SparkSpec {
+class PlanSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def planOf(name: String): String =
     Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
@@ -114,6 +115,31 @@ class PlanSpec extends SparkSpec {
     assert(filterLine.contains("*("), s"MoR filter not in a codegen span: $filterLine")
     val expected = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 =!= 0).count()
     assert(t.read().count() == expected)
+  }
+
+  test("equality-delete read anti-joins a BROADCAST key set; data side never shuffles") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("planspec_eq").toString + "/t"
+    val t = graft.icelite.IceLite.createFrom(spark, loc, Tables.orders(spark, sf))
+    t.append(Tables.orders(spark, sf))
+    t.deleteEq(Seq(1L, 2L, 3L).toDF("o_orderkey"))
+    val df = t.read()
+    val plan = df.queryExecution.executedPlan
+    val antiJoins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, s"eq delete must apply as a broadcast anti-join:\n$plan")
+    // the key side may shuffle its tiny distinct; the DATA side (the join's
+    // streamed/left subtree — 100 TB at scale) must be a bare scan
+    antiJoins.foreach { j =>
+      val dataShuffles = j.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(dataShuffles.isEmpty,
+        s"the data side of an eq-delete read must not shuffle:\n$plan")
+    }
+    assert(df.count() == Tables.orders(spark, sf).count() - 3)
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
