@@ -170,6 +170,38 @@ class PlanSpec extends SparkSpec
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join re-plan)") {
+    // the runtime complement to the manual salting in skew_salted_agg:
+    // one hot key owns most of the fact side; AQE detects the oversized
+    // shuffle partition at stage boundary and splits it across tasks.
+    // Thresholds are cluster-sized — lower them to demonstrate at test
+    // scale. Assert on the FINAL adaptive plan (post-execution).
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 200000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = fact.join(dim, "k").agg(sum(col("v") + col("w")))
+      j.collect() // drive to completion so AQE finalizes the plan
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE did not mark/split the skewed partition:\n${finalPlan.take(3000)}")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("IceLite manifest pruning reads only matching files (I/O level)") {
     val loc = Files.createTempDirectory("planspec_il").toString + "/t"
     val t = graft.icelite.IceLite.createFrom(spark, loc,
