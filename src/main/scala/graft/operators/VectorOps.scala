@@ -232,6 +232,77 @@ object VectorOps {
     None,
   )
 
+  /** Bucket id = `bits` sign bits of ±1-hyperplane projections, the planes
+    * derived from md5 (sign of plane j at dim d = first hex char of
+    * md5("lsh:j:d") ≤ '7') and the projection in scaled-int arithmetic —
+    * fully deterministic AND recomputable in SQL. ±1 sign planes are valid
+    * sign-random-projection LSH; the gaussian bank in [[lshTopk]] is the
+    * engine-tuned sibling. */
+  private def md5LshBucket(embCol: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        sequence(lit(0), lit(dim - 1)),
+        lit(0L),
+        (acc, d) => {
+          val sgn = when(
+            substring(md5(concat(lit(s"lsh:$j:"), d.cast("string"))), 1, 1) <= "7",
+            1L).otherwise(-1L)
+          acc + round(element_at(embCol, d + 1).cast("double") * 10000d).cast("long") * sgn
+        })
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** X3 ORACLE-ANCHORED LSH ANN: the bucket-join search with md5-derived
+    * ±1 hyperplanes, so DuckDB recomputes the identical buckets, candidate
+    * sets, and rerank — upgrading the LSH search path itself from
+    * spec-trusted to hash-matched (the same md5-anchor trick as
+    * `minhash_dedup`). Same scale shape as [[lshTopk]]: one narrow bucket
+    * assignment, probes broadcast, candidates from the bucket equi-join
+    * only, exact rerank on candidates. */
+  private val annLshMd5Topk = QueryDef(
+    "ann_lsh_md5_topk",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      val withB = emb(s, dir).select(col("vec_id"), col("embedding"),
+        md5LshBucket(col("embedding"), bits = 6, dim = 64).as("bucket"))
+      val probes = broadcast(withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket")))
+      val scored = withB.join(probes, "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          dotScaled(col("qe"), col("embedding")).as("score"))
+      topKPerKey(scored, 5).orderBy("qid", "rn")
+    },
+    Some("""WITH hp AS (
+              SELECT j, d,
+                     CASE WHEN substring(md5('lsh:' || j || ':' || d), 1, 1) <= '7'
+                          THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT unnest(range(0, 6)) AS j), (SELECT unnest(range(0, 64)) AS d)),
+            bits AS (
+              SELECT e.vec_id, h.j,
+                     CASE WHEN sum(CAST(round(CAST(e.embedding[CAST(h.d AS INT) + 1] AS DOUBLE) * 10000) AS BIGINT) * h.sgn) > 0
+                          THEN 1 ELSE 0 END AS bit
+              FROM embeddings e JOIN hp h ON true
+              GROUP BY e.vec_id, h.j),
+            buck AS (SELECT vec_id, CAST(sum(bit << CAST(j AS INT)) AS BIGINT) AS bucket
+                     FROM bits GROUP BY vec_id),
+            cand AS (
+              SELECT q.vec_id AS qid, c.vec_id AS neighbor_id
+              FROM buck q JOIN buck c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+            s AS (
+              SELECT cand.qid, cand.neighbor_id,
+                     CAST(list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS score
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.qid
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+            SELECT qid, neighbor_id, score, rn FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+              FROM s) WHERE rn <= 5 ORDER BY qid, rn"""),
+  )
+
   /** X2 embedding-cosine near-dup: pairs in a bounded probe set whose
     * scaled dot ≥ 0.4 (fixture vectors are ~unit-norm). The quadratic
     * verification is bounded; at corpus scale the candidate set would come
@@ -262,5 +333,6 @@ object VectorOps {
             ORDER BY id1, id2"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, embedNearDup)
+  val defs: Seq[QueryDef] =
+    Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, embedNearDup)
 }
