@@ -160,6 +160,61 @@ object PipelineOps {
             FROM c GROUP BY 1,2 ORDER BY source, seq_id"""),
   )
 
+  /** GLOBAL sequence packing via a distributed two-pass prefix sum — the
+    * scale-safe shape the per-source window in [[sequencePack]] points at:
+    * a single window over everything sends 100 TB through ONE reducer; here
+    * pass 1 range-partitions by doc_id and sends only per-partition token
+    * totals to the driver (one long per partition), and pass 2 is a narrow
+    * map that adds each partition's exact start offset to its local running
+    * sum. No global shuffle-to-one anywhere; output is identical to the
+    * single-window formulation, which is what the DuckDB oracle computes. */
+  private val sequencePackGlobal = QueryDef(
+    "sequence_pack_global",
+    (s, dir) => {
+      import s.implicits._
+      val parts = docs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+        // pin the partitioning: pass 2 must see the SAME partitions pass 1
+        // summed (range boundaries come from sampling; don't recompute)
+        .localCheckpoint()
+      val partSums = parts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var sum = 0L
+        it.foreach(sum += _._2)
+        Iterator((pid, sum))
+      }.collect().sortBy(_._1) // one (pid, tokens) pair per partition — driver-tiny
+      val offsets = partSums.map(_._1).zip(
+        partSums.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val bco = s.sparkContext.broadcast(offsets)
+      val assigned = parts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bco.value.getOrElse(pid, 0L)
+        it.map { case (id, t) => cum += t; (id, t, cum) }
+      }.toDF("doc_id", "n_tokens", "cum")
+      assigned
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / lit(B.toDouble)).cast("long"))
+        .groupBy("seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("seq_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+            SELECT CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $B.0) AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+            FROM c GROUP BY 1 ORDER BY seq_id"""),
+  )
+
   /** Domain mixing under a token budget: per source, keep documents in
     * deterministic md5 order until the domain's cumulative token count
     * reaches the budget — the reproducible version of "sample X tokens
@@ -190,5 +245,6 @@ object PipelineOps {
   )
 
   def defs: Seq[QueryDef] =
-    Seq(decontaminateNgrams, repetitionSignals, sequencePack, domainBudgetSample)
+    Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
+      domainBudgetSample)
 }

@@ -77,6 +77,25 @@ class PipelineOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("sequence_pack_global two-pass prefix sum equals the single-window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val viaOp = run("sequence_pack_global").collect().toSeq
+    // reference: the naive single-window global cumsum (the one-reducer
+    // shape the two-pass exists to avoid)
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(Window.orderBy("doc_id")))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(512.0)).cast("long"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id").collect().toSeq
+    assert(viaOp == ref)
+  }
+
   test("domain_budget_sample respects the per-domain token budget") {
     val rows = run("domain_budget_sample").collect()
     val bySrc = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
