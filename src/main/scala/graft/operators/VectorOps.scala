@@ -238,19 +238,26 @@ object VectorOps {
     * fully deterministic AND recomputable in SQL. ±1 sign planes are valid
     * sign-random-projection LSH; the gaussian bank in [[lshTopk]] is the
     * engine-tuned sibling. */
-  private def md5LshBucket(embCol: Column, bits: Int, dim: Int): Column =
+  private def md5LshBucket(embCol: Column, bits: Int, dim: Int): Column = {
+    // the plane bank is a CONSTANT: derive the signs once on the driver
+    // (JVM md5 == Spark/DuckDB md5 on the same string) and embed them as
+    // literal arrays — the per-row work is one zip_with multiply-add per
+    // plane, not dim·bits md5 calls
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s: String): Char = {
+      val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      java.lang.Integer.toHexString((b & 0xff) | 0x100).charAt(1)
+    }
     (0 until bits).map { j =>
+      val signs: Seq[Long] =
+        (0 until dim).map(d => if (hex1(s"lsh:$j:$d") <= '7') 1L else -1L)
       val proj = aggregate(
-        sequence(lit(0), lit(dim - 1)),
-        lit(0L),
-        (acc, d) => {
-          val sgn = when(
-            substring(md5(concat(lit(s"lsh:$j:"), d.cast("string"))), 1, 1) <= "7",
-            1L).otherwise(-1L)
-          acc + round(element_at(embCol, d + 1).cast("double") * 10000d).cast("long") * sgn
-        })
+        zip_with(embCol, typedLit(signs),
+          (x, s) => round(x.cast("double") * 10000d).cast("long") * s),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** X3 ORACLE-ANCHORED LSH ANN: the bucket-join search with md5-derived
     * ±1 hyperplanes, so DuckDB recomputes the identical buckets, candidate
