@@ -159,7 +159,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]): TableMetadata = {
     val snap = Snapshot(
       nextSnapshotId(m), m.currentSnapshotId, System.currentTimeMillis(), op,
-      dataFiles, deleteFiles)
+      dataFiles, deleteFiles, m.currentSchemaId)
     m.copy(currentSnapshotId = Some(snap.id), snapshots = m.snapshots :+ snap)
   }
 
@@ -367,13 +367,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * rename + type widening), absent → default or null (metadata-only adds,
     * README.md:1159–1166). */
   private def scanGroup(
-      m: TableMetadata, files: Seq[DataFile], fileSchemaId: Int, lineage: Boolean): DataFrame = {
+      m: TableMetadata, files: Seq[DataFile], fileSchemaId: Int, lineage: Boolean,
+      proj: TableSchema): DataFrame = {
     val fsch = m.schema(fileSchemaId)
     val physSchema = StructType(fsch.fields.map(fl =>
       StructField(fl.physName, DataType.fromDDL(fl.dtype), nullable = true)))
     val base = spark.read.schema(physSchema).parquet(files.map(_.path): _*)
-    val cur = m.currentSchema
-    val cols = cur.fields.map { fld =>
+    val cols = proj.fields.map { fld =>
       if (fsch.hasId(fld.id)) col(fsch.byId(fld.id).physName).cast(fld.dtype).as(fld.name)
       else fld.defaultSql.map(d => expr(d).cast(fld.dtype))
         .getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
@@ -388,15 +388,20 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
   private def scanSnapshot(m: TableMetadata, snap: Snapshot, lineage: Boolean,
       prune: Map[String, String] => Boolean,
-      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame = {
+      statFilters: Seq[Stats.StatFilter] = Seq(),
+      // time travel projects through the SNAPSHOT's schema (Iceberg's
+      // snapshot-scoped-schema semantics); live reads use the current one
+      snapshotSchema: Boolean = false): DataFrame = {
+    val proj =
+      if (snapshotSchema && snap.schemaId >= 0) m.schema(snap.schemaId)
+      else m.currentSchema
     // manifest-level pruning: partition values + per-file column stats,
     // evaluated driver-side against metadata only
     val files = snap.dataFiles.filter(df =>
       prune(df.partition) && statFilters.forall(flt =>
         Stats.mayContain(df, m.schema(df.schemaId), m.currentSchema, flt)))
     if (files.isEmpty) {
-      val cur = m.currentSchema
-      val empty = StructType(cur.fields.map(f =>
+      val empty = StructType(proj.fields.map(f =>
         StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)))
       val lin = if (lineage)
         StructType(Seq(StructField("_file", DataType.fromDDL("string")),
@@ -408,7 +413,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val needLineage = lineage || posDels.nonEmpty
     def scanBySchema(fs: Seq[DataFile]): DataFrame =
       fs.groupBy(_.schemaId).toSeq.sortBy(_._1)
-        .map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage) }
+        .map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage, proj) }
         .reduce(_ unionAll _)
     // equality deletes: an eq delete at sequence S removes matching rows
     // from data files with seq < S only — rows re-inserted AFTER the
@@ -426,7 +431,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         .toSeq.sortBy(_._1.mkString(","))
         .map { case (paths, fs) =>
           paths.foldLeft(scanBySchema(fs)) { (d, p) =>
-            antiJoinEqKeys(d, eqDels.find(_.path == p).get, m)
+            antiJoinEqKeys(d, eqDels.find(_.path == p).get, m, proj)
           }
         }
         .reduce(_ unionAll _)
@@ -463,8 +468,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * delete can't break the match (field-id semantics, like data files).
     * Join keys use standard equality: NULL keys never match (a NULL in an
     * eq delete deletes nothing; a NULL-keyed data row is never deleted). */
-  private def antiJoinEqKeys(d: DataFrame, del: DeleteFile, m: TableMetadata): DataFrame = {
-    val fields = del.eqFieldIds.map(m.currentSchema.byId)
+  private def antiJoinEqKeys(d: DataFrame, del: DeleteFile, m: TableMetadata,
+      proj: TableSchema): DataFrame = {
+    val fields = del.eqFieldIds.map(proj.byId)
     val keys = spark.read.parquet(del.path)
       .select(fields.map(f => col(f.physName).cast(f.dtype).as(f.name)): _*)
       .distinct()
@@ -487,7 +493,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   /** Time travel: VERSION AS OF (README.md:1007). */
   def readAsOf(snapshotId: Long): DataFrame = {
     val m = meta
-    scanSnapshot(m, m.snapshot(snapshotId), lineage = false, _ => true)
+    scanSnapshot(m, m.snapshot(snapshotId), lineage = false, _ => true,
+      snapshotSchema = true)
   }
 
   /** Time travel: TIMESTAMP AS OF (README.md:1010) — latest snapshot ≤ ts. */
@@ -495,7 +502,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val m = meta
     val snap = m.snapshots.filter(_.timestampMs <= ms).maxByOption(_.id)
       .getOrElse(sys.error(s"no snapshot at or before $ms"))
-    scanSnapshot(m, snap, lineage = false, _ => true)
+    scanSnapshot(m, snap, lineage = false, _ => true, snapshotSchema = true)
   }
 
   private def readWithLineage(m: TableMetadata, snap: Snapshot): DataFrame =
@@ -1314,7 +1321,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       require(ref.refType == "branch", s"$branch is a tag; tags are immutable")
       val head = cur.snapshot(ref.snapshotId)
       val snap = Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
-        "append", head.dataFiles ++ files.map(_.copy(seq = nextSeq(cur))), head.deleteFiles)
+        "append", head.dataFiles ++ files.map(_.copy(seq = nextSeq(cur))), head.deleteFiles,
+        cur.currentSchemaId)
       (cur.copy(snapshots = cur.snapshots :+ snap,
         refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),
         s"append ${files.map(_.rows).sum} rows to branch $branch")

@@ -68,9 +68,13 @@ final case class DataFile(
 final case class DeleteFile(path: String, rows: Long,
     kind: String = "pos", eqFieldIds: Seq[Int] = Seq(), seq: Long = 0)
 
+/** `schemaId` records the table's CURRENT schema at commit time (-1 =
+  * pre-upgrade legacy snapshot → read through the live schema). Time
+  * travel projects through it, so `VERSION AS OF` shows the columns the
+  * table had then — Iceberg's snapshot-scoped-schema semantics. */
 final case class Snapshot(
     id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
-    dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]) {
+    dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile], schemaId: Int = -1) {
   def totalRows: Long = dataFiles.map(_.rows).sum
 }
 
@@ -190,6 +194,7 @@ object MetaJson {
       s.parentId.foreach(n.put("parentId", _))
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
+      if (s.schemaId != -1) n.put("schemaId", s.schemaId)
       val dfs = n.putArray("dataFileRefs")
       s.dataFiles.foreach(f => dfs.add(dataIdx(f)))
       val dels = n.putArray("deleteFileRefs")
@@ -265,7 +270,8 @@ object MetaJson {
           if (n.has("dataFileRefs")) arr(n, "dataFileRefs").map(i => dataTable(i.asInt()))
           else arr(n, "dataFiles").map(readDataFile),
           if (n.has("deleteFileRefs")) arr(n, "deleteFileRefs").map(i => delTable(i.asInt()))
-          else arr(n, "deleteFiles").map(readDeleteFile))
+          else arr(n, "deleteFiles").map(readDeleteFile),
+          Option(n.get("schemaId")).map(_.asInt()).getOrElse(-1))
       },
       metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(
         n.get("version").asInt(), n.get("timestampMs").asLong(), n.get("note").asText())),

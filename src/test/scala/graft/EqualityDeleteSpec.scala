@@ -136,6 +136,22 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(del.eqFieldIds.nonEmpty && del.seq > 0)
   }
 
+  test("time travel reads through the SNAPSHOT's schema (snapshot-scoped DDL)") {
+    val t = mkTable("snapschema", sample(0, 10))
+    val v1 = t.meta.currentSnapshotId.get
+    t.renameColumn("amount", "price")
+    t.addColumn("note", "STRING")
+    t.append(sample(10, 12).withColumnRenamed("amount", "price")
+      .withColumn("note", lit("n")))
+    // live read: evolved schema
+    assert(t.read().columns.toSeq == Seq("id", "grp", "price", "note"))
+    // VERSION AS OF v1: the schema the table had THEN — old name, no note
+    val old = t.readAsOf(v1)
+    assert(old.columns.toSeq == Seq("id", "grp", "amount"),
+      s"time travel must use the snapshot's schema, got ${old.columns.toSeq}")
+    assert(old.count() == 10)
+  }
+
   test("drop column: metadata-only, re-added name is a fresh field, guards hold") {
     val t = mkTable("dropcol", sample(0, 20))
     val filesBefore = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet

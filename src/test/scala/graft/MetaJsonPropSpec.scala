@@ -57,7 +57,8 @@ class MetaJsonPropSpec extends AnyFunSuite {
               else Gen.const(List[Int]())
       seq <- Gen.choose(0L, 50L)
     } yield DeleteFile(s"/del/$p.parquet", r, kind, fids, seq)).map(_.take(3))
-  } yield Snapshot(id, parent, ts, op, dfs, dels)
+    schemaId <- Gen.choose(-1, 10)
+  } yield Snapshot(id, parent, ts, op, dfs, dels, schemaId)
 
   private val genMeta: Gen[TableMetadata] = for {
     schemas <- Gen.nonEmptyListOf(genSchema).map(_.take(4))
