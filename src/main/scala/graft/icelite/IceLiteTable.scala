@@ -330,7 +330,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     if (m.properties.get(key).exists(_.toLong >= batchId)) return false
     val fields = keyCols.map(m.currentSchema.fieldByName)
     val files = writeFiles(alignToSchema(rows, m), m, m.currentSchemaId, m.defaultSpec)
-    val dels = writeEqDeleteFiles(rows.select(keyCols.map(col): _*), fields)
+    if (files.isEmpty) return true // empty batch: vacuous success, no commit
+    val dels = writeEqDeleteFiles(
+      spark.read.parquet(files.map(_.path): _*)
+        .select(fields.map(f => col(f.physName).as(f.name)): _*),
+      fields)
     try {
       commitWithRetry { cur =>
         if (cur.properties.get(key).exists(_.toLong >= batchId))
@@ -836,7 +840,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val fields = keyCols.map(m.currentSchema.fieldByName)
     require(fields.nonEmpty, "upsert needs at least one key column")
     val files = writeFiles(alignToSchema(rows, m), m, m.currentSchemaId, m.defaultSpec)
-    val dels = writeEqDeleteFiles(rows.select(keyCols.map(col): _*), fields)
+    if (files.isEmpty) return // empty source: nothing to delete or add
+    // derive the delete keys from the files just written, not from `rows`:
+    // the source lineage (often an expensive query) is computed ONCE; the
+    // key read-back is a column-pruned scan of the new parquet only
+    val dels = writeEqDeleteFiles(
+      spark.read.parquet(files.map(_.path): _*)
+        .select(fields.map(f => col(f.physName).as(f.name)): _*),
+      fields)
     commitWithRetry { cur =>
       val cs = cur.currentSnapshot
       val s = nextSeq(cur)
