@@ -125,28 +125,43 @@ object VectorOps {
     acc
   }
 
-  /** X3 scale path: IVF-style ANN. A deterministic codebook (vectors with
-    * vec_id % 200 == 0) is collected and BROADCAST — cell assignment is one
+  /** Fixed-size-k deterministic codebook: the k corpus vectors that sort
+    * first by (md5(vec_id), vec_id). md5 of the id is a uniform permutation
+    * of the corpus, so this IS a uniform random sample — but deterministic,
+    * engine-independent (Spark/JVM/DuckDB md5 agree on the same string),
+    * and recomputable in SQL. Crucially the driver cost is O(k) regardless
+    * of corpus size: `orderBy(..).limit(k)` plans as TakeOrderedAndProject —
+    * each partition keeps its local top-k and the driver merges partition
+    * winners, never the corpus. (The previous `vec_id % 200 == 0` rule made
+    * the codebook — and the driver collect — grow linearly with the corpus:
+    * a scale-killer at 100 TB. Fixed k is how a real IVF index behaves.) */
+  def md5Codebook(e: DataFrame, k: Int): Array[(Long, Array[Float])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .as[(Long, Array[Float])].collect()
+  }
+
+  /** X3 scale path: IVF-style ANN. A fixed-size-k deterministic codebook
+    * ([[md5Codebook]]) is collected and BROADCAST — cell assignment is one
     * narrow mapPartitions over the corpus with a primitive-float kernel (the
-    * genuinely imperative inner loop: |codebook|·dim mult-adds per vector,
-    * no shuffle, no crossJoin). Probe cells are resolved on the driver (the
+    * genuinely imperative inner loop: k·dim mult-adds per vector, no
+    * shuffle, no crossJoin). Probe cells are resolved on the driver (the
     * probe set is tiny), and the search is a broadcast join against only the
     * probed cells — at 100 TB the corpus is scanned once to build the index
-    * and each query touches nprobe/|cells| of the data. The fixture vectors
-    * are uniform random (no cluster structure), so recall is modest by
-    * construction; AnnSpec checks it against brute force. No SQL oracle
-    * (cell assignment is engine-side); driver records rows-only. */
-  /** Reusable IVF ANN: deterministic codebook (vec_id % codebookMod == 0)
-    * broadcast, one narrow assignment kernel, broadcast probe join against
-    * probed cells only. Shared by the QueryDef and AnnSpec's planted-
-    * cluster recall fixtures. */
+    * and each query touches nprobe/k of the data, while the codebook stays
+    * O(k) on the driver independent of corpus size. Every step — md5-ordered
+    * codebook, scaled-int argmax assignment, exact rerank — is recomputable
+    * in SQL, so the whole search path is DuckDB-oracled. Shared by the
+    * QueryDef and AnnSpec's planted-cluster recall fixtures. */
   def ivfTopk(e: DataFrame, probeFilter: Column, k: Int, nprobe: Int,
-      codebookMod: Int): DataFrame = {
+      codebookK: Int): DataFrame = {
     val s = e.sparkSession
     graft.functions.DotScaled.register(s)
     import s.implicits._
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") % codebookMod === 0)
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents: Array[(Long, Array[Float])] = md5Codebook(e, codebookK)
     val bc = s.sparkContext.broadcast(cents)
     def topCells(v: Array[Float], n: Int): Seq[Long] =
       bc.value.map { case (cid, c) => (cid, dotScaledJvm(c, v)) }
@@ -164,11 +179,43 @@ object VectorOps {
     topKPerKey(scored, k)
   }
 
+  /** X3 IVF ANN, ORACLE-ANCHORED end to end: DuckDB recomputes the
+    * md5-ordered codebook, the scaled-int argmax cell assignment, the
+    * probed-cell candidate set, and the exact rerank — the IVF search path
+    * itself is hash-matched, not just spec-trusted (same anchor trick as
+    * `ann_lsh_md5_topk`). Knobs: 16-cell codebook, nprobe=6 (per-probe scan
+    * ≈ 3/8 of the corpus here; at real scale k grows with the corpus'
+    * cluster count, not its row count). */
   private val annIvfTopk = QueryDef(
     "ann_ivf_topk",
-    (s, dir) => ivfTopk(emb(s, dir), col("vec_id") < 10, k = 3, nprobe = 4,
-      codebookMod = 200).orderBy("qid", "rn"),
-    None,
+    (s, dir) => ivfTopk(emb(s, dir), col("vec_id") < 10, k = 3, nprobe = 6,
+      codebookK = 16).orderBy("qid", "rn"),
+    Some("""WITH cb AS (
+              SELECT vec_id AS cid, embedding AS ce
+              FROM (SELECT vec_id, embedding,
+                           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                    FROM embeddings) WHERE rk <= 16),
+            asg AS (
+              SELECT e.vec_id, cb.cid,
+                     CAST(list_sum(list_transform(list_zip(e.embedding, cb.ce),
+                          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS s
+              FROM embeddings e CROSS JOIN cb),
+            rk AS (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                   FROM asg),
+            cell AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+            pcell AS (SELECT vec_id AS qid, cid AS cell FROM rk WHERE vec_id < 10 AND rn <= 6),
+            cand AS (SELECT p.qid, c.vec_id AS neighbor_id
+                     FROM pcell p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.qid),
+            s2 AS (SELECT cand.qid, cand.neighbor_id,
+                          CAST(list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                               p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS score
+                   FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+                             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+            SELECT qid, neighbor_id, score, rn FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+              FROM s2) WHERE rn <= 3 ORDER BY qid, rn"""),
   )
 
   /** X3 scale path #2: random-hyperplane LSH ANN (the bucket-join sibling
@@ -225,11 +272,72 @@ object VectorOps {
     topKPerKey(scored, k)
   }
 
+  /** X3 multi-table LSH ANN, ORACLE-ANCHORED: `tables` independent md5-
+    * derived ±1 plane banks (namespace `lshm:<table>`), OR-amplified —
+    * a pair is a candidate if it collides in ANY table (higher recall than
+    * one bank at the same bits; the textbook LSH amplification). Buckets,
+    * candidate union, and rerank are all recomputed by DuckDB, closing the
+    * search-path oracle gap the gaussian [[lshTopk]] (spec-covered, engine-
+    * tuned) cannot close. Scale shape: one narrow flatMap emits `tables`
+    * (table, bucket) rows per vector, probes broadcast, candidates from the
+    * (table, bucket) equi-join only — per probe ~tables·N/2^bits vectors,
+    * never N. */
+  private def md5LshMultiTopk(e: DataFrame, probeFilter: Column, k: Int,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    graft.functions.DotScaled.register(e.sparkSession)
+    val tb = (0 until tables).map { t =>
+      struct(lit(t.toLong).as("tbl"),
+        md5LshBucket(col("embedding"), bits, dim, ns = s"lshm:$t").as("bucket"))
+    }
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+    val probes = broadcast(bucketed.filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tbl"), col("bucket")))
+    val scored = bucketed.join(probes, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id") // a pair may collide in several tables
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        dotScaled(col("qe"), col("embedding")).as("score"))
+    topKPerKey(scored, k)
+  }
+
   private val annLshTopk = QueryDef(
     "ann_lsh_topk",
-    (s, dir) => lshTopk(emb(s, dir), col("vec_id") < 10, k = 3, tables = 16,
-      bits = 6, dim = 64).orderBy("qid", "rn"),
-    None,
+    (s, dir) => md5LshMultiTopk(emb(s, dir), col("vec_id") < 10, k = 3,
+      tables = 12, bits = 6, dim = 64).orderBy("qid", "rn"),
+    Some("""WITH hp AS (
+              SELECT t, j, d,
+                     CASE WHEN substring(md5('lshm:' || t || ':' || j || ':' || d), 1, 1) <= '7'
+                          THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT unnest(range(0, 12)) AS t),
+                   (SELECT unnest(range(0, 6)) AS j),
+                   (SELECT unnest(range(0, 64)) AS d)),
+            bits AS (
+              SELECT e.vec_id, h.t, h.j,
+                     CASE WHEN sum(CAST(round(CAST(e.embedding[CAST(h.d AS INT) + 1] AS DOUBLE) * 10000) AS BIGINT) * h.sgn) > 0
+                          THEN 1 ELSE 0 END AS bit
+              FROM embeddings e JOIN hp h ON true
+              GROUP BY e.vec_id, h.t, h.j),
+            buck AS (SELECT vec_id, t, CAST(sum(bit << CAST(j AS INT)) AS BIGINT) AS bucket
+                     FROM bits GROUP BY vec_id, t),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS qid, c.vec_id AS neighbor_id
+              FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+                                     AND c.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+            s2 AS (
+              SELECT cand.qid, cand.neighbor_id,
+                     CAST(list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                          p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS score
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.qid
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+            SELECT qid, neighbor_id, score, rn FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+              FROM s2) WHERE rn <= 3 ORDER BY qid, rn"""),
   )
 
   /** Bucket id = `bits` sign bits of ±1-hyperplane projections, the planes
@@ -238,7 +346,8 @@ object VectorOps {
     * fully deterministic AND recomputable in SQL. ±1 sign planes are valid
     * sign-random-projection LSH; the gaussian bank in [[lshTopk]] is the
     * engine-tuned sibling. */
-  private def md5LshBucket(embCol: Column, bits: Int, dim: Int): Column = {
+  private def md5LshBucket(embCol: Column, bits: Int, dim: Int,
+      ns: String = "lsh"): Column = {
     // the plane bank is a CONSTANT: derive the signs once on the driver
     // (JVM md5 == Spark/DuckDB md5 on the same string) and embed them as
     // literal arrays — the per-row work is one zip_with multiply-add per
@@ -250,7 +359,7 @@ object VectorOps {
     }
     (0 until bits).map { j =>
       val signs: Seq[Long] =
-        (0 until dim).map(d => if (hex1(s"lsh:$j:$d") <= '7') 1L else -1L)
+        (0 until dim).map(d => if (hex1(s"$ns:$j:$d") <= '7') 1L else -1L)
       val proj = aggregate(
         zip_with(embCol, typedLit(signs),
           (x, s) => round(x.cast("double") * 10000d).cast("long") * s),

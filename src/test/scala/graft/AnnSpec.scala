@@ -34,21 +34,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
-  /** 5 gaussian clusters of 100 unit vectors; ids are laid out so that
-    * vec_id % 200 == 0 picks exactly the cluster centers (the IVF
-    * codebook rule), and probes vec_id % 200 < 2 draw two queries from
-    * EVERY cluster. */
-  private def plantedClusters(dim: Int = 32, sigma: Float = 0.05f): DataFrame = {
+  /** 5 gaussian clusters of 100 unit vectors; probes vec_id % 200 < 2 draw
+    * two queries from EVERY cluster. The md5-ordered codebook is a uniform
+    * sample, so at k=25 every 100-point cluster holds several codewords —
+    * and any member of a tight cluster serves as its center. */
+  private def plantedClusters(dim: Int = 32, sigma: Float = 0.05f,
+      perCluster: Int = 100): DataFrame = {
     val rnd = new scala.util.Random(7)
     def normalize(v: Array[Float]): Array[Float] = {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       v.map(_ / n)
     }
     val centers = Array.fill(5)(normalize(Array.fill(dim)(rnd.nextGaussian().toFloat)))
-    val rows = for (c <- 0 until 5; i <- 0 until 100) yield {
+    val rows = for (c <- 0 until 5; i <- 0 until perCluster) yield {
       val v = if (i == 0) centers(c)
       else normalize(centers(c).map(x => x + sigma * rnd.nextGaussian().toFloat))
-      (c * 200L + i, v)
+      (c * 2L * perCluster + i, v)
     }
     rows.toDF("vec_id", "embedding")
   }
@@ -64,8 +65,17 @@ class AnnSpec extends SparkSpec {
   test("IVF recall@3 >= 0.9 on planted clusters at nprobe=2") {
     val e = plantedClusters()
     val recall = clusteredRecall(
-      VectorOps.ivfTopk(e, col("vec_id") % 200 < 2, k = 3, nprobe = 2, codebookMod = 200), e)
+      VectorOps.ivfTopk(e, col("vec_id") % 200 < 2, k = 3, nprobe = 2, codebookK = 25), e)
     assert(recall >= 0.9, s"IVF clustered recall $recall < 0.9")
+  }
+
+  test("IVF codebook stays size-k when the corpus grows 10x") {
+    val small = plantedClusters(perCluster = 100)
+    val big = plantedClusters(perCluster = 1000)
+    assert(big.count() == 10 * small.count())
+    assert(VectorOps.md5Codebook(small, 25).length == 25)
+    // the scale property the modulus rule lacked: k is independent of N
+    assert(VectorOps.md5Codebook(big, 25).length == 25)
   }
 
   test("LSH recall@3 >= 0.9 on planted clusters at 8 tables x 4 bits") {
