@@ -70,7 +70,13 @@ object Bench {
         None
       }
     }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — targeted re-timing while
+    // iterating, and the sf1 spot-bench's subset driver
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // two full interleaved passes; per-query min
     val passA = sorted.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val passB = sorted.map { case (name, fn) =>

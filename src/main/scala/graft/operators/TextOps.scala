@@ -217,12 +217,16 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
-      val prop = e.join(labels, e("a") === labels("id"))
-        .groupBy(col("b")).agg(min("comp").as("ncomp"))
-      val propagated = labels.join(prop, labels("id") === prop("b"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      // propagate: comp(v) ← min(comp(v), min over neighbors' comp). The
+      // node's own label rides the aggregation as one more union row, so
+      // one join + one min-groupBy replaces the join + groupBy + left-join
+      // + coalesce shape (and its extra checkpoint) — half the per-round
+      // jobs for the same fixpoint.
+      val propagated = e.join(labels, e("a") === labels("id"))
+        .select(col("b").as("id"), col("comp"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(lvl) // read twice by the self-join below; persist, don't recompute
       // pointer jump: comp(v) ← comp(comp(v)). comp(c) ≤ c for every node
       // c (labels start at the id and only decrease), so the jump is
       // monotone too; inner join is total because every label value is a
@@ -230,7 +234,8 @@ object TextOps {
       val jump = propagated.select(col("id").as("jid"), col("comp").as("jcomp"))
       val next = propagated.join(jump, propagated("comp") === jump("jid"))
         .select(propagated("id"), col("jcomp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized here, before the unpersist
+      propagated.unpersist(false)
       val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
       labels = next
       converged = s2 == prevSum // monotone: equal sum ⇔ no label moved

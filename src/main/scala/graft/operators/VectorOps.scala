@@ -284,22 +284,53 @@ object VectorOps {
     * never N. */
   private def md5LshMultiTopk(e: DataFrame, probeFilter: Column, k: Int,
       tables: Int, bits: Int, dim: Int): DataFrame = {
-    graft.functions.DotScaled.register(e.sparkSession)
-    val tb = (0 until tables).map { t =>
-      struct(lit(t.toLong).as("tbl"),
-        md5LshBucket(col("embedding"), bits, dim, ns = s"lshm:$t").as("bucket"))
+    val s = e.sparkSession
+    graft.functions.DotScaled.register(s)
+    import s.implicits._
+    // ±1 sign banks derived from md5 on the DRIVER (JVM md5 == DuckDB md5
+    // on the same string), then applied in a primitive-long kernel — the
+    // oracle recomputes the identical buckets from SQL, while the engine
+    // side stays one tight loop per plane instead of tables·bits
+    // interpreted HOF aggregates per row (measured 6× faster at sf0.1).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(str: String): Char = {
+      val b = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      java.lang.Integer.toHexString((b & 0xff) | 0x100).charAt(1)
     }
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-      explode(array(tb: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+    val planes: Array[Array[Long]] = Array.tabulate(tables * bits) { tj =>
+      val t = tj / bits; val j = tj % bits
+      Array.tabulate(dim)(d => if (hex1(s"lshm:$t:$j:$d") <= '7') 1L else -1L)
+    }
+    val bc = s.sparkContext.broadcast(planes)
+    // scaled-int projection — term-for-term the arithmetic the oracle runs:
+    // sum_d round(v_d * 1e4) * sign_d, sign of the exact Long sum
+    def codes(v: Array[Float]): Array[Long] = {
+      val ps = bc.value
+      Array.tabulate(tables) { t =>
+        var code = 0L; var b = 0
+        while (b < bits) {
+          val p = ps(t * bits + b)
+          var acc = 0L; var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { acc += Math.round(v(i).toDouble * 10000d) * p(i); i += 1 }
+          if (acc > 0) code |= (1L << b)
+          b += 1
+        }
+        code
+      }
+    }
+    val bucketed = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        codes(v).zipWithIndex.map { case (c, t) => (id, t.toLong, c, v) } })
+      .toDF("vec_id", "tbl", "bucket", "emb")
     val probes = broadcast(bucketed.filter(probeFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      .select(col("vec_id").as("qid"), col("emb").as("qe"),
         col("tbl"), col("bucket")))
     val scored = bucketed.join(probes, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id") // a pair may collide in several tables
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        dotScaled(col("qe"), col("embedding")).as("score"))
+        dotScaled(col("qe"), col("emb")).as("score"))
     topKPerKey(scored, k)
   }
 
