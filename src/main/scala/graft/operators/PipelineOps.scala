@@ -21,11 +21,17 @@ import org.apache.spark.sql.functions._
   *    (max run length of a sorted array) — no explode, no groupBy, so a
   *    100 TB corpus needs exactly one scan and no exchange before the
   *    final order-by.
-  *  - `sequence_pack` / `domain_budget_sample`: windows partitioned by
-  *    `source` — parallel across domains. A single giant domain would make
-  *    one reducer hot; the fix is the same two-pass prefix-sum used by
-  *    [[TemporalOps.asofJoinSkewSafe]] (bucket by time/hash, carry bucket
-  *    totals forward), which these docs point at rather than duplicating.
+  *  - `sequence_pack` / `domain_budget_sample`: SKEW-SAFE per-source
+  *    prefix sums. A window partitioned only by `source` sends a
+  *    mega-domain through ONE reducer; instead each source is split into
+  *    order-preserving buckets (doc_id ranges / md5-prefix ranges), the
+  *    window runs on (source, bucket) — the hot domain spreads over
+  *    `buckets` reducers — and per-(source, bucket) totals (a tiny
+  *    aggregate, |sources|·|buckets| rows) yield each bucket's carry-in
+  *    offset via a window over that tiny table, broadcast-joined back.
+  *    Output is boundary-invariant: identical to the single-window
+  *    formulation, which is what the DuckDB oracles compute and what
+  *    PipelineOpsSpec's 90%-hot-source fixture asserts.
   */
 object PipelineOps {
 
@@ -126,30 +132,57 @@ object PipelineOps {
             FROM wmax w JOIN bmax b ON w.doc_id = b.doc_id ORDER BY w.doc_id"""),
   )
 
+  /** Skew-safe per-source cumulative token sum (see object doc): local
+    * windows on (source, bucket) + a broadcast carry-in from the tiny
+    * per-bucket-totals table. `orderCols` must sort consistently with the
+    * bucket column (bucket boundaries are prefixes of the order), so the
+    * concatenation of buckets in bucket order IS the per-source order.
+    * Returns the input columns + `cum`. */
+  private[graft] def perSourceCum(base: DataFrame, bkt: Column,
+      orderCols: Seq[String]): DataFrame = {
+    val b = base.withColumn("bkt", bkt)
+    val local = b.withColumn("lcum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("source", "bkt").orderBy(orderCols.map(col): _*)))
+    val carry = b.groupBy("source", "bkt").agg(sum("n_tokens").as("btot"))
+      .withColumn("carry", coalesce(
+        sum("btot").over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "carry")
+    local.join(broadcast(carry), Seq("source", "bkt"))
+      .withColumn("cum", col("lcum") + col("carry"))
+      .drop("bkt", "lcum", "carry")
+  }
+
   /** Sequence packing: assign docs (in doc_id order, per source) to fixed
     * token-budget training sequences by start offset in the concatenated
     * token stream — the "concat then chunk every B tokens" packing every
     * pretraining loader does. Output is per-sequence accounting. The
-    * prefix sum is a per-source window; see the object doc for the
-    * two-pass shape a single mega-domain needs. */
+    * prefix sum is the skew-safe [[perSourceCum]] over doc_id-range
+    * buckets: a 90%-hot domain spreads over `buckets` reducers. */
+  private[graft] def sequencePackOp(d: DataFrame, buckets: Int): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val base = d.select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+    // order-preserving bucketing: bucket b holds a contiguous doc_id range.
+    // max(doc_id) is one parquet-stats-cheap agg; width ≥ 1 guards tiny ids.
+    val maxId = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0)
+    val width = math.max(1L, maxId / buckets + 1L)
+    perSourceCum(base, (col("doc_id") / width).cast("long"), Seq("doc_id"))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(B.toDouble)).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
   private val sequencePack = QueryDef(
     "sequence_pack",
-    (s, dir) => {
-      val nTok = size(split(col("text"), " ")).cast("long")
-      val win = Window.partitionBy("source").orderBy("doc_id")
-      docs(s, dir)
-        .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(win))
-        .withColumn("seq_id",
-          floor((col("cum") - col("n_tokens")).cast("double") / lit(B.toDouble)).cast("long"))
-        .groupBy("source", "seq_id")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("seq_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "seq_id")
-    },
+    (s, dir) => sequencePackOp(docs(s, dir),
+      buckets = s.sessionState.conf.numShufflePartitions),
     Some(s"""WITH t AS (SELECT source, doc_id,
                     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
             c AS (SELECT source, doc_id, n_tokens,
@@ -168,13 +201,17 @@ object PipelineOps {
     * map that adds each partition's exact start offset to its local running
     * sum. No global shuffle-to-one anywhere; output is identical to the
     * single-window formulation, which is what the DuckDB oracle computes. */
-  private val sequencePackGlobal = QueryDef(
-    "sequence_pack_global",
-    (s, dir) => {
+  /** Global packing, parameterized by the range-partition count — derived
+    * from `spark.sql.shuffle.partitions` in the QueryDef (8 hardcoded
+    * partitions would bottleneck a 100 TB run; the conf is the knob ops
+    * already size to the cluster). Output is partition-count-invariant:
+    * PipelineOpsSpec asserts equality across two counts. */
+  private[graft] def sequencePackGlobalOp(d: DataFrame, numParts: Int): DataFrame = {
+      val s = d.sparkSession
       import s.implicits._
-      val parts = docs(s, dir)
+      val parts = d
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .repartitionByRange(8, col("doc_id"))
+        .repartitionByRange(numParts, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .as[(Long, Long)]
         // pin the partitioning: pass 2 must see the SAME partitions pass 1
@@ -204,7 +241,12 @@ object PipelineOps {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("seq_id")
-    },
+  }
+
+  private val sequencePackGlobal = QueryDef(
+    "sequence_pack_global",
+    (s, dir) => sequencePackGlobalOp(docs(s, dir),
+      numParts = s.sessionState.conf.numShufflePartitions),
     Some(s"""WITH t AS (SELECT doc_id,
                     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
             c AS (SELECT doc_id, n_tokens,
@@ -220,20 +262,24 @@ object PipelineOps {
     * reaches the budget — the reproducible version of "sample X tokens
     * per domain" (reshard-stable like `deterministic_sample`: membership
     * is a pure function of doc_id, never of partitioning or rand()). */
+  private[graft] def domainBudgetSampleOp(d: DataFrame, budget: Long): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+    val base = d.select(col("source"), col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+    // order-preserving bucketing over the md5 order: the first 2 hex chars
+    // are a lexicographic prefix of h, so 256 buckets concatenate in (h,
+    // doc_id) order — a mega-domain's window spreads over 256 reducers
+    perSourceCum(base, conv(substring(col("h"), 1, 2), 16, 10).cast("long"),
+      Seq("h", "doc_id"))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   private val domainBudgetSample = QueryDef(
     "domain_budget_sample",
-    (s, dir) => {
-      val nTok = size(split(col("text"), " ")).cast("long")
-      val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
-      val win = Window.partitionBy("source").orderBy("h", "doc_id")
-      docs(s, dir)
-        .select(col("source"), col("doc_id"), nTok.as("n_tokens"), h.as("h"))
-        .withColumn("cum", sum(col("n_tokens")).over(win))
-        .filter(col("cum") <= MixBudget)
-        .groupBy("source")
-        .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
-        .orderBy("source")
-    },
+    (s, dir) => domainBudgetSampleOp(docs(s, dir), MixBudget),
     Some(s"""WITH t AS (SELECT source, doc_id,
                     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
                     md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -102,4 +102,75 @@ class PipelineOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bySrc("src0") === ((8L, 509L)))
     assert(rows.forall(_.getLong(2) <= 600L))
   }
+
+  test("sequence_pack_global output is invariant to the range-partition count") {
+    val d = Tables.documents(spark, sf)
+    val a = graft.operators.PipelineOps.sequencePackGlobalOp(d, 3).collect().toSeq
+    val b = graft.operators.PipelineOps.sequencePackGlobalOp(d, 13).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "two-pass prefix sum must not depend on where range boundaries fall")
+  }
+
+  /** 1000 docs, 90% in one domain — the mega-domain fixture the skew-safe
+    * per-source windows exist for. */
+  private def hotSourceDocs = {
+    import spark.implicits._
+    (0 until 1000).map { i =>
+      val src = if (i % 10 != 0) "hot" else s"cold${i % 50 / 10}"
+      (i.toLong, src, Seq.fill(i % 7 + 1)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("sequence_pack spreads a 90%-hot source and matches the single-window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = hotSourceDocs
+    val viaOp = graft.operators.PipelineOps.sequencePackOp(d, buckets = 8)
+      .collect().toSeq
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val ref = d.select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / lit(512.0)).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "seq_id").collect().toSeq
+    assert(viaOp.nonEmpty && viaOp == ref,
+      "skew-safe per-source packing diverged from the single-window reference")
+    // reducer spread: the hot source's rows split across the (source, bkt)
+    // window groups instead of one 900-row reducer partition
+    val width = math.max(1L, 999L / 8 + 1L)
+    val groups = d.filter(col("source") === "hot")
+      .groupBy((col("doc_id") / width).cast("long")).count()
+      .collect().map(_.getLong(1))
+    assert(groups.length >= 6, s"hot source occupies only ${groups.length} buckets")
+    assert(groups.max <= 150,
+      s"largest hot-source slice ${groups.max} rows — bucketing failed to spread")
+  }
+
+  test("domain_budget_sample spreads a 90%-hot source and matches the single-window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = hotSourceDocs
+    val viaOp = graft.operators.PipelineOps.domainBudgetSampleOp(d, 600L)
+      .collect().toSeq
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+    val ref = d.select(col("source"), col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+      .withColumn("cum", sum("n_tokens").over(Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("cum") <= 600L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+      .orderBy("source").collect().toSeq
+    assert(viaOp.nonEmpty && viaOp == ref,
+      "skew-safe budget sample diverged from the single-window reference")
+    // md5-prefix buckets split the hot domain near-uniformly over 256 groups
+    val groups = d.filter(col("source") === "hot")
+      .groupBy(conv(substring(h, 1, 2), 16, 10).cast("long")).count()
+      .collect().map(_.getLong(1))
+    assert(groups.length >= 100, s"hot source occupies only ${groups.length} buckets")
+    assert(groups.max <= 30,
+      s"largest hot-source slice ${groups.max} rows — md5 bucketing failed to spread")
+  }
 }
