@@ -262,8 +262,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .collect().toSeq
     f.delete(stagingDir, true)
     // stamp the data sequence from the op's loaded metadata; rebasing
-    // commit paths re-stamp from the winner's state (see nextSeq)
-    out.filter(_.rows > 0).map(_.copy(seq = nextSeq(m)))
+    // commit paths re-stamp from the winner's state (see nextSeq).
+    // nextSeq walks the whole manifest log — evaluate once, not per file
+    val sq = nextSeq(m)
+    out.filter(_.rows > 0).map(_.copy(seq = sq))
   }
 
   /** INSERT/append (README.md:1136–1138): new files + add-files snapshot.
@@ -277,7 +279,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // conflict just replays the snapshot build on the winner's state
     commitWithRetry { cur =>
       val snap = cur.currentSnapshot
-      val stamped = files.map(_.copy(seq = nextSeq(cur)))
+      val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
+      val stamped = files.map(_.copy(seq = sq))
       (newSnapshot(cur, "append",
         snap.map(_.dataFiles).getOrElse(Seq()) ++ stamped,
         snap.map(_.deleteFiles).getOrElse(Seq())),
@@ -304,8 +307,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         if (cur.properties.get(key).exists(_.toLong >= batchId))
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val snap = cur.currentSnapshot
+        val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
         (newSnapshot(cur, "append",
-          snap.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = nextSeq(cur))),
+          snap.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = sq)),
           snap.map(_.deleteFiles).getOrElse(Seq()))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
@@ -351,7 +355,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     } catch {
       case _: IceLite.BatchReplayedException =>
         val f = fs(spark, location)
-        (files.map(_.path) ++ dels.map(_.path)).foreach(p => f.delete(new Path(p), false))
+        files.foreach(df0 => f.delete(new Path(df0.path), false))
+        // eq-delete keys live in their own deletes/eq-<uuid> directory
+        // (with a _SUCCESS marker): drop the whole directory, not just the
+        // parquet part, or the abort strands it until the orphan sweep
+        dels.map(d => new Path(d.path).getParent).distinct
+          .foreach(dir => f.delete(dir, true))
         false
     }
   }
@@ -470,15 +479,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   /** Anti-join `d` against one equality delete file's key set. Keys are
     * stored under physical `f<id>` names — rename/type evolution after the
     * delete can't break the match (field-id semantics, like data files).
-    * Join keys use standard equality: NULL keys never match (a NULL in an
-    * eq delete deletes nothing; a NULL-keyed data row is never deleted). */
+    * Join keys use NULL-SAFE equality (`<=>`): per the Iceberg v2 spec an
+    * equality delete matches NULL to NULL, so a CDC delete of a NULL-keyed
+    * row deletes it — standard equality would silently keep it. */
   private def antiJoinEqKeys(d: DataFrame, del: DeleteFile, m: TableMetadata,
       proj: TableSchema): DataFrame = {
     val fields = del.eqFieldIds.map(proj.byId)
     val keys = spark.read.parquet(del.path)
-      .select(fields.map(f => col(f.physName).cast(f.dtype).as(f.name)): _*)
+      .select(fields.map(f => col(f.physName).cast(f.dtype).as(s"_k_${f.name}")): _*)
       .distinct()
-    d.join(broadcast(keys), fields.map(_.name), "left_anti")
+    val cond = fields.map(f => d(f.name) <=> col(s"_k_${f.name}")).reduce(_ && _)
+    d.join(broadcast(keys), cond, "left_anti")
   }
 
   /** Read the current snapshot (optionally manifest-pruned by partition
@@ -650,10 +661,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       else {
         val fields = d.eqFieldIds.map(m.currentSchema.byId)
         val keys = spark.read.parquet(d.path)
-          .select(fields.map(f => col(f.physName).cast(f.dtype).as(f.name)): _*)
+          .select(fields.map(f => col(f.physName).cast(f.dtype).as(s"_k_${f.name}")): _*)
           .distinct()
-        Some(scanSnapshot(m, prev.copy(dataFiles = appl), lineage = false, _ => true)
-          .join(broadcast(keys), fields.map(_.name), "left_semi"))
+        // null-safe: mirrors antiJoinEqKeys — the changelog reports the
+        // same NULL-keyed rows as deleted that the read path drops
+        val visible = scanSnapshot(m, prev.copy(dataFiles = appl), lineage = false, _ => true)
+        val cond = fields.map(f => visible(f.name) <=> col(s"_k_${f.name}")).reduce(_ && _)
+        Some(visible.join(broadcast(keys), cond, "left_semi"))
       }
     }
     def stamp(df: DataFrame, kind: String): DataFrame =
@@ -816,6 +830,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val m = meta
     val fields = keys.columns.toSeq.map(m.currentSchema.fieldByName)
     require(fields.nonEmpty, "equality delete needs at least one key column")
+    // check BEFORE writing the key files — erroring after would leak them
+    // until the orphan sweep (the commit lambda still re-checks, for a
+    // table concurrently rolled back to empty)
+    require(m.currentSnapshot.nonEmpty, "cannot delete from an empty table")
     val dels = writeEqDeleteFiles(keys, fields)
     if (dels.isEmpty) return
     commitWithRetry { cur =>
@@ -1103,7 +1121,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val next = sch.copy(
         schemaId = m.schemas.map(_.schemaId).max + 1,
         fields = sch.fields.filterNot(_.id == fld.id))
-      (m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+      // drop the column's bloom-filter property in the same commit: left
+      // behind, its fieldByName lookup in writeFiles would fail every
+      // subsequent append/update/compact until manually unset
+      val bloomProp = s"write.parquet.bloom-filter-enabled.column.$name"
+      (m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next,
+        properties = m.properties - bloomProp),
         s"drop column $name")
     }
 
@@ -1331,8 +1354,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val ref = cur.refs.getOrElse(branch, sys.error(s"no branch $branch"))
       require(ref.refType == "branch", s"$branch is a tag; tags are immutable")
       val head = cur.snapshot(ref.snapshotId)
+      val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
       val snap = Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
-        "append", head.dataFiles ++ files.map(_.copy(seq = nextSeq(cur))), head.deleteFiles,
+        "append", head.dataFiles ++ files.map(_.copy(seq = sq)), head.deleteFiles,
         cur.currentSchemaId)
       (cur.copy(snapshots = cur.snapshots :+ snap,
         refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),

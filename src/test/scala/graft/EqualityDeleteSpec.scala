@@ -182,4 +182,43 @@ class EqualityDeleteSpec extends SparkSpec {
     val to = t.meta.currentSnapshotId.get
     assert(ids(t.readAppendedBetween(from, to)) == (10L until 20L).filterNot(_ == 12L))
   }
+
+  test("eq delete matches NULL to NULL (Iceberg v2 null-safe semantics)") {
+    // rows keyed by a nullable column, one of them NULL
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, None: Option[String]))
+      .toDF("id", "tag")
+    val t = mkTable("nullkey", df)
+    // a CDC delete of the NULL-keyed row must delete it, not no-op
+    t.deleteEq(Seq(None: Option[String]).toDF("tag"))
+    assert(ids(t.read()) == Seq(1L, 2L), "NULL key must match the NULL-keyed row")
+    // and a non-NULL key still deletes exactly its row
+    t.deleteEq(Seq(Option("a")).toDF("tag"))
+    assert(ids(t.read()) == Seq(2L))
+  }
+
+  test("deleteEq on an empty table fails before writing any key files") {
+    val loc = scratch("emptyeq")
+    val t = IceLite.createFrom(spark, loc, sample(0, 1)) // schema only, no rows
+    intercept[IllegalArgumentException](t.deleteEq(Seq(1L).toDF("id")))
+    val delDir = new java.io.File(loc, "deletes")
+    assert(!delDir.exists() || delDir.listFiles().isEmpty,
+      s"empty-table deleteEq leaked key files: ${Option(delDir.listFiles()).mkString}")
+  }
+
+  test("dropping a bloom-filtered column removes its property; writes keep working") {
+    val df = sample(0, 50).withColumn("uid", md5(col("id").cast("string")))
+    val loc = scratch("bloomdrop")
+    val t = IceLite.createFrom(spark, loc, df,
+      properties = Map("write.parquet.bloom-filter-enabled.column.uid" -> "true"))
+    t.append(df)
+    t.dropColumn("uid")
+    assert(!t.meta.properties.keys.exists(_.contains("bloom-filter")),
+      "stale bloom property survived the drop")
+    // the round-6 failure mode: any write after the drop died resolving
+    // the dropped column's bloom property
+    t.append(sample(50, 60))
+    assert(t.read().count() == 60)
+    t.compact(2)
+    assert(t.read().count() == 60)
+  }
 }
