@@ -37,8 +37,39 @@ object Bench {
     "icelite_delete_mor", "icelite_merge", "icelite_compaction",
     "icelite_zorder", "icelite_time_travel")
 
+  /** The 5 heaviest bench queries — the sf1 spot-bench set. One 10× scale
+    * point catches nonlinear blowups the sf0.1 bench can't see. */
+  private val sf1Heavies = Seq("dedup_components", "icelite_zorder",
+    "minhash_dedup", "icelite_compaction", "icelite_merge")
+
+  /** Deterministic 10× scale-up of the two tables the heavy queries read,
+    * cached under /tmp (no driver-generated sf1 parquet exists). Copy i
+    * interleaves ids (`id*10+i`, so bounded `doc_id < N` probe sets keep
+    * covering every copy) and prefixes copy>0 document tokens — near-dup
+    * structure is preserved WITHIN each copy but never across copies, so
+    * dedup work scales ~10×, not quadratically in identical clones. */
+  private def ensureSf1(spark: SparkSession, base: String): String = {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_sf1"
+    val ready = new java.io.File(out + "/_READY")
+    if (ready.exists) return out
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 10).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") * 10 + i)
+      if (i == 0) d
+      else d.withColumn("text", array_join(
+        transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
+    }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    (0 until 10).map(i => orders.withColumn("o_orderkey", col("o_orderkey") * 10 + i))
+      .reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    ready.createNewFile()
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1Mode = args.headOption.contains("sf1")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,13 +80,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (sf1Mode) ensureSf1(spark, baseDir) else baseDir
 
-    // untimed warmup
+    // untimed warmup (the synthetic sf1 dir holds only the tables the
+    // heavy queries read — warm what exists)
     try {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
+        .filter(t => new java.io.File(s"$sfDir/$t.parquet").exists)
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      Tables.events(spark, sfDir).count()
+      if (new java.io.File(s"$sfDir/events.parquet").exists)
+        Tables.events(spark, sfDir).count()
       val wtmp = java.nio.file.Files.createTempDirectory("bench_warm").toString
       spark.range(1000).toDF("i").write.parquet(wtmp + "/w")
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
@@ -71,10 +106,11 @@ object Bench {
       }
     }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — targeted re-timing while
-    // iterating, and the sf1 spot-bench's subset driver
+    // iterating; the sf1 mode defaults to the 5 heavies
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .orElse(if (sf1Mode) Some(sf1Heavies.toSet) else None)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // two full interleaved passes; per-query min
@@ -95,7 +131,7 @@ object Bench {
     // write cost, and the codegen-expression vs interpreted-HOF fingerprint
     // times — the regression canaries for write-path overhead and for hot
     // loops accidentally falling out of codegen
-    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    import org.apache.spark.sql.functions.{col, expr, max => fmax}
     def probeOnce(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -106,13 +142,15 @@ object Bench {
         val rawWrite = probeOnce(o.write.parquet(base + "/w"))
         graft.functions.RollingFingerprint.register(spark)
         val d = Tables.documents(spark, sfDir)
+        // max, not sum: forces the per-row fingerprint all the same, and
+        // cannot overflow Long on a 10× corpus (fingerprints reach ~1e15)
         val fpCodegen = probeOnce(d.select(
           graft.functions.RollingFingerprint.rollingFingerprint(col("text")).as("fp"))
-          .agg(fsum("fp")).collect())
+          .agg(fmax("fp")).collect())
         val fpHof = probeOnce(d.select(expr(
           """aggregate(transform(split(text, ''), ch -> ascii(ch)),
                        0L, (h, c) -> (h * 31 + c) % 1000000000000000)""").as("fp"))
-          .agg(fsum("fp")).collect())
+          .agg(fmax("fp")).collect())
         Seq("raw_write" -> rawWrite, "fp_codegen" -> fpCodegen, "fp_hof" -> fpHof)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] probes failed: ${e.getMessage}"); Seq.empty
