@@ -215,4 +215,26 @@ class PlanSpec extends SparkSpec
     assert(all > 1 && scanned.exists(_ < all),
       s"manifest pruning ineffective: $scanned of $all files")
   }
+
+  test("IVF md5 codebook plans as TakeOrderedAndProject, not a global sort") {
+    // the O(k)-driver-cost claim rests on this: each partition keeps its
+    // local top-k and the driver merges winners — a global Sort + Limit
+    // would shuffle the corpus
+    val e = Tables.embeddings(spark, sf)
+    val plan = e.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"codebook sample degenerated:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"codebook sample shuffles the corpus:\n$plan")
+  }
+
+  test("skew-safe curation windows broadcast the carry-in, never shuffle it wide") {
+    // perSourceCum's carry table is |sources|·|buckets| rows — it must
+    // arrive at the big side as a broadcast join
+    val plan = Registry.queries("sequence_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"carry-in join is not broadcast:\n${plan.take(3000)}")
+  }
 }
