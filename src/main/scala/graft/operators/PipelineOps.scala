@@ -277,6 +277,56 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Substring-granularity dedup signal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): per document, how many
+    * of its word 8-gram positions carry a gram that also appears in ANOTHER
+    * document — plus the covered fraction. High rep_frac docs are
+    * boilerplate/templates that exact and near-dup document matching both
+    * miss (the duplication lives below document granularity).
+    *
+    * Scale shape: one narrow flatMap (tokens → grams), one hash shuffle on
+    * the gram to count distinct docs, one shuffle join back (both sides
+    * already partitioned by gram — no extra exchange), one per-doc
+    * aggregation. The full suffix-array span-merge is out of scope;
+    * counting repeated positions is the standard first-pass signal. */
+  private val repeatedNgramSpans = QueryDef(
+    "repeated_ngram_spans",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val grams = d.select(col("doc_id"), explode(wordNgrams(col("text"), 8)).as("g"))
+      val freq = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+      val rep = grams.join(freq.filter(col("nd") > 1), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("rep_positions"))
+      val tot = d.select(col("doc_id"),
+        size(wordNgrams(col("text"), 8)).cast("long").as("n_positions"))
+        .filter(col("n_positions") > 0)
+      tot.join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_positions"),
+          coalesce(col("rep_positions"), lit(0L)).as("rep_positions"),
+          round(coalesce(col("rep_positions"), lit(0L)).cast("double") /
+            col("n_positions").cast("double"), 4).as("rep_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 6),
+                            i -> array_to_string(w[i:i+7], ' '))) AS g
+              FROM toks WHERE len(w) >= 8),
+            freq AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+            rep AS (SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS rep_positions
+                    FROM grams JOIN freq ON grams.g = freq.g AND freq.nd > 1
+                    GROUP BY 1),
+            tot AS (SELECT doc_id, CAST(len(w) - 7 AS BIGINT) AS n_positions
+                    FROM toks WHERE len(w) >= 8)
+            SELECT t.doc_id, t.n_positions,
+                   CAST(coalesce(r.rep_positions, 0) AS BIGINT) AS rep_positions,
+                   round(CAST(coalesce(r.rep_positions, 0) AS DOUBLE) /
+                         CAST(t.n_positions AS DOUBLE), 4) AS rep_frac
+            FROM tot t LEFT JOIN rep r ON t.doc_id = r.doc_id
+            ORDER BY t.doc_id"""),
+  )
+
   private val domainBudgetSample = QueryDef(
     "domain_budget_sample",
     (s, dir) => domainBudgetSampleOp(docs(s, dir), MixBudget),
@@ -292,5 +342,5 @@ object PipelineOps {
 
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
-      domainBudgetSample)
+      domainBudgetSample, repeatedNgramSpans)
 }

@@ -310,6 +310,45 @@ object TextOps {
             FROM reach GROUP BY node ORDER BY doc_id"""),
   )
 
+  /** Duplicate-cluster RESOLUTION — the step after [[dedupComponents]]:
+    * per cluster, keep the canonical member (the min doc_id, which IS the
+    * component label) and count the dropped ones. The keep/drop decision a
+    * curation run actually applies; one aggregation over the component
+    * labels, so the cost is the closure itself. */
+  private val dedupResolve = QueryDef(
+    "dedup_resolve",
+    (s, dir) =>
+      connectedComponents(jaccardEdges(s, dir).select("id1", "id2"))
+        .groupBy(col("comp").cast("long").as("keep_doc"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("n_dropped", col("n_members") - 1L)
+        .orderBy("keep_doc"),
+    Some("""WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sz sa ON sa.doc_id = id1
+              JOIN sz sb ON sb.doc_id = id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+            e AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+            comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+            SELECT CAST(c AS BIGINT) AS keep_doc,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dropped
+            FROM comp GROUP BY c ORDER BY keep_doc"""),
+  )
+
   /** Deterministic corpus sampling: md5-bucket the doc id and keep ~1/16
     * of documents — the reproducible, engine-portable alternative to
     * `TABLESAMPLE`/`rand()` for carving train/eval splits. A narrow filter
@@ -837,6 +876,6 @@ object TextOps {
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
-    dedupComponents, piiRedact, ngramTopk, stratifiedSample,
+    dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
   )
 }
