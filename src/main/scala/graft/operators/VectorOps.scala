@@ -319,11 +319,16 @@ object VectorOps {
         code
       }
     }
-    val bucketed = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (id, v) =>
-        codes(v).zipWithIndex.map { case (c, t) => (id, t.toLong, c, v) } })
-      .toDF("vec_id", "tbl", "bucket", "emb")
-    val probes = broadcast(bucketed.filter(probeFilter)
+    def bucketize(d: DataFrame): DataFrame =
+      d.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .mapPartitions(_.flatMap { case (id, v) =>
+          codes(v).zipWithIndex.map { case (c, t) => (id, t.toLong, c, v) } })
+        .toDF("vec_id", "tbl", "bucket", "emb")
+    val bucketed = bucketize(e)
+    // filter BEFORE the opaque kernel: predicates don't push through
+    // mapPartitions, so bucketing first would re-scan the whole corpus
+    // just to find the handful of probes
+    val probes = broadcast(bucketize(e.filter(probeFilter))
       .select(col("vec_id").as("qid"), col("emb").as("qe"),
         col("tbl"), col("bucket")))
     val scored = bucketed.join(probes, Seq("tbl", "bucket"))
@@ -480,6 +485,46 @@ object VectorOps {
             ORDER BY id1, id2"""),
   )
 
+  /** X26 int8 embedding quantization accounting: symmetric per-vector
+    * quantization to [-127, 127] (q_i = round(x_i · 127 / max|x|)) — the
+    * storage/serving format vector stacks ship (4× smaller than float32,
+    * SIMD-friendly int dot products). Output is the per-vector scale plus
+    * the quantized sum/L1 checksums, each an exact integer — so the whole
+    * quantization arithmetic is recomputed bit-identically by DuckDB
+    * (element-wise double ops + integer sums; no float accumulation).
+    * Narrow per-row map, no shuffle before the final order-by. */
+  private val embedQuantize = QueryDef(
+    "embed_quantize",
+    (s, dir) => {
+      val maxAbs = aggregate(col("embedding"), lit(0d),
+        (a, x) => greatest(a, abs(x.cast("double"))))
+      def q(x: Column) = round(x.cast("double") * 127d / col("ma"))
+      emb(s, dir)
+        .select(col("vec_id"), maxAbs.as("ma"), col("embedding"))
+        .filter(col("ma") > 0d) // an all-zero vector has no scale
+        .select(
+          col("vec_id"),
+          round(col("ma") * 10000d).cast("long").as("max_abs_scaled"),
+          aggregate(transform(col("embedding"), x => q(x).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("q_sum"),
+          aggregate(transform(col("embedding"), x => abs(q(x)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("q_l1"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH m AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings)
+            SELECT vec_id,
+                   CAST(round(ma * 10000) AS BIGINT) AS max_abs_scaled,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 127 / ma))) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> abs(round(CAST(x AS DOUBLE) * 127 / ma)))) AS BIGINT) AS q_l1
+            FROM m WHERE ma > 0 ORDER BY vec_id"""),
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, embedNearDup)
+    Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, embedNearDup,
+      embedQuantize)
 }
