@@ -284,19 +284,23 @@ object PipelineOps {
     * boilerplate/templates that exact and near-dup document matching both
     * miss (the duplication lives below document granularity).
     *
-    * Scale shape: one narrow flatMap (tokens → grams), one hash shuffle on
-    * the gram to count distinct docs, one shuffle join back (both sides
-    * already partitioned by gram — no extra exchange), one per-doc
-    * aggregation. The full suffix-array span-merge is out of scope;
-    * counting repeated positions is the standard first-pass signal. */
+    * Scale shape: the corpus-sized gram stream crosses the network ONCE —
+    * the narrow flatMap feeds a (gram, doc) occurrence count, and every
+    * later step ((gram)-level doc count, the nd>1 gate, the per-doc sum)
+    * moves only per-pair aggregates, never raw grams; there is no join
+    * back against the expansion. The full suffix-array span-merge is out
+    * of scope; counting repeated positions is the standard first-pass
+    * signal. */
   private val repeatedNgramSpans = QueryDef(
     "repeated_ngram_spans",
     (s, dir) => {
       val d = docs(s, dir)
       val grams = d.select(col("doc_id"), explode(wordNgrams(col("text"), 8)).as("g"))
-      val freq = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
-      val rep = grams.join(freq.filter(col("nd") > 1), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("rep_positions"))
+      val perDocGram = grams.groupBy("g", "doc_id").agg(count(lit(1)).as("occ"))
+      val rep = perDocGram
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("nd") > 1)
+        .groupBy("doc_id").agg(sum("occ").as("rep_positions"))
       val tot = d.select(col("doc_id"),
         size(wordNgrams(col("text"), 8)).cast("long").as("n_positions"))
         .filter(col("n_positions") > 0)

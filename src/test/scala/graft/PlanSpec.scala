@@ -229,6 +229,18 @@ class PlanSpec extends SparkSpec
       s"codebook sample shuffles the corpus:\n$plan")
   }
 
+  test("repeated_ngram_spans expands the corpus grams exactly once") {
+    // the corpus-sized gram stream must cross the network once: one
+    // Generate(explode) in the whole plan — a second one would mean the
+    // expansion is recomputed for another shuffle (the n_positions side
+    // uses size() only, no explode)
+    val plan = Registry.queries("repeated_ngram_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"expected exactly 1 gram expansion, found $explodes:\n${plan.take(3000)}")
+  }
+
   test("skew-safe curation windows broadcast the carry-in, never shuffle it wide") {
     // perSourceCum's carry table is |sources|·|buckets| rows — it must
     // arrive at the big side as a broadcast join
