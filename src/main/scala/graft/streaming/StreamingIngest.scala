@@ -31,6 +31,21 @@ object StreamingIngest {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming complement of `dedup_exact`:
+    * keep the first arrival per content fingerprint, dropping duplicates
+    * that arrive within the watermark horizon of each other. The state
+    * store holds one entry per fingerprint and EVICTS keys once the
+    * event-time watermark passes them — bounded by traffic inside the
+    * horizon, never by stream lifetime (a plain dropDuplicates grows its
+    * state forever; this is the only shape that survives an unbounded
+    * ingest). Input: (ts TIMESTAMP, doc_id LONG, text STRING); output
+    * carries the md5 fingerprint the dedup keyed on. */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** One user-session aggregate (emitted when the session closes). */
   case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
       startMs: Long, endMs: Long)

@@ -46,6 +46,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingIngest.dedupStream(
+      mem.toDF.toDF("ts", "doc_id", "text"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("streamdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "aaa"),
+        (ts("2024-01-01 10:01:00"), 2L, "aaa"), // same content, same batch
+        (ts("2024-01-01 10:02:00"), 3L, "bbb"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:03:00"), 4L, "aaa")) // later batch, inside horizon
+      q.processAllAvailable()
+      val got = spark.table("streamdedup").collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((1L, "aaa"), (3L, "bbb")),
+        s"expected first arrivals only, got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
