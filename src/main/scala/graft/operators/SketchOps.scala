@@ -89,5 +89,44 @@ object SketchOps {
             GROUP BY key, n HAVING count(*) > n / 16 ORDER BY key"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(kmvDistinct, heavyHitters)
+  /** KMV UNION — the algebra that makes bounded sketches worth having:
+    * the union of two key streams' sketches IS the sketch of the union
+    * (k smallest distinct hashes commute with ∪), so per-partition /
+    * per-source / per-day sketches roll up without ever re-touching raw
+    * data. Here: distinct customers engaged via orders (o_custkey) OR
+    * events (user_id) — two tables, one O(k) state, the exact distinct
+    * beside it as ground truth. Hashes are md5-derived, so DuckDB
+    * recomputes the identical estimate. */
+  private val kmvUnionDistinct = QueryDef(
+    "kmv_union_distinct",
+    (s, dir) => {
+      KmvKth.register(s)
+      val a = Tables.orders(s, dir).select(col("o_custkey").cast("string").as("k"))
+      val b = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      a.unionAll(b)
+        .select(expr(
+          "cast(conv(substring(md5(k), 1, 15), 16, 10) as bigint)").as("h"))
+        .agg(countDistinct(col("h")).cast("long").as("exact_ndv"),
+          expr("kmv_kth(h, 64)").as("kth"))
+        .select(col("exact_ndv"),
+          when(col("kth").isNull, col("exact_ndv").cast("double"))
+            .otherwise(round(
+              lit(63.0d * 1152921504606846976.0d) / col("kth").cast("double"), 2))
+            .as("est_ndv"))
+    },
+    Some("""WITH u AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+              UNION ALL SELECT CAST(user_id AS VARCHAR) FROM events),
+            h AS (SELECT CAST(concat('0x', substring(md5(k), 1, 15)) AS BIGINT) AS h
+                  FROM u)
+            SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_ndv,
+                   CASE WHEN count(DISTINCT h) < 64
+                        THEN CAST(count(DISTINCT h) AS DOUBLE)
+                        ELSE round(63.0 * 1152921504606846976.0 /
+                               (list_sort(list_distinct(list(h))))[64], 2)
+                   END AS est_ndv
+            FROM h"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(kmvDistinct, kmvUnionDistinct, heavyHitters)
 }
