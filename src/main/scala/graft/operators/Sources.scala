@@ -181,8 +181,54 @@ object Sources {
              FROM events ORDER BY format"""),
   )
 
+  /** Column-level data profiling — the ANALYZE TABLE shape: per column,
+    * row/null/distinct counts and min/max, over ONE scan (a single
+    * aggregate row computes every stat; the per-column rows are unpivoted
+    * from it driver-side, so the corpus is read once no matter how many
+    * columns are profiled). Exact NDV here because the oracle needs it;
+    * the 100 TB variant swaps `countDistinct` for `approx_count_distinct`
+    * (HLL++, one pass, no expand) — same plan shape otherwise. */
+  private val tableProfile = QueryDef(
+    "table_profile",
+    (s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_returnflag")
+      val li = Tables.lineitem(s, dir)
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).cast("long").as(s"${c}_ndv"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")))
+      val row = li.agg(aggs.head, aggs.tail: _*).head
+      cols.map(c => (c, row.getAs[Long]("n"), row.getAs[Long](s"${c}_nulls"),
+          row.getAs[Long](s"${c}_ndv"), row.getAs[String](s"${c}_min"),
+          row.getAs[String](s"${c}_max")))
+        .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+        .orderBy("col_name")
+    },
+    Some("""WITH s AS (SELECT
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+              CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_ndv,
+              CAST(min(l_quantity) AS VARCHAR) AS q_min, CAST(max(l_quantity) AS VARCHAR) AS q_max,
+              CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+              CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS p_ndv,
+              CAST(min(l_extendedprice) AS VARCHAR) AS p_min, CAST(max(l_extendedprice) AS VARCHAR) AS p_max,
+              CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
+              CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r_ndv,
+              CAST(min(l_returnflag) AS VARCHAR) AS r_min, CAST(max(l_returnflag) AS VARCHAR) AS r_max
+            FROM lineitem)
+            SELECT 'l_extendedprice' AS col_name, n AS n_rows, p_nulls AS n_nulls,
+                   p_ndv AS ndv, p_min AS min_val, p_max AS max_val FROM s
+            UNION ALL
+            SELECT 'l_quantity', n, q_nulls, q_ndv, q_min, q_max FROM s
+            UNION ALL
+            SELECT 'l_returnflag', n, r_nulls, r_ndv, r_min, r_max FROM s
+            ORDER BY col_name"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     sinkRoundtrip, partitionedSinkScan, fileListingWalk, schemaDescribe,
-    footerMetadata, jsonOrcRoundtrip,
+    footerMetadata, jsonOrcRoundtrip, tableProfile,
   )
 }
