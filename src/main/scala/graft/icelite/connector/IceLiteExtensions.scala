@@ -36,9 +36,40 @@ import org.apache.spark.sql.graft.SparkShims
   *     InternalRow→Row→InternalRow — ~3× slower at sf0.1).
   */
 class IceLiteExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => IceLiteDmlRule)
     ext.injectPostHocResolutionRule(_ => IceLiteReadSubstitution)
+    // the library's native expressions, injected at session build so ANY
+    // SQL user of a graft-extended session has them — the per-query
+    // register() calls stay for sessions built without the extension
+    def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", null, name, usage, ""), b))
+    inject("dot_scaled",
+      "dot_scaled(a, b) - scaled-int dot product of two float arrays") { e =>
+      require(e.length == 2, s"dot_scaled takes 2 args, got ${e.length}")
+      graft.functions.DotScaled(e.head, e(1))
+    }
+    inject("rolling_fingerprint",
+      "rolling_fingerprint(s) - polynomial rolling hash of a string") { e =>
+      require(e.length == 1, s"rolling_fingerprint takes 1 arg, got ${e.length}")
+      graft.functions.RollingFingerprint(e.head)
+    }
+    inject("kmv_kth",
+      "kmv_kth(h, k) - k-th smallest distinct hash (KMV sketch bound)") { e =>
+      require(e.length == 2, s"kmv_kth takes 2 args, got ${e.length}")
+      require(e(1).foldable, "kmv_kth: k must be a literal")
+      graft.functions.KmvKth(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("misra_gries",
+      "misra_gries(x, k) - heavy-hitter candidates with count lower bounds") { e =>
+      require(e.length == 2, s"misra_gries takes 2 args, got ${e.length}")
+      require(e(1).foldable, "misra_gries: k must be a literal")
+      graft.functions.MisraGries(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
   }
 }
 

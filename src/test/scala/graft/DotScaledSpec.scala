@@ -31,6 +31,23 @@ class DotScaledSpec extends SparkSpec {
     assert(r == 40000L)
   }
 
+  test("native functions are injected by the session extension (no register call)") {
+    // SparkSpec's session carries IceLiteExtensions: dot_scaled,
+    // rolling_fingerprint, kmv_kth, misra_gries must resolve in fresh SQL
+    // without any per-query registration
+    val fresh = spark.newSession() // temp functions don't carry over; injected ones do
+    assert(fresh.sql(
+      "SELECT dot_scaled(array(cast(1.0 as float)), array(cast(3.0 as float)))")
+      .head.getLong(0) == 30000L)
+    assert(fresh.sql("SELECT rolling_fingerprint('ab')").head.getLong(0) ==
+      ('a'.toLong * 31 + 'b'.toLong) % 1000000000000000L)
+    assert(fresh.sql("SELECT kmv_kth(h, 2) FROM (SELECT CAST(5 AS BIGINT) h UNION ALL SELECT 9)")
+      .head.getLong(0) == 9L)
+    assert(!fresh.sql(
+      "SELECT misra_gries(x, 4) FROM (SELECT CAST(7 AS BIGINT) x UNION ALL SELECT 7)")
+      .head.isNullAt(0))
+  }
+
   test("rejects non-float-array inputs at analysis time") {
     DotScaled.register(spark)
     val bad = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("a", "b")
