@@ -472,24 +472,54 @@ object TextOps {
     * shingles — the second granularity a fuzzy-dedup pass runs at (word
     * shingles catch re-orderings, char shingles catch in-word edits).
     * min(hex) of a cryptographic hash is a uniform random min-permutation,
-    * so these ARE valid minhash values. The explode formulation is the
-    * SQL-shaped anchor; the scale path is the JVM kernel in
-    * [[minhashPairs]] (mapPartitions, no per-shingle row explosion). */
+    * so these ARE valid minhash values. The engine side runs the whole
+    * signature in ONE narrow mapPartitions kernel — per doc, a running
+    * min over the shingle hashes, no per-shingle row explosion and no
+    * aggregation shuffle (the old explode + groupBy moved ~55 hashes per
+    * doc through an exchange; this moves one 4-column row). JVM MD5 hex
+    * equals Spark/DuckDB md5 on the same bytes, so the SQL oracle is
+    * unchanged. */
   private val minhashSignature = QueryDef(
     "minhash_signature",
     (s, dir) => {
-      val sh = docs(s, dir).select(
-        col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
-          .as("sh"))
-      sh.groupBy("doc_id")
-        .agg(
-          min(md5(concat(lit("1:"), col("sh")))).as("h1"),
-          min(md5(concat(lit("2:"), col("sh")))).as("h2"),
-          min(md5(concat(lit("3:"), col("sh")))).as("h3"),
-          min(md5(concat(lit("4:"), col("sh")))).as("h4"))
-        .orderBy("doc_id")
+      import s.implicits._
+      val base = docs(s, dir).select("doc_id", "text")
+      // a single-file fixture arrives as ONE partition and would run the
+      // kernel serially; spread it only when the source has fewer splits
+      // than cores. A 100 TB corpus always has ≥ cores splits — no
+      // shuffle on the scale path.
+      val np = s.sparkContext.defaultParallelism
+      val spread =
+        if (base.rdd.getNumPartitions < np) base.repartition(np, col("doc_id"))
+        else base
+      spread.as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = {
+            val sb = new java.lang.StringBuilder(32)
+            b.foreach(x => sb.append(Integer.toHexString((x & 0xff) | 0x100).substring(1)))
+            sb.toString
+          }
+          it.map { case (id, text) =>
+            // same shingle rule as the SQL: 5-char windows, 1 window of
+            // the whole text when it is shorter than 5 chars
+            val n = math.max(text.length - 4, 1)
+            val mins = Array.fill(4)("￿")
+            var i = 0
+            while (i < n) {
+              val sh = text.substring(i, math.min(i + 5, text.length))
+              var k = 0
+              while (k < 4) {
+                val h = hex(md.digest(
+                  s"${k + 1}:$sh".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                if (h < mins(k)) mins(k) = h
+                k += 1
+              }
+              i += 1
+            }
+            (id, mins(0), mins(1), mins(2), mins(3))
+          }
+        }.toDF("doc_id", "h1", "h2", "h3", "h4").orderBy("doc_id")
     },
     Some("""WITH sh AS (
               SELECT doc_id, substring(text, CAST(i AS INT), 5) AS sh
