@@ -566,7 +566,14 @@ object TextOps {
     val spark = d.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
-    val withSig = d.select(col("doc_id").cast("long"), col("text"))
+    val src = d.select(col("doc_id").cast("long"), col("text"))
+    // single-file fixtures arrive as one partition and would run the md5
+    // kernel serially; spread only when the source has fewer splits than
+    // cores (a real corpus always has ≥ cores splits — no shuffle then)
+    val np = spark.sparkContext.defaultParallelism
+    val spread =
+      if (src.rdd.getNumPartitions < np) src.repartition(np, col("doc_id")) else src
+    val withSig = spread
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
