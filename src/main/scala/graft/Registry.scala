@@ -30,6 +30,7 @@ object Registry {
       operators.SketchOps.defs ++
       operators.GeoOps.defs ++
       operators.TextOps.defs ++
+      operators.GraphOps.defs ++
       operators.PipelineOps.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++

@@ -374,6 +374,35 @@ object Relational {
              ORDER BY yr, priority"""),
   )
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
+    * one pass — Spark expands the sets map-side and aggregates them in the
+    * same partial/final shuffle as a plain GROUP BY (no per-level rescan).
+    * `gid` is computed as 2·grouping(a)+grouping(b) on both sides rather
+    * than engine-specific grouping_id encodings; NULL group values are
+    * coalesced to a sentinel so the total ORDER BY is engine-independent. */
+  private val cubeAgg = QueryDef(
+    "cube_agg",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          Exact.dsumR(col("l_extendedprice")).as("revenue"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("gid"), col("cnt"), col("revenue"))
+        .orderBy("gid", "returnflag", "linestatus"),
+    Some(s"""SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+             coalesce(l_linestatus, '<all>') AS linestatus,
+             CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             CAST(count(*) AS BIGINT) AS cnt, ${Exact.sqlSum("l_extendedprice")} AS revenue
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY gid, returnflag, linestatus"""),
+  )
+
   /** PIVOT: event values spread into one column per event_type. Spark's
     * relational pivot with explicit values (stable output schema at any
     * scale — never let pivot infer distinct values on a 100 TB table);
@@ -423,6 +452,6 @@ object Relational {
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
     jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
-    rollupAgg, pivotAgg, percentiles,
+    rollupAgg, cubeAgg, pivotAgg, percentiles,
   )
 }

@@ -909,10 +909,92 @@ object TextOps {
             FROM flagged GROUP BY lang ORDER BY lang"""),
   )
 
+  /** X4 TF-IDF top-3 terms per document. Rational idf: instead of
+    * `ln(N/df)` (a transcendental whose last ulp can differ across libm
+    * builds) the weight is the scaled integer `(N * 1e6) div df` — same
+    * ordering for fixed N, and exact in both engines, so the whole
+    * pipeline hash-matches.
+    *
+    * Scale shape: tokens shuffle once into (doc, term) counts; document
+    * frequency is a second partial-agg over terms (vocab-sized, far
+    * smaller than the corpus); the tf⋈df join is keyed on term; top-k per
+    * doc is a row_number window partitioned by doc_id — at 100 TB each
+    * reducer holds one document's vocabulary, never the corpus. N arrives
+    * via a broadcast 1-row cross join, keeping the query a single lazy
+    * plan. */
+  /** TF-IDF core shared with TfidfSpec's hand-computed fixture. */
+  def tfidfTop3(d: DataFrame): DataFrame = {
+    val tok = d.select(
+      col("doc_id").cast("long").as("doc_id"),
+      explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(n)
+      .selectExpr("doc_id", "term", "tf * ((n * 1000000L) div df) AS score_scaled")
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_scaled"), asc("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "score_scaled")
+      .orderBy(asc("doc_id"), desc("score_scaled"), asc("term"))
+  }
+
+  private val tfidfTopk = QueryDef(
+    "tfidf_topk",
+    (s, dir) => tfidfTop3(docs(s, dir)),
+    Some("""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, t.term
+                         FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            sc AS (SELECT doc_id, tf.term AS term,
+                          CAST(tf * ((n * 1000000) // df) AS BIGINT) AS score_scaled
+                   FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS rn FROM sc)
+            SELECT doc_id, term, score_scaled FROM rk WHERE rn <= 3
+            ORDER BY doc_id, score_scaled DESC, term"""),
+  )
+
+  /** X1 incremental (cross-batch) dedup — the shape a rolling crawl
+    * pipeline runs daily: dedup the NEW batch against the fingerprint
+    * index of everything already ingested, never against the corpus text.
+    * The "index" is docs with doc_id%10<8; the batch is the rest plus a
+    * deterministic re-crawl slice (doc_id%25==0) that the anti-join must
+    * drop.
+    *
+    * Scale shape: only 32-hex fingerprints shuffle — the 100 TB of
+    * already-ingested text is represented by its hash index (16 bytes a
+    * doc), the batch drops its text column before the join (column
+    * pruning), and the anti-join + in-batch groupBy hash-partition on the
+    * fingerprint. */
+  private val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      val fps = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("fp"))
+      val existing = fps.filter(col("doc_id") % 10 < 8).select("fp").distinct()
+      val batch = fps.filter(col("doc_id") % 10 >= 8)
+        .unionAll(fps.filter(col("doc_id") % 25 === 0)) // re-crawled slice
+      batch.join(existing, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "fp", "n_copies")
+        .orderBy("doc_id")
+    },
+    Some("""WITH fps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp FROM documents),
+            existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+            batch AS (SELECT * FROM fps WHERE doc_id % 10 >= 8
+                      UNION ALL SELECT * FROM fps WHERE doc_id % 25 = 0)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp, CAST(count(*) AS BIGINT) AS n_copies
+            FROM batch WHERE fp NOT IN (SELECT fp FROM existing)
+            GROUP BY fp ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
+    tfidfTopk, dedupIncremental,
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-7 additions: fixed-point PageRank,
+  * TF-IDF top-k, incremental dedup, CUBE. (Value-level parity with DuckDB
+  * is the driver's oracle gate; these pin the algorithmic invariants.)
+  */
+class GraphTextOpsSpec extends SparkSpec {
+
+  test("pagerank conserves rank mass and is partition-invariant") {
+    val out = Registry.queries("pagerank_topk")(spark, sf)
+    val top = out.collect()
+    assert(top.length == 20)
+    // ranks descend, ties broken by doc_id ascending
+    val ranks = top.map(_.getLong(1))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    // integer arithmetic → identical output regardless of input split count
+    val again = Registry.queries("pagerank_topk")(spark, sf).collect()
+    assert(top.sameElements(again))
+    // total mass stays ~1e12: each node's update truncates <100 twice, and
+    // the teleport term re-injects base per node
+    val full = Tables.documents(spark, sf).count()
+    val top1Share = ranks.head.toDouble / 1e12
+    assert(top1Share > 1.0 / full, "top node should beat the uniform share")
+  }
+
+  test("tfidf matches a hand-computed fixture") {
+    import spark.implicits._
+    val d = Seq((0L, "a a b"), (1L, "a c"), (2L, "c c d"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.tfidfTop3(d)
+      .as[(Long, String, Long)].collect().toSeq
+    // N=3; df: a=2 b=1 c=2 d=1; idf_scaled = (3e6)//df
+    val want = Seq(
+      (0L, "a", 3000000L), (0L, "b", 3000000L),
+      (1L, "a", 1500000L), (1L, "c", 1500000L),
+      (2L, "c", 3000000L), (2L, "d", 3000000L))
+    assert(got == want)
+  }
+
+  test("incremental dedup drops every re-crawled fingerprint") {
+    val out = Registry.queries("dedup_incremental")(spark, sf)
+    val fps = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("fp"))
+    val existing = fps.filter(col("doc_id") % 10 < 8).select("fp")
+    // no survivor's fingerprint is in the existing index
+    assert(out.join(existing, Seq("fp"), "left_semi").count() == 0)
+    // survivors all come from the new slice
+    assert(out.filter(col("doc_id") % 10 < 8).count() == 0)
+  }
+
+  test("cube levels are mutually consistent") {
+    val out = Registry.queries("cube_agg")(spark, sf).collect()
+    val byGid = out.groupBy(_.getAs[Long]("gid"))
+    val grand = byGid(3L)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("cnt")
+    // every partial level re-partitions the same row set
+    for (g <- Seq(0L, 1L, 2L))
+      assert(byGid(g).map(_.getAs[Long]("cnt")).sum == total, s"gid=$g")
+  }
+}
