@@ -31,6 +31,7 @@ object Registry {
       operators.GeoOps.defs ++
       operators.TextOps.defs ++
       operators.GraphOps.defs ++
+      operators.BehaviorOps.defs ++
       operators.PipelineOps.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++

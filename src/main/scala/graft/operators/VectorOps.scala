@@ -524,7 +524,44 @@ object VectorOps {
             FROM m WHERE ma > 0 ORDER BY vec_id"""),
   )
 
+  /** Per-label centroid, one row per (label, dimension). Elements are
+    * quantized to 1e6-scaled BIGINTs first (`round(x·1e6)` matches across
+    * engines — same scheme as embed_quantize), so the mean is integer
+    * arithmetic: exact, associative, order-independent. The division is
+    * `floor(sum/n)` on BOTH sides — DuckDB's `//` floors while Spark's
+    * `div` truncates, and negative sums would diverge.
+    *
+    * Scale shape: posexplode amplifies rows ×dim, but the groupBy(label,
+    * dim) partial-aggregates map-side, so the shuffle carries only
+    * labels×dims rows per partition — at 100 TB the wire traffic is the
+    * codebook size, not the corpus. */
+  private val embedCentroid = QueryDef(
+    "embed_centroid",
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * 1000000d).cast("long").as("v"))
+        .groupBy("label", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          floor(col("sv").cast("double") / col("n").cast("double")).cast("long")
+            .as("centroid_scaled"),
+          col("n"))
+        .orderBy("label", "dim"),
+    Some("""WITH ex AS (SELECT label,
+                   unnest(range(1, len(embedding)+1)) AS dim,
+                   unnest(list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v
+                 FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_scaled,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ex GROUP BY 1, 2 ORDER BY label, dim"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, embedNearDup,
-      embedQuantize)
+      embedQuantize, embedCentroid)
 }

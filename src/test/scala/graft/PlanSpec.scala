@@ -249,4 +249,27 @@ class PlanSpec extends SparkSpec
     assert(plan.contains("BroadcastHashJoin"),
       s"carry-in join is not broadcast:\n${plan.take(3000)}")
   }
+
+  test("funnel stages broadcast the user-level tables; event scans push the type filter") {
+    // every stage join is user-cardinality vs the event log — a sort-merge
+    // join would shuffle the 100 TB fact side once per stage
+    val plan = Registry.queries("funnel_stages")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"funnel stage join fell back to sort-merge:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast stage joins")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,"),
+      "event_type filter not pushed to the parquet scan")
+  }
+
+  test("embed_centroid partial-aggregates the exploded dims map-side") {
+    // the explode amplifies rows ×64, but the shuffle must carry only the
+    // label×dim partials — HashAggregate must appear below the Exchange
+    val plan = Registry.queries("embed_centroid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair, got $aggs:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"no map-side partial aggregation:\n${plan.take(3000)}")
+  }
 }
