@@ -524,6 +524,115 @@ object VectorOps {
             FROM m WHERE ma > 0 ORDER BY vec_id"""),
   )
 
+  /** Scaled-int squared distance over a dimension slice — per-element
+    * `round((aᵢ−bᵢ)²·1e4)` summed: floats widen exactly to double, the
+    * subtraction/multiply are single IEEE ops, and the rounded Long sum is
+    * associative — identical in DuckDB's
+    * `round((p[1]-p[2])*(p[1]-p[2])*10000)` (same family as
+    * [[dotScaledJvm]]). */
+  private def sqDistScaledJvm(a: Array[Float], b: Array[Float],
+      from: Int, until: Int): Long = {
+    var i = from; var acc = 0L
+    while (i < until) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += Math.round(d * d * 10000d)
+      i += 1
+    }
+    acc
+  }
+
+  /** X3 scale path #3: product-quantization (PQ) ANN — the memory-
+    * compression index family (IVF partitions the corpus, LSH buckets it,
+    * PQ shrinks each vector). The 64-dim space splits into 4 subspaces of
+    * 16 dims; each subspace gets a 16-entry codebook (the md5-ordered
+    * deterministic sample, same as IVF), so a vector encodes to 4 codes —
+    * 4 bytes standing in for 256 bytes of floats, the asymmetric-distance
+    * trick of Jégou et al.'s "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI 2011).
+    *
+    * Query-time ADC: the probe's distance to every (subspace, centroid)
+    * pair is a 4×16 table computed once; a candidate's approximate
+    * distance is 4 table lookups. Scale shape: ONE narrow mapPartitions
+    * encodes the corpus and scores it against the broadcast ADC table —
+    * no shuffle at all — and top-k is TakeOrderedAndProject. At 100 TB
+    * the codes would be precomputed at ingest (append-only column) and
+    * probes batched; codebook + ADC stay O(k·dim) on the driver.
+    *
+    * ORACLE-ANCHORED end to end: codebook selection, scaled-int argmin
+    * encoding (tie → smaller code), ADC table, and the final ranking are
+    * all recomputed by DuckDB — the probe IS vector 0, so its
+    * subspace-to-centroid distances double as the ADC table. */
+  def pqTopk(e: DataFrame, k: Int, codebookK: Int, subspaces: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    require(subspaces == 4, "output schema is fixed to 4 subspace codes")
+    val cents: Array[Array[Float]] = md5Codebook(e, codebookK).map(_._2)
+    val dim = cents.head.length
+    val dsub = dim / subspaces
+    val probe = e.filter(col("vec_id") === 0L)
+      .select("embedding").as[Array[Float]].head()
+    val ptable = Array.tabulate(subspaces, codebookK) { (m, j) =>
+      sqDistScaledJvm(probe, cents(j), m * dsub, (m + 1) * dsub)
+    }
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcP = s.sparkContext.broadcast(ptable)
+    e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val pt = bcP.value
+        it.map { case (id, v) =>
+          val codes = new Array[Long](4)
+          var adc = 0L
+          var m = 0
+          while (m < 4) {
+            var best = 0; var bestD = Long.MaxValue
+            var j = 0
+            while (j < cs.length) {
+              val d = sqDistScaledJvm(v, cs(j), m * dsub, (m + 1) * dsub)
+              if (d < bestD) { bestD = d; best = j } // strict < keeps smaller j on ties
+              j += 1
+            }
+            codes(m) = best.toLong
+            adc += pt(m)(best)
+            m += 1
+          }
+          (id, codes(0), codes(1), codes(2), codes(3), adc)
+        }
+      }
+      .toDF("vec_id", "c0", "c1", "c2", "c3", "adc_scaled")
+      .orderBy(asc("adc_scaled"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private val annPqTopk = QueryDef(
+    "ann_pq_topk",
+    (s, dir) => pqTopk(emb(s, dir), k = 50, codebookK = 16, subspaces = 4),
+    Some("""WITH cb AS (SELECT vec_id AS cid, embedding AS ce,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS j
+                 FROM embeddings ORDER BY j LIMIT 16),
+            sub AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS m),
+            vd AS (SELECT e.vec_id, s.m, cb.j,
+                     CAST(list_sum(list_transform(
+                          list_zip(e.embedding[s.m*16+1 : s.m*16+16], cb.ce[s.m*16+1 : s.m*16+16]),
+                          p -> round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 10000))) AS BIGINT) AS d
+                   FROM embeddings e CROSS JOIN cb CROSS JOIN sub s),
+            code AS (SELECT vec_id, m, j AS code FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM vd)
+                     WHERE rn = 1),
+            pt AS (SELECT v.m, v.j, v.d FROM vd v WHERE v.vec_id = 0),
+            adc AS (SELECT c.vec_id, CAST(sum(pt.d) AS BIGINT) AS adc_scaled
+                    FROM code c JOIN pt ON pt.m = c.m AND pt.j = c.code GROUP BY 1)
+            SELECT a.vec_id,
+                   CAST(max(CASE WHEN c.m = 0 THEN c.code END) AS BIGINT) AS c0,
+                   CAST(max(CASE WHEN c.m = 1 THEN c.code END) AS BIGINT) AS c1,
+                   CAST(max(CASE WHEN c.m = 2 THEN c.code END) AS BIGINT) AS c2,
+                   CAST(max(CASE WHEN c.m = 3 THEN c.code END) AS BIGINT) AS c3,
+                   a.adc_scaled
+            FROM adc a JOIN code c ON c.vec_id = a.vec_id
+            GROUP BY a.vec_id, a.adc_scaled
+            ORDER BY a.adc_scaled, a.vec_id LIMIT 50"""),
+  )
+
   /** Per-label centroid, one row per (label, dimension). Elements are
     * quantized to 1e6-scaled BIGINTs first (`round(x·1e6)` matches across
     * engines — same scheme as embed_quantize), so the mean is integer
@@ -562,6 +671,6 @@ object VectorOps {
   )
 
   val defs: Seq[QueryDef] =
-    Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, embedNearDup,
-      embedQuantize, embedCentroid)
+    Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
+      embedNearDup, embedQuantize, embedCentroid)
 }

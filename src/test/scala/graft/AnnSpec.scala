@@ -84,4 +84,16 @@ class AnnSpec extends SparkSpec {
       VectorOps.lshTopk(e, col("vec_id") % 200 < 2, k = 3, tables = 8, bits = 4, dim = 32), e)
     assert(recall >= 0.9, s"LSH clustered recall $recall < 0.9")
   }
+
+  test("PQ ADC ranking surfaces the probe's own cluster on planted clusters") {
+    // probe = vec 0 = the exact center of cluster 0 (ids 0..99); with a
+    // 4-byte code standing in for 32 floats, the top-50 ADC ranking should
+    // still be dominated by true cluster members
+    val e = plantedClusters()
+    val top = VectorOps.pqTopk(e, k = 50, codebookK = 16, subspaces = 4)
+      .collect().map(_.getLong(0))
+    assert(top.length == 50)
+    val inCluster = top.count(_ < 100)
+    assert(inCluster >= 45, s"only $inCluster/50 of PQ top-50 are cluster-0 members")
+  }
 }
