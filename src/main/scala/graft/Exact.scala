@@ -33,6 +33,9 @@ object Exact {
   /** SQL fragments for the DuckDB oracle — identical arithmetic. */
   def sqlSum(expr: String, scale: Int = 2, r: Int = 2): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(28,$scale))) AS DOUBLE), $r)"
+  /** Unrounded exact sum (for derived statistics that round at the end). */
+  def sqlSumRaw(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(28,$scale))) AS DOUBLE)"
   def sqlAvg(expr: String, scale: Int = 2, r: Int = 2): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(28,$scale))) AS DOUBLE) / count(*), $r)"
 }

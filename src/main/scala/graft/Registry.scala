@@ -32,6 +32,7 @@ object Registry {
       operators.TextOps.defs ++
       operators.GraphOps.defs ++
       operators.BehaviorOps.defs ++
+      operators.QualityOps.defs ++
       operators.PipelineOps.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++
