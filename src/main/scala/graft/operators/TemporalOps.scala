@@ -347,5 +347,43 @@ object TemporalOps {
             FROM sess GROUP BY user_id ORDER BY user_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(asofJoinQ, asofJoinSkewQ, rangeJoinBandsQ, sessionizeQ)
+  /** X44 EWMA smoothing — exponentially-weighted moving average of daily
+    * event value per event_type, the monitoring primitive behind drift /
+    * anomaly alerts on pipeline metrics. The float recurrence
+    * `s_t = α·x_t + (1−α)·s_{t−1}` is order-sensitive and engine-varying;
+    * here α = 1/2 truncated to a 5-tap dyadic kernel
+    * (16·x₀+8·x₁+4·x₂+2·x₃+x₄)/31 over exact cents — pure BIGINT lag
+    * windows, bit-identical anywhere, emitted only where all 5 taps exist.
+    *
+    * Scale: one shuffle to (event_type, day) partial-agg'd cents, then
+    * windows partitioned by event_type — each series smooths on its own
+    * reducer; no global single-partition window. */
+  private val ewmaSmoothQ = QueryDef(
+    "ewma_smooth",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100d).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("kernel",
+          col("cents") * 16L + lag("cents", 1).over(w) * 8L + lag("cents", 2).over(w) * 4L +
+            lag("cents", 3).over(w) * 2L + lag("cents", 4).over(w))
+        .filter(col("kernel").isNotNull)
+        .selectExpr("event_type", "day", "cents", "kernel div 31 AS ewma_cents")
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, cents,
+                   (cents * 16 + lag(cents, 1) OVER w * 8 + lag(cents, 2) OVER w * 4
+                    + lag(cents, 3) OVER w * 2 + lag(cents, 4) OVER w) // 31 AS ewma_cents
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            QUALIFY ewma_cents IS NOT NULL
+            ORDER BY event_type, day"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(asofJoinQ, asofJoinSkewQ, rangeJoinBandsQ, sessionizeQ, ewmaSmoothQ)
 }

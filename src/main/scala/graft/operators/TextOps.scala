@@ -990,11 +990,134 @@ object TextOps {
             GROUP BY fp ORDER BY doc_id"""),
   )
 
+  /** X41 inverted index — term → capped posting list, the retrieval-side
+    * data structure a corpus search/decontamination service builds from
+    * the same token stream as TF-IDF.
+    *
+    * Scale shape: the corpus-sized (term, doc) stream crosses the network
+    * ONCE (the distinct + df + capped-postings aggregations all hash on
+    * `term`); the posting list is capped to the first 16 doc_ids per term
+    * by a window row_number, so a stopword-grade hot term holds O(cap)
+    * reducer state instead of O(corpus) — the full-posting variant would
+    * be a straight `collect_list` with the same plan. df is still exact
+    * over the uncapped stream. */
+  private val invertedIndex = QueryDef(
+    "inverted_index",
+    (s, dir) => {
+      val tok = docs(s, dir).select(
+          col("doc_id").cast("long").as("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+        .distinct()
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      tok.withColumn("rn", row_number().over(w))
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df"),
+          expr("array_join(transform(array_sort(collect_list(CASE WHEN rn <= 16 THEN doc_id END)), x -> cast(x AS STRING)), ',')")
+            .as("postings"))
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, t.term
+                         FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)),
+            rk AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tok)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings
+            FROM rk GROUP BY term ORDER BY term"""),
+  )
+
+  /** X42 BM25 ranking (rational-arithmetic variant) — top-15 documents for
+    * the query {spark, join, vector} with k1 = 1.2, b = 0.75. The float
+    * idf `ln(N/df)` is replaced by the rational Robertson idf
+    * (2N−2df+1)/(2df+1) — the same monotone ordering for a fixed corpus —
+    * and every term of the classic formula is cleared of denominators:
+    *
+    *   score ∝ (2N−2df+1)·88·tf·T  /  (2df+1)·(40·tf·T + 12·T + 36·dl·N)
+    *
+    * (T = total tokens, dl = doc length; 88/40/12/36 absorb k1 and b), so
+    * the whole computation is BIGINT multiply/divide — bit-identical in
+    * any engine and any aggregation order. Headroom: the widest product is
+    * ~2·10^18 at sf1-scale corpora, inside int64.
+    *
+    * Scale shape: the query-term filter lands BEFORE the tf groupBy, so
+    * only matching (doc, term) pairs shuffle — O(docs·|query|), not
+    * O(tokens) — and the doc length rides the tf aggregation (max of a
+    * per-doc constant) instead of joining a second docs-sized table back
+    * on doc_id; df and the corpus totals are broadcast-sized; final top-k
+    * is TakeOrdered, no global sort. */
+  private val bm25Topk = QueryDef(
+    "bm25_topk",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qt = Seq("spark", "join", "vector")
+      val base = d.select(
+        col("doc_id").cast("long").as("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select(col("doc_id"), expr("cast(size(toks) AS BIGINT)").as("dl"),
+          expr(s"filter(toks, x -> x IN (${qt.map("'" + _ + "'").mkString(", ")}))").as("qtoks"))
+      val totals = base.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      val tf = base.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(totals))
+        .selectExpr("doc_id",
+          "((2*n - 2*df + 1) * 88 * tf * t * 10000) div ((2*df + 1) * (40*tf*t + 12*t + 36*dl*n)) AS s")
+        .groupBy("doc_id").agg(sum("s").as("score_scaled"))
+        .orderBy(desc("score_scaled"), asc("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, t.term
+                         FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+                   WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id AS doc_id,
+                   CAST(sum(((2*n - 2*df + 1) * 88 * tf * t * 10000) // ((2*df + 1) * (40*tf*t + 12*t + 36*dl*n))) AS BIGINT) AS score_scaled
+            FROM tf JOIN dfreq ON tf.term = dfreq.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+            GROUP BY 1 ORDER BY score_scaled DESC, doc_id LIMIT 15"""),
+  )
+
+  /** X43 quality classifier — a fasttext-shaped linear model over cheap
+    * integer text features (stopword rate, mean word length), scoring and
+    * thresholding every document in one narrow pass. Weights are fixed
+    * integers and every feature is a scaled-integer ratio (`div`), so the
+    * decision boundary is bit-identical on any engine — the shape of a
+    * learned quality filter with the learned weights frozen in.
+    *
+    * Scale: zero shuffle — pure per-row projection; at 100 TB this is the
+    * classic first-pass corpus filter that runs fused into the scan. */
+  private val qualityClassifier = QueryDef(
+    "quality_classifier",
+    (s, dir) =>
+      docs(s, dir)
+        .selectExpr(
+          "cast(doc_id AS BIGINT) AS doc_id",
+          "cast(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+          "cast(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+          "cast(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr("doc_id",
+          "(stop * 1000) div nw AS stop_rate_scaled",
+          "500 + 2 * ((stop * 1000) div nw) - abs((letters * 1000) div nw - 4000) div 4 AS score_scaled")
+        .withColumn("keep", col("score_scaled") >= 400L)
+        .orderBy("doc_id"),
+    Some("""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+            FROM documents)
+            SELECT doc_id, (stop * 1000) // nw AS stop_rate_scaled,
+                   500 + 2 * ((stop * 1000) // nw) - abs((letters * 1000) // nw - 4000) // 4 AS score_scaled,
+                   500 + 2 * ((stop * 1000) // nw) - abs((letters * 1000) // nw - 4000) // 4 >= 400 AS keep
+            FROM f ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
-    tfidfTopk, dedupIncremental,
+    tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
   )
 }
