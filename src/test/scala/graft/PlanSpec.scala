@@ -272,4 +272,33 @@ class PlanSpec extends SparkSpec
     assert(plan.contains("partial_sum"),
       s"no map-side partial aggregation:\n${plan.take(3000)}")
   }
+
+  test("quality_classifier is a zero-shuffle projection over the scan") {
+    // the first-pass corpus filter must fuse into the scan: the only
+    // exchange allowed is the final presentation sort's range partitioner
+    val plan = Registry.queries("quality_classifier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier plan grew a wide shuffle:\n${plan.take(3000)}")
+  }
+
+  test("bm25_topk broadcasts df/totals and takes top-k without a global sort") {
+    // both sides of the scoring join are bounded (|query| terms, 1 totals
+    // row) — a sort-merge join or a full Sort for the limit would mean the
+    // docs-sized side shuffles more than its one tf aggregation
+    val plan = Registry.queries("bm25_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25 joined df/totals via sort-merge:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k is a global sort:\n${plan.take(3000)}")
+  }
+
+  test("ewma_smooth windows partition by event_type — no single-partition window") {
+    val plan = Registry.queries("ewma_smooth")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windows.contains("SinglePartition"),
+      s"EWMA window collapsed to one partition:\n$windows")
+  }
 }
