@@ -132,5 +132,54 @@ object QualityOps {
              FROM m"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(expectationsCheck, histogram, covarStats)
+  /** Snapshot-to-snapshot data diff — the reconciliation audit run after
+    * every backfill/migration: key-wise compare of two table versions into
+    * added / removed / changed / unchanged counts. The two "versions" are
+    * deterministic slices of `orders`: the old snapshot is missing keys
+    * divisible by 97 (→ added), the new one is missing keys divisible by
+    * 89 (→ removed) and re-prices keys divisible by 13 (→ changed).
+    *
+    * Scale shape: ONE full-outer sort-merge join keyed on the primary key
+    * — each side shuffles exactly once, compared columns reduce to exact
+    * cents before the join so the exchange carries (key, long, string) not
+    * whole rows, and only per-status COUNTS aggregate out (a 4-row
+    * result); no row-level diff materializes. */
+  private val tableDiff = QueryDef(
+    "table_diff",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        round(col("o_totalprice") * 100d).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+      val old = o.filter(col("k") % 97L =!= 0L)
+        .select(col("k"), col("cents").as("old_cents"), col("st").as("old_st"))
+      val nw = o.filter(col("k") % 89L =!= 0L)
+        .select(col("k"),
+          when(col("k") % 13L === 0L, col("cents") + 100L).otherwise(col("cents")).as("new_cents"),
+          col("st").as("new_st"))
+      old.join(nw, Seq("k"), "full_outer")
+        .select(
+          when(col("old_cents").isNull, "added")
+            .when(col("new_cents").isNull, "removed")
+            .when(col("old_cents") =!= col("new_cents") || col("old_st") =!= col("new_st"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+    Some("""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus AS st
+                   FROM orders),
+            old AS (SELECT k, cents AS old_cents, st AS old_st FROM base WHERE k % 97 <> 0),
+            nw AS (SELECT k, CASE WHEN k % 13 = 0 THEN cents + 100 ELSE cents END AS new_cents,
+                          st AS new_st FROM base WHERE k % 89 <> 0)
+            SELECT CASE WHEN old_cents IS NULL THEN 'added'
+                        WHEN new_cents IS NULL THEN 'removed'
+                        WHEN old_cents <> new_cents OR old_st <> new_st THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM old FULL OUTER JOIN nw USING (k)
+            GROUP BY 1 ORDER BY status"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(expectationsCheck, histogram, covarStats, tableDiff)
 }

@@ -577,21 +577,53 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // seed prefixes as reusable byte arrays: the hot loop does k
+        // digest-updates per shingle with ZERO per-call string building
+        // (the naive s"$seed:$shingle" + hex-per-digest formulation
+        // allocates ~3 strings per md5 — 100M+ temporaries at sf1, and the
+        // GC pressure turns a linear kernel superlinear). Digests are
+        // compared as unsigned bytes, which orders exactly like the
+        // lowercase-hex strings the oracle compares; only the k winning
+        // minima get hexified.
+        val prefixes = Array.tabulate(k)(s =>
+          s"${s + 1}:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < 16) {
+            val x = a(i) & 0xff; val y = b(i) & 0xff
+            if (x != y) return x < y
+            i += 1
+          }
+          false
+        }
         it.map { case (id, text) =>
           val toks = text.split(' ').filter(_.nonEmpty)
           val shingles =
             if (toks.length >= 3)
               Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
             else Array(text)
-          val sig = Array.tabulate(k) { s =>
-            var min: String = null
-            var i = 0
-            while (i < shingles.length) {
-              val h = md5Hex(md, s"${s + 1}:${shingles(i)}")
-              if (min == null || h.compareTo(min) < 0) min = h
-              i += 1
+          val mins = new Array[Array[Byte]](k)
+          var i = 0
+          while (i < shingles.length) {
+            val shBytes = shingles(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var s = 0
+            while (s < k) {
+              md.update(prefixes(s))
+              md.update(shBytes)
+              val h = md.digest() // returns and resets
+              if (mins(s) == null || less(h, mins(s))) mins(s) = h
+              s += 1
             }
-            min
+            i += 1
+          }
+          val sig = mins.map { bytes =>
+            val sb = new java.lang.StringBuilder(32)
+            var j = 0
+            while (j < 16) {
+              sb.append(java.lang.Integer.toHexString((bytes(j) & 0xff) | 0x100).substring(1))
+              j += 1
+            }
+            sb.toString
           }
           // band bucket = concatenated minhashes of the band's rows; at
           // 100 TB you'd hash this 64*rows-char string to a fixed 8-byte

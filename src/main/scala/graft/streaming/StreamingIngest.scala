@@ -114,6 +114,18 @@ object StreamingIngest {
         col("i_value"), col("c_value"))
   }
 
+  /** Stream-STATIC enrichment join: attach dimension attributes to a
+    * stream without any streaming state. The static side is a plain batch
+    * DataFrame (a dimension table, re-read per micro-batch if its source
+    * changes); Spark plans it as an ordinary broadcast/hash join inside
+    * each micro-batch — no watermark needed, unmatched stream rows pass
+    * through with NULL attributes (left join keeps the fact stream
+    * lossless). This is the lookup-enrichment pattern (user → segment,
+    * item → category) that precedes every streaming aggregation at scale;
+    * the dimension broadcasts, the unbounded side never shuffles. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream → IceLite: every micro-batch appends as one snapshot,
     * EXACTLY-ONCE per batch. foreachBatch alone is at-least-once (a restart
     * after the table append but before the checkpoint commit replays the

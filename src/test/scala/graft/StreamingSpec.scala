@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dimension attributes per micro-batch, losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamingIngest.enrichStream(
+      mem.toDF.toDF("user_id", "value"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      // matched rows carry the attribute; the unmatched fact row survives with NULL
+      assert(rows == Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("silver")),
+        (3L, 30.0, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per fingerprint within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
