@@ -37,10 +37,14 @@ object Bench {
     "icelite_delete_mor", "icelite_merge", "icelite_compaction",
     "icelite_zorder", "icelite_time_travel")
 
-  /** The 5 heaviest bench queries — the sf1 spot-bench set. One 10× scale
-    * point catches nonlinear blowups the sf0.1 bench can't see. */
+  /** The heaviest bench queries that read only documents/orders (the two
+    * tables the synthetic scale-up generates) — the sf1 spot-bench set.
+    * One 10× scale point catches nonlinear blowups the sf0.1 bench can't
+    * see (it caught the minhash kernel's allocation superlinearity). */
   private val sf1Heavies = Seq("dedup_components", "icelite_zorder",
-    "minhash_dedup", "icelite_compaction", "icelite_merge")
+    "minhash_dedup", "icelite_compaction", "icelite_merge",
+    "dedup_resolve", "icelite_partition_evolution", "decontaminate_ngrams",
+    "repeated_ngram_spans", "pagerank_topk", "bm25_topk")
 
   /** Deterministic 10× scale-up of the two tables the heavy queries read,
     * cached under /tmp (no driver-generated sf1 parquet exists). Copy i

@@ -495,6 +495,20 @@ object TextOps {
       spread.as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
+          // same allocation discipline as minhashPairs: digest reusable
+          // prefix + window bytes, track minima as raw digests (unsigned
+          // byte order == lowercase-hex order), hexify only the winners
+          val prefixes = Array.tabulate(4)(k =>
+            s"${k + 1}:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+            var i = 0
+            while (i < 16) {
+              val x = a(i) & 0xff; val y = b(i) & 0xff
+              if (x != y) return x < y
+              i += 1
+            }
+            false
+          }
           def hex(b: Array[Byte]): String = {
             val sb = new java.lang.StringBuilder(32)
             b.foreach(x => sb.append(Integer.toHexString((x & 0xff) | 0x100).substring(1)))
@@ -504,20 +518,22 @@ object TextOps {
             // same shingle rule as the SQL: 5-char windows, 1 window of
             // the whole text when it is shorter than 5 chars
             val n = math.max(text.length - 4, 1)
-            val mins = Array.fill(4)("￿")
+            val mins = new Array[Array[Byte]](4)
             var i = 0
             while (i < n) {
-              val sh = text.substring(i, math.min(i + 5, text.length))
+              val shBytes = text.substring(i, math.min(i + 5, text.length))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               var k = 0
               while (k < 4) {
-                val h = hex(md.digest(
-                  s"${k + 1}:$sh".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-                if (h < mins(k)) mins(k) = h
+                md.update(prefixes(k))
+                md.update(shBytes)
+                val h = md.digest()
+                if (mins(k) == null || less(h, mins(k))) mins(k) = h
                 k += 1
               }
               i += 1
             }
-            (id, mins(0), mins(1), mins(2), mins(3))
+            (id, hex(mins(0)), hex(mins(1)), hex(mins(2)), hex(mins(3)))
           }
         }.toDF("doc_id", "h1", "h2", "h3", "h4").orderBy("doc_id")
     },
