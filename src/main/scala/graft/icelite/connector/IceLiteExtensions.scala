@@ -64,6 +64,11 @@ class IceLiteExtensions extends (SparkSessionExtensions => Unit) {
       require(e(1).foldable, "kmv_kth: k must be a literal")
       graft.functions.KmvKth(e.head, e(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("nfc_normalize",
+      "nfc_normalize(s) - Unicode NFC canonical normalization") { e =>
+      require(e.length == 1, s"nfc_normalize takes 1 arg, got ${e.length}")
+      graft.functions.NfcNormalize(e.head)
+    }
     inject("misra_gries",
       "misra_gries(x, k) - heavy-hitter candidates with count lower bounds") { e =>
       require(e.length == 2, s"misra_gries takes 2 args, got ${e.length}")

@@ -92,5 +92,83 @@ object GraphOps {
             ORDER BY rank_scaled DESC, doc_id LIMIT 20"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(pagerankTopk)
+  /** X48 triangle counting + global clustering coefficient over the same
+    * derived link graph (undirected simple view of the three quadratic
+    * maps). The algorithm is the degree-ordered orientation ("forward"
+    * algorithm, Schank & Wagner 2005): every edge points from its
+    * lower-(degree, id) endpoint to the higher one, wedges are pairs of
+    * out-neighbors of a common source, and a wedge closes iff its two tips
+    * are themselves an oriented edge. Orientation caps out-degree at
+    * O(√E), so the wedge join is O(E^1.5) worst-case instead of Σdeg² —
+    * the standard scalable formulation (it is equi-join + aggregate all the
+    * way: edges shuffle on node ids, wedges on tip pairs, nothing touches
+    * the driver beyond the scalar N).
+    *
+    * Everything is integer (counts, degree tuples, `div`-scaled closure
+    * ratio), so DuckDB recomputes the identical single stats row —
+    * struct/row-value comparison gives the same lexicographic (deg, id)
+    * order in both engines. */
+  private val triangleCount = QueryDef(
+    "triangle_count",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+      val n = docs.count() // one scalar (metadata-scale)
+      val re = Seq(1L, 8L, 15L)
+        .map { q =>
+          docs.select(col("id").as("src"), ((col("id") * col("id") + q) % n).as("dst"))
+        }
+        .reduce(_.unionAll(_))
+      val ue = re.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val dg = ue.select(col("a").as("id")).unionAll(ue.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val oe = ue
+        .join(dg.as("da"), col("a") === col("da.id"))
+        .join(dg.as("db"), col("b") === col("db.id"))
+        .select(
+          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+            col("b")).otherwise(col("a")).as("v"),
+          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+            col("db.deg")).otherwise(col("da.deg")).as("dv"))
+      val tri = oe.as("e1")
+        .join(oe.as("e2"), col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+        .join(oe.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = ue.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(dg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+      stats.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("3 * n_triangles * 1000000 div n_wedges").as("closure_scaled"))
+    },
+    Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            d0 AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            re AS (SELECT id AS src, (id*id+1) % nn.n AS dst FROM d0, nn
+                   UNION ALL SELECT id, (id*id+8) % nn.n FROM d0, nn
+                   UNION ALL SELECT id, (id*id+15) % nn.n FROM d0, nn),
+            ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM re WHERE src <> dst),
+            dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+                   FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue) GROUP BY id),
+            oe AS (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.a ELSE ue.b END AS u,
+                          CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.b ELSE ue.a END AS v,
+                          CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN db.deg ELSE da.deg END AS dv
+                   FROM ue JOIN dg da ON da.id = ue.a JOIN dg db ON db.id = ue.b),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+                         JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ue),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS closure_scaled
+            FROM st, nd, tri"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerankTopk, triangleCount)
 }

@@ -128,5 +128,51 @@ object SketchOps {
             FROM h"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(kmvDistinct, kmvUnionDistinct, heavyHitters)
+  /** X50 mergeable quantile estimation from a deterministic bottom-k
+    * sample — the quantile sibling of the KMV distinct sketch. The k=256
+    * rows whose md5(primary key) sorts first are a uniform random sample
+    * of lineitem (md5 is a fixed permutation of the key space), and
+    * bottom-k-by-hash is MERGEABLE: the bottom-k of a union is the
+    * bottom-k of the per-partition bottom-ks, so at 100 TB this plans as
+    * TakeOrderedAndProject — each partition keeps 256 rows, the driver
+    * merges partition winners, the corpus never shuffles (contrast an
+    * exact percentile: global sort). Estimates are nearest-rank order
+    * statistics of the sample (±~1/√k·spread); both engines recompute the
+    * identical sample and ranks, so the estimate itself hash-matches —
+    * unlike percentile_approx, whose sketch is engine-private.
+    * SketchOpsSpec pins the estimates within tolerance of the exact
+    * quantiles. */
+  private val quantileSketch = QueryDef(
+    "quantile_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice") * 100d).cast("long").as("cents"),
+        md5(concat_ws(":", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))).as("h"))
+      val sample = li.orderBy("h").limit(k) // TakeOrderedAndProject: O(k) driver
+      val ranked = sample.withColumn("rk",
+        row_number().over(Window.orderBy(col("cents"), col("h"))).cast("long"))
+      val pcts = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
+        .toDF("pct")
+      pcts.join(ranked,
+          col("rk") === expr(s"(pct * ${k - 1}) div 100 + 1"))
+        .select(col("pct"), col("cents").as("est_cents"))
+        .orderBy("pct")
+    },
+    Some("""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+                 FROM lineitem),
+            smp AS (SELECT cents, h FROM li ORDER BY h LIMIT 256),
+            rk AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, h) AS BIGINT) AS rk
+                   FROM smp),
+            p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+            SELECT p.pct, r.cents AS est_cents
+            FROM p JOIN rk r ON r.rk = (p.pct * 255) // 100 + 1
+            ORDER BY pct"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(kmvDistinct, kmvUnionDistinct, heavyHitters,
+    quantileSketch)
 }

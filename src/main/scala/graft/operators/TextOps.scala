@@ -1161,11 +1161,54 @@ object TextOps {
             FROM f ORDER BY doc_id"""),
   )
 
+  /** X49 text normalization — the fix-text pass every curation pipeline
+    * runs BEFORE fingerprinting/shingling (visually-identical strings with
+    * different codepoint sequences must dedup identically): Unicode NFC
+    * (native codegen'd [[graft.functions.NfcNormalize]] — the JDK and
+    * DuckDB's utf8proc implement the same UAX #15 algorithm), control-char
+    * strip, whitespace collapse, trim. The fixture text is ASCII (already
+    * NFC), so each doc is wrapped in a deterministic denormalized frame —
+    * a combining-acute `Cafe´` prefix, a TAB, trailing double spaces —
+    * and the md5 of the cleaned result proves BYTE-IDENTICAL normalization
+    * across engines (composition e+U+0301→é actually exercised, visible in
+    * n_composed = chars removed by NFC). Zero shuffle: one narrow
+    * codegen'd map, ordered by key. */
+  private val textNormalize = QueryDef(
+    "text_normalize",
+    (s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      val dirty = concat(lit("Café\t"), col("text"), lit("  fin  "))
+      val nfc = graft.functions.NfcNormalize.nfcNormalize(dirty)
+      val clean = trim(regexp_replace(
+        regexp_replace(nfc, "[\\x00-\\x1f]", ""), " +", " "))
+      docs(s, dir)
+        .select(col("doc_id"),
+          (length(dirty) - length(nfc)).cast("long").as("n_composed"),
+          length(clean).cast("long").as("clean_len"),
+          md5(clean).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   'Cafe' || chr(769) || chr(9) || text || '  fin  ' AS dirty
+                 FROM documents),
+            n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+            c AS (SELECT doc_id, dirty, nfc,
+                   trim(regexp_replace(regexp_replace(nfc, '[\x00-\x1f]', '', 'g'),
+                        ' +', ' ', 'g')) AS clean
+                 FROM n)
+            SELECT doc_id,
+                   CAST(length(dirty) - length(nfc) AS BIGINT) AS n_composed,
+                   CAST(length(clean) AS BIGINT) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM c ORDER BY doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
+    textNormalize,
   )
 }

@@ -670,7 +670,130 @@ object VectorOps {
             FROM ex GROUP BY 1, 2 ORDER BY label, dim"""),
   )
 
+  /** X47 Lloyd k-means over the embedding corpus, exact end to end — the
+    * clustering member of the vector family (top-k searches it, centroids
+    * summarize it, PQ/IVF index from it; k-means is how real IVF codebooks
+    * are trained). Determinism recipe: vectors quantize once to 1e4-scaled
+    * BIGINTs, so every distance is a pure-integer `(a−b)²` sum (≤ ~2.6e10,
+    * exact in any engine/order), assignment ties break on the smaller
+    * cluster id, and the centroid update is `floor(sum/n)` with the sum an
+    * associative integer — a double-typed Lloyd iteration diverges across
+    * partition counts; this one is bit-identical, so THREE chained
+    * iterations hash-match a chained-CTE DuckDB oracle (same anchor trick
+    * as `pagerank_topk`). Init = the md5-ordered deterministic sample
+    * ([[md5Codebook]] rule), fixed K=8.
+    *
+    * Scale shape: per iteration ONE narrow mapPartitions pass (broadcast
+    * K×dim centroid table, k·dim mult-adds per vector) emitting
+    * per-partition partial sums — the shuffle carries partitions·K·dim
+    * rows, not the corpus — and the driver holds O(K·dim) longs. At 100 TB
+    * that is the textbook scalable Lloyd: corpus scanned K_iter times,
+    * never shuffled, centroids metadata-scale. An empty cluster keeps its
+    * previous centroid (both engines coalesce identically).
+    *
+    * Public so ClusteringSpec can drive it with planted fixtures, other K,
+    * and different partition counts (the output must be
+    * partition-invariant — that is the whole point of the fixed-point
+    * arithmetic). Input: any (vec_id, embedding ArrayType(Float)) frame.
+    * Output: one row per (cluster, dim) with the final 1e4-scaled centroid
+    * and the cluster size under the last assignment. */
+  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val vq = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 10000d).cast("long")).as("v"))
+    // init: the K vectors sorting first by (md5(vec_id), vec_id) — O(K)
+    // driver cost via TakeOrderedAndProject, same rule as md5Codebook
+    var cents: Array[Array[Long]] = vq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).select("v").as[Array[Long]].collect()
+    val dim = cents.head.length
+    var lastN = Map.empty[Long, Long]
+    val qds = vq.select("vec_id", "v").as[(Long, Array[Long])]
+    for (_ <- 1 to iters) {
+        val bc = s.sparkContext.broadcast(cents)
+        val partials = qds.mapPartitions { it =>
+          val cs = bc.value
+          val k = cs.length; val dim = cs.head.length
+          val sums = Array.ofDim[Long](k, dim)
+          val ns = new Array[Long](k)
+          it.foreach { case (_, v) =>
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < k) {
+              val cv = cs(c); var d = 0L; var i = 0
+              while (i < dim) { val df = v(i) - cv(i); d += df * df; i += 1 }
+              if (d < bestD) { bestD = d; best = c } // strict <: tie keeps smaller c
+              c += 1
+            }
+            ns(best) += 1
+            val sv = sums(best); var i = 0
+            while (i < dim) { sv(i) += v(i); i += 1 }
+          }
+          (0 until k).iterator.filter(ns(_) > 0).flatMap { c =>
+            (0 until dim).iterator.map(d => (c.toLong, (d + 1).toLong, sums(c)(d), ns(c)))
+          }
+        }.toDF("c", "dim", "s", "n")
+        // codebook-sized aggregate: K·dim rows to the driver (metadata scale)
+        val upd = partials.groupBy("c", "dim")
+          .agg(sum("s").as("s"), sum("n").as("n"))
+          .as[(Long, Long, Long, Long)].collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        upd.groupBy(_._1).foreach { case (c, rows) =>
+          val arr = next(c.toInt)
+          rows.foreach { case (_, d, sv, n) =>
+            arr((d - 1).toInt) = math.floor(sv.toDouble / n.toDouble).toLong
+          }
+        }
+        lastN = upd.map { case (c, _, _, n) => c -> n }.toMap
+        cents = next
+    }
+    val rows = for {
+      c <- 0 until k
+      d <- 0 until dim
+    } yield (c.toLong, (d + 1).toLong, cents(c)(d), lastN.getOrElse(c.toLong, 0L))
+    s.createDataset(rows).toDF("cluster", "dim", "centroid_scaled", "n")
+      .orderBy("cluster", "dim")
+  }
+
+  private val embedKmeans = QueryDef(
+    "embed_kmeans",
+    (s, dir) => kmeans(emb(s, dir), k = 8, iters = 3),
+    Some {
+      def iter(i: Int): String = {
+        val prev = s"cb${i - 1}"
+        s"""d$i AS (SELECT q.vec_id, cb.c,
+                CAST(list_sum(list_transform(list_zip(q.v, cb.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+              FROM vq q CROSS JOIN $prev cb),
+            a$i AS (SELECT vec_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i) WHERE rn = 1),
+            s$i AS (SELECT a.c, e.dim, CAST(sum(e.x) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+              FROM a$i a JOIN ex e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+            nc$i AS (SELECT c, list(CAST(floor(CAST(sv AS DOUBLE)/n) AS BIGINT) ORDER BY dim) AS cv
+              FROM s$i GROUP BY c),
+            cb$i AS (SELECT o.c, coalesce(nw.cv, o.cv) AS cv
+              FROM $prev o LEFT JOIN nc$i nw ON nw.c = o.c),"""
+      }
+      s"""WITH vq AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             FROM embeddings),
+          ex AS (SELECT vec_id, CAST(unnest(range(1, 65)) AS BIGINT) AS dim, unnest(v) AS x FROM vq),
+          cb0 AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS c, v AS cv
+             FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+          ${iter(1)}
+          ${iter(2)}
+          ${iter(3)}
+          nfin AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a3 GROUP BY c),
+          fin AS (SELECT cb.c, CAST(unnest(range(1, 65)) AS BIGINT) AS dim, unnest(cb.cv) AS centroid_scaled
+             FROM cb3 cb)
+          SELECT f.c AS cluster, f.dim, f.centroid_scaled, coalesce(nf.n, 0) AS n
+          FROM fin f LEFT JOIN nfin nf ON nf.c = f.c
+          ORDER BY cluster, dim"""
+    },
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
-      embedNearDup, embedQuantize, embedCentroid)
+      embedNearDup, embedQuantize, embedCentroid, embedKmeans)
 }

@@ -301,4 +301,22 @@ class PlanSpec extends SparkSpec
     assert(!windows.contains("SinglePartition"),
       s"EWMA window collapsed to one partition:\n$windows")
   }
+
+  test("quantile_sketch samples via TakeOrderedAndProject — the corpus never sorts") {
+    // bottom-k-by-hash must plan as per-partition top-k + driver merge;
+    // a global Sort would make the 'sketch' as expensive as the exact path
+    val plan = Registry.queries("quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample is a global sort:\n${plan.take(3000)}")
+  }
+
+  test("triangle_count stays equi-join shaped — no cartesian product") {
+    val plan = Registry.queries("triangle_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only permissible cross joins are the final single-row stat
+    // combinations; the wedge join itself must key on (u) and (v, w)
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join degenerated to a cartesian product:\n${plan.take(3000)}")
+  }
 }
