@@ -1203,12 +1203,153 @@ object TextOps {
             FROM c ORDER BY doc_id"""),
   )
 
+  /** X51 BPE merge learning — the actual tokenizer-training loop (Sennrich
+    * et al. 2016), not just a tokenizer: tokenize the corpus ONCE into a
+    * word-frequency table, then iterate on that vocab-sized state — count
+    * adjacent symbol pairs weighted by word frequency, merge the most
+    * frequent pair everywhere (tie → lexicographically smallest), repeat.
+    * Five chained merge rounds, each fully integer + binary-string-ordered,
+    * hash-match a chained-CTE DuckDB oracle (the `pagerank_topk` anchor
+    * trick applied to an iterative string algorithm).
+    *
+    * Words are spaced-symbol strings (` c o l u m n `); a merge is 3
+    * passes of space-delimited `replace` (leftmost non-overlapping, merged
+    * tokens lose their inner space so they can't re-match — 3 passes
+    * exhaust every repeat-run the fixture can hold, and any residual would
+    * be IDENTICAL cross-engine since both run the same passes).
+    *
+    * Scale shape: the 100 TB corpus is read once (word freq groupBy —
+    * the only corpus-sized shuffle); every iteration then touches only the
+    * vocab table (~millions of rows at web scale), checkpointed once, with
+    * a pair-count shuffle of vocab size and a single-row argmax to the
+    * driver. That is exactly how production BPE trainers scale. */
+  private val bpeMerges = QueryDef(
+    "bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val wf = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      // vocab-sized; checkpoint cuts the corpus scan out of the iteration
+      var cur = wf.select(col("f"),
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to 5) {
+        val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val top = tk.select(col("f"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
+            .as("p"))
+          .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(sum("f").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).as[(String, String, Long)].head()
+        val (a, b, cnt) = top
+        merges += ((r.toLong, a, b, cnt))
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
+        cur = cur.withColumn("s", r1(r1(r1(col("s")))))
+      }
+      s.createDataset(merges.toSeq).toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy("rank")
+    },
+    Some {
+      def iter(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""t$i AS (SELECT f, string_split(trim(s), ' ') AS toks FROM $prev
+                    WHERE len(string_split(trim(s), ' ')) >= 2),
+            p$i AS (SELECT f, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t$i),
+            m$i AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(f) AS BIGINT) AS cnt
+                    FROM p$i GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+            w$i AS (SELECT f, replace(replace(replace(s,
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+                    FROM $prev, m$i),"""
+      }
+      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> '' GROUP BY word),
+          w0 AS (SELECT f, ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ' AS s
+             FROM wf),
+          ${iter(1)}
+          ${iter(2)}
+          ${iter(3)}
+          ${iter(4)}
+          ${iter(5)}
+          fin AS (SELECT 1 AS rank, a AS lhs, b AS rhs, cnt FROM m1
+                  UNION ALL SELECT 2, a, b, cnt FROM m2
+                  UNION ALL SELECT 3, a, b, cnt FROM m3
+                  UNION ALL SELECT 4, a, b, cnt FROM m4
+                  UNION ALL SELECT 5, a, b, cnt FROM m5)
+          SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count
+          FROM fin ORDER BY rank"""
+    },
+  )
+
+  /** X52 URL parsing + domain blocklist — the C4/Gopher-style provenance
+    * filter: every crawl pipeline drops documents by registrable domain
+    * before any content-level work (cheapest filter first). Deterministic
+    * URLs are synthesized from doc metadata (`https://www.<source>.example
+    * .com/<lang>/<doc_id>?ref=<doc_id mod 7>`), parsed back with one
+    * regexp per field (host, registrable domain = host minus the `www.`
+    * label, path depth, query flag), filtered by a BROADCAST blocklist
+    * anti-join (the 100 TB corpus side never shuffles — PlanSpec-style
+    * shape shared with decontaminate_ngrams), then aggregated per domain.
+    * Regexes are RE2-safe (no lookaround), so DuckDB recomputes every
+    * field byte-identically. */
+  private val urlHostStats = QueryDef(
+    "url_host_stats",
+    (s, dir) => {
+      val blocked = s.createDataFrame(Seq(Tuple1("src3"), Tuple1("src7"), Tuple1("src11")))
+        .toDF("blocked_src")
+      val withUrl = docs(s, dir).withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id").cast("string"),
+          lit("?ref="), (col("doc_id") % 7).cast("string")))
+      withUrl
+        .withColumn("host", regexp_extract(col("url"), "://([^/]+)/", 1))
+        .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+        .withColumn("src_label", regexp_extract(col("domain"), "^([^.]+)\\.", 1))
+        .join(broadcast(blocked), col("src_label") === col("blocked_src"), "left_anti")
+        .withColumn("path_depth",
+          (size(split(regexp_extract(col("url"), "://[^/]+(/[^?]*)", 1), "/")) - 1).cast("long"))
+        .withColumn("has_query", (instr(col("url"), "?") > 0).cast("long"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          max("path_depth").as("max_depth"), sum("has_query").as("n_query"))
+        .orderBy("domain")
+    },
+    Some("""WITH u AS (SELECT doc_id, n_chars,
+                   'https://www.' || source || '.example.com/' || lang || '/' ||
+                   CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+                 FROM documents),
+            p AS (SELECT doc_id, n_chars, url,
+                   regexp_extract(url, '://([^/]+)/', 1) AS host
+                 FROM u),
+            d AS (SELECT doc_id, n_chars, url,
+                   regexp_replace(host, '^www\.', '') AS domain
+                 FROM p),
+            f AS (SELECT * FROM d
+                  WHERE regexp_extract(domain, '^([^.]+)\.', 1)
+                        NOT IN ('src3', 'src7', 'src11'))
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(max(len(string_split(regexp_extract(url, '://[^/]+(/[^?]*)', 1), '/')) - 1) AS BIGINT) AS max_depth,
+                   CAST(sum(CASE WHEN instr(url, '?') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+            FROM f GROUP BY domain ORDER BY domain"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
-    textNormalize,
+    textNormalize, bpeMerges, urlHostStats,
   )
 }
