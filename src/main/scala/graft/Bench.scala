@@ -44,14 +44,18 @@ object Bench {
   private val sf1Heavies = Seq("dedup_components", "icelite_zorder",
     "minhash_dedup", "icelite_compaction", "icelite_merge",
     "dedup_resolve", "icelite_partition_evolution", "decontaminate_ngrams",
-    "repeated_ngram_spans", "pagerank_topk", "bm25_topk")
+    "repeated_ngram_spans", "pagerank_topk", "bm25_topk",
+    "triangle_count", "bpe_merges", "embed_kmeans")
 
-  /** Deterministic 10× scale-up of the two tables the heavy queries read,
+  /** Deterministic 10× scale-up of the tables the heavy queries read,
     * cached under /tmp (no driver-generated sf1 parquet exists). Copy i
     * interleaves ids (`id*10+i`, so bounded `doc_id < N` probe sets keep
     * covering every copy) and prefixes copy>0 document tokens — near-dup
     * structure is preserved WITHIN each copy but never across copies, so
-    * dedup work scales ~10×, not quadratically in identical clones. */
+    * dedup work scales ~10×, not quadratically in identical clones.
+    * Embedding copies get a deterministic per-copy rotation of the vector
+    * (element roll by i positions) so ANN/k-means see 10× distinct
+    * vectors, not 10 identical shells. */
   private def ensureSf1(spark: SparkSession, base: String): String = {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_sf1"
@@ -67,6 +71,13 @@ object Bench {
     val orders = spark.read.parquet(s"$base/orders.parquet")
     (0 until 10).map(i => orders.withColumn("o_orderkey", col("o_orderkey") * 10 + i))
       .reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 10).map { i =>
+      val e = emb.withColumn("vec_id", col("vec_id") * 10 + i)
+      if (i == 0) e
+      else e.withColumn("embedding",
+        concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
+    }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     ready.createNewFile()
     out
   }
