@@ -45,7 +45,7 @@ object Bench {
     "minhash_dedup", "icelite_compaction", "icelite_merge",
     "dedup_resolve", "icelite_partition_evolution", "decontaminate_ngrams",
     "repeated_ngram_spans", "pagerank_topk", "bm25_topk",
-    "triangle_count", "bpe_merges", "embed_kmeans")
+    "triangle_count", "bpe_merges", "embed_kmeans", "substring_dedup_trim")
 
   /** Deterministic 10× scale-up of the tables the heavy queries read,
     * cached under /tmp (no driver-generated sf1 parquet exists). Copy i

@@ -39,6 +39,7 @@ object PipelineOps {
 
   private val B = 512L // sequence-pack token budget
   private val MixBudget = 600L // per-domain token budget
+  private val DigestEmpty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
 
   /** Word n-grams of `text` as an array column; empty array below n words. */
   private def wordNgrams(text: Column, n: Int): Column = {
@@ -344,7 +345,83 @@ object PipelineOps {
             FROM c WHERE cum <= $MixBudget GROUP BY 1 ORDER BY source"""),
   )
 
+  /** X53 substring dedup REMOVAL — the second pass `repeated_ngram_spans`
+    * only signals (Lee et al. 2021 §4.1, ExactSubstr): every word position
+    * covered by an 8-gram that also occurs in ANOTHER document is dropped,
+    * and the document is rebuilt from the surviving tokens (boilerplate
+    * and licence blocks vanish while the unique prose stays). Output is
+    * per-doc token counts plus the md5 of the trimmed text — the rebuild
+    * itself is hash-checked, not just the counts.
+    *
+    * Scale shape: the corpus-sized gram stream crosses the network ONCE —
+    * cross-doc duplication is detected with min/max(doc_id) window
+    * aggregates over the gram key (min ≠ max ⟺ >1 distinct doc; no
+    * count-distinct, no join back against a second gram expansion). Only
+    * DUPLICATED occurrences then explode ×8 into covered positions, and
+    * the rebuild shuffles (doc_id, pos, token) triples once. The full
+    * suffix-array formulation (arbitrary-length spans) stays out of
+    * scope; fixed-N covering grams are the standard distributed
+    * approximation. */
+  private val substringDedupTrim = QueryDef(
+    "substring_dedup_trim",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      val grams = d.select(col("doc_id"),
+          posexplode(wordNgrams(col("text"), 8)).as(Seq("s0", "g")))
+        .select(col("doc_id"), (col("s0") + 1).cast("long").as("start"), col("g"))
+      val w = Window.partitionBy("g")
+      val covered = grams
+        .withColumn("dmin", min("doc_id").over(w))
+        .withColumn("dmax", max("doc_id").over(w))
+        .filter(col("dmin") =!= col("dmax"))
+        .select(col("doc_id"), explode(sequence(col("start"), col("start") + 7)).as("pos"))
+        .distinct()
+      val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("pos"), col("tok"))).as("pt"))
+        .select(col("doc_id"), col("n_kept"),
+          md5(array_join(transform(sort_array(col("pt")), x => x("tok")), " "))
+            .as("trimmed_md5"))
+      d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("trimmed_md5"), lit(DigestEmpty)).as("trimmed_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tok AS (SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS pos,
+                           unnest(w) AS tok
+                    FROM t0),
+            grams AS (SELECT doc_id,
+                             CAST(unnest(range(1, len(w) - 6)) AS BIGINT) AS start,
+                             unnest(list_transform(range(1, len(w) - 6),
+                                    i -> array_to_string(w[i:i+7], ' '))) AS g
+                      FROM t0 WHERE len(w) >= 8),
+            dup AS (SELECT doc_id, start FROM (
+                      SELECT doc_id, start,
+                             min(doc_id) OVER (PARTITION BY g) AS dmin,
+                             max(doc_id) OVER (PARTITION BY g) AS dmax
+                      FROM grams) WHERE dmin <> dmax),
+            cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(start, start + 8)) AS BIGINT) AS pos
+                    FROM dup),
+            kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+                     FROM tok ANTI JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos),
+            rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                          md5(string_agg(tok, ' ' ORDER BY pos)) AS trimmed_md5
+                   FROM kept GROUP BY doc_id)
+            SELECT t0.doc_id, CAST(len(t0.w) AS BIGINT) AS n_tokens,
+                   CAST(len(t0.w) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(rb.trimmed_md5, md5('')) AS trimmed_md5
+            FROM t0 LEFT JOIN rb ON rb.doc_id = t0.doc_id
+            ORDER BY t0.doc_id"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
-      domainBudgetSample, repeatedNgramSpans)
+      domainBudgetSample, repeatedNgramSpans, substringDedupTrim)
 }
