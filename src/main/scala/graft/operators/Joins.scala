@@ -179,8 +179,69 @@ object Joins {
             ORDER BY op"""),
   )
 
+  /** X54 entity resolution (record linkage) — fuzzy-match a "dirty" feed
+    * of perturbed customer names back to the master table, the
+    * Fellegi–Sunter blocking+compare shape every ingestion pipeline needs:
+    * BLOCK on a stable key fragment (two mid digits of the name — the
+    * perturbations never touch them, the classic "block on what the noise
+    * spares" assumption), then score ONLY within-block candidate pairs
+    * with `levenshtein` (both engines implement unit-cost edit distance)
+    * and keep each dirty record's best match (min distance, then min key).
+    *
+    * Scale shape: the candidate join is a hash equi-join on the block key
+    * — Σ per-block products, never the N×M cross product (same family as
+    * the MinHash band join). Per-dirty-record best-of is a window over
+    * block-sized candidate lists; at web scale it would take the
+    * bounded-heap partial first (`VectorOps.topKPerKey` shape). The
+    * deterministic perturbation (drop last char / append / '#'→'-' by key
+    * mod 3) lets DuckDB rebuild the identical dirty feed, so the whole
+    * linkage — blocks, scores, tie-breaks — hash-matches. */
+  private val entityResolution = QueryDef(
+    "entity_resolution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val dirty = c.select(
+        col("c_custkey").as("d_key"),
+        when(col("c_custkey") % 3 === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .when(col("c_custkey") % 3 === 1, concat(col("c_name"), lit("x")))
+          .otherwise(regexp_replace(col("c_name"), "#", "-")).as("d_name"))
+        .withColumn("blk", substring(col("d_name"), 15, 2))
+      val master = c.withColumn("blk", substring(col("c_name"), 15, 2))
+      val scored = dirty.join(master, "blk")
+        .select(col("d_key"), col("d_name"), col("c_custkey"),
+          levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
+      val w = Window.partitionBy("d_key").orderBy(col("dist"), col("c_custkey"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist"),
+          (col("d_key") === col("c_custkey")).cast("long").as("is_self"))
+        .orderBy("d_key")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer),
+            dirty AS (SELECT c_custkey AS d_key,
+                   CASE WHEN c_custkey % 3 = 0 THEN substring(c_name, 1, length(c_name) - 1)
+                        WHEN c_custkey % 3 = 1 THEN c_name || 'x'
+                        ELSE replace(c_name, '#', '-') END AS d_name
+                 FROM c),
+            db AS (SELECT d_key, d_name, substring(d_name, 15, 2) AS blk FROM dirty),
+            mb AS (SELECT c_custkey, c_name, substring(c_name, 15, 2) AS blk FROM c),
+            scored AS (SELECT db.d_key, db.d_name, mb.c_custkey,
+                   CAST(levenshtein(db.d_name, mb.c_name) AS BIGINT) AS dist
+                 FROM db JOIN mb ON mb.blk = db.blk),
+            best AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY d_key
+                          ORDER BY dist, c_custkey) AS rn
+                   FROM scored) WHERE rn = 1)
+            SELECT d_key, c_custkey AS matched_key, dist,
+                   CAST(CASE WHEN d_key = c_custkey THEN 1 ELSE 0 END AS BIGINT) AS is_self
+            FROM best ORDER BY d_key"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     joinRevenueByNation, joinTopCustomers, joinOrdersNoLineitem,
     joinSemiBigSpenders, joinSegmentPriority, pricingSummary, setOps,
+    entityResolution,
   )
 }

@@ -91,5 +91,51 @@ object WindowOps {
             ORDER BY day"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(windowRank, windowLag, windowSliding)
+  /** Frame-variety coverage in one query over the per-type daily series:
+    * RANGE frame (all days within ±2 calendar days — unlike a ROWS frame
+    * it keys on the VALUE of the ordering column, so gaps in the series
+    * change the window), ntile quartiles, percent_rank, and
+    * first/last_value over an unbounded frame. Series are partitioned by
+    * event_type, so every window runs per-type on its own reducer — no
+    * single-partition window at any scale (same posture as ewma_smooth).
+    * Day arithmetic is integer (epoch days), percent_rank is an exact
+    * ratio of two integers rounded once — deterministic on both engines. */
+  private val windowFrames = QueryDef(
+    "window_frames",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      val range2 = Window.partitionBy("event_type").orderBy("d").rangeBetween(-2, 2)
+      val full = Window.partitionBy("event_type").orderBy(col("day"))
+      val unb = full.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.select(
+        col("event_type"), col("day"),
+        sum("cnt").over(range2).as("cnt_5day_range"),
+        ntile(4).over(full).cast("long").as("quartile"),
+        round(percent_rank().over(full), 6).as("pct_rank"),
+        first("day").over(unb).as("first_day"),
+        last("day").over(unb).as("last_day"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            d2 AS (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS d FROM daily)
+            SELECT event_type, day,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                        RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS cnt_5day_range,
+                   CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS quartile,
+                   round(percent_rank() OVER (PARTITION BY event_type ORDER BY day), 6) AS pct_rank,
+                   first_value(day) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_day,
+                   last_value(day) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_day
+            FROM d2 ORDER BY event_type, day"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(windowRank, windowLag, windowSliding, windowFrames)
 }
