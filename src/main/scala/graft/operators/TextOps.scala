@@ -1223,37 +1223,49 @@ object TextOps {
     * vocab table (~millions of rows at web scale), checkpointed once, with
     * a pair-count shuffle of vocab size and a single-row argmax to the
     * driver. That is exactly how production BPE trainers scale. */
+  /** The shared BPE learning loop: returns the 5 learned merges and the
+    * final vocab table (word, f, s) with `s` the merged spaced-symbol
+    * form. `bpe_merges` reports the former; `bpe_encode` applies the
+    * latter back to the corpus. */
+  private[graft] def learnBpe(d: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val s = d.sparkSession
+    import s.implicits._
+    val wf = d
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    // vocab-sized; checkpoint cuts the corpus scan out of the iteration
+    var cur = wf.select(col("word"), col("f"),
+      concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val top = tk.select(col("f"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
+          .as("p"))
+        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).as[(String, String, Long)].head()
+      val (a, b, cnt) = top
+      merges += ((r.toLong, a, b, cnt))
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
+      cur = cur.withColumn("s", r1(r1(r1(col("s")))))
+    }
+    (merges.toSeq, cur)
+  }
+
   private val bpeMerges = QueryDef(
     "bpe_merges",
     (s, dir) => {
       import s.implicits._
-      val wf = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("f"))
-      // vocab-sized; checkpoint cuts the corpus scan out of the iteration
-      var cur = wf.select(col("f"),
-        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (r <- 1 to 5) {
-        val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
-          .filter(size(col("toks")) >= 2)
-        val top = tk.select(col("f"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
-            .as("p"))
-          .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy("a", "b").agg(sum("f").as("cnt"))
-          .orderBy(desc("cnt"), asc("a"), asc("b"))
-          .limit(1).as[(String, String, Long)].head()
-        val (a, b, cnt) = top
-        merges += ((r.toLong, a, b, cnt))
-        val pat = s" $a $b "
-        val rep = s" $a$b "
-        def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
-        cur = cur.withColumn("s", r1(r1(r1(col("s")))))
-      }
-      s.createDataset(merges.toSeq).toDF("rank", "lhs", "rhs", "pair_count")
+      val merges = learnBpe(docs(s, dir), 5)._1
+      s.createDataset(merges).toDF("rank", "lhs", "rhs", "pair_count")
         .orderBy("rank")
     },
     Some {
@@ -1287,6 +1299,73 @@ object TextOps {
                   UNION ALL SELECT 5, a, b, cnt FROM m5)
           SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt AS pair_count
           FROM fin ORDER BY rank"""
+    },
+  )
+
+  /** X56 BPE ENCODING with the learned vocab — the apply side of
+    * [[learnBpe]]: tokenize the corpus under the 5-merge tokenizer and
+    * report per-language compression (chars per BPE token ×100, floor).
+    * Application is a VOCAB JOIN, not a re-merge: every corpus word's
+    * final symbol split was already computed during training, so encoding
+    * a document is `per-(doc, word) counts ⋈ vocab` — the corpus shuffles
+    * once into word counts, the vocab (already merged, web-scale ~millions
+    * of rows) joins by word, and token totals aggregate out. OOV words
+    * would replay the merge list (none exist here: the vocab was trained
+    * on this corpus). That lookup-shaped apply is exactly how production
+    * tokenizers run at scale. */
+  private val bpeEncode = QueryDef(
+    "bpe_encode",
+    (s, dir) => {
+      val vocab = learnBpe(docs(s, dir), 5)._2
+        .select(col("word"),
+          size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      val perDocWord = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("n"))
+      perDocWord.join(vocab, "word")
+        .groupBy("lang")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
+          sum(col("n") * length(col("word")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_chars * 100 div n_bpe_tokens").as("chars_per_token_x100"))
+        .orderBy("lang")
+    },
+    Some {
+      def iter(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""t$i AS (SELECT f, string_split(trim(s), ' ') AS toks FROM $prev
+                    WHERE len(string_split(trim(s), ' ')) >= 2),
+            p$i AS (SELECT f, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t$i),
+            m$i AS (SELECT p[1] AS a, p[2] AS b FROM p$i GROUP BY 1, 2
+                    ORDER BY CAST(sum(f) AS BIGINT) DESC, a, b LIMIT 1),
+            v$i AS (SELECT word, f, replace(replace(replace(s,
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+                    FROM $prev, m$i),"""
+      }
+      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> '' GROUP BY word),
+          v0 AS (SELECT word, f, ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ' AS s
+             FROM wf),
+          ${iter(1)}
+          ${iter(2)}
+          ${iter(3)}
+          ${iter(4)}
+          ${iter(5)}
+          vocab AS (SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub FROM v5),
+          pdw AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+                  WHERE word <> '' GROUP BY 1, 2, 3)
+          SELECT lang,
+                 CAST(sum(n) AS BIGINT) AS n_words,
+                 CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens,
+                 CAST(sum(n * length(word)) * 100 // sum(n * n_sub) AS BIGINT) AS chars_per_token_x100
+          FROM pdw JOIN vocab USING (word)
+          GROUP BY lang ORDER BY lang"""
     },
   )
 
@@ -1350,6 +1429,6 @@ object TextOps {
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
-    textNormalize, bpeMerges, urlHostStats,
+    textNormalize, bpeMerges, bpeEncode, urlHostStats,
   )
 }
