@@ -207,8 +207,8 @@ object Joins {
           expr("substring(c_name, 1, length(c_name) - 1)"))
           .when(col("c_custkey") % 3 === 1, concat(col("c_name"), lit("x")))
           .otherwise(regexp_replace(col("c_name"), "#", "-")).as("d_name"))
-        .withColumn("blk", substring(col("d_name"), 15, 2))
-      val master = c.withColumn("blk", substring(col("c_name"), 15, 2))
+        .withColumn("blk", substring(col("d_name"), 15, 3))
+      val master = c.withColumn("blk", substring(col("c_name"), 15, 3))
       val scored = dirty.join(master, "blk")
         .select(col("d_key"), col("d_name"), col("c_custkey"),
           levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
@@ -225,8 +225,8 @@ object Joins {
                         WHEN c_custkey % 3 = 1 THEN c_name || 'x'
                         ELSE replace(c_name, '#', '-') END AS d_name
                  FROM c),
-            db AS (SELECT d_key, d_name, substring(d_name, 15, 2) AS blk FROM dirty),
-            mb AS (SELECT c_custkey, c_name, substring(c_name, 15, 2) AS blk FROM c),
+            db AS (SELECT d_key, d_name, substring(d_name, 15, 3) AS blk FROM dirty),
+            mb AS (SELECT c_custkey, c_name, substring(c_name, 15, 3) AS blk FROM c),
             scored AS (SELECT db.d_key, db.d_name, mb.c_custkey,
                    CAST(levenshtein(db.d_name, mb.c_name) AS BIGINT) AS dist
                  FROM db JOIN mb ON mb.blk = db.blk),
