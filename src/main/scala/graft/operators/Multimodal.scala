@@ -138,5 +138,79 @@ object Multimodal {
             FROM px"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats)
+  /** Frame-sampling + resize plumbing — the remaining two verbs of the
+    * multimodal mandate (decode and feature-extract live above). The
+    * binary payload is treated as a fake fixed-frame VIDEO (16-byte
+    * frames); the kernel samples every 4th frame (the "1 fps thumbnail
+    * strip" shape), checksums the sampled frames, and "resizes" frame 0 by
+    * a stride-2 byte downsample — each the signature a real
+    * ffmpeg/libswscale adapter would have, batched per partition exactly
+    * like [[decodeImages]]. All arithmetic is integer byte math on an
+    * ASCII payload, so DuckDB recomputes every output from the raw text —
+    * frame boundaries, sampling phase, stride positions, checksums — and a
+    * slicing bug anywhere in the kernel is a hash mismatch.
+    *
+    * Scale: one narrow mapPartitions pass, no shuffle before the final
+    * order; frames never materialize as rows (the ×n_frames explosion
+    * stays inside the kernel loop — only per-doc aggregates exit). */
+  def sampleFrames(videos: Dataset[(Long, Array[Byte])], frameBytes: Int,
+      every: Int): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      // per-partition demuxer init would go here
+      it.map { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        var f = 0
+        var sampled = 0L
+        var checksum = 0L
+        while (f < nFrames) {
+          if (f % every == 0) {
+            sampled += 1
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) { checksum += bytes(i) & 0xff; i += 1 }
+          }
+          f += 1
+        }
+        val resized = if (nFrames >= 1)
+          new String((0 until frameBytes / 2).map(i => bytes(2 * i)).toArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+        (id, nFrames.toLong, sampled, checksum, resized)
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "sampled_checksum", "frame0_resized")
+  }
+
+  private val frameSample = QueryDef(
+    "multimodal_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("v"))
+        .as[(Long, Array[Byte])]
+      sampleFrames(vids, frameBytes = 16, every = 4).orderBy("doc_id")
+    },
+    Some("""WITH v AS (SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames
+                 FROM documents),
+            fr AS (SELECT doc_id, CAST(unnest(range(0, n_frames)) AS BIGINT) AS f
+                   FROM v WHERE n_frames > 0),
+            smp AS (SELECT v.doc_id, count(*) AS n_sampled,
+                           sum(list_sum(list_transform(
+                               string_split_regex(substr(v.text, CAST(fr.f*16+1 AS INT), 16), ''),
+                               c -> ascii(c)))) AS checksum
+                    FROM fr JOIN v ON v.doc_id = fr.doc_id
+                    WHERE fr.f % 4 = 0 GROUP BY 1)
+            SELECT v.doc_id, CAST(v.n_frames AS BIGINT) AS n_frames,
+                   CAST(coalesce(smp.n_sampled, 0) AS BIGINT) AS n_sampled,
+                   CAST(coalesce(smp.checksum, 0) AS BIGINT) AS sampled_checksum,
+                   CASE WHEN v.n_frames >= 1
+                        THEN array_to_string(list_transform(range(0, 8),
+                             i -> substr(v.text, CAST(2*i+1 AS INT), 1)), '')
+                        ELSE '' END AS frame0_resized
+            FROM v LEFT JOIN smp ON smp.doc_id = v.doc_id
+            ORDER BY v.doc_id"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats, frameSample)
 }
