@@ -385,5 +385,101 @@ object TemporalOps {
             ORDER BY event_type, day"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(asofJoinQ, asofJoinSkewQ, rangeJoinBandsQ, sessionizeQ, ewmaSmoothQ)
+  /** X58 calendar resample + forward fill — the gap-filling primitive
+    * every time-series store exposes (`date_spine` / `ASOF` ffill): the
+    * per-type daily revenue series is re-sampled onto the COMPLETE
+    * calendar between the series' own min and max day, missing days
+    * forward-filled from the last observed value and flagged. The spine
+    * is generated with `sequence()` per type (one row per type explodes
+    * to its day range — no driver loop, no cross join with a global
+    * calendar), the fill is one `last(_, ignoreNulls)` window per type —
+    * series stay on their own reducers, same posture as ewma_smooth.
+    * Revenue is exact cents (BIGINT) so the carried values hash-match. */
+  private val resampleFfillQ = QueryDef(
+    "resample_ffill",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_id") % 97 === 0) // thin the series hard so gaps EXIST
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value") * 100d).cast("long")).as("cents"))
+      val spine = daily.groupBy("event_type")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val joined = spine.join(daily, Seq("event_type", "day"), "left")
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .select(col("event_type"), col("day"),
+          last(col("cents"), ignoreNulls = true).over(w).as("cents_ffill"),
+          col("cents").isNull.cast("long").as("is_gap"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+            spine AS (
+              SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+                    FROM daily GROUP BY 1)),
+            j AS (SELECT s.event_type, s.day, d.cents
+                  FROM spine s LEFT JOIN daily d
+                    ON d.event_type = s.event_type AND d.day = s.day)
+            SELECT event_type, day,
+                   CAST(last_value(cents IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cents_ffill,
+                   CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+            FROM j ORDER BY event_type, day"""),
+  )
+
+  /** X59 SCD Type-2 dimension build — the warehouse-canonical "history
+    * table from a change feed": each customer's order dates become
+    * versioned validity intervals (`valid_from` = change date, `valid_to`
+    * = day before the next change, open-ended current row flagged). ONE
+    * shuffle on the dimension key; `lead()` per key derives the interval
+    * end — no self-join, no correlated subquery (the naive formulation
+    * joins the feed to itself per version). Ordering ties (same customer,
+    * same date) break on o_orderkey so versions are total-ordered on both
+    * engines. */
+  private val scd2BuildQ = QueryDef(
+    "scd2_build",
+    (s, dir) => {
+      val feed = Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey").as("key"),
+          col("o_orderdate").cast("date").as("chg"),
+          col("o_orderkey").as("ver_src"),
+          round(col("o_totalprice") * 100d).cast("long").as("attr_cents"))
+      val w = Window.partitionBy("key").orderBy(col("chg"), col("ver_src"))
+      feed
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", date_sub(lead(col("chg"), 1).over(w), 1))
+        .select(col("key"), col("version"), col("attr_cents"),
+          col("chg").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("long").as("is_current"))
+        .orderBy("key", "version")
+    },
+    Some("""WITH feed AS (
+              SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS chg,
+                     o_orderkey AS ver_src,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS attr_cents
+              FROM orders WHERE o_custkey < 200)
+            SELECT key,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   attr_cents,
+                   chg AS valid_from,
+                   lead(chg, 1) OVER w - 1 AS valid_to,
+                   CAST(CASE WHEN lead(chg, 1) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_current
+            FROM feed
+            WINDOW w AS (PARTITION BY key ORDER BY chg, ver_src)
+            ORDER BY key, version"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(asofJoinQ, asofJoinSkewQ, rangeJoinBandsQ, sessionizeQ,
+    ewmaSmoothQ, resampleFfillQ, scd2BuildQ)
 }
