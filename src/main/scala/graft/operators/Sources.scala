@@ -294,7 +294,56 @@ object Sources {
             ORDER BY col_name"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Error-safe ingestion surface — dirty-feed casting without job
+    * failure: a synthesized messy string column (valid ints, floats,
+    * garbage, empties by key mod) goes through try_cast / guarded
+    * division, and the query reports the salvage accounting (parsed /
+    * rejected / divide-by-zero-nulled counts plus the salvaged sum).
+    * ANSI mode would kill the whole 100 TB job on row one; `try_*` turns
+    * malformed rows into NULLs that aggregate out — both engines agree on
+    * every verdict (DuckDB TRY_CAST == Spark try_cast on these shapes).
+    * Narrow map + one aggregate, no shuffle beyond the final gather. */
+  private val safeIngest = QueryDef(
+    "safe_ingest",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        .withColumn("raw",
+          when(col("k") % 7 === 0, lit("oops"))
+            .when(col("k") % 7 === 1, lit(""))
+            .when(col("k") % 7 === 2, concat(lit("4."), (col("k") % 100).cast("string")))
+            .otherwise((col("k") % 1000).cast("string")))
+        .withColumn("denom", (col("k") % 5).cast("long"))
+      o.select(
+          expr("try_cast(raw AS DOUBLE)").as("v"),
+          expr("try_divide(k, denom)").as("ratio"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_parsed"),
+          sum(col("v").isNull.cast("long")).as("n_rejected"),
+          sum(col("ratio").isNull.cast("long")).as("n_div0"),
+          sum(round(col("v") * 100d).cast("long")).as("salvaged_cents"))
+    },
+    Some("""WITH o AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'oops'
+                          WHEN o_orderkey % 7 = 1 THEN ''
+                          WHEN o_orderkey % 7 = 2 THEN '4.' || CAST(o_orderkey % 100 AS VARCHAR)
+                          ELSE CAST(o_orderkey % 1000 AS VARCHAR) END AS raw,
+                     o_orderkey % 5 AS denom
+              FROM orders),
+            c AS (SELECT TRY_CAST(raw AS DOUBLE) AS v,
+                         CASE WHEN denom = 0 THEN NULL
+                              ELSE CAST(k AS DOUBLE) / denom END AS ratio
+                  FROM o)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(v) AS BIGINT) AS n_parsed,
+                   CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+                   CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+                   CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS salvaged_cents
+            FROM c"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(safeIngest,
     sinkRoundtrip, partitionedSinkScan, fileListingWalk, schemaDescribe,
     footerMetadata, jsonOrcRoundtrip, tableProfile,
   )
