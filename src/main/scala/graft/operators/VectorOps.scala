@@ -712,42 +712,42 @@ object VectorOps {
     var lastN = Map.empty[Long, Long]
     val qds = vq.select("vec_id", "v").as[(Long, Array[Long])]
     for (_ <- 1 to iters) {
-        val bc = s.sparkContext.broadcast(cents)
-        val partials = qds.mapPartitions { it =>
-          val cs = bc.value
-          val k = cs.length; val dim = cs.head.length
-          val sums = Array.ofDim[Long](k, dim)
-          val ns = new Array[Long](k)
-          it.foreach { case (_, v) =>
-            var best = 0; var bestD = Long.MaxValue
-            var c = 0
-            while (c < k) {
-              val cv = cs(c); var d = 0L; var i = 0
-              while (i < dim) { val df = v(i) - cv(i); d += df * df; i += 1 }
-              if (d < bestD) { bestD = d; best = c } // strict <: tie keeps smaller c
-              c += 1
-            }
-            ns(best) += 1
-            val sv = sums(best); var i = 0
-            while (i < dim) { sv(i) += v(i); i += 1 }
+      val bc = s.sparkContext.broadcast(cents)
+      val partials = qds.mapPartitions { it =>
+        val cs = bc.value
+        val k = cs.length; val dim = cs.head.length
+        val sums = Array.ofDim[Long](k, dim)
+        val ns = new Array[Long](k)
+        it.foreach { case (_, v) =>
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            val cv = cs(c); var d = 0L; var i = 0
+            while (i < dim) { val df = v(i) - cv(i); d += df * df; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict <: tie keeps smaller c
+            c += 1
           }
-          (0 until k).iterator.filter(ns(_) > 0).flatMap { c =>
-            (0 until dim).iterator.map(d => (c.toLong, (d + 1).toLong, sums(c)(d), ns(c)))
-          }
-        }.toDF("c", "dim", "s", "n")
-        // codebook-sized aggregate: K·dim rows to the driver (metadata scale)
-        val upd = partials.groupBy("c", "dim")
-          .agg(sum("s").as("s"), sum("n").as("n"))
-          .as[(Long, Long, Long, Long)].collect()
-        val next = cents.map(_.clone()) // empty cluster keeps its centroid
-        upd.groupBy(_._1).foreach { case (c, rows) =>
-          val arr = next(c.toInt)
-          rows.foreach { case (_, d, sv, n) =>
-            arr((d - 1).toInt) = math.floor(sv.toDouble / n.toDouble).toLong
-          }
+          ns(best) += 1
+          val sv = sums(best); var i = 0
+          while (i < dim) { sv(i) += v(i); i += 1 }
         }
-        lastN = upd.map { case (c, _, _, n) => c -> n }.toMap
-        cents = next
+        (0 until k).iterator.filter(ns(_) > 0).flatMap { c =>
+          (0 until dim).iterator.map(d => (c.toLong, (d + 1).toLong, sums(c)(d), ns(c)))
+        }
+      }.toDF("c", "dim", "s", "n")
+      // codebook-sized aggregate: K·dim rows to the driver (metadata scale)
+      val upd = partials.groupBy("c", "dim")
+        .agg(sum("s").as("s"), sum("n").as("n"))
+        .as[(Long, Long, Long, Long)].collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      upd.groupBy(_._1).foreach { case (c, rows) =>
+        val arr = next(c.toInt)
+        rows.foreach { case (_, d, sv, n) =>
+          arr((d - 1).toInt) = math.floor(sv.toDouble / n.toDouble).toLong
+        }
+      }
+      lastN = upd.map { case (c, _, _, n) => c -> n }.toMap
+      cents = next
     }
     val rows = for {
       c <- 0 until k
