@@ -829,6 +829,63 @@ object LakehouseOps {
              ORDER BY _commit_version, _change_type, o_orderkey"""),
   )
 
+  /** Incremental view maintenance from the CDC changelog — the consumer
+    * side of `icelite_changelog`: a per-status aggregate (count + exact
+    * cents) is maintained by FOLDING signed deltas (+row for insert, −row
+    * for delete; an update is delete+insert) onto the base-version
+    * aggregate, never rescanning the table — and the maintained result
+    * must equal (and here hash-equals, via the oracle computing the final
+    * state directly) a full recompute. This is the pattern that turns a
+    * 100 TB nightly re-aggregation into an O(changed rows) merge: the
+    * changelog is metadata-planned (changed files only), the fold is one
+    * aggregate over deltas, and the join with the base aggregate is
+    * group-cardinality-sized. */
+  private val cdcApplyAgg = QueryDef(
+    "icelite_cdc_apply",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = IceLite.createFrom(s, scratch("ivm"), o)
+      t.append(o) // base state
+      val baseVersion = t.meta.currentSnapshot.get.id
+      t.append(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))   // inserts
+      t.delete(col("o_orderkey") % 10 === 3)                        // deletes
+      t.update(col("o_orderkey") % 10 === 7,                        // delete+insert
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+      val base = t.readAsOf(baseVersion)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("bn"),
+          sum(round(col("o_totalprice") * 100d).cast("long")).as("bc"))
+      val delta = t.readChangesBetween(baseVersion, t.meta.currentSnapshot.get.id)
+        .select(col("o_orderstatus"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+          round(col("o_totalprice") * 100d).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("cents")).as("dc"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+        .filter(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH fin AS (
+              SELECT o_orderstatus,
+                     CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS p
+              FROM orders WHERE o_orderkey % 10 <> 3
+              UNION ALL
+              SELECT o_orderstatus,
+                     CASE WHEN (o_orderkey + 20000000) % 10 = 7 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END
+              FROM orders WHERE o_orderkey % 5 = 0
+                AND (o_orderkey + 20000000) % 10 <> 3)
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM fin GROUP BY 1 HAVING count(*) > 0 ORDER BY o_orderstatus"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     dropColumnDdl, timeTravel,
@@ -836,6 +893,6 @@ object LakehouseOps {
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
-    branchWap, sortedWrite, zorderWrite, changelog,
+    branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg,
   )
 }
