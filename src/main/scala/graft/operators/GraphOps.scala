@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over a deterministic link graph (SURVEY.md
@@ -108,6 +109,41 @@ object GraphOps {
     * ratio), so DuckDB recomputes the identical single stats row —
     * struct/row-value comparison gives the same lexicographic (deg, id)
     * order in both engines. */
+  /** The degree-ordered triangle/wedge core over an arbitrary directed
+    * edge list (any (src, dst) frame; self-loops and duplicates are
+    * normalized away). Public so GraphPropSpec can differentially test it
+    * against a naive all-triples count on random graphs — stars, isolated
+    * nodes, multi-edges — that the fixture graph never produces. */
+  def triangleStats(re: DataFrame): DataFrame = {
+    val ue = re.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dg = ue.select(col("a").as("id")).unionAll(ue.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val oe = ue
+      .join(dg.as("da"), col("a") === col("da.id"))
+      .join(dg.as("db"), col("b") === col("db.id"))
+      .select(
+        when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+          col("db.deg")).otherwise(col("da.deg")).as("dv"))
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), col("e1.u") === col("e2.u") &&
+        struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .join(oe.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = ue.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(dg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div n_wedges").as("closure_scaled"))
+  }
+
   private val triangleCount = QueryDef(
     "triangle_count",
     (s, dir) => {
@@ -118,33 +154,7 @@ object GraphOps {
           docs.select(col("id").as("src"), ((col("id") * col("id") + q) % n).as("dst"))
         }
         .reduce(_.unionAll(_))
-      val ue = re.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-      val dg = ue.select(col("a").as("id")).unionAll(ue.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-      val oe = ue
-        .join(dg.as("da"), col("a") === col("da.id"))
-        .join(dg.as("db"), col("b") === col("db.id"))
-        .select(
-          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
-            col("b")).otherwise(col("a")).as("v"),
-          when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
-            col("db.deg")).otherwise(col("da.deg")).as("dv"))
-      val tri = oe.as("e1")
-        .join(oe.as("e2"), col("e1.u") === col("e2.u") &&
-          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
-        .join(oe.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val stats = ue.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(dg.agg(count(lit(1)).as("n_nodes"),
-          sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
-      stats.crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-          expr("3 * n_triangles * 1000000 div n_wedges").as("closure_scaled"))
+      triangleStats(re)
     },
     Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
             d0 AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),

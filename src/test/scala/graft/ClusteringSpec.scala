@@ -106,4 +106,28 @@ class ClusteringSpec extends SparkSpec {
     assert(tri == naive, s"oriented count $tri != naive $naive")
     assert(row.getAs[Long]("n_wedges") > 0 && row.getAs[Long]("closure_scaled") >= 0)
   }
+
+  /** Random graphs exercise shapes the fixture never produces — stars,
+    * isolated nodes, duplicate and self edges — against a naive count. */
+  test("triangleStats equals naive counting on random graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 8).foreach { trial =>
+      val n = 5 + rnd.nextInt(25)
+      val m = rnd.nextInt(4 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("src", "dst")
+      val got = graft.operators.GraphOps.triangleStats(df)
+        .collect().head.getAs[Long]("n_triangles")
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      var naive = 0L
+      for {
+        i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+        if simple((nodes(i), nodes(j))) && simple((nodes(j), nodes(k))) &&
+          simple((nodes(i), nodes(k)))
+      } naive += 1
+      assert(got == naive, s"trial $trial (n=$n m=$m): oriented $got != naive $naive")
+    }
+  }
 }
