@@ -37,8 +37,8 @@ object Bench {
     "icelite_delete_mor", "icelite_merge", "icelite_compaction",
     "icelite_zorder", "icelite_time_travel")
 
-  /** The heaviest bench queries that read only documents/orders (the two
-    * tables the synthetic scale-up generates) — the sf1 spot-bench set.
+  /** The heaviest bench queries that read only documents/orders/embeddings
+    * (the three tables the synthetic scale-up generates) — the sf1 set.
     * One 10× scale point catches nonlinear blowups the sf0.1 bench can't
     * see (it caught the minhash kernel's allocation superlinearity). */
   private val sf1Heavies = Seq("dedup_components", "icelite_zorder",
@@ -59,7 +59,9 @@ object Bench {
   private def ensureSf1(spark: SparkSession, base: String): String = {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_sf1"
-    val ready = new java.io.File(out + "/_READY")
+    // versioned marker: a stale cache from a build that generated fewer
+    // tables must not short-circuit (embeddings joined the set in r7)
+    val ready = new java.io.File(out + "/_READY_v2")
     if (ready.exists) return out
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until 10).map { i =>

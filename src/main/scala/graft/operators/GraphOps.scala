@@ -93,27 +93,24 @@ object GraphOps {
             ORDER BY rank_scaled DESC, doc_id LIMIT 20"""),
   )
 
-  /** X48 triangle counting + global clustering coefficient over the same
-    * derived link graph (undirected simple view of the three quadratic
-    * maps). The algorithm is the degree-ordered orientation ("forward"
-    * algorithm, Schank & Wagner 2005): every edge points from its
-    * lower-(degree, id) endpoint to the higher one, wedges are pairs of
-    * out-neighbors of a common source, and a wedge closes iff its two tips
-    * are themselves an oriented edge. Orientation caps out-degree at
-    * O(√E), so the wedge join is O(E^1.5) worst-case instead of Σdeg² —
-    * the standard scalable formulation (it is equi-join + aggregate all the
-    * way: edges shuffle on node ids, wedges on tip pairs, nothing touches
-    * the driver beyond the scalar N).
+  /** The degree-ordered triangle/wedge core over an arbitrary directed
+    * edge list (any (src, dst) frame; self-loops and duplicates are
+    * normalized away): the "forward" algorithm (Schank & Wagner 2005) —
+    * every edge points from its lower-(degree, id) endpoint to the higher
+    * one, wedges are pairs of out-neighbors of a common source, and a
+    * wedge closes iff its two tips are themselves an oriented edge.
+    * Orientation caps out-degree at O(√E), so the wedge join is O(E^1.5)
+    * worst-case instead of Σdeg² — the standard scalable formulation
+    * (equi-join + aggregate all the way: edges shuffle on node ids, wedges
+    * on tip pairs, nothing touches the driver).
     *
     * Everything is integer (counts, degree tuples, `div`-scaled closure
     * ratio), so DuckDB recomputes the identical single stats row —
     * struct/row-value comparison gives the same lexicographic (deg, id)
-    * order in both engines. */
-  /** The degree-ordered triangle/wedge core over an arbitrary directed
-    * edge list (any (src, dst) frame; self-loops and duplicates are
-    * normalized away). Public so GraphPropSpec can differentially test it
-    * against a naive all-triples count on random graphs — stars, isolated
-    * nodes, multi-edges — that the fixture graph never produces. */
+    * order in both engines. Public so ClusteringSpec can differentially
+    * test it against a naive all-triples count on random graphs — stars,
+    * isolated nodes, multi-edges — that the fixture graph never
+    * produces. */
   def triangleStats(re: DataFrame): DataFrame = {
     val ue = re.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
@@ -144,6 +141,9 @@ object GraphOps {
         expr("3 * n_triangles * 1000000 div n_wedges").as("closure_scaled"))
   }
 
+  /** X48 triangle counting + global clustering coefficient over the same
+    * derived link graph as PageRank (undirected simple view of the three
+    * quadratic maps), via [[triangleStats]]. */
   private val triangleCount = QueryDef(
     "triangle_count",
     (s, dir) => {

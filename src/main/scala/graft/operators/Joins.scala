@@ -182,7 +182,7 @@ object Joins {
   /** X54 entity resolution (record linkage) — fuzzy-match a "dirty" feed
     * of perturbed customer names back to the master table, the
     * Fellegi–Sunter blocking+compare shape every ingestion pipeline needs:
-    * BLOCK on a stable key fragment (two mid digits of the name — the
+    * BLOCK on a stable key fragment (three mid digits of the name — the
     * perturbations never touch them, the classic "block on what the noise
     * spares" assumption), then score ONLY within-block candidate pairs
     * with `levenshtein` (both engines implement unit-cost edit distance)

@@ -145,8 +145,11 @@ object Multimodal {
     * strip" shape), checksums the sampled frames, and "resizes" frame 0 by
     * a stride-2 byte downsample — each the signature a real
     * ffmpeg/libswscale adapter would have, batched per partition exactly
-    * like [[decodeImages]]. All arithmetic is integer byte math on an
-    * ASCII payload, so DuckDB recomputes every output from the raw text —
+    * like [[decodeImages]]. The kernel is BYTE-addressed (as a codec
+    * adapter must be); the oracle is character-addressed — equivalent
+    * because the fixture text is pure ASCII (one byte per char), which
+    * KernelPropSpec asserts on the fixture. All arithmetic is integer
+    * byte math, so DuckDB recomputes every output from the raw text —
     * frame boundaries, sampling phase, stride positions, checksums — and a
     * slicing bug anywhere in the kernel is a hash mismatch.
     *

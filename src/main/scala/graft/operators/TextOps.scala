@@ -1213,10 +1213,14 @@ object TextOps {
     * trick applied to an iterative string algorithm).
     *
     * Words are spaced-symbol strings (` c o l u m n `); a merge is 3
-    * passes of space-delimited `replace` (leftmost non-overlapping, merged
-    * tokens lose their inner space so they can't re-match — 3 passes
-    * exhaust every repeat-run the fixture can hold, and any residual would
-    * be IDENTICAL cross-engine since both run the same passes).
+    * passes of space-delimited `replace` (merged tokens lose their inner
+    * space so they can't re-match). The replace rule equals classic
+    * leftmost non-overlapping merging EXCEPT on a run of ≥5 identical
+    * symbols forming a self-pair, where the scan consumes the separator
+    * and picks a different (still deterministic, cross-engine-identical —
+    * the oracle runs the same passes) pairing. BpeSpec asserts the
+    * fixture vocabulary contains no such run and pins the result to the
+    * classic Sennrich trainer on it.
     *
     * Scale shape: the 100 TB corpus is read once (word freq groupBy —
     * the only corpus-sized shuffle); every iteration then touches only the

@@ -42,6 +42,19 @@ class BpeSpec extends SparkSpec {
     out.toSeq
   }
 
+  /** The replace-based merge equals classic leftmost non-overlapping
+    * merging only when no word holds a ≥5-run of one symbol (the scan
+    * consumes the separator on such runs and pairs differently). The
+    * differential test below is meaningful exactly because the fixture
+    * vocabulary stays inside that domain — pin it. */
+  test("fixture vocabulary has no 5-run of a single character") {
+    val runs = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("(.)\\1{4,}"))
+      .count()
+    assert(runs == 0, s"$runs words contain a 5+ same-char run")
+  }
+
   test("bpe_merges equals the classic single-threaded BPE trainer") {
     val got = Registry.queries("bpe_merges")(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq

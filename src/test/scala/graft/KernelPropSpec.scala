@@ -66,6 +66,18 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  /** The frame-sample kernel is BYTE-addressed while its DuckDB oracle is
+    * character-addressed; they agree only when one char == one byte. Pin
+    * that contract on the fixture the oracle actually runs against. */
+  test("fixture documents are pure ASCII (byte == char addressing)") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(length(col("text")) =!= octet_length(encode(col("text"), "utf-8")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii docs contain multi-byte chars")
+  }
+
   test("bottom-k-by-hash is mergeable (union law)") {
     def bottomK(xs: Seq[Long], k: Int): Seq[Long] =
       xs.map(x => graft.functions.RollingFingerprint.hash(
