@@ -173,6 +173,53 @@ object SketchOps {
             ORDER BY pct"""),
   )
 
+  /** X62 per-group quantile sketch — the "p50/p99 per segment" shape ops
+    * dashboards actually need: the same bottom-k-by-md5 sample rule as
+    * [[quantileSketch]], but per l_returnflag. The per-group sample is a
+    * row_number window over (group ORDER BY hash) capped at k — at scale
+    * the window's shuffle carries the corpus once on the group key with
+    * map-side rank pruning available (groups × k bounded state; the same
+    * mergeable bottom-k algebra, so per-partition pre-pruning stays
+    * lossless). Estimates are nearest-rank order statistics of each
+    * group's sample; every step recomputed by DuckDB. */
+  private val quantileSketchGrouped = QueryDef(
+    "quantile_sketch_grouped",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 128
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100d).cast("long").as("cents"),
+        md5(concat_ws(":", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))).as("h"))
+      val sample = li.withColumn("hr",
+          row_number().over(Window.partitionBy("grp").orderBy("h")).cast("long"))
+        .filter(col("hr") <= k)
+      val ranked = sample.withColumn("rk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("cents"), col("h")))
+          .cast("long"))
+      val pcts = s.createDataFrame(Seq(Tuple1(50L), Tuple1(99L))).toDF("pct")
+      pcts.crossJoin(ranked)
+        .filter(col("rk") === expr(s"(pct * ${k - 1}) div 100 + 1"))
+        .select(col("grp"), col("pct"), col("cents").as("est_cents"))
+        .orderBy("grp", "pct")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS grp,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+                 FROM lineitem),
+            smp AS (SELECT grp, cents, h FROM (
+                   SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS hr
+                   FROM li) WHERE hr <= 128),
+            rk AS (SELECT grp, cents,
+                          CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, h) AS BIGINT) AS rk
+                   FROM smp),
+            p AS (SELECT CAST(unnest([50, 99]) AS BIGINT) AS pct)
+            SELECT r.grp, p.pct, r.cents AS est_cents
+            FROM p JOIN rk r ON r.rk = (p.pct * 127) // 100 + 1
+            ORDER BY grp, pct"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(kmvDistinct, kmvUnionDistinct, heavyHitters,
-    quantileSketch)
+    quantileSketch, quantileSketchGrouped)
 }
