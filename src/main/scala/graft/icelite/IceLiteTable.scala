@@ -1335,13 +1335,22 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       (m.copy(refs = m.refs - name), s"drop ref $name")
     }
 
-  /** Read a named ref ("main" = the published table). */
+  /** Read a named ref ("main" = the published table).
+    *
+    * Schema resolution mirrors the refs' semantics: a TAG is an immutable
+    * historical pin, so it reads through its snapshot's own schema —
+    * exactly like [[readAsOf]] time travel (DDL on main after the tag
+    * must not reshape what the tag shows). A BRANCH is a moving write
+    * target that will be published onto main, so it reads through the
+    * CURRENT table schema (matching Iceberg's branch-read behavior —
+    * staged rows are audited in the shape they will land in). */
   def readRef(name: String): DataFrame =
     if (name == "main") read()
     else {
       val m = meta
       val ref = m.refs.getOrElse(name, sys.error(s"no ref $name"))
-      scanSnapshot(m, m.snapshot(ref.snapshotId), lineage = false, _ => true)
+      scanSnapshot(m, m.snapshot(ref.snapshotId), lineage = false, _ => true,
+        snapshotSchema = ref.refType == "tag")
     }
 
   /** Append onto a BRANCH head: main (and every other ref) is untouched —

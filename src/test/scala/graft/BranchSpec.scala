@@ -70,6 +70,54 @@ class BranchSpec extends SparkSpec {
     assert(t.read().count() == 102)
   }
 
+  /** Schema evolution × refs: a TAG cut before DDL reads through its own
+    * snapshot's schema (immutable pin, like time travel), while a BRANCH
+    * — a moving write target — always reads through the CURRENT schema
+    * (field-id mapping fills the added column's default and applies the
+    * rename to old data). */
+  test("tags pin the pre-evolution schema; branches read the current one") {
+    val t = mkTable("evo")
+    t.createTag("before-ddl", t.meta.currentSnapshotId.get)
+    t.createBranch("old-shape")
+    t.addColumn("score", "BIGINT", Some("7"))
+    t.renameColumn("v", "val2")
+    // the tag reads the ORIGINAL two-column shape...
+    assert(t.readRef("before-ddl").columns.toSeq == Seq("id", "v"))
+    // ...but the stale branch reads the evolved shape via field-id mapping
+    val ob = t.readRef("old-shape")
+    assert(ob.columns.toSeq == Seq("id", "val2", "score"))
+    assert(ob.filter(col("score") =!= 7L).count() == 0)
+    // main reads the evolved shape, default materialized at read time
+    assert(t.read().columns.toSeq == Seq("id", "val2", "score"))
+    assert(t.read().filter(col("score") =!= 7L).count() == 0)
+    // a branch APPEND after the DDL writes/reads the evolved shape
+    t.createBranch("new-shape")
+    t.appendToBranch("new-shape",
+      spark.range(100, 110).toDF("id")
+        .withColumn("val2", col("id") * 2).withColumn("score", lit(9L)))
+    val nb = t.readRef("new-shape")
+    assert(nb.columns.toSeq == Seq("id", "val2", "score"))
+    assert(nb.filter(col("score") === 9L).count() == 10)
+    assert(nb.count() == 110)
+    // publishing the evolved branch keeps every row + the default fill
+    t.fastForward("new-shape")
+    assert(t.read().count() == 110)
+    assert(t.read().filter(col("score") === 7L).count() == 100)
+    // and the tag STILL reads the original shape after all of it
+    assert(t.readRef("before-ddl").columns.toSeq == Seq("id", "v"))
+    assert(t.readRef("before-ddl").count() == 100)
+  }
+
+  test("dropColumn on main never disturbs a tag's historical read") {
+    val t = mkTable("drop")
+    t.createTag("keep", t.meta.currentSnapshotId.get)
+    t.dropColumn("v")
+    assert(t.read().columns.toSeq == Seq("id"))
+    val tag = t.readRef("keep")
+    assert(tag.columns.toSeq == Seq("id", "v"))
+    assert(tag.agg(sum(col("v"))).head.getLong(0) == (0 until 100).map(_ * 2).sum)
+  }
+
   test("ref name validation and duplicate rejection") {
     val t = mkTable("names")
     intercept[Exception](t.createBranch("main"))
