@@ -886,6 +886,51 @@ object LakehouseOps {
             FROM fin GROUP BY 1 HAVING count(*) > 0 ORDER BY o_orderstatus"""),
   )
 
+  /** Tag reads pin BOTH data and SCHEMA: a tag cut before DDL shows the
+    * original column shape (its snapshot's own schema — same rule as
+    * VERSION AS OF time travel), while main shows the evolved shape with
+    * the rename applied via field-id mapping and the added column's
+    * default materialized at read time. The output interleaves per-side
+    * aggregates over the SAME underlying files, so a schema-resolution
+    * bug on either path is a hash mismatch. Metadata-only throughout —
+    * zero data rewritten by the DDL. */
+  private val tagSchemaRead = QueryDef(
+    "icelite_tag_schema",
+    (s, dir) => {
+      val t = IceLite.createFrom(s, scratch("tagschema"), orders(s, dir))
+      t.append(orders(s, dir))
+      t.createTag("pin", t.meta.currentSnapshotId.get)
+      t.addColumn("audit_flag", "BIGINT", Some("5"))
+      t.renameColumn("o_totalprice", "o_price2")
+      val tag = t.readRef("pin")
+      val main = t.read()
+      val tagRow = tag.agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100d).cast("long")).as("cents"),
+        lit(-1L).as("flag_sum"))
+        .select(lit("tag").as("side"), col("n"), col("cents"), col("flag_sum"),
+          lit(tag.columns.mkString(",")).as("cols"))
+      val mainRow = main.agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_price2") * 100d).cast("long")).as("cents"),
+        sum(col("audit_flag")).as("flag_sum"))
+        .select(lit("main").as("side"), col("n"), col("cents"), col("flag_sum"),
+          lit(main.columns.mkString(",")).as("cols"))
+      tagRow.unionAll(mainRow).orderBy("side")
+    },
+    Some("""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders)
+            SELECT 'main' AS side, n, cents, CAST(5 * n AS BIGINT) AS flag_sum,
+                   'o_orderkey,o_custkey,o_orderstatus,o_price2,o_orderdate,o_orderpriority,audit_flag' AS cols
+            FROM base
+            UNION ALL
+            SELECT 'tag', n, cents, -1,
+                   'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority'
+            FROM base
+            ORDER BY side"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     dropColumnDdl, timeTravel,
@@ -893,6 +938,6 @@ object LakehouseOps {
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,
-    branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg,
+    branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg, tagSchemaRead,
   )
 }
