@@ -190,16 +190,15 @@ object Joins {
     *
     * Scale shape: the candidate join is a hash equi-join on the block key
     * — Σ per-block products, never the N×M cross product (same family as
-    * the MinHash band join). Per-dirty-record best-of is a window over
-    * block-sized candidate lists; at web scale it would take the
-    * bounded-heap partial first (`VectorOps.topKPerKey` shape). The
+    * the MinHash band join). Per-dirty-record best-of is an ASSOCIATIVE
+    * struct-min aggregate — map-side partial, one surviving candidate per
+    * dirty key per partition, no all-candidates window shuffle. The
     * deterministic perturbation (drop last char / append / '#'→'-' by key
     * mod 3) lets DuckDB rebuild the identical dirty feed, so the whole
     * linkage — blocks, scores, tie-breaks — hash-matches. */
   private val entityResolution = QueryDef(
     "entity_resolution",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
       val dirty = c.select(
         col("c_custkey").as("d_key"),
@@ -212,11 +211,17 @@ object Joins {
       val scored = dirty.join(master, "blk")
         .select(col("d_key"), col("d_name"), col("c_custkey"),
           levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
-      val w = Window.partitionBy("d_key").orderBy(col("dist"), col("c_custkey"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist"),
-          (col("d_key") === col("c_custkey")).cast("long").as("is_self"))
+      // best match = min of (dist, custkey) as an ASSOCIATIVE struct-min
+      // aggregate: partial-aggregates map-side (one candidate per dirty
+      // key per partition crosses the wire), where a row_number window
+      // would shuffle EVERY within-block candidate pair to the reducers.
+      // Selection is identical to ORDER BY dist, c_custkey LIMIT 1 — the
+      // oracle keeps the window formulation and hash-matches.
+      scored.groupBy("d_key")
+        .agg(min(struct(col("dist"), col("c_custkey"))).as("m"))
+        .select(col("d_key"), col("m.c_custkey").as("matched_key"),
+          col("m.dist").as("dist"),
+          (col("d_key") === col("m.c_custkey")).cast("long").as("is_self"))
         .orderBy("d_key")
     },
     Some("""WITH c AS (SELECT c_custkey, c_name FROM customer),
