@@ -403,6 +403,35 @@ object Relational {
              ORDER BY gid, returnflag, linestatus"""),
   )
 
+  /** Arbitrary GROUPING SETS — the third grouping form next to CUBE and
+    * ROLLUP: exactly the ((returnflag), (linestatus)) marginals, neither
+    * the cross levels nor the grand total. Catalyst's single
+    * Expand+aggregate covers both sets in ONE partial/final shuffle (no
+    * per-set rescan — the same plan property as cube_agg); gid and NULL
+    * sentinels keep the output totally ordered on both engines. Expressed
+    * through SQL GROUP BY GROUPING SETS (the Dataset API has no direct
+    * equivalent for arbitrary sets — SQL is the library surface here). */
+  private val groupingSetsAgg = QueryDef(
+    "grouping_sets_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+                       coalesce(l_linestatus, '<all>') AS linestatus,
+                       CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       ${Exact.sqlSum("l_extendedprice")} AS revenue
+                FROM lineitem_gs
+                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                ORDER BY gid, returnflag, linestatus""")
+    },
+    Some(s"""SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+             coalesce(l_linestatus, '<all>') AS linestatus,
+             CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             CAST(count(*) AS BIGINT) AS cnt, ${Exact.sqlSum("l_extendedprice")} AS revenue
+             FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY gid, returnflag, linestatus"""),
+  )
+
   /** PIVOT: event values spread into one column per event_type. Spark's
     * relational pivot with explicit values (stable output schema at any
     * scale — never let pivot infer distinct values on a 100 TB table);
@@ -452,6 +481,6 @@ object Relational {
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
     jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
-    rollupAgg, cubeAgg, pivotAgg, percentiles,
+    rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, percentiles,
   )
 }
