@@ -25,6 +25,38 @@ class TemporalOpsSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  /** Randomized differential: both as-of variants must equal a naive
+    * per-row "latest right at-or-before" lookup on arbitrary data —
+    * duplicate left times, right ties, keys missing on either side, and
+    * (for the skew-safe variant) whatever bucket boundaries the quantile
+    * sketch happens to pick. */
+  test("asofJoin and asofJoinSkewSafe equal the naive reference on random data") {
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val nl = 30 + rnd.nextInt(120)
+      val nr = 20 + rnd.nextInt(120)
+      val lrows = Seq.fill(nl)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rrows = Seq.fill(nr)((rnd.nextInt(7).toLong, rnd.nextInt(50).toLong))
+        .groupBy(x => x).keys.toSeq // unique (k, t): the documented contract
+        .map { case (k, t) => (k, t, k * 1000 + t) }
+      val left = lrows.toDF("k", "t", "lid")
+      val right = rrows.toDF("k", "t", "price")
+      def naive(k: Long, t: Long): Option[Long] =
+        rrows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      val expected = lrows.map { case (k, t, lid) => (k, t, lid, naive(k, t)) }.toSet
+      def resultOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      val plain = resultOf(TemporalOps.asofJoin(left, right, "k", "t", Seq("price")))
+      assert(plain == expected, s"trial $trial: asofJoin != naive")
+      val skewSafe = resultOf(
+        TemporalOps.asofJoinSkewSafe(left, right, "k", "t", Seq("price"), buckets = 4))
+      assert(skewSafe == expected, s"trial $trial: asofJoinSkewSafe != naive")
+    }
+  }
+
   test("asofJoin plan has no join node — one shuffle + window") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "p")
