@@ -432,6 +432,36 @@ object Relational {
              ORDER BY gid, returnflag, linestatus"""),
   )
 
+  /** Ordered LISTAGG (Spark 4's `listagg ... WITHIN GROUP` ≡ DuckDB's
+    * `string_agg(... ORDER BY)`): per order priority, the distinct
+    * statuses as one ordered CSV plus their count. The WITHIN GROUP
+    * ordering is what makes a string aggregate oracle-able at all — an
+    * unordered listagg concatenates in partition arrival order and can
+    * never hash-match. Aggregated over DISTINCT of a low-cardinality
+    * column, so the result string is bounded regardless of table size
+    * (never listagg an unbounded group at 100 TB). */
+  private val listaggAgg = QueryDef(
+    "listagg_agg",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_la")
+      // DISTINCT runs in the subquery: Spark 4.1's listagg(DISTINCT ...)
+      // WITHIN GROUP rejects the combination at analysis time
+      s.sql("""SELECT o_orderpriority,
+                      listagg(o_orderstatus, '|')
+                        WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                      CAST(count(o_orderstatus) AS BIGINT) AS n_statuses
+               FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders_la)
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+                   string_agg(o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+                   CAST(count(o_orderstatus) AS BIGINT) AS n_statuses
+            FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""),
+  )
+
   /** PIVOT: event values spread into one column per event_type. Spark's
     * relational pivot with explicit values (stable output schema at any
     * scale — never let pivot infer distinct values on a 100 TB table);
@@ -481,6 +511,6 @@ object Relational {
     monthlyRevenue, complexAgg, globalCountAvg, partitionGroupCount,
     cumulativeRevenue, syntheticEventsGen, derivedProjection, jsonGet,
     jsonBucketAgg, orderTopk, distinctAgg, skewSaltedAgg, timestampNs,
-    rollupAgg, cubeAgg, groupingSetsAgg, pivotAgg, percentiles,
+    rollupAgg, cubeAgg, groupingSetsAgg, listaggAgg, pivotAgg, percentiles,
   )
 }
