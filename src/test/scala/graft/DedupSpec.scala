@@ -52,6 +52,34 @@ class DedupSpec extends SparkSpec {
       s"all labels must be the component min 1, got ${got.map(_.getLong(1)).distinct.mkString(",")}")
   }
 
+  /** Random-graph differential vs a sequential union-find: catches label
+    * propagation bugs on shapes the planted fixtures never produce
+    * (dense blobs, many small components, repeated edges). */
+  test("connected components equal union-find on random graphs") {
+    val rnd = new scala.util.Random(17)
+    (1 to 5).foreach { trial =>
+      val n = 10 + rnd.nextInt(60)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        // canonical label = min member id per root
+        val label = parent.keys.toSeq.groupBy(find).flatMap { case (_, ms) =>
+          val lo = ms.min; ms.map(_ -> lo)
+        }
+        val got = TextOps.connectedComponents(edges.toDF("id1", "id2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == label, s"trial $trial (n=$n m=$m) mismatch")
+      }
+    }
+  }
+
   test("connected components on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(TextOps.connectedComponents(edges).count() == 0)

@@ -149,6 +149,42 @@ class PipelineOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"largest hot-source slice ${groups.max} rows — bucketing failed to spread")
   }
 
+  /** In-memory naive reference for the full trim pipeline: recompute dup
+    * grams, covered positions, and the rebuilt text per doc sequentially,
+    * and demand byte-identical md5s — independent of both the Spark
+    * formulation AND the DuckDB oracle. */
+  test("substring_dedup_trim equals a naive sequential reference") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams = docs.toSeq.flatMap { case (id, text) =>
+      val w = text.split(" ")
+      if (w.length < 8) Seq()
+      else (0 to w.length - 8).map(i => (w.slice(i, i + 8).mkString(" "), id, i))
+    }
+    val dupGrams = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val covered: Map[Long, Set[Int]] = grams
+      .filter(g => dupGrams(g._1))
+      .groupBy(_._2)
+      .map { case (id, gs) => id -> gs.flatMap(g => g._3 until g._3 + 8).toSet }
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = docs.map { case (id, text) =>
+      val w = text.split(" ")
+      val bad = covered.getOrElse(id, Set())
+      val kept = w.zipWithIndex.collect { case (t, i) if !bad(i) => t }
+      id -> ((w.length.toLong, (w.length - kept.length).toLong, md5hex(kept.mkString(" "))))
+    }
+    val got = Registry.queries("substring_dedup_trim")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected, "trim output differs from the sequential reference")
+    assert(expected.values.exists(_._2 > 0), "fixture produced no trims — test is vacuous")
+  }
+
   test("domain_budget_sample spreads a 90%-hot source and matches the single-window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
