@@ -684,6 +684,67 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * containing matching rows are rewritten; untouched files carry over. */
   def update(cond: Column, assignments: Map[String, Column]): Unit = {
     val (v, m) = versionedMeta
+    if (m.properties.getOrElse("write.update.mode", "copy-on-write") == "merge-on-read")
+      updateMor(m, cond, assignments)
+    else updateCow(v, m, cond, assignments)
+  }
+
+  /** Merge-on-read UPDATE (Iceberg v2 `write.update.mode=merge-on-read`):
+    * ONE commit carries (a) position-delete entries for every matched row
+    * and (b) new data files holding the matched rows with assignments
+    * applied — write cost is O(matched rows), never O(touched file
+    * bytes), the same promise as [[deleteMor]] extended to updates (a
+    * CoW update of 1 row in a 1 GB file rewrites the GB; this writes two
+    * tiny files). The read path needs nothing new: positions mask the old
+    * versions, the appended files carry the new ones. Same concurrency
+    * posture as deleteMor — positions reference files of the scanned
+    * snapshot, so the commit re-verifies they are still live and aborts
+    * (cleaning its staging) on a concurrent rewrite. */
+  private def updateMor(m: TableMetadata, cond: Column,
+      assignments: Map[String, Column]): Unit = {
+    val snap = m.currentSnapshot.getOrElse(return)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true,
+      IceLite.statFiltersFromCondition(cond))
+    val matched = df.filter(cond).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pos = matched.select(col("_file").as("file_path"), col("_pos").as("pos"))
+      val (out, dels) = writePosDeleteFiles(pos)
+      val f = fs(spark, location)
+      if (dels.isEmpty) { f.delete(out, true); return }
+      // every matched row satisfies cond — apply assignments directly
+      val rewritten = matched.select(m.currentSchema.fields.map { fld =>
+        assignments.get(fld.name)
+          .map(a => a.cast(fld.dtype).as(fld.name))
+          .getOrElse(col(fld.name))
+      }: _*)
+      val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
+      val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
+        .parquet(dels.map(_.path): _*)
+        .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
+      try commitWithRetry { cur =>
+        val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
+        val live = cs.dataFiles.map(d => normPath(d.path)).toSet
+        if (!touchedPaths.subsetOf(live))
+          throw new IceLite.ConcurrentRewriteException(
+            "merge-on-read update conflicts with a concurrent rewrite: " +
+              "referenced data files were replaced; re-run the update")
+        val sq = nextSeq(cur)
+        (newSnapshot(cur, "update",
+          cs.dataFiles ++ newFiles.map(_.copy(seq = sq)),
+          cs.deleteFiles ++ dels.map(_.copy(seq = sq))),
+          s"update (mor) ${dels.map(_.rows).sum} positions")
+      } catch {
+        case e: IceLite.ConcurrentRewriteException =>
+          f.delete(out, true) // stale positions must never commit
+          newFiles.foreach(nf => f.delete(new Path(nf.path), false))
+          throw e
+      }
+    } finally matched.unpersist()
+  }
+
+  private def updateCow(v: Int, m: TableMetadata, cond: Column,
+      assignments: Map[String, Column]): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
     // touched-file discovery scans only files whose stats admit the
     // condition (conservative manifest pruning; cond is re-applied anyway)
@@ -737,17 +798,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * read path filters them out with a broadcast per-file position set.
     * Exactly the V3 deletion-vector promise: delete cost is proportional to
     * deleted rows, not file sizes. */
-  private def deleteMor(m: TableMetadata, cond: Column): Unit = {
-    val snap = m.currentSnapshot.getOrElse(return)
-    val df = scanSnapshot(m, snap, lineage = true, _ => true,
-      IceLite.statFiltersFromCondition(cond))
-    val pos = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
+  /** Write one (file_path, pos) position-delete set under deletes/.
+    * Globally sorted by (file_path, pos): a scan task resolving its own
+    * file's positions (DeleteIndex) prunes to the row groups covering
+    * that file via parquet min/max stats, and the loaded runs are sorted.
+    * Returns the staging dir + one manifest entry per non-empty part
+    * (empty when no positions matched — caller cleans the dir). */
+  private def writePosDeleteFiles(pos: DataFrame): (Path, Seq[DeleteFile]) = {
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
     val out = new Path(delDir, s"${UUID.randomUUID()}")
-    // globally sorted by (file_path, pos): a scan task resolving its own
-    // file's positions (DeleteIndex) prunes to the row groups covering
-    // that file via parquet min/max stats, and the loaded runs are sorted
     pos.sort("file_path", "pos").write.parquet(out.toString)
     val f = fs(spark, location)
     val it = f.listFiles(out, true)
@@ -761,6 +821,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         if (n > 0) files += DeleteFile(st.getPath.toString, n)
       }
     }
+    (out, files.toSeq)
+  }
+
+  private def deleteMor(m: TableMetadata, cond: Column): Unit = {
+    val snap = m.currentSnapshot.getOrElse(return)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true,
+      IceLite.statFiltersFromCondition(cond))
+    val pos = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val (out, files) = writePosDeleteFiles(pos)
+    val f = fs(spark, location)
     if (files.isEmpty) { f.delete(out, true); return }
     // The positions reference specific data files of the scanned snapshot.
     // A rebase is only sound while those files are still live: a concurrent

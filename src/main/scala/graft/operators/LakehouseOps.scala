@@ -94,6 +94,39 @@ object LakehouseOps {
              WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""),
   )
 
+  /** M3a extension — UPDATE merge-on-read (`write.update.mode=
+    * merge-on-read`): one commit = position deletes masking the old row
+    * versions + tiny appended files carrying the updated ones. The
+    * embedded requires prove the MoR promise: the original data files are
+    * ALL still live (zero rewritten bytes — a CoW update would have
+    * replaced every touched file) and position-delete files appeared.
+    * Update cost is O(matched rows) at any file size. */
+  private val updateMor = QueryDef(
+    "icelite_update_mor",
+    (s, dir) => {
+      val t = mkTable(s, dir, "updmor",
+        props = Map("write.update.mode" -> "merge-on-read"))
+      val before = t.meta.currentSnapshot.get.dataFiles.map(_.path).toSet
+      t.update(col("o_orderkey") % 9 === 0,
+        Map("o_orderpriority" -> lit("0-MORUPD"),
+          "o_totalprice" -> (col("o_totalprice") + lit(10.0))))
+      val after = t.meta.currentSnapshot.get
+      require(before.subsetOf(after.dataFiles.map(_.path).toSet),
+        "MoR update must not rewrite existing data files")
+      require(after.deleteFiles.nonEmpty,
+        "MoR update must add position-delete files")
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                    o_totalprice + 10.0 AS o_totalprice,
+                    CAST(o_orderdate AS DATE) AS o_orderdate,
+                    '0-MORUPD' AS o_orderpriority
+             FROM orders WHERE o_orderkey % 9 = 0
+             UNION ALL
+             SELECT $ordersCols FROM orders WHERE o_orderkey % 9 <> 0
+             ORDER BY o_orderkey"""),
+  )
+
   /** M3c extension — EQUALITY deletes (Iceberg v2's second MoR delete
     * kind): delete by key content with NO table scan at delete time, then
     * re-insert a subset of the deleted keys — the sequence-number scoping
@@ -932,7 +965,7 @@ object LakehouseOps {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    appendRead, updateCow, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
+    appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
