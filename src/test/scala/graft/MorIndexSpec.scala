@@ -35,6 +35,29 @@ class MorIndexSpec extends SparkSpec {
     assert(idx.positionsFor(UTF8String.fromString("file:/data/zz.parquet")).isEmpty)
   }
 
+  /** MoR update × compaction interplay: compacting reads THROUGH the
+    * position masks, so the rewritten files carry only the surviving row
+    * versions — the masked originals must not resurrect, and the delete
+    * files retire with the commit. */
+  test("compaction after a MoR update keeps updated values and drops the masks") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("mor_upd_compact").toString + "/t"
+    val df = spark.range(0, 500).toDF("id").withColumn("v", col("id") * 2)
+    val t = IceLite.createFrom(spark, loc, df,
+      properties = Map("write.update.mode" -> "merge-on-read"))
+    t.append(df)
+    t.update(col("id") % 5 === 0, Map("v" -> lit(-1L)))
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty, "update must be MoR")
+    val before = t.read().select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    t.compact(3)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty, "compaction must retire the position masks")
+    val after = t.read().select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "compaction changed visible content")
+    assert(after.count(_._2 == -1L) == 100, "updated rows lost in compaction")
+    assert(after.size == 500, "row versions resurrected or dropped")
+  }
+
   test("MoR read broadcast is O(delete files): paths only, no plan-time job") {
     val loc = Files.createTempDirectory("mor_idx_scale").toString + "/t"
     val t = IceLite.createFrom(spark, loc, Tables.orders(spark, sf),
