@@ -131,6 +131,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Double]("value") == 10.0)
   }
 
+  /** Randomized differential: session ids from the two-window formulation
+    * must equal a naive sequential gap-splitter per key — including ties
+    * on the timestamp (broken by the tie column) and back-to-back gaps. */
+  test("sessionize equals the naive sequential splitter on random data") {
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(150)
+      val rows = Seq.fill(n)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong * 10L))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val gap = 25L
+      val got = TemporalOps.sessionize(rows.toDF("k", "t", "eid"), "k", "t", "eid", gap)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toMap // eid -> sid
+      rows.groupBy(_._1).foreach { case (_, ks) =>
+        val ordered = ks.sortBy(e => (e._2, e._3))
+        var sid = 0L; var prev = Long.MinValue
+        ordered.foreach { case (_, t, eid) =>
+          if (prev == Long.MinValue || t - prev > gap) sid += 1
+          prev = t
+          assert(got(eid) == sid, s"trial $trial eid $eid: ${got(eid)} != $sid")
+        }
+      }
+    }
+  }
+
   test("sessionize plan has exactly one shuffle (both windows share it)") {
     val ev = Seq((1L, 1L, 0L)).toDF("k", "id", "us")
     val plan = TemporalOps.sessionize(ev, "k", "us", "id", 100L)
