@@ -181,5 +181,49 @@ object QualityOps {
             GROUP BY 1 ORDER BY status"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(expectationsCheck, histogram, covarStats, tableDiff)
+  /** X67 z-score anomaly flags over the daily revenue series — the
+    * alerting rule drift monitors actually fire on (EWMA smooths; this
+    * DECIDES). Mean and variance come from EXACT decimal moment sums
+    * (Σx, Σx² — associative, any partition order agrees, same recipe as
+    * covar_stats), so the 2σ decision boundary is bit-identical on both
+    * engines; sqrt and the final division are single correctly-rounded
+    * IEEE ops. Output: every flagged day with its 1e4-scaled z-score.
+    * Shape: one pre-aggregation to daily grain (the only corpus-sized
+    * shuffle), one scalar moment row broadcast back — at 100 TB the
+    * series stays thousands of rows regardless of event volume. */
+  private val revenueAnomaly = QueryDef(
+    "revenue_anomaly",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(Exact.dsum(col("value")).as("rev"))
+      val m = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("rev").cast("decimal(28,2)")).cast("double").as("s1"),
+        sum((col("rev") * col("rev")).cast("decimal(28,4)")).cast("double").as("s2"))
+      daily.crossJoin(broadcast(m))
+        .selectExpr("day", "rev", "s1 / n AS mu",
+          "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma")
+        .filter(expr("abs(rev - mu) > 2 * sigma"))
+        .selectExpr("day", "round(rev, 2) AS revenue",
+          "cast(round((rev - mu) / sigma * 10000) AS BIGINT) AS z_x10000")
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (
+               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      ${Exact.sqlSumRaw("value")} AS rev
+               FROM events GROUP BY 1),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+                          CAST(sum(CAST(rev * rev AS DECIMAL(28,4))) AS DOUBLE) AS s2
+                   FROM daily)
+             SELECT day, round(rev, 2) AS revenue,
+                    CAST(round((rev - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) * 10000) AS BIGINT) AS z_x10000
+             FROM daily, m
+             WHERE abs(rev - s1 / n) > 2 * sqrt(s2 / n - (s1 / n) * (s1 / n))
+             ORDER BY day"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(expectationsCheck, histogram, covarStats, tableDiff,
+    revenueAnomaly)
 }
