@@ -107,6 +107,31 @@ class ClusteringSpec extends SparkSpec {
     assert(row.getAs[Long]("n_wedges") > 0 && row.getAs[Long]("closure_scaled") >= 0)
   }
 
+  /** The distributed fixed-point PageRank must equal a sequential
+    * in-memory evaluation of the same integer recurrence — the claim
+    * behind the oracle ("any partition count, any engine, bit-identical
+    * ranks") checked against a third, plain-Scala implementation. */
+  test("pagerank_topk equals a sequential fixed-point evaluation") {
+    val n = Tables.documents(spark, sf).count().toInt
+    val base = 1000000000000L / n
+    val out = Array.tabulate(n)(i =>
+      Seq(1L, 8L, 15L).map(q => ((i.toLong * i + q) % n).toInt))
+    var ranks = Array.fill(n)(base)
+    for (_ <- 1 to 5) {
+      val incoming = Array.fill(n)(0L)
+      for (src <- 0 until n; dst <- out(src))
+        incoming(dst) += Math.floorDiv(ranks(src), 3L)
+      ranks = Array.tabulate(n)(i =>
+        Math.floorDiv(15L * base + 85L * incoming(i), 100L))
+    }
+    val expected = ranks.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+      .sortBy { case (id, r) => (-r, id) }.take(20).toSeq
+    val got = Registry.queries("pagerank_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"distributed $got != sequential $expected")
+  }
+
   /** Random graphs exercise shapes the fixture never produces — stars,
     * isolated nodes, duplicate and self edges — against a naive count. */
   test("triangleStats equals naive counting on random graphs") {
