@@ -9,23 +9,29 @@ import org.apache.spark.sql.functions._
   * queries every product-analytics engine ships first.
   *
   * Scale shape: both reduce events to user-cardinality intermediates as
-  * early as possible. Stage tables / cohort maps are per-user aggregates
-  * (orders of magnitude smaller than the event log), so they broadcast
-  * back onto the event scan — the 100 TB fact table is never shuffled,
-  * only filtered (event_type pushed to parquet) and partially aggregated.
+  * early as possible. Stage tables / cohort maps are per-user aggregates —
+  * smaller than the event log but still user-cardinality, so at 100 TB
+  * they do NOT fit in a broadcast. Each stage is one user-keyed shuffle
+  * (sort-merge or AQE-chosen shuffle-hash join); stages shrink
+  * monotonically, so each successive shuffle moves less data, and AQE is
+  * free to downgrade to a broadcast at small scale where the runtime
+  * stats justify it. The fact scan itself is filtered (event_type pushed
+  * to parquet) and partially aggregated before any join.
   */
 object BehaviorOps {
 
   /** Ordered funnel signup → view → click → purchase: a user counts for
     * stage k only with an event strictly after their stage-k-1 entry time.
-    * Each stage is one pushed-filter scan + broadcast join + min-agg. */
+    * Each stage is one pushed-filter scan + user-keyed equi-join + min-agg;
+    * the join strategy is left to the planner (AQE may broadcast when the
+    * stage table is provably small, shuffle otherwise). */
   private val funnelStages = QueryDef(
     "funnel_stages",
     (s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
       def stage(prev: DataFrame, prevT: String, typ: String, t: String): DataFrame =
         ev.filter(col("event_type") === typ)
-          .join(broadcast(prev), "user_id")
+          .join(prev, "user_id")
           .filter(col("ts") > col(prevT))
           .groupBy("user_id").agg(min("ts").as(t))
       val s1 = ev.filter(col("event_type") === "signup")
@@ -58,14 +64,15 @@ object BehaviorOps {
   )
 
   /** Retention cohorts: users bucketed by first-seen day; distinct active
-    * users per (cohort, day-offset ≤ 7). The cohort map is per-user and
-    * broadcasts onto the event scan. */
+    * users per (cohort, day-offset ≤ 7). The cohort map is user-cardinality,
+    * so it joins back onto the event scan via a user-keyed shuffle — never
+    * a forced broadcast (at 100 TB the map itself is terabytes). */
   private val retentionCohorts = QueryDef(
     "retention_cohorts",
     (s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts").cast("date").as("day"))
       val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
-      ev.join(broadcast(first), "user_id")
+      ev.join(first, "user_id")
         .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
           col("user_id"))
         .filter(col("day_offset").between(0, 7))

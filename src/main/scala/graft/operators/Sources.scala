@@ -189,12 +189,17 @@ object Sources {
     * distinct column and reshuffled (measured 2.8–4.2 s at sf0.1, the
     * most expensive query in the bench). The profile kernel below is the
     * shape real ANALYZE implementations use instead: one narrow
-    * mapPartitions accumulates per-partition (nulls, exact distinct set,
-    * min, max) per column, and only NDV-bounded partials leave the
-    * executors — no Expand, no shuffle at all (0.3 s at sf0.1). Exact
-    * sets are safe for these low-NDV columns; a production profiler caps
-    * the set and degrades that column to HLL (approx_count_distinct) past
-    * the cap — the single-scan shape is unchanged.
+    * mapPartitions accumulates per-partition (nulls, capped distinct
+    * tracker, min, max) per column, and only cap-bounded partials leave
+    * the executors — no Expand, no shuffle at all (0.3 s at sf0.1). The
+    * distinct tracker ([[ProfileKernel]]) is exact up to
+    * `ProfileKernel.DefaultCap` values and degrades that column to a
+    * bottom-cap md5 KMV sketch past it, so a high-NDV column (e.g.
+    * `l_orderkey`) costs the driver O(partitions · cap) — the
+    * single-scan shape is unchanged and `ndv_kind` reports
+    * exact-vs-estimate per column. The three profiled columns here stay
+    * under the cap at every sf (returnflag 3, quantity 50, shipdate ≤
+    * ~2,530 calendar days), so their NDVs are exact and oracle-matched.
     *
     * Timestamps are pre-cast to string IN SPARK (zero-padded ISO strings
     * order chronologically, and the driver never re-formats — string
@@ -208,69 +213,19 @@ object Sources {
         col("l_quantity").cast("double"),
         col("l_shipdate").cast("string"),
         col("l_returnflag").cast("string"))
-      val partials = src.rdd.mapPartitions { it =>
-        var n = 0L
-        var qn = 0L; var dn = 0L; var rn = 0L
-        val qs = scala.collection.mutable.HashSet[Double]()
-        val ds = scala.collection.mutable.HashSet[String]()
-        val rs = scala.collection.mutable.HashSet[String]()
-        var qMin: java.lang.Double = null; var qMax: java.lang.Double = null
-        var dMin: String = null; var dMax: String = null
-        var rMin: String = null; var rMax: String = null
-        it.foreach { row =>
-          n += 1
-          if (row.isNullAt(0)) qn += 1
-          else {
-            val v = row.getDouble(0); qs.add(v)
-            if (qMin == null || v < qMin) qMin = v
-            if (qMax == null || v > qMax) qMax = v
-          }
-          if (row.isNullAt(1)) dn += 1
-          else {
-            val v = row.getString(1); ds.add(v)
-            if (dMin == null || v < dMin) dMin = v
-            if (dMax == null || v > dMax) dMax = v
-          }
-          if (row.isNullAt(2)) rn += 1
-          else {
-            val v = row.getString(2); rs.add(v)
-            if (rMin == null || v < rMin) rMin = v
-            if (rMax == null || v > rMax) rMax = v
-          }
-        }
-        Iterator.single((n,
-          (qn, qs.toArray, qMin, qMax),
-          (dn, ds.toArray, dMin, dMax),
-          (rn, rs.toArray, rMin, rMax)))
-      }.collect() // one NDV-bounded partial per partition
-      val n = partials.map(_._1).sum
-      def mergeStr(ps: Seq[(Long, Array[String], String, String)]) = {
-        val nonNull = ps.filter(_._3 != null)
-        (ps.map(_._1).sum, ps.flatMap(_._2).distinct.length.toLong,
-          if (nonNull.isEmpty) null else nonNull.map(_._3).min,
-          if (nonNull.isEmpty) null else nonNull.map(_._4).max)
-      }
-      val (qnT, qndv, qmin, qmax) = {
-        val ps = partials.map(_._2).toSeq
-        val nonNull = ps.filter(_._3 != null)
-        (ps.map(_._1).sum, ps.flatMap(_._2).distinct.length.toLong,
-          if (nonNull.isEmpty) null
-          else java.lang.Double.valueOf(nonNull.map(_._3.doubleValue).min),
-          if (nonNull.isEmpty) null
-          else java.lang.Double.valueOf(nonNull.map(_._4.doubleValue).max))
-      }
-      val (dnT, dndv, dmin, dmax) = mergeStr(partials.map(_._3).toSeq)
-      val (rnT, rndv, rmin, rmax) = mergeStr(partials.map(_._4).toSeq)
+      val (n, stats) = ProfileKernel.profile(
+        src, numeric = Array(true, false, false), cap = ProfileKernel.DefaultCap)
+      val q = stats(0); val d = stats(1); val r = stats(2)
       // the double min/max go back through Spark's cast for oracle parity
-      val qRow = Seq(("l_quantity", n, qnT, qndv,
-          Option(qmin).map(_.doubleValue), Option(qmax).map(_.doubleValue)))
-        .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_d", "max_d")
-        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+      val qRow = Seq(("l_quantity", n, q.nNulls, q.ndv, q.ndvKind,
+          Option(q.minD).map(_.doubleValue), Option(q.maxD).map(_.doubleValue)))
+        .toDF("col_name", "n_rows", "n_nulls", "ndv", "ndv_kind", "min_d", "max_d")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"), col("ndv_kind"),
           col("min_d").cast("string").as("min_val"), col("max_d").cast("string").as("max_val"))
       val strRows = Seq(
-        ("l_returnflag", n, rnT, rndv, rmin, rmax),
-        ("l_shipdate", n, dnT, dndv, dmin, dmax))
-        .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+        ("l_returnflag", n, r.nNulls, r.ndv, r.ndvKind, r.minS, r.maxS),
+        ("l_shipdate", n, d.nNulls, d.ndv, d.ndvKind, d.minS, d.maxS))
+        .toDF("col_name", "n_rows", "n_nulls", "ndv", "ndv_kind", "min_val", "max_val")
       qRow.unionAll(strRows).orderBy("col_name")
     },
     Some("""WITH s AS (SELECT
@@ -286,11 +241,11 @@ object Sources {
               CAST(min(l_returnflag) AS VARCHAR) AS r_min, CAST(max(l_returnflag) AS VARCHAR) AS r_max
             FROM lineitem)
             SELECT 'l_quantity' AS col_name, n AS n_rows, q_nulls AS n_nulls,
-                   q_ndv AS ndv, q_min AS min_val, q_max AS max_val FROM s
+                   q_ndv AS ndv, 'exact' AS ndv_kind, q_min AS min_val, q_max AS max_val FROM s
             UNION ALL
-            SELECT 'l_returnflag', n, r_nulls, r_ndv, r_min, r_max FROM s
+            SELECT 'l_returnflag', n, r_nulls, r_ndv, 'exact', r_min, r_max FROM s
             UNION ALL
-            SELECT 'l_shipdate', n, d_nulls, d_ndv, d_min, d_max FROM s
+            SELECT 'l_shipdate', n, d_nulls, d_ndv, 'exact', d_min, d_max FROM s
             ORDER BY col_name"""),
   )
 

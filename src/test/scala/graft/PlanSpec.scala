@@ -250,16 +250,24 @@ class PlanSpec extends SparkSpec
       s"carry-in join is not broadcast:\n${plan.take(3000)}")
   }
 
-  test("funnel stages broadcast the user-level tables; event scans push the type filter") {
-    // every stage join is user-cardinality vs the event log — a sort-merge
-    // join would shuffle the 100 TB fact side once per stage
+  test("funnel stages stay equi-join shaped and push the type filter") {
+    // stage tables are user-cardinality — too big to force-broadcast at
+    // 100 TB. The plan must remain a keyed equi-join (broadcast only if
+    // AQE's runtime stats justify it), never a cartesian / nested-loop,
+    // and the event_type filters must reach the parquet scan.
     val plan = Registry.queries("funnel_stages")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"),
-      s"funnel stage join fell back to sort-merge:\n${plan.take(3000)}")
-    assert(plan.contains("BroadcastHashJoin"), "expected broadcast stage joins")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel stage join degenerated:\n${plan.take(3000)}")
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,"),
       "event_type filter not pushed to the parquet scan")
+  }
+
+  test("retention cohorts stay equi-join shaped — no forced broadcast, no cartesian") {
+    val plan = Registry.queries("retention_cohorts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cohort join degenerated:\n${plan.take(3000)}")
   }
 
   test("embed_centroid partial-aggregates the exploded dims map-side") {
