@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each of the K iterations is one shuffle of contributions
   * keyed by `dst` plus one id-keyed join back to the node list — O(K·|E|)
-  * total shuffle, no driver data movement beyond the scalar N. At 100 TB
-  * you would persist `edges` (it is re-derived per iteration here, a
-  * narrow 1-column scan), checkpoint `ranks` every few rounds to truncate
-  * lineage, and keep K fixed — the shape does not change.
+  * total shuffle, no driver data movement beyond the scalar N. The node
+  * list and the edge list are localCheckpoint'd BEFORE the loop: each is
+  * materialized once and every iteration reads the cached blocks instead
+  * of re-scanning parquet K times (a 1000-executor run would use reliable
+  * checkpoint(dir) and additionally checkpoint `ranks` every few rounds
+  * to truncate lineage — same shape).
   */
 object GraphOps {
 
@@ -39,7 +41,10 @@ object GraphOps {
   private val pagerankTopk = QueryDef(
     "pagerank_topk",
     (s, dir) => {
+      // node list materialized once (localCheckpoint) — the per-iteration
+      // left join reads cached blocks, not a parquet scan per round
       val docs = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+        .localCheckpoint()
       val n = docs.count() // one scalar to the driver (metadata-scale)
       val base = Scale / n
       // quadratic maps: affine maps with p coprime to N are bijections
@@ -51,6 +56,7 @@ object GraphOps {
           docs.select(col("id").as("src"), ((col("id") * col("id") + q) % n).as("dst"))
         }
         .reduce(_.unionAll(_))
+        .localCheckpoint() // materialized once, read by all K iterations
       var ranks = docs.select(col("id"), lit(base).as("rank"))
       for (_ <- 1 to Iters) {
         val incoming = edges.as("e")
@@ -138,7 +144,12 @@ object GraphOps {
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
     stats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("3 * n_triangles * 1000000 div n_wedges").as("closure_scaled"))
+        // wedge-free graphs (disjoint edges) have nothing to close: 0, not
+        // a div-0 abort under ANSI — and the oracle must agree (CASE, not
+        // nullif, so both engines say 0)
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges")).otherwise(lit(0L))
+          .as("closure_scaled"))
   }
 
   /** X48 triangle counting + global clustering coefficient over the same
@@ -176,7 +187,9 @@ object GraphOps {
             nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
                           CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg)
             SELECT n_nodes, n_edges, n_wedges, n_triangles,
-                   CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS closure_scaled
+                   CAST(CASE WHEN n_wedges > 0
+                        THEN 3 * n_triangles * 1000000 // n_wedges
+                        ELSE 0 END AS BIGINT) AS closure_scaled
             FROM st, nd, tri"""),
   )
 

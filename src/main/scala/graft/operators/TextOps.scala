@@ -249,6 +249,19 @@ object TextOps {
     labels
   }
 
+  /** The duplicate closure, computed ONCE per (session, sf-dir) and read
+    * by both `dedup_components` (the listing) and `dedup_resolve` (the
+    * keep/drop decision) — mirroring a production curation DAG, where the
+    * resolve step consumes the closure output rather than re-deriving it.
+    * The memoized value is a localCheckpoint'd label table (materialized
+    * in the session's block manager), so the second reader costs one scan
+    * of the labels, not a second iterative closure. */
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def dupComponents(s: SparkSession, dir: String): DataFrame =
+    componentsMemo.computeIfAbsent((s, dir),
+      kv => connectedComponents(jaccardEdges(kv._1, kv._2).select("id1", "id2")))
+
   private val jaccardPairs = QueryDef(
     "jaccard_pairs",
     (s, dir) => jaccardEdges(s, dir).orderBy("id1", "id2"),
@@ -283,7 +296,7 @@ object TextOps {
   private val dedupComponents = QueryDef(
     "dedup_components",
     (s, dir) =>
-      connectedComponents(jaccardEdges(s, dir).select("id1", "id2"))
+      dupComponents(s, dir)
         .select(col("id").cast("long").as("doc_id"),
           col("comp").cast("long").as("component"))
         .orderBy("doc_id"),
@@ -318,7 +331,7 @@ object TextOps {
   private val dedupResolve = QueryDef(
     "dedup_resolve",
     (s, dir) =>
-      connectedComponents(jaccardEdges(s, dir).select("id1", "id2"))
+      dupComponents(s, dir)
         .groupBy(col("comp").cast("long").as("keep_doc"))
         .agg(count(lit(1)).as("n_members"))
         .withColumn("n_dropped", col("n_members") - 1L)

@@ -155,4 +155,14 @@ class ClusteringSpec extends SparkSpec {
       assert(got == naive, s"trial $trial (n=$n m=$m): oriented $got != naive $naive")
     }
   }
+
+  test("triangleStats on a wedge-free graph returns closure 0 instead of ANSI div-0") {
+    // disjoint edges: nonempty graph, zero wedges — the unguarded
+    // `div n_wedges` would abort the whole job under Spark 4's ANSI mode
+    val df = Seq((0L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val row = graft.operators.GraphOps.triangleStats(df).collect().head
+    assert(row.getAs[Long]("n_wedges") == 0L)
+    assert(row.getAs[Long]("n_triangles") == 0L)
+    assert(row.getAs[Long]("closure_scaled") == 0L)
+  }
 }

@@ -84,4 +84,19 @@ class DedupSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(TextOps.connectedComponents(edges).count() == 0)
   }
+
+  test("dedup_components and dedup_resolve share one memoized closure") {
+    // the resolve step must consume the closure, never re-derive it: the
+    // memo hands back the SAME materialized label table for a given
+    // (session, dir), so the pair costs one iterative closure + one agg
+    val a = TextOps.dupComponents(spark, sf)
+    val b = TextOps.dupComponents(spark, sf)
+    assert(a eq b, "dupComponents re-derived the closure for the same (session, dir)")
+    // and the two public queries built on it still agree with each other:
+    // resolve's cluster sizes must sum to the component listing's rows
+    val nDocs = Registry.queries("dedup_components")(spark, sf).count()
+    val sumMembers = Registry.queries("dedup_resolve")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_members")).head.getLong(0)
+    assert(sumMembers == nDocs)
+  }
 }

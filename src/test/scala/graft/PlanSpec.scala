@@ -319,6 +319,19 @@ class PlanSpec extends SparkSpec
       s"sample is a global sort:\n${plan.take(3000)}")
   }
 
+  test("pagerank iterations read checkpointed nodes/edges, not parquet per round") {
+    // the node and edge lists are localCheckpoint'd before the loop: the
+    // final plan's K iterations must reference cached RDD blocks — a
+    // parquet scan inside the iterated plan means the graph is re-derived
+    // from disk every round
+    val plan = Registry.queries("pagerank_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"pagerank plan still scans parquet inside the loop:\n${plan.take(3000)}")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed RDD scans:\n${plan.take(3000)}")
+  }
+
   test("triangle_count stays equi-join shaped — no cartesian product") {
     val plan = Registry.queries("triangle_count")(spark, sf)
       .queryExecution.executedPlan.toString
