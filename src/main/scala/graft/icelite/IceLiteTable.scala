@@ -696,10 +696,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * bytes), the same promise as [[deleteMor]] extended to updates (a
     * CoW update of 1 row in a 1 GB file rewrites the GB; this writes two
     * tiny files). The read path needs nothing new: positions mask the old
-    * versions, the appended files carry the new ones. Same concurrency
-    * posture as deleteMor — positions reference files of the scanned
-    * snapshot, so the commit re-verifies they are still live and aborts
-    * (cleaning its staging) on a concurrent rewrite. */
+    * versions, the appended files carry the new ones. Concurrency posture
+    * extends deleteMor's: positions reference files of the scanned
+    * snapshot, so the commit re-verifies they are still live — AND that no
+    * NEW delete files (position or equality) landed since the scan.
+    * Without the second check an update racing a MoR DELETE on
+    * overlapping rows would re-append updated copies of rows the delete
+    * removed (resurrection): the delete's positions mask only the OLD
+    * copies, never the update's fresh files. Iceberg's MoR update
+    * validation (validateNoNewDeleteFiles) aborts for the same reason.
+    * Either conflict aborts and cleans its staging. */
   private def updateMor(m: TableMetadata, cond: Column,
       assignments: Map[String, Column]): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
@@ -722,6 +728,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
         .parquet(dels.map(_.path): _*)
         .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
+      val scannedDeletes = snap.deleteFiles.map(d => normPath(d.path)).toSet
       try commitWithRetry { cur =>
         val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
         val live = cs.dataFiles.map(d => normPath(d.path)).toSet
@@ -729,6 +736,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.ConcurrentRewriteException(
             "merge-on-read update conflicts with a concurrent rewrite: " +
               "referenced data files were replaced; re-run the update")
+        // a concurrent DELETE that added delete files since the scan may
+        // cover rows this update re-appends as fresh copies the delete's
+        // positions can never mask — resurrection; abort conservatively
+        if (cs.deleteFiles.exists(d => !scannedDeletes.contains(normPath(d.path))))
+          throw new IceLite.ConcurrentRewriteException(
+            "merge-on-read update conflicts with concurrent deletes: new " +
+              "delete files appeared since the scanned snapshot; re-run the update")
         val sq = nextSeq(cur)
         (newSnapshot(cur, "update",
           cs.dataFiles ++ newFiles.map(_.copy(seq = sq)),

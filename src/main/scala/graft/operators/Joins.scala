@@ -182,9 +182,13 @@ object Joins {
   /** X54 entity resolution (record linkage) — fuzzy-match a "dirty" feed
     * of perturbed customer names back to the master table, the
     * Fellegi–Sunter blocking+compare shape every ingestion pipeline needs:
-    * BLOCK on a stable key fragment (three mid digits of the name — the
-    * perturbations never touch them, the classic "block on what the noise
-    * spares" assumption), then score ONLY within-block candidate pairs
+    * BLOCK on a stable key fragment — chars 6–8 of the name's digit run,
+    * POSITION-ANCHORED FROM THE FRONT of the run so the key survives the
+    * whole noise family (suffix loss shortens the run from the right,
+    * appended chars and punctuation swaps never enter the run, and the
+    * surrounding text layout is irrelevant because the run is extracted
+    * by regex, not by a fixed name offset — the classic "block on what
+    * the noise spares" assumption), then score ONLY within-block pairs
     * with `levenshtein` (both engines implement unit-cost edit distance)
     * and keep each dirty record's best match (min distance, then min key).
     *
@@ -206,8 +210,9 @@ object Joins {
           expr("substring(c_name, 1, length(c_name) - 1)"))
           .when(col("c_custkey") % 3 === 1, concat(col("c_name"), lit("x")))
           .otherwise(regexp_replace(col("c_name"), "#", "-")).as("d_name"))
-        .withColumn("blk", substring(col("d_name"), 15, 3))
-      val master = c.withColumn("blk", substring(col("c_name"), 15, 3))
+        .withColumn("blk", expr("substring(regexp_replace(d_name, '[^0-9]', ''), 6, 3)"))
+      val master = c.withColumn("blk",
+        expr("substring(regexp_replace(c_name, '[^0-9]', ''), 6, 3)"))
       val scored = dirty.join(master, "blk")
         .select(col("d_key"), col("d_name"), col("c_custkey"),
           levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
@@ -230,8 +235,10 @@ object Joins {
                         WHEN c_custkey % 3 = 1 THEN c_name || 'x'
                         ELSE replace(c_name, '#', '-') END AS d_name
                  FROM c),
-            db AS (SELECT d_key, d_name, substring(d_name, 15, 3) AS blk FROM dirty),
-            mb AS (SELECT c_custkey, c_name, substring(c_name, 15, 3) AS blk FROM c),
+            db AS (SELECT d_key, d_name,
+                   substring(regexp_replace(d_name, '[^0-9]', '', 'g'), 6, 3) AS blk FROM dirty),
+            mb AS (SELECT c_custkey, c_name,
+                   substring(regexp_replace(c_name, '[^0-9]', '', 'g'), 6, 3) AS blk FROM c),
             scored AS (SELECT db.d_key, db.d_name, mb.c_custkey,
                    CAST(levenshtein(db.d_name, mb.c_name) AS BIGINT) AS dist
                  FROM db JOIN mb ON mb.blk = db.blk),

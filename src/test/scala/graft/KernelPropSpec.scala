@@ -68,14 +68,49 @@ class KernelPropSpec extends AnyFunSuite {
 
   /** The frame-sample kernel is BYTE-addressed while its DuckDB oracle is
     * character-addressed; they agree only when one char == one byte. Pin
-    * that contract on the fixture the oracle actually runs against. */
+    * that contract on EVERY fixture scale the harness runs against — the
+    * correctness gate uses sf0.01 and the bench sf0.1 (plus whatever
+    * SPARK_GRAFT_SF_DIR points at), so a non-ASCII doc introduced at a
+    * larger scale factor must fail here, not silently invalidate the
+    * oracle equivalence. */
   test("fixture documents are pure ASCII (byte == char addressing)") {
     val spark = SparkSpec.session
     import org.apache.spark.sql.functions._
-    val nonAscii = Tables.documents(spark, "/root/testdata/sf0.001")
-      .filter(length(col("text")) =!= octet_length(encode(col("text"), "utf-8")))
-      .count()
-    assert(nonAscii == 0, s"$nonAscii docs contain multi-byte chars")
+    val dirs = (Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1") ++ sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .distinct.filter(d => new java.io.File(s"$d/documents.parquet").exists)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val nonAscii = Tables.documents(spark, d)
+        .filter(length(col("text")) =!= octet_length(encode(col("text"), "utf-8")))
+        .count()
+      assert(nonAscii == 0, s"$nonAscii docs in $d contain multi-byte chars")
+    }
+  }
+
+  test("isqrt float-seed + CASE correction is exact for any x < 2^53") {
+    // mixture_weights computes integer sqrt as floor(sqrt(double)) then a
+    // ±1 CASE correction; the seed can be off by at most one ulp-rounding
+    // step for exactly-representable x, so the corrected value must equal
+    // the true BigInteger floor sqrt — on random values AND the adversarial
+    // perfect-square / square-minus-one boundaries where float rounding lies
+    def corrected(x: Long): Long = {
+      val s0 = math.floor(math.sqrt(x.toDouble)).toLong
+      if ((s0 + 1) * (s0 + 1) <= x) s0 + 1
+      else if (s0 * s0 > x) s0 - 1
+      else s0
+    }
+    val max = 1L << 53
+    val edge = Seq(0L, 1L, 2L, 3L, 4L, max - 1) ++
+      (1 to 200).flatMap { i =>
+        val k = gen(Gen.choose(1L, (1L << 26) - 1), 7000 + i)
+        Seq(k * k - 1, k * k, k * k + 1)
+      }
+    val rand = (1 to 2000).map(i => gen(Gen.choose(0L, max - 1), i))
+    (edge ++ rand).foreach { x =>
+      val want = java.math.BigInteger.valueOf(x).sqrt().longValueExact()
+      assert(corrected(x) == want, s"isqrt($x)")
+    }
   }
 
   test("bottom-k-by-hash is mergeable (union law)") {

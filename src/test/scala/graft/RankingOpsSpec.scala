@@ -70,6 +70,32 @@ class RankingOpsSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4), "degenerate classifier split")
   }
 
+  test("quality_classifier survives empty and all-space documents (no ANSI div-0)") {
+    import spark.implicits._
+    // empty docs are routine input to a first-pass corpus filter: nw = 0
+    // must degrade to score -500 / rejected, not an ANSI divide-by-zero
+    val dir = java.nio.file.Files.createTempDirectory("qc_empty").toString
+    Seq((1L, ""), (2L, "   "), (3L, "the a the b"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("quality_classifier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.take(2) == Seq((1L, 0L, -500L, false), (2L, 0L, -500L, false)))
+    // nonempty doc unaffected by the guard: stop 3/4, letters 8/4 words
+    assert(got(2) == (3L, 750L, 1500L, true))
+  }
+
+  test("bm25 scaled division is exact where the naive x10000 product would overflow") {
+    // p*10000 here is ~9e21 (overflows int64 ~488x over); the base-100
+    // long-division form must still produce the exact scaled quotient
+    val p = 900000000000000000L
+    val d = 7777777777777L
+    val got = spark.sql(
+      s"SELECT ($p div $d) * 10000 + ((($p % $d) * 100) div $d) * 100 + (((($p % $d) * 100) % $d) * 100) div $d AS s")
+      .head.getLong(0)
+    val want = ((BigInt(p) * 10000) / BigInt(d)).toLong
+    assert(got == want)
+  }
+
   test("ewma_smooth matches per-series driver recomputation") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
