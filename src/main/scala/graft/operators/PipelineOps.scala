@@ -421,7 +421,60 @@ object PipelineOps {
             ORDER BY t0.doc_id"""),
   )
 
+  /** X69 context-window chunking — the doc→training-example conversion:
+    * each document is split into sliding token windows of size 64 with
+    * stride 48 (25% overlap, the long-document recipe), the exact shape a
+    * tokenized corpus is materialized in before packing/batching. Emits
+    * one row per chunk with its token span and an md5 of the chunk's
+    * joined tokens — so the CONTENT of every window (boundaries included)
+    * is hash-checked cross-engine, not just the counts. Window count is
+    * 1 + ⌈(nt−64)/48⌉ for nt > 64, one window for 0 < nt ≤ 64, none for
+    * an empty doc (the `sequence(0, −1)` backward-step trap is guarded by
+    * the n_chunks > 0 filter).
+    *
+    * Scale: narrow map + one Generate per doc (chunks ride the same task
+    * as their document; nothing shuffles before the final order-by), the
+    * same single-pass shape as `sequence_pack`'s input side. */
+  private val contextChunks = QueryDef(
+    "context_chunks",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          when(col("nt") === 0L, 0L)
+            .when(col("nt") <= 64L, 1L)
+            .otherwise(lit(1L) + expr("(nt - 17) div 48")))
+        .filter(col("n_chunks") > 0L)
+        .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+        .withColumn("start_tok", col("chunk_idx") * 48L)
+        .withColumn("chunk_len", least(lit(64L), col("nt") - col("start_tok")))
+        .select(col("doc_id"), col("nt").as("n_tokens"), col("n_chunks"),
+          col("chunk_idx"), col("start_tok"), col("chunk_len"),
+          md5(concat_ws(" ", expr(
+            "slice(toks, cast(start_tok + 1 AS INT), cast(chunk_len AS INT))")))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+            n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM tok),
+            c AS (SELECT doc_id, toks, nt,
+                  CASE WHEN nt = 0 THEN 0 WHEN nt <= 64 THEN 1
+                       ELSE 1 + (nt - 17) // 48 END AS n_chunks FROM n),
+            ch AS (SELECT doc_id AS d_id, nt, n_chunks, CAST(u.i AS BIGINT) AS chunk_idx,
+                          CAST(u.i * 48 AS BIGINT) AS start_tok
+                   FROM c, unnest(range(0, CAST(n_chunks AS INT))) AS u(i))
+            SELECT ch.d_id AS doc_id, ch.nt AS n_tokens, ch.n_chunks, ch.chunk_idx,
+                   ch.start_tok,
+                   least(64, ch.nt - ch.start_tok) AS chunk_len,
+                   md5(array_to_string(list_slice(c.toks, ch.start_tok + 1,
+                       ch.start_tok + least(64, ch.nt - ch.start_tok)), ' ')) AS chunk_md5
+            FROM ch JOIN c ON c.doc_id = ch.d_id
+            ORDER BY doc_id, chunk_idx"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
-      domainBudgetSample, repeatedNgramSpans, substringDedupTrim)
+      domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks)
 }

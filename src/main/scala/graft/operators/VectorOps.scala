@@ -793,7 +793,77 @@ object VectorOps {
     },
   )
 
+  /** X70 SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    * embedding space (the [[md5Codebook]] cell assignment — one narrow
+    * argmax map, the IVF front half), then inside each cell drop every
+    * vector that has a LOWER-id near-duplicate (scaled dot ≥ 0.4, the
+    * `embed_near_dup` threshold) — keep-first semantics make the decision
+    * deterministic without any centroid-distance tie-breaks. Emits the
+    * per-cell accounting (members / dropped / kept / min id), the report a
+    * curation run ships.
+    *
+    * Scale: this is the SemDeDup trick itself — the quadratic similarity
+    * check is confined WITHIN cells (one equi-join on cell id, Σ per-cell
+    * products ≈ N²/k for balanced cells), never across the corpus; k grows
+    * with the corpus so per-cell membership stays bounded. All-pairs never
+    * materializes, and the oracle recomputes codebook, assignment, pair
+    * similarities, and drops end to end. */
+  private val semdedupPrune = QueryDef(
+    "semdedup_prune",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      import s.implicits._
+      val e = emb(s, dir)
+      val bc = s.sparkContext.broadcast(md5Codebook(e, 16))
+      val cell = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (id, v) =>
+          val best = bc.value.map { case (cid, c) => (cid, dotScaledJvm(c, v)) }
+            .minBy { case (cid, sc) => (-sc, cid) }._1
+          (id, best, v)
+        }).toDF("vec_id", "cell", "emb")
+      val dropped = cell.as("a").join(cell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
+          dotScaled(col("a.emb"), col("b.emb")).as("sim"))
+        .filter(col("sim") >= 4000L)
+        .select("cell", "vec_id").distinct()
+      cell.groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_member"))
+        .join(dropped.groupBy("cell").agg(count(lit(1)).as("nd")), Seq("cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+          col("min_member"))
+        .orderBy("cell")
+    },
+    Some("""WITH cb AS (SELECT vec_id AS cid, embedding AS ce
+                 FROM (SELECT vec_id, embedding,
+                              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                       FROM embeddings) WHERE rk <= 16),
+            asg AS (SELECT e.vec_id, cb.cid,
+                    CAST(list_sum(list_transform(list_zip(e.embedding, cb.ce),
+                         p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS s
+                 FROM embeddings e CROSS JOIN cb),
+            cell AS (SELECT vec_id, cid AS cell FROM
+                       (SELECT vec_id, cid,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                        FROM asg) WHERE rn = 1),
+            pairs AS (SELECT a.cell, b.vec_id AS vec_id,
+                      CAST(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                           p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS sim
+                 FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = b.vec_id),
+            dropped AS (SELECT DISTINCT cell, vec_id FROM pairs WHERE sim >= 4000)
+            SELECT c.cell, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+                   CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept,
+                   CAST(min(c.vec_id) AS BIGINT) AS min_member
+            FROM cell c LEFT JOIN dropped d ON d.cell = c.cell AND d.vec_id = c.vec_id
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
-      embedNearDup, embedQuantize, embedCentroid, embedKmeans)
+      embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune)
 }

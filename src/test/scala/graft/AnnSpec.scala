@@ -96,4 +96,23 @@ class AnnSpec extends SparkSpec {
     val inCluster = top.count(_ < 100)
     assert(inCluster >= 45, s"only $inCluster/50 of PQ top-50 are cluster-0 members")
   }
+
+  test("semdedup_prune drops exactly the planted higher-id duplicates") {
+    // 20 identical pairs on orthogonal basis vectors: members of a pair
+    // share a cell by construction (identical → identical argmax), members
+    // of different pairs have dot 0 < threshold — so exactly the 20
+    // higher-id twins must be dropped, and nothing else
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val vecs = (0 until 20).flatMap { p =>
+      val v = Array.tabulate(64)(j => if (j == p) 1f else 0f)
+      Seq((2L * p, v), (2L * p + 1, v))
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("semdedup_prune")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == 40L)
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == 20L,
+      "each identical pair must lose exactly its higher id")
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == 20L)
+  }
 }

@@ -209,4 +209,32 @@ class PipelineOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(groups.max <= 30,
       s"largest hot-source slice ${groups.max} rows — md5 bucketing failed to spread")
   }
+
+  test("context_chunks tiles every document: stride 48, full coverage, content-true md5") {
+    import org.apache.spark.sql.functions._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Registry.queries("context_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, ch) =>
+      val toks = texts(doc)
+      val sorted = ch.sortBy(_._4)
+      // chunk indexes are 0..n-1, starts stride by 48, every chunk is
+      // nonempty, the last chunk ends exactly at nt — full coverage
+      assert(sorted.map(_._4).toSeq == (0L until sorted.length.toLong).toSeq)
+      sorted.foreach { case (_, nt, nc, idx, start, len, m) =>
+        assert(nt == toks.length.toLong && nc == sorted.length.toLong)
+        assert(start == idx * 48 && len == math.min(64L, nt - start) && len > 0)
+        assert(m == md5hex(toks.slice(start.toInt, (start + len).toInt).mkString(" ")))
+      }
+      assert(sorted.last._5 + sorted.last._6 == toks.length.toLong,
+        s"doc $doc: chunks stop before the document ends")
+    }
+  }
 }
