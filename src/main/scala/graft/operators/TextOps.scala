@@ -1520,6 +1520,62 @@ object TextOps {
             FROM w2, t ORDER BY source"""),
   )
 
+  /** X72 quality-weighted sampling — importance sampling by model score
+    * (the DCLM-style selection step): each document's keep probability is
+    * its `quality_classifier` score clamped to [0, 1000]‰, and the keep
+    * DECISION is exact and reshard-stable — keep iff the first 8 md5 hex
+    * digits of the doc id (a uniform 32-bit draw both engines compute
+    * identically) compare below the score mapped to the same hex width
+    * (u < p ⟺ hex(u) <LEX hex(p·⌊2³²/1000⌋), equal-length hex strings
+    * order like the integers they encode — no float RNG anywhere). A
+    * p = 1000 doc is kept up to the ⌊2³²/1000⌋ rounding sliver (~7·10⁻⁸),
+    * documented rather than special-cased. Emits per-source kept counts
+    * next to the exact expected mass Σp, so sampling bias is auditable.
+    *
+    * Scale: one narrow scan (score + hash are per-row projections) into a
+    * per-source partial aggregate — the decision needs no global state,
+    * so resharding, retries, or incremental reruns keep identical docs. */
+  private val qualityWeightedSample = QueryDef(
+    "quality_weighted_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .selectExpr("cast(doc_id AS BIGINT) AS doc_id", "source",
+          "cast(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+          "cast(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+          "cast(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr("doc_id", "source",
+          "CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END AS srs",
+          "CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END AS wls")
+        .selectExpr("doc_id", "source",
+          "greatest(0L, least(1000L, 500 + 2 * srs - abs(wls - 4000) div 4)) AS p_scaled")
+        .selectExpr("doc_id", "source", "p_scaled",
+          """CASE WHEN substring(md5(cast(doc_id AS STRING)), 1, 8)
+                       < lower(lpad(hex(p_scaled * 4294967), 8, '0'))
+                  THEN 1L ELSE 0L END AS keep""")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+          sum("p_scaled").as("expected_scaled"))
+        .orderBy("source"),
+    Some("""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+            FROM documents),
+            r AS (SELECT doc_id, source,
+                   CASE WHEN nw > 0 THEN (stop * 1000) // nw ELSE 0 END AS srs,
+                   CASE WHEN nw > 0 THEN (letters * 1000) // nw ELSE 0 END AS wls FROM f),
+            sc AS (SELECT doc_id, source,
+                   greatest(0, least(1000, 500 + 2 * srs - abs(wls - 4000) // 4)) AS p_scaled FROM r),
+            k AS (SELECT doc_id, source, p_scaled,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < lower(printf('%08x', CAST(p_scaled * 4294967 AS BIGINT)))
+                        THEN 1 ELSE 0 END AS keep FROM sc)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   CAST(sum(p_scaled) AS BIGINT) AS expected_scaled
+            FROM k GROUP BY 1 ORDER BY 1"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
@@ -1527,5 +1583,6 @@ object TextOps {
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
     textNormalize, bpeMerges, bpeEncode, urlHostStats, mixtureWeights,
+    qualityWeightedSample,
   )
 }

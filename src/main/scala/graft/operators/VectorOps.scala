@@ -863,7 +863,55 @@ object VectorOps {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** X71 embedding-space decontamination — the semantic sibling of
+    * `decontaminate_ngrams`: surface-level n-gram overlap misses
+    * paraphrased benchmark leakage, so the second pass scores every train
+    * vector against the EVAL set in embedding space (label 0 plays the
+    * benchmark here) and flags anything with scaled dot ≥ 0.4. Emits
+    * every train vector's best eval match + verdict, so threshold
+    * sensitivity is auditable, not just the flag count.
+    *
+    * Scale: the eval set is broadcast (benchmarks are MBs — bounded by
+    * construction, the same honesty argument as `decontaminate_ngrams`);
+    * the 100 TB train side is scanned once, and best-of is an ASSOCIATIVE
+    * struct-min aggregate (map-side partial, one candidate per train id
+    * per partition crosses the wire — never a window over all pairs). */
+  private val embedDecontaminate = QueryDef(
+    "embed_decontaminate",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      val e = emb(s, dir)
+      val ev = broadcast(e.filter(col("label") === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee")))
+      e.filter(col("label") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(ev)
+        .select(col("vec_id"), col("eval_id"),
+          dotScaled(col("embedding"), col("ee")).as("sim"))
+        .groupBy("vec_id")
+        .agg(min(struct((-col("sim")).as("ns"), col("eval_id").as("eval_id"))).as("m"))
+        .select(col("vec_id"), col("m.eval_id").as("best_eval_id"),
+          (-col("m.ns")).as("max_sim_scaled"),
+          when(-col("m.ns") >= 4000L, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE label = 0),
+            tr AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+            s AS (SELECT tr.vec_id, ev.eval_id,
+                  CAST(list_sum(list_transform(list_zip(tr.embedding, ev.ee),
+                       p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS sim
+                  FROM tr CROSS JOIN ev),
+            best AS (SELECT vec_id, eval_id, sim FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, eval_id) AS rn FROM s)
+                     WHERE rn = 1)
+            SELECT vec_id, eval_id AS best_eval_id, sim AS max_sim_scaled,
+                   CAST(CASE WHEN sim >= 4000 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM best ORDER BY vec_id"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
-      embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune)
+      embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune,
+      embedDecontaminate)
 }

@@ -97,6 +97,20 @@ class AnnSpec extends SparkSpec {
     assert(inCluster >= 45, s"only $inCluster/50 of PQ top-50 are cluster-0 members")
   }
 
+  test("embed_decontaminate flags exactly the planted eval twins") {
+    // train 100 == eval 0's vector (contaminated, best match must be 0);
+    // train 101 is orthogonal to both eval vectors (clean, sim 0)
+    val dir = java.nio.file.Files.createTempDirectory("embdecon").toString
+    def basis(p: Int) = Array.tabulate(64)(j => if (j == p) 1f else 0f)
+    Seq((0L, basis(0), 0), (1L, basis(1), 0),
+        (100L, basis(0), 3), (101L, basis(7), 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("embed_decontaminate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((100L, 0L, 10000L, 1L), (101L, 0L, 0L, 0L)))
+  }
+
   test("semdedup_prune drops exactly the planted higher-id duplicates") {
     // 20 identical pairs on orthogonal basis vectors: members of a pair
     // share a cell by construction (identical → identical argmax), members

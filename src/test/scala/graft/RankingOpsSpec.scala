@@ -96,6 +96,31 @@ class RankingOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("quality_weighted_sample keep decisions match an exact driver recount") {
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = src.map { case (id, source, text) =>
+      val ws = toks(text)
+      val nw = ws.size.toLong
+      val srs = if (nw > 0) ws.count(w => w == "a" || w == "the") * 1000 / nw else 0L
+      val wls = if (nw > 0) text.count(_ != ' ') * 1000 / nw else 0L
+      val p = math.max(0L, math.min(1000L, 500 + 2 * srs - math.abs(wls - 4000) / 4))
+      val keep = if (md5hex8(id.toString) < f"${p * 4294967L}%08x") 1L else 0L
+      (source, p, keep)
+    }.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.size.toLong, xs.map(_._3).sum, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Registry.queries("quality_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the sampler actually samples: strictly between none and all
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
+  }
+
   test("ewma_smooth matches per-series driver recomputation") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
