@@ -319,6 +319,40 @@ class PlanSpec extends SparkSpec
       s"sample is a global sort:\n${plan.take(3000)}")
   }
 
+  test("semdedup_prune joins pairs on cell id — no cartesian, no all-pairs") {
+    val plan = planOf("semdedup_prune")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pair generation degenerated to all-pairs:\n${plan.take(3000)}")
+  }
+
+  test("embed_decontaminate broadcasts the eval side and partial-aggregates best-of") {
+    val plan = planOf("embed_decontaminate")
+    assert(plan.contains("BroadcastExchange"),
+      s"eval set not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"best-of is not a partial aggregate (window over all pairs?):\n${plan.take(3000)}")
+  }
+
+  test("context_chunks expands chunks with a single Generate and no pre-sort shuffle") {
+    val plan = planOf("context_chunks")
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1, s"expected exactly one Generate, got $generates:\n${plan.take(3000)}")
+    val beforeSort = plan.substring(plan.indexOf("Sort"))
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"chunk expansion shuffles before the final sort:\n${plan.take(3000)}")
+  }
+
+  test("mixture_weights and quality_weighted_sample partial-aggregate per source") {
+    Seq("mixture_weights", "quality_weighted_sample").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("partial"),
+        s"$q: per-source aggregate lost its map-side partial:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastExchange"), // the 1-row totals broadcast is fine
+        s"$q: unexpected cartesian without broadcast:\n${plan.take(3000)}")
+    }
+  }
+
   test("pagerank iterations read checkpointed nodes/edges, not parquet per round") {
     // the node and edge lists are localCheckpoint'd before the loop: the
     // final plan's K iterations must reference cached RDD blocks — a
