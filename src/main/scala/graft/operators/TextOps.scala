@@ -599,6 +599,35 @@ object TextOps {
     * oracle hash-matches the pair output). A throughput-only deployment
     * would swap in a seeded 64-bit mixer here; the plan shape is identical. */
   def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val withSig = minhashSignatures(d, bands, rowsPerBand)
+    val buckets = withSig.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val sh = withSig.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("s1.shingles"), col("s2.shingles"))).cast("double") /
+            size(array_union(col("s1.shingles"), col("s2.shingles"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Signature stage of the MinHash pipeline, shared by [[minhashPairs]]
+    * (self-join dedup) and `minhash_decontaminate` (train-vs-eval probe):
+    * per document, distinct word 3-shingles, k = bands·rowsPerBand md5
+    * minhashes, and the band bucket keys. One narrow kernel pass; result is
+    * localCheckpoint'd because every caller has ≥ 2 consumers (bucket
+    * explode + shingle verify) and the k·shingles md5 work must run once. */
+  def minhashSignatures(d: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
@@ -609,7 +638,7 @@ object TextOps {
     val np = spark.sparkContext.defaultParallelism
     val spread =
       if (src.rdd.getNumPartitions < np) src.repartition(np, col("doc_id")) else src
-    val withSig = spread
+    spread
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -674,31 +703,110 @@ object TextOps {
         }
       }
       .toDF("doc_id", "shingles", "buckets")
-      // three consumers below (bucket explode + both verify sides): pin the
+      // multiple consumers (bucket explode + both verify sides): pin the
       // signature pass so the k·shingles md5 kernel runs ONCE, not per
       // consumer subtree (at 100 TB this is the difference between one
       // corpus scan and three)
       .localCheckpoint()
-    val buckets = withSig.select(col("doc_id"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    val sh = withSig.select(col("doc_id"), col("shingles"))
-    cand
-      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        round(
-          size(array_intersect(col("s1.shingles"), col("s2.shingles"))).cast("double") /
-            size(array_union(col("s1.shingles"), col("s2.shingles"))).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
-      .orderBy("id1", "id2")
   }
+
+  /** Fuzzy-surface benchmark decontamination — the third channel of the
+    * decontamination trio (exact n-grams: `decontaminate_ngrams`; semantic:
+    * `embed_decontaminate`). Eval leakage that was lightly edited or
+    * reordered defeats exact n-gram overlap but still collides in MinHash
+    * banding; this probes the train split against the eval split
+    * (`source = 'src0'`) with the same banded-LSH construction as
+    * `minhash_dedup`, then verifies exact shingle-Jaccard ≥ 0.5.
+    *
+    * Scale shape (asymmetric by design): eval sets are MBs, not TBs, so the
+    * eval side's band buckets AND shingle sets are BROADCAST — the 100 TB
+    * train side computes signatures in the shared narrow kernel and probes
+    * the broadcast buckets without ever shuffling; exact verification
+    * touches only the banding candidates. The per-source rollup keeps the
+    * audit output stable (zeros included) whatever the hit count. */
+  private val minhashDecontaminate = QueryDef(
+    "minhash_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
+      val evalIds = d.filter(col("source") === "src0").select("doc_id")
+      val evalSigs = sigs.join(broadcast(evalIds), "doc_id")
+      val trainBuckets = sigs.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("tid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val evalBuckets = evalSigs
+        .select(col("doc_id").as("eid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val cand = trainBuckets.join(broadcast(evalBuckets), Seq("band", "bucket"))
+        .select("tid", "eid")
+        .dropDuplicates("tid", "eid")
+      val verified = cand
+        .join(sigs.select(col("doc_id").as("tid"), col("shingles").as("tsh")), "tid")
+        .join(broadcast(evalSigs.select(col("doc_id").as("eid"), col("shingles").as("esh"))), "eid")
+        .filter(
+          size(array_intersect(col("tsh"), col("esh"))).cast("double") /
+            size(array_union(col("tsh"), col("esh"))).cast("double") >= 0.5)
+        .select("tid", "eid")
+      val perDoc = verified.groupBy("tid").agg(count(lit(1)).as("np"))
+      d.filter(col("source") =!= "src0")
+        .select("source", "doc_id")
+        .join(broadcast(perDoc), col("doc_id") === col("tid"), "left")
+        .groupBy("source")
+        .agg(
+          count(col("tid")).as("n_flagged_docs"),
+          coalesce(sum(col("np")), lit(0L)).as("n_pairs"))
+        .orderBy("source")
+    },
+    Some("""WITH ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            ev AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+                   WHERE d.source = 'src0'),
+            tr AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+                   WHERE d.source <> 'src0'),
+            cand AS (
+              SELECT tr.doc_id AS tid, ev.doc_id AS eid
+              FROM tr JOIN ev ON tr.h1 = ev.h1 AND tr.h2 = ev.h2
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h3 = ev.h3 AND tr.h4 = ev.h4
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h5 = ev.h5 AND tr.h6 = ev.h6
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h7 = ev.h7 AND tr.h8 = ev.h8),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.tid, c.eid, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.tid
+              JOIN sh s2 ON s2.doc_id = c.eid AND s2.sh = s1.sh
+              GROUP BY 1, 2),
+            ver AS (
+              SELECT inter.tid, inter.eid FROM inter
+              JOIN sz sa ON sa.doc_id = inter.tid
+              JOIN sz sb ON sb.doc_id = inter.eid
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+            per AS (SELECT tid, count(*) AS np FROM ver GROUP BY tid)
+            SELECT d.source, CAST(count(per.tid) AS BIGINT) AS n_flagged_docs,
+                   CAST(coalesce(sum(per.np), 0) AS BIGINT) AS n_pairs
+            FROM documents d LEFT JOIN per ON per.tid = d.doc_id
+            WHERE d.source <> 'src0'
+            GROUP BY 1 ORDER BY 1"""),
+  )
 
   /** BPE-ish regex tokenizer: alnum runs as tokens (vs the whitespace
     * tokenizer in token_counts) + alpha-char mass — the usual token-budget
@@ -1583,6 +1691,6 @@ object TextOps {
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
     textNormalize, bpeMerges, bpeEncode, urlHostStats, mixtureWeights,
-    qualityWeightedSample,
+    qualityWeightedSample, minhashDecontaminate,
   )
 }
