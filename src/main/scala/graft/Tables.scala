@@ -14,16 +14,29 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = t(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and convert with integer division —
-    * `ts div 1000` keeps full precision (a double division would lose
-    * bits at 1.7e18) and floor-matches DuckDB's own ns→µs truncation.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * vintages and TIMESTAMP(MICROS) in others, so branch on the loaded
+    * schema rather than assuming either:
+    *  - LongType (TIMESTAMP(NANOS) read under legacy.parquet.nanosAsLong,
+    *    which Spark 4 otherwise rejects with PARQUET_TYPE_ILLEGAL): convert
+    *    with integer division — `ts div 1000` keeps full precision (a
+    *    double division would lose bits at 1.7e18) and floor-matches
+    *    DuckDB's own ns→µs truncation.
+    *  - TimestampNTZType (plain timestamp[us], no tz): cast to TIMESTAMP
+    *    under the session's UTC zone so downstream date/interval arithmetic
+    *    behaves identically across vintages.
+    *  - TimestampType: pass through.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

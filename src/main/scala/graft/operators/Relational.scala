@@ -332,16 +332,23 @@ object Relational {
     * view. The oracle can only see the µs projection — DuckDB itself
     * truncates parquet ns→µs on read — so this query exposes the µs
     * agreement; TimestampNsSpec proves the Spark-side LONG really retains
-    * sub-µs precision the µs path drops. */
+    * sub-µs precision the µs path drops. Like Tables.events, branches on
+    * the loaded schema: ns-as-long vintage divides down, µs vintage takes
+    * unix_micros directly (already full source precision). */
   private val timestampNs = QueryDef(
     "timestamp_ns",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val micros = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      raw
         .select(
           col("event_id"),
-          expr("ts div 1000").as("ts_micros"),
-          date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          micros.as("ts_micros"),
+          date_format(timestamp_micros(micros), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("ts_str")) // zero-padded µs — Spark's cast-to-string trims trailing zeros, DuckDB's %f doesn't
         .orderBy("event_id")
     },
