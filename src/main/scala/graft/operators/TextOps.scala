@@ -731,24 +731,30 @@ object TextOps {
       val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
       val evalIds = d.filter(col("source") === "src0").select("doc_id")
       val evalSigs = sigs.join(broadcast(evalIds), "doc_id")
+      // train shingles ride the bucket stream so verification never
+      // re-joins the full signature table — the only shuffle of
+      // train-derived data is the candidate-pair dedup, which is
+      // collision-proportional, not corpus-proportional
       val trainBuckets = sigs.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
-        .select(col("doc_id").as("tid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+        .select(col("doc_id").as("tid"), col("shingles").as("tsh"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
       val evalBuckets = evalSigs
         .select(col("doc_id").as("eid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
       val cand = trainBuckets.join(broadcast(evalBuckets), Seq("band", "bucket"))
-        .select("tid", "eid")
-        .dropDuplicates("tid", "eid")
+        .groupBy("tid", "eid").agg(first(col("tsh")).as("tsh"))
       val verified = cand
-        .join(sigs.select(col("doc_id").as("tid"), col("shingles").as("tsh")), "tid")
         .join(broadcast(evalSigs.select(col("doc_id").as("eid"), col("shingles").as("esh"))), "eid")
         .filter(
           size(array_intersect(col("tsh"), col("esh"))).cast("double") /
             size(array_union(col("tsh"), col("esh"))).cast("double") >= 0.5)
         .select("tid", "eid")
       val perDoc = verified.groupBy("tid").agg(count(lit(1)).as("np"))
+      // no broadcast hint on perDoc: flagged-doc cardinality is NOT bounded
+      // by construction (a heavily contaminated corpus flags many train
+      // docs) — let AQE pick broadcast when the audit is small
       d.filter(col("source") =!= "src0")
         .select("source", "doc_id")
-        .join(broadcast(perDoc), col("doc_id") === col("tid"), "left")
+        .join(perDoc, col("doc_id") === col("tid"), "left")
         .groupBy("source")
         .agg(
           count(col("tid")).as("n_flagged_docs"),

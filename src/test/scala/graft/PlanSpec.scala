@@ -333,6 +333,19 @@ class PlanSpec extends SparkSpec
       s"best-of is not a partial aggregate (window over all pairs?):\n${plan.take(3000)}")
   }
 
+  test("minhash_decontaminate broadcasts the eval side; train signatures never wide-join") {
+    val plan = planOf("minhash_decontaminate")
+    val bcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts >= 3, // eval ids (×2: probe + anti), eval buckets, eval shingles
+      s"eval side not broadcast (saw $bcasts BroadcastExchange):\n${plan.take(3000)}")
+    // the banding probe and the Jaccard verify must join via broadcast —
+    // a SortMergeJoin on the bucket or shingle stream means the 100 TB
+    // train side is being shuffled
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(!smjLines.exists(l => l.contains("bucket") || l.contains("esh")),
+      s"train bucket/shingle stream shuffled through a SortMergeJoin:\n${smjLines.mkString("\n")}")
+  }
+
   test("context_chunks expands chunks with a single Generate and no pre-sort shuffle") {
     val plan = planOf("context_chunks")
     val generates = plan.linesIterator.count(_.contains("Generate "))
