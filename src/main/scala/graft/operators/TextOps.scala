@@ -1690,7 +1690,211 @@ object TextOps {
             FROM k GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Gopher-style multi-rule quality filter (Rae et al. 2021, §A.1.1 —
+    * public paper; thresholds adapted to the synthetic fixture): word-count
+    * bounds, mean-word-length bounds, minimum stopword evidence, and a
+    * max-single-token-repetition cap, each surfaced as its own flag so a
+    * curation run can audit WHICH rule rejected a doc. All rules are
+    * integer comparisons (mean length as `3·nw ≤ letters ≤ 10·nw`, the
+    * repetition cap as `max_tok·5 ≤ nw`) — engine-exact, no float drift.
+    *
+    * Scale shape: one narrow codegen'd map, zero shuffle. The max
+    * token multiplicity comes from a run-length scan over the doc's SORTED
+    * token array (`aggregate` HOF) — per-doc work, never an exploded
+    * (doc, token) shuffle; the oracle recomputes it the exploded way,
+    * which is fine at oracle scale. */
+  private val gopherQualityRules = QueryDef(
+    "gopher_quality_rules",
+    (s, dir) =>
+      docs(s, dir)
+        .selectExpr(
+          "CAST(doc_id AS BIGINT) AS doc_id",
+          "filter(split(text, ' '), x -> x <> '') AS toks",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr(
+          "doc_id",
+          "CAST(size(toks) AS BIGINT) AS nw",
+          "letters",
+          """aggregate(
+               array_sort(toks),
+               named_struct('prev', CAST('' AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+               (a, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(x = a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+                 'best', GREATEST(a.best, IF(x = a.prev, a.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+               a -> a.best) AS max_tok""",
+          "CAST(size(filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) AS stops")
+        .selectExpr(
+          "doc_id", "nw",
+          "nw >= 10 AND nw <= 1000 AS r_word_count",
+          "letters >= 3 * nw AND letters <= 10 * nw AS r_mean_word_len",
+          "stops >= 2 AS r_stopwords",
+          "max_tok * 5 <= nw AS r_repetition")
+        .withColumn("keep",
+          col("r_word_count") && col("r_mean_word_len") && col("r_stopwords") && col("r_repetition"))
+        .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+                     CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS t FROM f),
+            mt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+                   FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            r AS (SELECT f.doc_id,
+                         CAST(len(f.ts) AS BIGINT) AS nw,
+                         f.letters,
+                         COALESCE(mt.max_tok, 0) AS max_tok,
+                         CAST(len(list_filter(f.ts, x -> x = 'the' OR x = 'a')) AS BIGINT) AS stops
+                  FROM f LEFT JOIN mt ON mt.doc_id = f.doc_id)
+            SELECT doc_id, nw,
+                   nw >= 10 AND nw <= 1000 AS r_word_count,
+                   letters >= 3 * nw AND letters <= 10 * nw AS r_mean_word_len,
+                   stops >= 2 AS r_stopwords,
+                   max_tok * 5 <= nw AS r_repetition,
+                   (nw >= 10 AND nw <= 1000) AND (letters >= 3 * nw AND letters <= 10 * nw)
+                     AND stops >= 2 AND max_tok * 5 <= nw AS keep
+            FROM r ORDER BY doc_id"""),
+  )
+
+  /** Language-model-proxy quality signal without floats: the fraction of a
+    * doc's word bigrams that fall OUTSIDE the corpus's top-200 most common
+    * bigrams (ties broken by bigram text, so the cut is deterministic in
+    * both engines). High rare-bigram rate ≈ high n-gram LM perplexity —
+    * the classic CCNet/KenLM quality gate re-expressed with exact integer
+    * arithmetic an oracle can replicate bit-for-bit.
+    *
+    * Scale shape: the global bigram count partial-aggregates map-side and
+    * shuffles only distinct bigrams (vocabulary-bounded, Zipf-light); the
+    * top-200 is a TakeOrderedAndProject (O(K) driver state); the common
+    * set returns to every doc as a BROADCAST single-row array — bounded by
+    * construction at K — and the per-doc rare count is a narrow
+    * `filter`/`array_contains` scan. No doc-keyed shuffle anywhere. */
+  private val rareBigramRate = QueryDef(
+    "rare_bigram_rate",
+    (s, dir) => {
+      val bgs = docs(s, dir)
+        .selectExpr(
+          "CAST(doc_id AS BIGINT) AS doc_id",
+          "filter(split(text, ' '), x -> x <> '') AS toks")
+        .selectExpr(
+          "doc_id",
+          """IF(size(toks) < 2, array(),
+               transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))) AS bgs""")
+      val common = bgs
+        .select(explode(col("bgs")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("bg"))
+        .limit(200)
+        .agg(collect_list(col("bg")).as("common"))
+      bgs.crossJoin(broadcast(common))
+        .selectExpr(
+          "doc_id",
+          "CAST(size(bgs) AS BIGINT) AS n_bigrams",
+          "CAST(size(filter(bgs, b -> NOT array_contains(common, b))) AS BIGINT) AS n_rare")
+        .selectExpr("doc_id", "n_bigrams", "n_rare",
+          "CASE WHEN n_bigrams > 0 THEN (n_rare * 1000) div n_bigrams ELSE CAST(0 AS BIGINT) END AS rare_permille")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ts AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+            bgr AS (
+              SELECT doc_id, ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bg
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+              WHERE len(ts) >= 2),
+            top AS (SELECT bg FROM (
+                      SELECT bg, count(*) AS c FROM bgr GROUP BY 1
+                      ORDER BY c DESC, bg LIMIT 200)),
+            cnt AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(count(*) FILTER (WHERE bg NOT IN (SELECT bg FROM top)) AS BIGINT) AS n_rare
+                    FROM bgr GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(c.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(c.n_rare, 0) AS n_rare,
+                   CASE WHEN COALESCE(c.n_bigrams, 0) > 0
+                        THEN (c.n_rare * 1000) // c.n_bigrams ELSE 0 END AS rare_permille
+            FROM ts t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+            ORDER BY t.doc_id"""),
+  )
+
+  /** Edit-distance verification of LSH candidates — the second verifier a
+    * fuzzy-dedup pass runs when token-set Jaccard is too loose (reordered
+    * docs share a token set but are NOT byte-near-dups): MinHash banding
+    * proposes pairs, `levenshtein` confirms within 25% of the longer doc
+    * (`dist·4 ≤ max_len`, integer-exact in both engines).
+    *
+    * Scale shape: identical banding front-end to [[minhashPairs]] (linear
+    * signature pass, bucket-keyed candidate join, never all-pairs); the
+    * text fetch is a keyed join pruned to candidate ids, and the O(n·m)
+    * levenshtein kernel runs only on surviving candidates. */
+  private val editDistancePairs = QueryDef(
+    "edit_distance_pairs",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
+      val buckets = sigs.select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      val txt = d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      cand
+        .join(txt.as("t1"), col("id1") === col("t1.doc_id"))
+        .join(txt.as("t2"), col("id2") === col("t2.doc_id"))
+        .select(
+          col("id1"), col("id2"),
+          levenshtein(col("t1.text"), col("t2.text")).cast("long").as("dist"),
+          greatest(length(col("t1.text")), length(col("t2.text"))).cast("long").as("max_len"))
+        .filter(col("dist") * 4 <= col("max_len"))
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id)
+            SELECT CAST(c.id1 AS BIGINT) AS id1, CAST(c.id2 AS BIGINT) AS id2,
+                   CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS dist,
+                   CAST(greatest(length(d1.text), length(d2.text)) AS BIGINT) AS max_len
+            FROM cand c
+            JOIN documents d1 ON d1.doc_id = c.id1
+            JOIN documents d2 ON d2.doc_id = c.id2
+            WHERE levenshtein(d1.text, d2.text) * 4 <= greatest(length(d1.text), length(d2.text))
+            ORDER BY id1, id2"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    gopherQualityRules, rareBigramRate, editDistancePairs,
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,

@@ -333,6 +333,30 @@ class PlanSpec extends SparkSpec
       s"best-of is not a partial aggregate (window over all pairs?):\n${plan.take(3000)}")
   }
 
+  test("gopher_quality_rules is a narrow map — no hash shuffle before the final sort") {
+    val plan = planOf("gopher_quality_rules")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc rule evaluation shuffled (the run-length HOF should stay narrow):\n${plan.take(3000)}")
+  }
+
+  test("rare_bigram_rate takes top-K without a global sort and broadcasts the common set") {
+    val plan = planOf("rare_bigram_rate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-200 bigram cut is a global sort:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"common-set return path is not a broadcast:\n${plan.take(3000)}")
+    // the only hash shuffle allowed is the vocabulary-bounded bigram count
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"expected at most the bigram-count shuffle, saw $hashEx hash exchanges:\n${plan.take(3000)}")
+  }
+
+  test("edit_distance_pairs generates candidates by bucket join — never all-pairs") {
+    val plan = planOf("edit_distance_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to all-pairs:\n${plan.take(3000)}")
+  }
+
   test("minhash_decontaminate broadcasts the eval side; train signatures never wide-join") {
     val plan = planOf("minhash_decontaminate")
     val bcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
