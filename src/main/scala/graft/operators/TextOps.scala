@@ -1765,36 +1765,40 @@ object TextOps {
     * the classic CCNet/KenLM quality gate re-expressed with exact integer
     * arithmetic an oracle can replicate bit-for-bit.
     *
-    * Scale shape: the global bigram count partial-aggregates map-side and
-    * shuffles only distinct bigrams (vocabulary-bounded, Zipf-light); the
-    * top-200 is a TakeOrderedAndProject (O(K) driver state); the common
-    * set returns to every doc as a BROADCAST single-row array — bounded by
-    * construction at K — and the per-doc rare count is a narrow
-    * `filter`/`array_contains` scan. No doc-keyed shuffle anywhere. */
+    * Scale shape: bigrams are built with codegen'd `arrays_zip`/`slice`/
+    * `explode` — NOT a `transform` lambda, which runs interpreted and
+    * measured 4× slower end-to-end at sf0.1. The global count
+    * partial-aggregates map-side and shuffles only distinct bigrams
+    * (vocabulary-bounded, Zipf-light); the top-200 is a
+    * TakeOrderedAndProject (O(K) driver state); membership is a BROADCAST
+    * hash join against the K-row common set (O(1) probe per bigram); and
+    * the per-doc rollup shuffles one partial-agg row of three longs per
+    * (doc, partition). */
   private val rareBigramRate = QueryDef(
     "rare_bigram_rate",
     (s, dir) => {
-      val bgs = docs(s, dir)
-        .selectExpr(
-          "CAST(doc_id AS BIGINT) AS doc_id",
-          "filter(split(text, ' '), x -> x <> '') AS toks")
-        .selectExpr(
-          "doc_id",
-          """IF(size(toks) < 2, array(),
-               transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))) AS bgs""")
-      val common = bgs
-        .select(explode(col("bgs")).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("bg"))
-        .limit(200)
-        .agg(collect_list(col("bg")).as("common"))
-      bgs.crossJoin(broadcast(common))
-        .selectExpr(
-          "doc_id",
-          "CAST(size(bgs) AS BIGINT) AS n_bigrams",
-          "CAST(size(filter(bgs, b -> NOT array_contains(common, b))) AS BIGINT) AS n_rare")
-        .selectExpr("doc_id", "n_bigrams", "n_rare",
-          "CASE WHEN n_bigrams > 0 THEN (n_rare * 1000) div n_bigrams ELSE CAST(0 AS BIGINT) END AS rare_permille")
+      val d = docs(s, dir).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "filter(split(text, ' '), x -> x <> '') AS toks")
+      val bg = d
+        .selectExpr("doc_id",
+          """arrays_zip(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                        slice(toks, 2, greatest(size(toks) - 1, 0))) AS z""")
+        .select(col("doc_id"), explode(col("z")).as("p"))
+        .select(col("doc_id"),
+          concat(col("p").getField("0"), lit(" "), col("p").getField("1")).as("bg"))
+      val top = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("bg")).limit(200).select("bg")
+      val perDoc = bg.join(broadcast(top.withColumn("is_common", lit(1))), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("is_common").isNull, 1L).otherwise(0L)).as("n_rare"))
+      d.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+          "COALESCE(n_rare, CAST(0 AS BIGINT)) AS n_rare",
+          "CASE WHEN COALESCE(n_bigrams, CAST(0 AS BIGINT)) > 0 THEN (n_rare * 1000) div n_bigrams ELSE CAST(0 AS BIGINT) END AS rare_permille")
         .orderBy("doc_id")
     },
     Some("""WITH ts AS (

@@ -339,16 +339,17 @@ class PlanSpec extends SparkSpec
       s"per-doc rule evaluation shuffled (the run-length HOF should stay narrow):\n${plan.take(3000)}")
   }
 
-  test("rare_bigram_rate takes top-K without a global sort and broadcasts the common set") {
+  test("rare_bigram_rate takes top-K without a global sort and broadcast-probes membership") {
     val plan = planOf("rare_bigram_rate")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-200 bigram cut is a global sort:\n${plan.take(3000)}")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"common-set return path is not a broadcast:\n${plan.take(3000)}")
-    // the only hash shuffle allowed is the vocabulary-bounded bigram count
-    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 1,
-      s"expected at most the bigram-count shuffle, saw $hashEx hash exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"common-set membership is not a broadcast hash probe:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial count") || plan.contains("partial"),
+      s"bigram/doc aggregates lost their map-side partials:\n${plan.take(3000)}")
+    // the bigram stream must never sort-merge (its joins are all broadcast)
+    assert(!plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("bg")),
+      s"bigram stream shuffled through a SortMergeJoin:\n${plan.take(3000)}")
   }
 
   test("edit_distance_pairs generates candidates by bucket join — never all-pairs") {
