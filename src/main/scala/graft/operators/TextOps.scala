@@ -1030,10 +1030,16 @@ object TextOps {
     (s, dir) => {
       val tok = docs(s, dir).select(col("lang"),
         expr("filter(split(text, ' '), t -> length(t) > 0)").as("ts"))
+      // arrays_zip over shifted slices, not transform(sequence…): the
+      // lambda form runs interpreted, AND Spark's sequence(1, 0) on a
+      // 1-token doc yields [1, 0] (descending) where DuckDB's
+      // generate_series yields empty — the zip form is empty on both
       val big = tok.select(col("lang"),
-        explode(expr(
-          "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-          .as("bg"))
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))))).as("p"))
+        .select(col("lang"),
+          concat(col("p").getField("0"), lit(" "), col("p").getField("1")).as("bg"))
       val counted = big.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("cnt").desc, col("bg"))
