@@ -1476,8 +1476,10 @@ object TextOps {
     * report per-language compression (chars per BPE token ×100, floor).
     * Application is a VOCAB JOIN, not a re-merge: every corpus word's
     * final symbol split was already computed during training, so encoding
-    * a document is `per-(doc, word) counts ⋈ vocab` — the corpus shuffles
-    * once into word counts, the vocab (already merged, web-scale ~millions
+    * is `per-(lang, word) counts ⋈ vocab` — the corpus partial-aggregates
+    * straight to (lang, word) multiplicities (vocabulary-bounded — the
+    * per-doc granularity an earlier draft shuffled adds nothing the final
+    * per-lang sums need), the vocab (already merged, web-scale ~millions
     * of rows) joins by word, and token totals aggregate out. OOV words
     * would replay the merge list (none exist here: the vocab was trained
     * on this corpus). That lookup-shaped apply is exactly how production
@@ -1488,11 +1490,11 @@ object TextOps {
       val vocab = learnBpe(docs(s, dir), 5)._2
         .select(col("word"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
-      val perDocWord = docs(s, dir)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      val perLangWord = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("n"))
-      perDocWord.join(vocab, "word")
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      perLangWord.join(vocab, "word")
         .groupBy("lang")
         .agg(sum(col("n")).as("n_words"),
           sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
