@@ -47,7 +47,9 @@ object Bench {
     "dedup_resolve", "icelite_partition_evolution", "decontaminate_ngrams",
     "repeated_ngram_spans", "pagerank_topk", "bm25_topk",
     "triangle_count", "bpe_merges", "embed_kmeans", "substring_dedup_trim",
-    "icelite_cdc_apply", "quantile_sketch_grouped")
+    "icelite_cdc_apply", "quantile_sketch_grouped",
+    "minhash_decontaminate", "rare_bigram_rate", "edit_distance_pairs",
+    "gopher_quality_rules")
 
   /** Deterministic 10× scale-up of the tables the heavy queries read,
     * cached under /tmp (no driver-generated sf1 parquet exists). Copy i
