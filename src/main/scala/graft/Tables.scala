@@ -39,7 +39,20 @@ object Tables {
     }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
-  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+  /** `embeddings.embedding` ships as list<float> today; pin that type so a
+    * future testdata regeneration as list<double> degrades to a narrow cast
+    * instead of failing analysis in every array<float>-typed kernel
+    * (graft.functions.DotScaled and friends) — the same vintage-drift
+    * lesson as [[events]]. */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = t(s, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _ => raw.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
