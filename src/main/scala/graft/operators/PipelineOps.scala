@@ -485,7 +485,102 @@ object PipelineOps {
             ORDER BY doc_id, chunk_idx"""),
   )
 
+  /** C4-style URL canonicalization + provenance dedup: crawls re-reach the
+    * same page via scheme/case/www/query/trailing-slash variants, so URL
+    * dedup BEFORE content dedup is the cheapest duplicate filter a crawl
+    * pipeline has. Deterministic per-doc URL variants are synthesized from
+    * doc metadata (same convention as `url_host_stats`; `doc_id div 40`
+    * lands same-source docs on one canonical page across URL variants), canonicalized
+    * (lowercase, strip `www.`, drop the query string, strip the trailing
+    * slash), and audited per domain: distinct canonical pages vs raw docs.
+    *
+    * Scale shape: canonicalization is a narrow regexp map; the audit is
+    * one partial-agg'd groupBy over (domain, canon) then domain — no
+    * joins, no text ever shuffles. */
+  private val urlCanonicalDedup = QueryDef(
+    "url_canonical_dedup",
+    (s, dir) => {
+      val withUrl = docs(s, dir).withColumn("raw_url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+          col("source"), lit(".example.com/p/"),
+          expr("doc_id div 40").cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 1, lit("?utm_source=feed")).otherwise(lit(""))))
+      withUrl
+        .withColumn("canon",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("raw_url")), "\\?.*$", ""),
+              "/$", ""),
+            "://www\\.", "://"))
+        .withColumn("domain", regexp_extract(col("canon"), "://([^/]+)/", 1))
+        .groupBy("domain")
+        .agg(countDistinct(col("canon")).as("n_pages"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("n_url_dups", col("n_docs") - col("n_pages"))
+        .orderBy("domain")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+                   (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+                   source || '.example.com/p/' ||
+                   CAST(doc_id // 40 AS VARCHAR) ||
+                   (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+                   (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed' ELSE '' END) AS raw_url
+                 FROM documents),
+            c AS (SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(lower(raw_url),
+                     '\?.*$', ''), '/$', ''), '://www\.', '://') AS canon
+                 FROM u),
+            d AS (SELECT doc_id, canon,
+                   regexp_extract(canon, '://([^/]+)/', 1) AS domain
+                 FROM c)
+            SELECT domain,
+                   CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS n_url_dups
+            FROM d GROUP BY domain ORDER BY domain"""),
+  )
+
+  /** Cross-source contamination matrix: for every source pair, the number
+    * of distinct word 5-grams both emit — the audit that shows WHICH
+    * domains syndicate/copy from each other, steering dedup and mixing
+    * decisions (a source pair sharing most of its n-grams should not both
+    * be up-weighted).
+    *
+    * Scale shape: the gram stream shuffles once into DISTINCT
+    * (source, gram) rows (partial-agg'd map-side); the pair join is
+    * gram-keyed with per-gram fan-out bounded by the SOURCE count (≤ 20²
+    * pairs per gram however often the gram occurs), so the quadratic is in
+    * sources, never in documents. */
+  private val crossSourceOverlap = QueryDef(
+    "cross_source_overlap",
+    (s, dir) => {
+      val sg = docs(s, dir)
+        .select(col("source"), explode(wordNgramParts(col("text"), 5)).as("p"))
+        .select(col("source"), gramOf(col("p"), 5).as("g"))
+        .distinct()
+      sg.as("a")
+        .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("src1", "src2")
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT DISTINCT source,
+                         unnest(list_transform(range(1, len(w) - 3),
+                                i -> array_to_string(w[i:i+4], ' '))) AS g
+                  FROM toks WHERE len(w) >= 5)
+            SELECT a.source AS src1, b.source AS src2,
+                   CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY src1, src2"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
-      domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks)
+      domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks,
+      urlCanonicalDedup, crossSourceOverlap)
 }

@@ -333,6 +333,21 @@ class PlanSpec extends SparkSpec
       s"best-of is not a partial aggregate (window over all pairs?):\n${plan.take(3000)}")
   }
 
+  test("url_canonical_dedup is joinless — narrow regexp map + partial-agg'd rollups") {
+    val plan = planOf("url_canonical_dedup")
+    assert(!plan.contains("Join"), s"URL audit grew a join:\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"domain rollup lost its map-side partial:\n${plan.take(3000)}")
+  }
+
+  test("cross_source_overlap joins on gram keys — never all-pairs") {
+    val plan = planOf("cross_source_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"source-pair generation degenerated to all-pairs:\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"(source, gram) distinct lost its map-side partial:\n${plan.take(3000)}")
+  }
+
   test("gopher_quality_rules is a narrow map — no hash shuffle before the final sort") {
     val plan = planOf("gopher_quality_rules")
     assert(!plan.contains("Exchange hashpartitioning"),
