@@ -63,21 +63,25 @@ object PipelineOps {
     * Gopher §A.8 use 8–13-gram overlap; 5 fits this fixture's doc length).
     * Output: contaminated train docs with their distinct-overlapping-gram
     * count — the downstream pipeline drops or audits these. */
+  /** Contaminated train docs with distinct-overlapping-5-gram counts — the
+    * core of `decontaminate_ngrams`, shared with `decontaminate_agreement`. */
+  private[operators] def ngramContaminationHits(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(wordNgramParts(col("text"), 5)).as("p"))
+      .select(col("doc_id"), col("source"), gramOf(col("p"), 5).as("g"))
+    val bench = grams.filter(col("source") === "src0").select("g").distinct()
+    grams
+      .filter(col("source") =!= "src0")
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   private val decontaminateNgrams = QueryDef(
     "decontaminate_ngrams",
-    (s, dir) => {
-      val grams = docs(s, dir)
-        .select(col("doc_id"), col("source"), explode(wordNgramParts(col("text"), 5)).as("p"))
-        .select(col("doc_id"), col("source"), gramOf(col("p"), 5).as("g"))
-      val bench = grams.filter(col("source") === "src0").select("g").distinct()
-      grams
-        .filter(col("source") =!= "src0")
-        .join(broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_hits"))
-        .orderBy("doc_id")
-        .select(col("doc_id"), col("n_hits"))
-    },
+    (s, dir) => ngramContaminationHits(s, dir)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_hits")),
     Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
             grams AS (
               SELECT doc_id, source,
@@ -579,8 +583,135 @@ object PipelineOps {
             GROUP BY 1, 2 ORDER BY src1, src2"""),
   )
 
+  /** Cross-channel decontamination AGREEMENT report — the audit a real
+    * curation run ships next to its drop list: per train source, how many
+    * docs each channel flags (exact 5-grams, MinHash banding, embedding
+    * similarity) and how many are flagged by ≥2 / ≥1 channels. Channel
+    * agreement is the calibration signal — a doc all three flag is a
+    * near-certain leak; an embedding-only flag is a semantic-match review
+    * queue.
+    *
+    * Split asymmetry, documented deliberately: the text channels probe
+    * `source='src0'` as the eval set; the embedding channel's fixture
+    * eval split is `label=0` over the parallel `embeddings` table
+    * (vec_id ≡ doc_id). Real pipelines run exactly this shape — each
+    * channel defines eval membership in its own modality and the report
+    * joins verdicts per doc id.
+    *
+    * Scale shape: reuses the three channels' own scale-safe cores (each
+    * broadcasts its eval side); the verdict join is three flag tables
+    * (flagged docs only) LEFT-joined to the train roster, then one
+    * partial-agg'd per-source rollup. */
+  private val decontaminateAgreement = QueryDef(
+    "decontaminate_agreement",
+    (s, dir) => {
+      val train = docs(s, dir).filter(col("source") =!= "src0").select("source", "doc_id")
+      val ng = ngramContaminationHits(s, dir).select(col("doc_id"), lit(1L).as("ng"))
+      val mh = TextOps.minhashContaminationPairs(s, dir)
+        .select(col("tid").as("doc_id")).distinct().withColumn("mh", lit(1L))
+      val em = VectorOps.embedContaminationFlags(s, dir)
+        .filter(col("contaminated") === 1L)
+        .select(col("vec_id").as("doc_id"), lit(1L).as("em"))
+      val flags = train
+        .join(ng, Seq("doc_id"), "left")
+        .join(mh, Seq("doc_id"), "left")
+        .join(em, Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("ng"), lit(0L)).as("ng"),
+          coalesce(col("mh"), lit(0L)).as("mh"),
+          coalesce(col("em"), lit(0L)).as("em"))
+      flags
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ng")).as("n_ngram"),
+          sum(col("mh")).as("n_minhash"),
+          sum(col("em")).as("n_embed"),
+          sum(when(col("ng") + col("mh") + col("em") >= 2L, 1L).otherwise(0L)).as("n_multi"),
+          sum(when(col("ng") + col("mh") + col("em") >= 1L, 1L).otherwise(0L)).as("n_any"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+            nghit AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+                      WHERE gr.source <> 'src0'),
+            ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            ev AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+                   WHERE d.source = 'src0'),
+            tr AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+                   WHERE d.source <> 'src0'),
+            cand AS (
+              SELECT tr.doc_id AS tid, ev.doc_id AS eid
+              FROM tr JOIN ev ON tr.h1 = ev.h1 AND tr.h2 = ev.h2
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h3 = ev.h3 AND tr.h4 = ev.h4
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h5 = ev.h5 AND tr.h6 = ev.h6
+              UNION
+              SELECT tr.doc_id, ev.doc_id
+              FROM tr JOIN ev ON tr.h7 = ev.h7 AND tr.h8 = ev.h8),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.tid, c.eid, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.tid
+              JOIN sh s2 ON s2.doc_id = c.eid AND s2.sh = s1.sh
+              GROUP BY 1, 2),
+            mhhit AS (SELECT DISTINCT inter.tid AS doc_id FROM inter
+                      JOIN sz sa ON sa.doc_id = inter.tid
+                      JOIN sz sb ON sb.doc_id = inter.eid
+                      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+            evv AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE label = 0),
+            trv AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+            sv AS (SELECT trv.vec_id,
+                   CAST(list_sum(list_transform(list_zip(trv.embedding, evv.ee),
+                        p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS sim
+                   FROM trv CROSS JOIN evv),
+            emhit AS (SELECT DISTINCT vec_id AS doc_id FROM sv WHERE sim >= 4000),
+            fl AS (SELECT d.source,
+                          CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ng,
+                          CASE WHEN mh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS mh,
+                          CASE WHEN em.doc_id IS NOT NULL THEN 1 ELSE 0 END AS em
+                   FROM documents d
+                   LEFT JOIN nghit ng ON ng.doc_id = d.doc_id
+                   LEFT JOIN mhhit mh ON mh.doc_id = d.doc_id
+                   LEFT JOIN emhit em ON em.doc_id = d.doc_id
+                   WHERE d.source <> 'src0')
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ng) AS BIGINT) AS n_ngram,
+                   CAST(sum(mh) AS BIGINT) AS n_minhash,
+                   CAST(sum(em) AS BIGINT) AS n_embed,
+                   CAST(sum(CASE WHEN ng + mh + em >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+                   CAST(sum(CASE WHEN ng + mh + em >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+            FROM fl GROUP BY source ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks,
-      urlCanonicalDedup, crossSourceOverlap)
+      urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement)
 }

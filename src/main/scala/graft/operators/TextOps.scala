@@ -724,30 +724,38 @@ object TextOps {
     * the broadcast buckets without ever shuffling; exact verification
     * touches only the banding candidates. The per-source rollup keeps the
     * audit output stable (zeros included) whatever the hit count. */
+  /** Verified train-vs-eval MinHash contamination pairs (tid, eid) —
+    * the core of [[minhashDecontaminate]], shared with the cross-channel
+    * `decontaminate_agreement` report in [[PipelineOps]]. */
+  private[operators] def minhashContaminationPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
+    val evalIds = d.filter(col("source") === "src0").select("doc_id")
+    val evalSigs = sigs.join(broadcast(evalIds), "doc_id")
+    // train shingles ride the bucket stream so verification never
+    // re-joins the full signature table — the only shuffle of
+    // train-derived data is the candidate-pair dedup, which is
+    // collision-proportional, not corpus-proportional
+    val trainBuckets = sigs.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("tid"), col("shingles").as("tsh"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val evalBuckets = evalSigs
+      .select(col("doc_id").as("eid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = trainBuckets.join(broadcast(evalBuckets), Seq("band", "bucket"))
+      .groupBy("tid", "eid").agg(first(col("tsh")).as("tsh"))
+    cand
+      .join(broadcast(evalSigs.select(col("doc_id").as("eid"), col("shingles").as("esh"))), "eid")
+      .filter(
+        size(array_intersect(col("tsh"), col("esh"))).cast("double") /
+          size(array_union(col("tsh"), col("esh"))).cast("double") >= 0.5)
+      .select("tid", "eid")
+  }
+
   private val minhashDecontaminate = QueryDef(
     "minhash_decontaminate",
     (s, dir) => {
       val d = docs(s, dir)
-      val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
-      val evalIds = d.filter(col("source") === "src0").select("doc_id")
-      val evalSigs = sigs.join(broadcast(evalIds), "doc_id")
-      // train shingles ride the bucket stream so verification never
-      // re-joins the full signature table — the only shuffle of
-      // train-derived data is the candidate-pair dedup, which is
-      // collision-proportional, not corpus-proportional
-      val trainBuckets = sigs.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
-        .select(col("doc_id").as("tid"), col("shingles").as("tsh"),
-          posexplode(col("buckets")).as(Seq("band", "bucket")))
-      val evalBuckets = evalSigs
-        .select(col("doc_id").as("eid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-      val cand = trainBuckets.join(broadcast(evalBuckets), Seq("band", "bucket"))
-        .groupBy("tid", "eid").agg(first(col("tsh")).as("tsh"))
-      val verified = cand
-        .join(broadcast(evalSigs.select(col("doc_id").as("eid"), col("shingles").as("esh"))), "eid")
-        .filter(
-          size(array_intersect(col("tsh"), col("esh"))).cast("double") /
-            size(array_union(col("tsh"), col("esh"))).cast("double") >= 0.5)
-        .select("tid", "eid")
+      val verified = minhashContaminationPairs(s, dir)
       val perDoc = verified.groupBy("tid").agg(count(lit(1)).as("np"))
       // no broadcast hint on perDoc: flagged-doc cardinality is NOT bounded
       // by construction (a heavily contaminated corpus flags many train

@@ -876,25 +876,29 @@ object VectorOps {
     * the 100 TB train side is scanned once, and best-of is an ASSOCIATIVE
     * struct-min aggregate (map-side partial, one candidate per train id
     * per partition crosses the wire — never a window over all pairs). */
+  /** Per-train-vector best-eval-match flags — the core of
+    * [[embedDecontaminate]], shared with the cross-channel
+    * `decontaminate_agreement` report in [[operators.PipelineOps]]. */
+  private[operators] def embedContaminationFlags(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotScaled.register(s)
+    val e = emb(s, dir)
+    val ev = broadcast(e.filter(col("label") === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee")))
+    e.filter(col("label") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(ev)
+      .select(col("vec_id"), col("eval_id"),
+        dotScaled(col("embedding"), col("ee")).as("sim"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("sim")).as("ns"), col("eval_id").as("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("best_eval_id"),
+        (-col("m.ns")).as("max_sim_scaled"),
+        when(-col("m.ns") >= 4000L, 1L).otherwise(0L).as("contaminated"))
+  }
+
   private val embedDecontaminate = QueryDef(
     "embed_decontaminate",
-    (s, dir) => {
-      graft.functions.DotScaled.register(s)
-      val e = emb(s, dir)
-      val ev = broadcast(e.filter(col("label") === 0)
-        .select(col("vec_id").as("eval_id"), col("embedding").as("ee")))
-      e.filter(col("label") =!= 0)
-        .select(col("vec_id"), col("embedding"))
-        .crossJoin(ev)
-        .select(col("vec_id"), col("eval_id"),
-          dotScaled(col("embedding"), col("ee")).as("sim"))
-        .groupBy("vec_id")
-        .agg(min(struct((-col("sim")).as("ns"), col("eval_id").as("eval_id"))).as("m"))
-        .select(col("vec_id"), col("m.eval_id").as("best_eval_id"),
-          (-col("m.ns")).as("max_sim_scaled"),
-          when(-col("m.ns") >= 4000L, 1L).otherwise(0L).as("contaminated"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => embedContaminationFlags(s, dir).orderBy("vec_id"),
     Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE label = 0),
             tr AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
             s AS (SELECT tr.vec_id, ev.eval_id,
