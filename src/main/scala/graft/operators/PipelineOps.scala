@@ -710,8 +710,103 @@ object PipelineOps {
             FROM fl GROUP BY source ORDER BY source"""),
   )
 
+  /** End-to-end pretraining curation funnel in ONE declarative plan —
+    * quality gate → exact dedup → benchmark decontamination →
+    * deterministic sampling — reporting per-source survivor counts at
+    * every stage plus the final token mass. This is the funnel report a
+    * production curation run publishes; each stage reuses the exact
+    * arithmetic of its standalone operator (`quality_classifier` score,
+    * min-doc_id-per-text dedup, `decontaminate_ngrams` hits, the
+    * `deterministic_sample` md5 bucket), so the composed numbers reconcile
+    * against the individual audits.
+    *
+    * Scale shape: stage flags are narrow maps over one corpus scan except
+    * two keyed steps — the dedup min is a window over the text key (one
+    * hash shuffle; at 100 TB you'd key on xxhash64(text), same plan), and
+    * the contamination set returns via a doc_id-keyed join whose flagged
+    * side AQE may broadcast. The rollup is one partial-agg'd groupBy. */
+  private val pretrainingPipeline = QueryDef(
+    "pretraining_pipeline",
+    (s, dir) => {
+      val scored = docs(s, dir)
+        .filter(col("source") =!= "src0") // the eval split never trains
+        .selectExpr("doc_id", "source", "text",
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+          "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr("doc_id", "source", "text", "nw",
+          """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
+             - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
+             AS score""")
+        .withColumn("q", (col("score") >= 400L).cast("long"))
+      val deduped = scored.withColumn("keep_id",
+          min(when(col("q") === 1L, col("doc_id"))).over(Window.partitionBy("text")))
+        .withColumn("dd",
+          when(col("q") === 1L && col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+      val flagged = deduped
+        .join(ngramContaminationHits(s, dir).select(col("doc_id"), lit(1L).as("contam")),
+          Seq("doc_id"), "left")
+        .withColumn("cl", when(col("dd") === 1L && col("contam").isNull, 1L).otherwise(0L))
+        .withColumn("sp", when(col("cl") === 1L &&
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) =!= "0",
+          1L).otherwise(0L))
+      flagged
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_input"),
+          sum(col("q")).as("n_quality"),
+          sum(col("dd")).as("n_dedup"),
+          sum(col("cl")).as("n_clean"),
+          sum(col("sp")).as("n_sampled"),
+          sum(when(col("sp") === 1L, col("nw")).otherwise(0L)).as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, source, text,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                     CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+              FROM documents WHERE source <> 'src0'),
+            sc AS (
+              SELECT doc_id, source, text, nw,
+                     500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) // nw ELSE 0 END)
+                       - abs((CASE WHEN nw > 0 THEN (letters * 1000) // nw ELSE 0 END) - 4000) // 4
+                       AS score
+              FROM base),
+            q AS (SELECT *, CASE WHEN score >= 400 THEN 1 ELSE 0 END AS q FROM sc),
+            dd AS (SELECT *,
+                     min(CASE WHEN q = 1 THEN doc_id END) OVER (PARTITION BY text) AS keep_id
+                   FROM q),
+            dflag AS (SELECT *,
+                     CASE WHEN q = 1 AND doc_id = keep_id THEN 1 ELSE 0 END AS dd
+                   FROM dd),
+            toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+            contam AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+                       WHERE gr.source <> 'src0'),
+            fl AS (SELECT d.*,
+                     CASE WHEN d.dd = 1 AND c.doc_id IS NULL THEN 1 ELSE 0 END AS cl,
+                     CASE WHEN d.dd = 1 AND c.doc_id IS NULL AND
+                          substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+                          THEN 1 ELSE 0 END AS sp
+                   FROM dflag d LEFT JOIN contam c ON c.doc_id = d.doc_id)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_input,
+                   CAST(sum(q) AS BIGINT) AS n_quality,
+                   CAST(sum(dd) AS BIGINT) AS n_dedup,
+                   CAST(sum(cl) AS BIGINT) AS n_clean,
+                   CAST(sum(sp) AS BIGINT) AS n_sampled,
+                   CAST(sum(CASE WHEN sp = 1 THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM fl GROUP BY source ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks,
-      urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement)
+      urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline)
 }

@@ -348,6 +348,17 @@ class PlanSpec extends SparkSpec
       s"(source, gram) distinct lost its map-side partial:\n${plan.take(3000)}")
   }
 
+  test("pretraining_pipeline windows by text key and keeps partial aggregation") {
+    val plan = planOf("pretraining_pipeline")
+    val windows = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windows.contains("SinglePartition"),
+      s"dedup window collapsed to one partition:\n$windows")
+    assert(plan.contains("partial"),
+      s"funnel rollup lost its map-side partial:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian:\n${plan.take(3000)}")
+  }
+
   test("gopher_quality_rules is a narrow map — no hash shuffle before the final sort") {
     val plan = planOf("gopher_quality_rules")
     assert(!plan.contains("Exchange hashpartitioning"),
