@@ -31,6 +31,11 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Self-install the UTC invariant the NTZ branch depends on: the
+    // cast("timestamp") below reinterprets wall-clock under the session
+    // zone, so an entry point that forgot to set UTC would get silently
+    // shifted instants vs the DuckDB oracle (which reads naive micros).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -741,6 +741,10 @@ object TextOps {
         posexplode(col("buckets")).as(Seq("band", "bucket")))
     val evalBuckets = evalSigs
       .select(col("doc_id").as("eid"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // first() here is deterministic ONLY because tsh is functionally
+    // dependent on tid (one shingle set per doc, band-invariant) — if a
+    // later edit makes tsh band-dependent, switch to an order-insensitive
+    // pick or the Jaccard verdicts below become nondeterministic
     val cand = trainBuckets.join(broadcast(evalBuckets), Seq("band", "bucket"))
       .groupBy("tid", "eid").agg(first(col("tsh")).as("tsh"))
     cand
@@ -1857,50 +1861,61 @@ object TextOps {
     * length-gap lower bound (|len₁−len₂| ≤ dist, so a pair whose length
     * gap already exceeds the 25% budget can never pass). Both filters are
     * semantics-preserving; the 10× spot-bench dropped 15.7s → ~2s. */
+  /** Scored candidate pairs (id1, id2, dist, max_len) for
+    * [[editDistancePairs]], PRE-checkpoint — exposed so PlanSpec can
+    * assert the real candidate-generation plan (the query itself
+    * localCheckpoints, which reduces its executedPlan to a Scan
+    * ExistingRDD and would make any assertion on it vacuous).
+    *
+    * The DP stage is compute-bound, not size-bound, and the planner
+    * works against it twice: AQE's size-based coalescing packs the
+    * (few-KB but ms-per-row) surviving pairs into ONE partition, and
+    * Project/Filter collapse re-inlines the levenshtein CASE into every
+    * consumer conjunct (~3 DP evaluations per pair — cross-operator
+    * subexpression elimination does not exist). Computing `dist` HERE,
+    * above the explicit candidate-keyed repartition, and materializing
+    * the result behind the caller's checkpoint fixes both: the DP runs
+    * exactly once per candidate, spread across the repartitioned stage,
+    * and the post-checkpoint filter reads the materialized column.
+    * Candidate-proportional materialization, same justification as
+    * [[minhashSignatures]]. Measured 10.9s → 0.7s at the 10×
+    * spot-bench. */
+  private[graft] def editDistanceScored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
+    val buckets = sigs.select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val txt = d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    cand
+      .join(txt.as("t1"), col("id1") === col("t1.doc_id"))
+      .join(txt.as("t2"), col("id2") === col("t2.doc_id"))
+      .withColumn("l1", length(col("t1.text")).cast("long"))
+      .withColumn("l2", length(col("t2.text")).cast("long"))
+      .withColumn("max_len", greatest(col("l1"), col("l2")))
+      .filter(abs(col("l1") - col("l2")) * 4 <= col("max_len"))
+      .select(col("id1"), col("id2"),
+        col("t1.text").as("x"), col("t2.text").as("y"), col("max_len"))
+      .repartition(s.sparkContext.defaultParallelism, col("id1"), col("id2"))
+      .withColumn("dist",
+        when(col("x") === col("y"), 0L)
+          // banded DP: the threshold form is O(k·n) not O(n·m), and
+          // returns -1 past the budget — dist ≤ ⌊max_len/4⌋ is exactly
+          // the dist·4 ≤ max_len acceptance below, so no pair changes
+          .otherwise(expr("levenshtein(x, y, CAST(max_len div 4 AS INT))").cast("long")))
+      .select("id1", "id2", "dist", "max_len")
+  }
+
   private val editDistancePairs = QueryDef(
     "edit_distance_pairs",
     (s, dir) => {
-      val d = docs(s, dir)
-      val sigs = minhashSignatures(d.select("doc_id", "text"), bands = 4, rowsPerBand = 2)
-      val buckets = sigs.select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-      val cand = buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .dropDuplicates("id1", "id2")
-      val txt = d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      // The DP stage is compute-bound, not size-bound, and the planner
-      // works against it twice: AQE's size-based coalescing packs the
-      // (few-KB but ms-per-row) surviving pairs into ONE partition, and
-      // predicate pushdown folds the dist filter INTO the join condition,
-      // where the levenshtein CASE evaluates up to 3× per candidate BELOW
-      // any repartition. The checkpoint is the barrier that fixes both:
-      // it pins the explicit candidate-keyed spread (a bare
-      // repartition(cols) is AQE-coalescible) and keeps the DP above the
-      // join. Candidate-proportional materialization, same justification
-      // as [[minhashSignatures]]. Measured 10.9s → 0.7s at the 10×
-      // spot-bench.
-      val pairs = cand
-        .join(txt.as("t1"), col("id1") === col("t1.doc_id"))
-        .join(txt.as("t2"), col("id2") === col("t2.doc_id"))
-        .withColumn("l1", length(col("t1.text")).cast("long"))
-        .withColumn("l2", length(col("t2.text")).cast("long"))
-        .withColumn("max_len", greatest(col("l1"), col("l2")))
-        .filter(abs(col("l1") - col("l2")) * 4 <= col("max_len"))
-        .select(col("id1"), col("id2"),
-          col("t1.text").as("x"), col("t2.text").as("y"), col("max_len"))
-        .repartition(s.sparkContext.defaultParallelism, col("id1"), col("id2"))
+      editDistanceScored(s, dir)
         .localCheckpoint()
-      pairs
-        .withColumn("dist",
-          when(col("x") === col("y"), 0L)
-            // banded DP: the threshold form is O(k·n) not O(n·m), and
-            // returns -1 past the budget — dist ≤ ⌊max_len/4⌋ is exactly
-            // the dist·4 ≤ max_len acceptance below, so no pair changes
-            .otherwise(expr("levenshtein(x, y, CAST(max_len div 4 AS INT))").cast("long")))
         .filter(col("dist") >= 0L && col("dist") * 4 <= col("max_len"))
-        .select("id1", "id2", "dist", "max_len")
         .orderBy("id1", "id2")
     },
     Some("""WITH ts AS (

@@ -379,9 +379,27 @@ class PlanSpec extends SparkSpec
   }
 
   test("edit_distance_pairs generates candidates by bucket join — never all-pairs") {
-    val plan = planOf("edit_distance_pairs")
+    // the registered query localCheckpoints (its executedPlan is just a
+    // Scan ExistingRDD — asserting on it would be vacuous AND would
+    // execute the whole job); assert on the pre-checkpoint scored plan
+    val qe = graft.operators.TextOps.editDistanceScored(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation degenerated to all-pairs:\n${plan.take(3000)}")
+    // the levenshtein DP must sit ABOVE the explicit candidate-keyed
+    // repartition (below it = evaluated in the join stage, where AQE
+    // coalescing can pack the compute-dense rows into one partition)
+    val lines = plan.linesIterator.toSeq
+    val dpIdx = lines.indexWhere(_.contains("levenshtein"))
+    val exIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("id1"))
+    assert(dpIdx >= 0 && exIdx >= 0 && dpIdx < exIdx,
+      s"levenshtein projection not above the candidate repartition (dp@$dpIdx ex@$exIdx):\n${plan.take(3000)}")
+    // exactly one DP site: Project/Filter collapse used to re-inline the
+    // CASE ~3× (filter conjuncts + projection) — the materialize-behind-
+    // checkpoint restructure pins it to one
+    val dpCount = lines.count(_.contains("levenshtein"))
+    assert(dpCount == 1, s"expected 1 levenshtein site, got $dpCount:\n${plan.take(3000)}")
   }
 
   test("minhash_decontaminate broadcasts the eval side; train signatures never wide-join") {
