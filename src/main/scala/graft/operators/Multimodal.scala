@@ -215,5 +215,107 @@ object Multimodal {
             ORDER BY v.doc_id"""),
   )
 
-  val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats, frameSample)
+  /** Perceptual average-hash (aHash) of a binary image payload: split the
+    * bytes into 32 equal block ranges (boundaries ⌊b·n/32⌋), set bit b iff
+    * the block's mean byte exceeds the whole-payload mean. The compare is
+    * integer cross-multiplied (`blockSum·n > totalSum·blockLen`) so both
+    * engines decide every bit exactly — no float means. Byte-addressed in
+    * a partition-wise kernel, the same adapter shape as [[decodeImages]]
+    * (a real pHash would DCT a decoded bitmap here; the blocking/banding
+    * plumbing around it is identical). Empty payload → signature 0. */
+  def averageHash(images: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val n = bytes.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += bytes(i) & 0xff; i += 1 }
+        var sig = 0L
+        var b = 0
+        while (b < 32) {
+          val lo = b * n / 32
+          val hi = (b + 1) * n / 32
+          var bs = 0L
+          var j = lo
+          while (j < hi) { bs += bytes(j) & 0xff; j += 1 }
+          if (bs * n > total * (hi - lo)) sig |= 1L << b
+          b += 1
+        }
+        (id, sig)
+      }
+    }.toDF("doc_id", "sig")
+  }
+
+  /** Perceptual near-duplicate detection for the image modality — the
+    * multimodal member of the near-dup family (text: `simhash_dedup` /
+    * `minhash_dedup`; embeddings: `embed_near_dup`). A re-encoded or
+    * lightly-retouched image keeps its block-brightness profile, so its
+    * aHash lands within a few bits of the original; exact-byte dedup
+    * misses it entirely.
+    *
+    * Scale shape (identical to `simhash_dedup`, which this mirrors bit
+    * for band): one narrow kernel pass computes 32-bit signatures, the
+    * 8-bit banded self-join proposes candidates (hamming ≤ 3 guarantees
+    * ≥ 1 clean band of 4 — no recall loss), and the bit_count verify
+    * touches only band collisions — never all-pairs. At 100 TB the
+    * signature table is 12 bytes/image; the band join shuffles keys,
+    * not payloads. */
+  private val phashNearDup = QueryDef(
+    "multimodal_phash_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "utf-8"))
+        .as[(Long, Array[Byte])]
+      val sigs = averageHash(imgs)
+      val bands = sigs.select(col("doc_id"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr("shiftright(sig, band * 8) & 255"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.sig").as("s1"), col("b.sig").as("s2"))
+        .dropDuplicates("id1", "id2")
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH d AS (SELECT doc_id, length(text) AS n,
+                       list_transform(string_split_regex(text, ''), c -> ascii(c)) AS a
+                       FROM documents),
+            tot AS (SELECT doc_id, n, a, coalesce(list_sum(a), 0) AS s FROM d),
+            blk AS (SELECT doc_id, n, s, b,
+                           (b*n)//32 AS lo, ((b+1)*n)//32 AS hi,
+                           coalesce(list_sum(a[(b*n)//32 + 1 : ((b+1)*n)//32]), 0) AS bs
+                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb),
+            sig AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN bs * n > s * (hi - lo)
+                                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+                    FROM blk GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+              FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM sig a JOIN sig b ON ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255) AND a.doc_id < b.doc_id)
+            SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                   CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+            ORDER BY id1, id2"""),
+  )
+
+  val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats, frameSample,
+    phashNearDup)
 }

@@ -805,8 +805,120 @@ object PipelineOps {
             FROM fl GROUP BY source ORDER BY source"""),
   )
 
+  /** Incremental curation — the batch-over-existing-state shape a
+    * production pipeline runs nightly: a NEW crawl slice (doc_id % 10 ≥ 8,
+    * plus a re-crawled overlap, doc_id % 25 = 0) is curated against the
+    * STANDING state built from the already-ingested corpus (doc_id % 10
+    * < 8): its exact-fingerprint index and the benchmark n-gram index.
+    * Composes the green parts end-to-end — `pretraining_pipeline`'s
+    * integer quality gate, `dedup_incremental`'s index anti-join,
+    * `decontaminate_ngrams`' broadcast probe, the md5 deterministic
+    * sample — as slice-row FLAGS in one funnel, so each source's
+    * attrition (slice → quality → fresh-vs-index → in-slice dedup →
+    * clean → sampled) reconciles row-for-row.
+    *
+    * Scale shape: the slice is scanned once and every per-doc flag is a
+    * narrow projection on that scan; the only wide ops the slice pays are
+    * the fp anti-probe (hash on fp — at 100 TB the standing index is the
+    * big side and partitions by fp, the nightly slice is the small side),
+    * one text-keyed window for in-slice dedup, and the final per-source
+    * rollup. The benchmark n-gram set stays BROADCAST exactly as in
+    * `decontaminate_ngrams` — the slice never wide-shuffles its grams. */
+  private val curationIncremental = QueryDef(
+    "curation_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val existingFp = d
+        .filter(col("doc_id") % 10 < 8 && col("source") =!= "src0")
+        .select(md5(col("text")).as("fp")).distinct()
+      val slice = d
+        .filter((col("doc_id") % 10 >= 8 || col("doc_id") % 25 === 0) &&
+          col("source") =!= "src0")
+        .selectExpr("doc_id", "source", "text", "md5(text) AS fp",
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+          "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr("doc_id", "source", "text", "fp", "nw",
+          """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
+             - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
+             AS score""")
+        .withColumn("q", (col("score") >= 400L).cast("long"))
+      val fresh = slice
+        .join(existingFp.withColumn("hit", lit(1L)), Seq("fp"), "left")
+        .withColumn("fr", when(col("q") === 1L && col("hit").isNull, 1L).otherwise(0L))
+      val deduped = fresh.withColumn("keep_id",
+          min(when(col("fr") === 1L, col("doc_id"))).over(Window.partitionBy("text")))
+        .withColumn("dd",
+          when(col("fr") === 1L && col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+      val flagged = deduped
+        .join(ngramContaminationHits(s, dir).select(col("doc_id"), lit(1L).as("contam")),
+          Seq("doc_id"), "left")
+        .withColumn("cl", when(col("dd") === 1L && col("contam").isNull, 1L).otherwise(0L))
+        .withColumn("sp", when(col("cl") === 1L &&
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) =!= "0",
+          1L).otherwise(0L))
+      flagged
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_slice"),
+          sum(col("q")).as("n_quality"),
+          sum(col("fr")).as("n_fresh"),
+          sum(col("dd")).as("n_dedup"),
+          sum(col("cl")).as("n_clean"),
+          sum(col("sp")).as("n_sampled"),
+          sum(when(col("sp") === 1L, col("nw")).otherwise(0L)).as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, source, text, md5(text) AS fp,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                     CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+              FROM documents WHERE source <> 'src0'),
+            existing AS (SELECT DISTINCT fp FROM base WHERE doc_id % 10 < 8),
+            sc AS (
+              SELECT doc_id, source, text, fp, nw,
+                     500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) // nw ELSE 0 END)
+                       - abs((CASE WHEN nw > 0 THEN (letters * 1000) // nw ELSE 0 END) - 4000) // 4
+                       AS score
+              FROM base WHERE doc_id % 10 >= 8 OR doc_id % 25 = 0),
+            q AS (SELECT *, CASE WHEN score >= 400 THEN 1 ELSE 0 END AS q FROM sc),
+            fr AS (SELECT q.*, CASE WHEN q.q = 1 AND e.fp IS NULL THEN 1 ELSE 0 END AS fr
+                   FROM q LEFT JOIN existing e ON e.fp = q.fp),
+            dd0 AS (SELECT *,
+                      min(CASE WHEN fr = 1 THEN doc_id END) OVER (PARTITION BY text) AS keep_id
+                    FROM fr),
+            dflag AS (SELECT *, CASE WHEN fr = 1 AND doc_id = keep_id THEN 1 ELSE 0 END AS dd
+                      FROM dd0),
+            toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+            contam AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+                       WHERE gr.source <> 'src0'),
+            fl AS (SELECT d.*,
+                     CASE WHEN d.dd = 1 AND c.doc_id IS NULL THEN 1 ELSE 0 END AS cl,
+                     CASE WHEN d.dd = 1 AND c.doc_id IS NULL AND
+                          substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+                          THEN 1 ELSE 0 END AS sp
+                   FROM dflag d LEFT JOIN contam c ON c.doc_id = d.doc_id)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_slice,
+                   CAST(sum(q) AS BIGINT) AS n_quality,
+                   CAST(sum(fr) AS BIGINT) AS n_fresh,
+                   CAST(sum(dd) AS BIGINT) AS n_dedup,
+                   CAST(sum(cl) AS BIGINT) AS n_clean,
+                   CAST(sum(sp) AS BIGINT) AS n_sampled,
+                   CAST(sum(CASE WHEN sp = 1 THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM fl GROUP BY source ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks,
-      urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline)
+      urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline,
+      curationIncremental)
 }

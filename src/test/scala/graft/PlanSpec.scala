@@ -402,6 +402,25 @@ class PlanSpec extends SparkSpec
     assert(dpCount == 1, s"expected 1 levenshtein site, got $dpCount:\n${plan.take(3000)}")
   }
 
+  test("curation_incremental broadcasts the benchmark grams; slice grams never wide-join") {
+    val plan = planOf("curation_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel degenerated to a nested-loop join:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark n-gram probe is not a broadcast hash join:\n${plan.take(3000)}")
+    // the slice's gram stream must not shuffle through a SortMergeJoin —
+    // the bench side is tiny by construction and must stay broadcast
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(!smjLines.exists(_.contains("g#")),
+      s"gram stream shuffled through a SortMergeJoin:\n${smjLines.mkString("\n")}")
+  }
+
+  test("multimodal_phash_near_dup verifies only band collisions — never all-pairs") {
+    val plan = planOf("multimodal_phash_near_dup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to all-pairs:\n${plan.take(3000)}")
+  }
+
   test("minhash_decontaminate broadcasts the eval side; train signatures never wide-join") {
     val plan = planOf("minhash_decontaminate")
     val bcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
