@@ -106,6 +106,38 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.read().count() == 390)
   }
 
+  test("selective UPDATE's touched-file discovery reads only stat-surviving files") {
+    val t = mkTable("dmlupd")
+    // count records read by every Spark task during the update: with
+    // manifest pruning the discovery scan reads ONE 100-row file (plus the
+    // hit file's rewrite reads) — without it, discovery alone reads all
+    // 400 rows and the total crosses 450
+    @volatile var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) records += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.update(col("id") === 150L, Map("amount" -> lit(-1.0)))
+      // listener events are posted asynchronously — poll to quiescence
+      var last = -1L
+      var spins = 0
+      while (records != last && spins < 50) {
+        last = records; Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(records > 0, "listener saw no input records")
+    assert(records < 450,
+      s"update read $records records — discovery scan is not manifest-pruned " +
+        "(a full-table discovery alone reads 400)")
+    // rewrite granularity: exactly the one admitted file was rewritten
+    val note = t.meta.metadataLog.last.note
+    assert(note.contains("rewrote 1 files"), s"unexpected commit note: $note")
+    assert(t.read().filter(col("amount") === -1.0).count() == 1)
+    assert(t.read().count() == 400)
+  }
+
   test("declared sort order range-clusters writes so the sort key prunes files") {
     val loc = Files.createTempDirectory("skip_sorted").toString + "/t"
     // k = id*37 mod 4000 is a bijection on [0,4000): arrival order is fully
