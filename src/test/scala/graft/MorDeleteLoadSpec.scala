@@ -1,0 +1,151 @@
+package graft.icelite
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MoR under HIGH delete-file counts — the load half of the O(delete-files)
+  * DeleteIndex claim (MorIndexSpec proves the mechanism; this proves it at
+  * ~1k accumulated position-delete files plus a 64-file equality-delete
+  * staircase, the densities a long-unmaintained CDC table reaches).
+  *
+  * The snapshot is FORGED through the commit store (same seam the engine
+  * uses) rather than via 1k real commits, so the spec runs in seconds while
+  * the read path exercises exactly the production shapes: a broadcast
+  * DeleteIndex of 1k paths with executor-side per-data-file probes, and the
+  * chained broadcast anti-joins of the eq staircase. Assertions are
+  * row-exact against an independently reconstructed (file, pos, id)
+  * lineage; timings are printed for COVERAGE.md's disposition, not
+  * asserted (boxes vary — correctness and shape must not).
+  *
+  * Disposition this spec backs: high POS-file counts stay read-correct and
+  * probe-bounded (each data file's mask loads once per executor, pushed
+  * predicate per delete parquet); high EQ-file counts grow the PLAN (one
+  * anti-join per file) — the maintenance answer is delete-file
+  * materialization, which `compact()` performs (asserted last).
+  */
+class MorDeleteLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("~1k position delete files + eq staircase: exact reads, compaction materializes and clears") {
+    val loc = Files.createTempDirectory("mor_load").toString + "/t"
+    val n = 20000L
+    val df = spark.range(0, n).toDF("id").withColumn("v", col("id") * 3)
+    val t = IceLite.createFrom(spark, loc, df)
+    t.append(df)
+    val (v1, m1) = (t.currentVersion, t.meta)
+    val snap1 = m1.currentSnapshot.get
+
+    // independent lineage: (file_path as the scan renders it, pos, id)
+    val lineage = spark.read.parquet(snap1.dataFiles.map(_.path): _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("f1").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(lineage.length == n)
+
+    // ---- forge ~1k position delete files masking pos % 8 == 7 ----
+    val posDeleted = lineage.filter(_._2 % 8 == 7)
+    val delDir = loc + "/deletes/bulk"
+    posDeleted.toSeq.zipWithIndex
+      .map { case ((f, p, _), i) => (f, p, i % 1000) }
+      .toDF("file_path", "pos", "g")
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.partitionBy("g").parquet(delDir)
+    def listParquet(dir: String): Seq[Path] = {
+      val it = IceLite.fs(spark, loc).listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s.getPath
+      }
+      buf.toSeq
+    }
+    val delFiles = listParquet(delDir)
+      .map(p => DeleteFile(p.toString, 0L, kind = "pos", seq = 2L))
+    assert(delFiles.size >= 900, s"wanted ~1k delete files, got ${delFiles.size}")
+
+    def forgeCommit(note: String)(f: (TableMetadata, Snapshot) => Snapshot): Unit = {
+      val (v, m) = (t.currentVersion, t.meta)
+      val cur = m.currentSnapshot.get
+      val ns = f(m, cur)
+      val next = m.copy(currentSnapshotId = Some(ns.id), snapshots = m.snapshots :+ ns,
+        metadataLog = m.metadataLog :+
+          MetadataLogEntry(v + 1, System.currentTimeMillis(), note))
+      t.store.createExclusive(new Path(loc, s"metadata/v${v + 1}.json"), MetaJson.toJson(next))
+      IceLite.swapHintForward(t.store, new Path(loc, s"metadata/${IceLite.HINT}"), v + 1)
+    }
+    forgeCommit(s"forged ${delFiles.size} pos delete files") { (m, cur) =>
+      Snapshot(cur.id + 1, Some(cur.id), System.currentTimeMillis(), "delete",
+        cur.dataFiles, cur.deleteFiles ++ delFiles, m.currentSchemaId)
+    }
+
+    val expectedAfterPos = lineage.filterNot(_._2 % 8 == 7).map(_._3).toSet
+    val t2 = IceLite.load(spark, loc)
+    val t0 = System.nanoTime()
+    val gotPos = t2.read().select("id").as[Long].collect().toSet
+    val posReadSec = (System.nanoTime() - t0) / 1e9
+    assert(gotPos == expectedAfterPos,
+      s"pos-masked read wrong: ${gotPos.size} vs ${expectedAfterPos.size}")
+
+    // per-data-file probe: the broadcast payload is paths only. The index
+    // id is content-addressed (same path set → same id), so this probe
+    // hits the executor-wide memo the read above populated — a ~0s time
+    // here IS the "load once per executor, not once per task" claim; the
+    // cold cost is inside posReadSec (each data file's first task walks
+    // all delete parquets with a pushed file_path predicate)
+    val idx = DeleteIndex.build(delFiles.map(_.path), spark)
+    val probeFile = lineage.head._1
+    val t1 = System.nanoTime()
+    val positions = idx.positionsFor(org.apache.spark.unsafe.types.UTF8String.fromString(probeFile))
+    val probeSec = (System.nanoTime() - t1) / 1e9
+    val expectedPositions = posDeleted.filter(_._1 == probeFile).map(_._2).sorted
+    assert(positions.toSeq == expectedPositions.toSeq, "probe merged the wrong mask")
+
+    // ---- forge a 64-file equality-delete staircase on ids 1..128 ----
+    val eqField = m1.currentSchema.fieldByName("id")
+    val eqDir = loc + "/deletes/eq_bulk"
+    (1L to 128L).map(i => (i, i % 64)).toDF(eqField.physName, "g")
+      .coalesce(1)
+      .write.partitionBy("g").parquet(eqDir)
+    val eqFiles = listParquet(eqDir)
+      .map(p => DeleteFile(p.toString, 2L, kind = "eq",
+        eqFieldIds = Seq(eqField.id), seq = 3L))
+    assert(eqFiles.size >= 60, s"wanted 64 eq delete files, got ${eqFiles.size}")
+    forgeCommit(s"forged ${eqFiles.size} eq delete files") { (m, cur) =>
+      Snapshot(cur.id + 1, Some(cur.id), System.currentTimeMillis(), "delete",
+        cur.dataFiles, cur.deleteFiles ++ eqFiles, m.currentSchemaId)
+    }
+
+    val expectedAfterEq = expectedAfterPos -- (1L to 128L)
+    val t3 = IceLite.load(spark, loc)
+    val t2n = System.nanoTime()
+    val gotEq = t3.read().select("id").as[Long].collect().toSet
+    val eqReadSec = (System.nanoTime() - t2n) / 1e9
+    assert(gotEq == expectedAfterEq,
+      s"eq-staircase read wrong: ${gotEq.size} vs ${expectedAfterEq.size}")
+
+    // ---- maintenance answer: compaction materializes and clears ----
+    val t4n = System.nanoTime()
+    t3.compact(4)
+    val compactSec = (System.nanoTime() - t4n) / 1e9
+    val after = IceLite.load(spark, loc)
+    val snapC = after.meta.currentSnapshot.get
+    assert(snapC.deleteFiles.isEmpty, "compaction must clear ALL delete files")
+    assert(after.read().select("id").as[Long].collect().toSet == expectedAfterEq,
+      "compaction changed visible content")
+    val t5n = System.nanoTime()
+    after.read().count()
+    val cleanReadSec = (System.nanoTime() - t5n) / 1e9
+
+    info(f"pos-masked read (${delFiles.size} delete files): $posReadSec%.2fs")
+    info(f"memoized one-file re-probe (content-addressed index id): $probeSec%.2fs")
+    info(f"eq-staircase read (${eqFiles.size} chained anti-joins): $eqReadSec%.2fs")
+    info(f"compaction (materialize + clear): $compactSec%.2fs; clean read after: $cleanReadSec%.2fs")
+    println(f"[mor-load] pos_read=$posReadSec%.2f probe=$probeSec%.2f " +
+      f"eq_read=$eqReadSec%.2f compact=$compactSec%.2f clean_read=$cleanReadSec%.2f " +
+      f"n_pos_files=${delFiles.size} n_eq_files=${eqFiles.size}")
+  }
+}
