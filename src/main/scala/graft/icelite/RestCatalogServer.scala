@@ -64,14 +64,24 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
 
         case ("POST", List("namespaces")) =>
           val body = M.readTree(ex.getRequestBody)
-          val ns = body.get("namespace").elements().asScala.map(_.asText()).mkString(".")
-          cat.createNamespace(ns)
-          json(ex, 200, M.writeValueAsString(M.createObjectNode()
-            .set[com.fasterxml.jackson.databind.node.ObjectNode](
-              "namespace", M.createArrayNode().add(ns))))
+          if (body == null || body.get("namespace") == null)
+            error(ex, 400, "BadRequestException", "missing field: namespace")
+          else {
+            val ns = body.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+            // Iceberg REST spec: creating an existing namespace is 409
+            if (cat.listNamespaces().contains(ns))
+              error(ex, 409, "AlreadyExistsException", s"namespace $ns already exists")
+            else {
+              cat.createNamespace(ns)
+              json(ex, 200, M.writeValueAsString(M.createObjectNode()
+                .set[com.fasterxml.jackson.databind.node.ObjectNode](
+                  "namespace", M.createArrayNode().add(ns))))
+            }
+          }
 
         case ("GET", List("namespaces", ns)) =>
-          if (!cat.listNamespaces().contains(ns)) error(ex, 404, s"namespace $ns not found")
+          if (!cat.listNamespaces().contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
           else {
             val root = M.createObjectNode()
             root.putArray("namespace").add(ns)
@@ -80,35 +90,56 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
           }
 
         case ("GET", List("namespaces", ns, "tables")) =>
-          val root = M.createObjectNode()
-          val arr = root.putArray("identifiers")
-          cat.listTables(ns).foreach { t =>
-            val id = arr.addObject()
-            id.putArray("namespace").add(ns)
-            id.put("name", t)
+          // listing under a missing namespace is 404, not an empty list —
+          // the Iceberg REST spec distinguishes "empty" from "absent"
+          if (!cat.listNamespaces().contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+          else {
+            val root = M.createObjectNode()
+            val arr = root.putArray("identifiers")
+            cat.listTables(ns).foreach { t =>
+              val id = arr.addObject()
+              id.putArray("namespace").add(ns)
+              id.put("name", t)
+            }
+            json(ex, 200, M.writeValueAsString(root))
           }
-          json(ex, 200, M.writeValueAsString(root))
 
         case ("POST", List("namespaces", ns, "tables")) =>
           val body = M.readTree(ex.getRequestBody)
-          val name = body.get("name").asText()
-          val schema = body.get("schema").elements().asScala.toSeq
-            .map(f => f.get("name").asText() -> f.get("type").asText())
-          cat.createTable(ns, name, schema)
-          json(ex, 200, loadTableJson(ns, name))
+          if (body == null || body.get("name") == null || body.get("schema") == null)
+            error(ex, 400, "BadRequestException", "missing field: name or schema")
+          else if (!cat.listNamespaces().contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+          else {
+            val name = body.get("name").asText()
+            if (cat.listTables(ns).contains(name))
+              error(ex, 409, "AlreadyExistsException", s"table $ns.$name already exists")
+            else {
+              val schema = body.get("schema").elements().asScala.toSeq
+                .map(f => f.get("name").asText() -> f.get("type").asText())
+              cat.createTable(ns, name, schema)
+              json(ex, 200, loadTableJson(ns, name))
+            }
+          }
 
         case ("GET", List("namespaces", ns, "tables", t)) =>
-          if (!cat.listTables(ns).contains(t)) error(ex, 404, s"table $ns.$t not found")
+          if (!cat.listTables(ns).contains(t))
+            error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
           else json(ex, 200, loadTableJson(ns, t))
 
         case ("DELETE", List("namespaces", ns, "tables", t)) =>
-          if (!cat.listTables(ns).contains(t)) error(ex, 404, s"table $ns.$t not found")
+          if (!cat.listTables(ns).contains(t))
+            error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
           else { cat.dropTable(ns, t); ex.sendResponseHeaders(204, -1); ex.close() }
 
-        case _ => error(ex, 404, s"no route: $method /v1/${parts.mkString("/")}")
+        case _ => error(ex, 404, "NoSuchRouteException", s"no route: $method /v1/${parts.mkString("/")}")
       }
     } catch {
-      case e: Exception => error(ex, 500, String.valueOf(e.getMessage))
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        error(ex, 400, "BadRequestException", String.valueOf(e.getMessage))
+      case e: Exception =>
+        error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     }
 
   /** LoadTableResponse analog: metadata-location + full metadata doc. */
@@ -130,6 +161,13 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     ex.close()
   }
 
-  private def error(ex: HttpExchange, code: Int, msg: String): Unit =
-    json(ex, code, M.writeValueAsString(M.createObjectNode().put("error", msg)))
+  /** Iceberg REST spec ErrorModel: {"error": {message, type, code}} — a
+    * client can dispatch on `type` (NoSuchTableException vs
+    * AlreadyExistsException) without parsing prose. */
+  private def error(ex: HttpExchange, code: Int, errType: String, msg: String): Unit = {
+    val root = M.createObjectNode()
+    val e = root.putObject("error")
+    e.put("message", msg); e.put("type", errType); e.put("code", code)
+    json(ex, code, M.writeValueAsString(root))
+  }
 }

@@ -80,4 +80,48 @@ class RestCatalogSpec extends SparkSpec {
       assert(cat.listTables("analytics").isEmpty)
     } finally srv.stop()
   }
+
+  test("error paths conform to the Iceberg REST spec: 409 on exists, 404 on absent parents, 400 on bad bodies, typed error model") {
+    val wh = Files.createTempDirectory("rest_err_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "t1", Seq("id" -> "BIGINT"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    def errorOf(r: HttpResponse[String]) = M.readTree(r.body()).get("error")
+    try {
+      // 409 AlreadyExists: namespace, then table
+      val dupNs = post(s"$base/namespaces", """{"namespace": ["db"]}""")
+      assert(dupNs.statusCode() == 409)
+      assert(errorOf(dupNs).get("type").asText() == "AlreadyExistsException")
+      assert(errorOf(dupNs).get("code").asInt() == 409)
+      val dupTbl = post(s"$base/namespaces/db/tables",
+        """{"name": "t1", "schema": [{"name": "id", "type": "BIGINT"}]}""")
+      assert(dupTbl.statusCode() == 409)
+      assert(errorOf(dupTbl).get("type").asText() == "AlreadyExistsException")
+      // ...and the table was NOT clobbered
+      assert(cat.loadTable("db", "t1").currentVersion == 1)
+
+      // 404 NoSuchNamespace: create-table into and list under a ghost ns
+      val ghostCreate = post(s"$base/namespaces/ghost/tables",
+        """{"name": "x", "schema": [{"name": "id", "type": "BIGINT"}]}""")
+      assert(ghostCreate.statusCode() == 404)
+      assert(errorOf(ghostCreate).get("type").asText() == "NoSuchNamespaceException")
+      val ghostList = get(s"$base/namespaces/ghost/tables")
+      assert(ghostList.statusCode() == 404,
+        "listing under an absent namespace must be 404, not an empty 200")
+
+      // 404 NoSuchTable carries the typed model too
+      val noTbl = get(s"$base/namespaces/db/tables/nope")
+      assert(noTbl.statusCode() == 404)
+      assert(errorOf(noTbl).get("type").asText() == "NoSuchTableException")
+
+      // 400 BadRequest: malformed JSON and missing required fields
+      assert(post(s"$base/namespaces", "{not json").statusCode() == 400)
+      val missing = post(s"$base/namespaces", """{"wrong": 1}""")
+      assert(missing.statusCode() == 400)
+      assert(errorOf(missing).get("type").asText() == "BadRequestException")
+      assert(post(s"$base/namespaces/db/tables", """{"name": "x"}""").statusCode() == 400)
+    } finally srv.stop()
+  }
 }

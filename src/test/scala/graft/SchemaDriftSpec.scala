@@ -96,6 +96,31 @@ class SchemaDriftSpec extends SparkSpec {
     assertIntegral("lineitem", "l_linenumber", "quantile sketch hashes (orderkey, linenumber)")
   }
 
+  test("every remaining oracle-typed column holds (round-10 full-enumeration sweep)") {
+    // join/group keys the oracle SQL compares or sums — integral
+    assertIntegral("orders", "o_custkey", "join_top_customers groups on it")
+    assertIntegral("lineitem", "l_orderkey", "pricing joins / quantile hash keys")
+    assertIntegral("lineitem", "l_partkey", "star-join extensions")
+    assertIntegral("lineitem", "l_suppkey", "star-join extensions")
+    assertIntegral("embeddings", "label", "embed_kmeans / quantize group on it")
+    // money-like doubles the Exact decimal-sum machinery casts from
+    assertType("customer", "c_acctbal", Set(DoubleType),
+      "join_segment_priority Exact-sums it")
+    assertType("lineitem", "l_discount", Set(DoubleType),
+      "pricing_summary disc_price = price*(1-disc) in scaled-integer space")
+    assertType("lineitem", "l_tax", Set(DoubleType),
+      "pricing_summary charge term")
+    // string group keys / flags the oracles GROUP BY or filter on
+    assertType("region", "r_name", Set(StringType), "join_revenue_by_nation filters EUROPE")
+    assertType("nation", "n_name", Set(StringType), "revenue rollup group key")
+    assertType("customer", "c_name", Set(StringType), "top-customer output column")
+    assertType("customer", "c_mktsegment", Set(StringType), "join_segment_priority group key")
+    assertType("orders", "o_orderstatus", Set(StringType), "status CASE projections")
+    assertType("orders", "o_orderpriority", Set(StringType), "segment-priority group key")
+    assertType("lineitem", "l_returnflag", Set(StringType), "pricing_summary group key")
+    assertType("lineitem", "l_linestatus", Set(StringType), "pricing_summary group key")
+  }
+
   test("tpch dimension keys hold") {
     assertIntegral("region", "r_regionkey", "star joins")
     assertIntegral("nation", "n_nationkey", "star joins")
