@@ -51,48 +51,12 @@ object Bench {
     "minhash_decontaminate", "rare_bigram_rate", "edit_distance_pairs",
     "gopher_quality_rules")
 
-  /** Deterministic 10× scale-up of the tables the heavy queries read,
-    * cached under /tmp (no driver-generated sf1 parquet exists). Copy i
-    * interleaves ids (`id*10+i`, so bounded `doc_id < N` probe sets keep
-    * covering every copy) and prefixes copy>0 document tokens — near-dup
-    * structure is preserved WITHIN each copy but never across copies, so
-    * dedup work scales ~10×, not quadratically in identical clones.
-    * Embedding copies get a deterministic per-copy rotation of the vector
-    * (element roll by i positions) so ANN/k-means see 10× distinct
-    * vectors, not 10 identical shells. */
-  private def ensureSf1(spark: SparkSession, base: String): String = {
-    import org.apache.spark.sql.functions._
-    val out = "/tmp/graft_sf1"
-    // versioned marker: a stale cache from a build that generated fewer
-    // tables must not short-circuit (lineitem joined the set in r8)
-    val ready = new java.io.File(out + "/_READY_v3")
-    if (ready.exists) return out
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until 10).map { i =>
-      val d = docs.withColumn("doc_id", col("doc_id") * 10 + i)
-      if (i == 0) d
-      else d.withColumn("text", array_join(
-        transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
-    }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val orders = spark.read.parquet(s"$base/orders.parquet")
-    (0 until 10).map(i => orders.withColumn("o_orderkey", col("o_orderkey") * 10 + i))
-      .reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/orders.parquet")
-    // lineitem: interleaved orderkeys keep (l_orderkey, l_linenumber)
-    // unique across copies; value columns untouched, so per-group quantile
-    // work scales 10× in rows, not in group count
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    (0 until 10).map(i => li.withColumn("l_orderkey", col("l_orderkey") * 10 + i))
-      .reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    (0 until 10).map { i =>
-      val e = emb.withColumn("vec_id", col("vec_id") * 10 + i)
-      if (i == 0) e
-      else e.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
-    }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    ready.createNewFile()
-    out
-  }
+  /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
+    * parquet exists) — now generates the FULL table set so the complete
+    * registry can be validated at 10× (see [[graft.tools.ScaleUp]] for the
+    * scaling scheme). */
+  private def ensureSf1(spark: SparkSession, base: String): String =
+    graft.tools.ScaleUp.ensure(spark, base)
 
   def main(args: Array[String]): Unit = {
     val sf1Mode = args.headOption.contains("sf1")
@@ -109,8 +73,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = if (sf1Mode) ensureSf1(spark, baseDir) else baseDir
 
-    // untimed warmup (the synthetic sf1 dir holds only the tables the
-    // heavy queries read — warm what exists)
+    // untimed warmup — warm whichever tables exist in the target dir
     try {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")

@@ -19,8 +19,12 @@ class OperatorSmokeSpec extends SparkSpec {
     test(s"${d.name} runs on sf0.001") {
       val df = d.fn(spark, sf)
       val n = df.count()
-      // point lookups may legitimately return few rows; everything else >0
-      if (d.name != "jaccard_pairs" && d.name != "minhash_dedup")
+      // pair-finding ops may legitimately find no pairs in the tiny
+      // sf0.001 corpus (the oracle still cross-checks the empty result);
+      // everything else >0
+      val mayBeEmpty = Set("jaccard_pairs", "minhash_dedup",
+        "multimodal_phash_near_dup")
+      if (!mayBeEmpty(d.name))
         assert(n > 0, s"${d.name} returned 0 rows")
       assert(df.columns.nonEmpty)
     }
