@@ -216,13 +216,19 @@ object Multimodal {
   )
 
   /** Perceptual average-hash (aHash) of a binary image payload: split the
-    * bytes into 32 equal block ranges (boundaries ⌊b·n/32⌋), set bit b iff
+    * bytes into 63 equal block ranges (boundaries ⌊b·n/63⌋), set bit b iff
     * the block's mean byte exceeds the whole-payload mean. The compare is
     * integer cross-multiplied (`blockSum·n > totalSum·blockLen`) so both
-    * engines decide every bit exactly — no float means. Byte-addressed in
-    * a partition-wise kernel, the same adapter shape as [[decodeImages]]
-    * (a real pHash would DCT a decoded bitmap here; the blocking/banding
-    * plumbing around it is identical). Empty payload → signature 0. */
+    * engines decide every bit exactly — no float means. 63 blocks (not a
+    * round 64) keeps the signature below the BIGINT sign bit so Spark and
+    * DuckDB sum the bit weights identically; the width matches production
+    * 64-bit perceptual hashes and — like the simhash rework it mirrors —
+    * exists so the LSH bands can be 15–16 bits wide (bucket occupancy
+    * O(N/2^16), not the quadratic-at-scale O(N/256) of 8-bit bands).
+    * Byte-addressed in a partition-wise kernel, the same adapter shape as
+    * [[decodeImages]] (a real pHash would DCT a decoded bitmap here; the
+    * blocking/banding plumbing around it is identical). Empty payload →
+    * signature 0. */
   def averageHash(images: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
@@ -234,9 +240,9 @@ object Multimodal {
         while (i < n) { total += bytes(i) & 0xff; i += 1 }
         var sig = 0L
         var b = 0
-        while (b < 32) {
-          val lo = b * n / 32
-          val hi = (b + 1) * n / 32
+        while (b < 63) {
+          val lo = b * n / 63
+          val hi = (b + 1) * n / 63
           var bs = 0L
           var j = lo
           while (j < hi) { bs += bytes(j) & 0xff; j += 1 }
@@ -256,12 +262,14 @@ object Multimodal {
     * misses it entirely.
     *
     * Scale shape (identical to `simhash_dedup`, which this mirrors bit
-    * for band): one narrow kernel pass computes 32-bit signatures, the
-    * 8-bit banded self-join proposes candidates (hamming ≤ 3 guarantees
-    * ≥ 1 clean band of 4 — no recall loss), and the bit_count verify
-    * touches only band collisions — never all-pairs. At 100 TB the
-    * signature table is 12 bytes/image; the band join shuffles keys,
-    * not payloads. */
+    * for band): one narrow kernel pass computes 63-bit signatures, the
+    * 16/16/16/15-bit banded self-join proposes candidates (hamming ≤ 3
+    * guarantees ≥ 1 clean band by pigeonhole — no recall loss), and the
+    * bit_count verify touches only band collisions — never all-pairs.
+    * Wide bands keep bucket occupancy O(N/2^16); the original 8-bit
+    * banding measured 12.6× at a 10× corpus (quadratic in bucket
+    * occupancy). At 100 TB the signature table is 12 bytes/image; the
+    * band join shuffles keys, not payloads. */
   private val phashNearDup = QueryDef(
     "multimodal_phash_near_dup",
     (s, dir) => {
@@ -272,7 +280,8 @@ object Multimodal {
       val sigs = averageHash(imgs)
       val bands = sigs.select(col("doc_id"), col("sig"),
           explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("shiftright(sig, band * 8) & 255"))
+        .withColumn("key", expr(
+          "shiftright(sig, band * 16) & CASE WHEN band = 3 THEN 32767 ELSE 65535 END"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -291,25 +300,25 @@ object Multimodal {
                        FROM documents),
             tot AS (SELECT doc_id, n, a, coalesce(list_sum(a), 0) AS s FROM d),
             blk AS (SELECT doc_id, n, s, b,
-                           (b*n)//32 AS lo, ((b+1)*n)//32 AS hi,
-                           coalesce(list_sum(a[(b*n)//32 + 1 : ((b+1)*n)//32]), 0) AS bs
-                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb),
+                           (b*n)//63 AS lo, ((b+1)*n)//63 AS hi,
+                           coalesce(list_sum(a[(b*n)//63 + 1 : ((b+1)*n)//63]), 0) AS bs
+                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb),
             sig AS (SELECT doc_id,
                            CAST(SUM(CASE WHEN bs * n > s * (hi - lo)
                                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
                     FROM blk GROUP BY doc_id),
             cand AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
-              FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON (a.sig & 65535) = (b.sig & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255) AND a.doc_id < b.doc_id)
+              FROM sig a JOIN sig b ON ((a.sig >> 48) & 32767) = ((b.sig >> 48) & 32767) AND a.doc_id < b.doc_id)
             SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
                    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3

@@ -847,14 +847,18 @@ object TextOps {
             FROM documents ORDER BY doc_id"""),
   )
 
-  /** X2 SimHash near-dup: 32-bit signature (per-bit majority vote over
+  /** X2 SimHash near-dup: 63-bit signature (per-bit majority vote over
     * md5-derived token bits, computed in a mapPartitions kernel — the SAME
     * construction as `simhash_signature`, so the two stay mutually
-    * consistent), candidates from 4×8-bit band buckets (any pair within
-    * hamming distance 3 shares at least one band by pigeonhole), verified
-    * by bit_count(xor) ≤ 3. md5 is engine-portable, so the whole pair
-    * output is oracle-recomputable; SimHashSpec additionally plants
-    * near-identical docs. */
+    * consistent), candidates from 16/16/16/15-bit band buckets (any pair
+    * within hamming distance 3 shares at least one band by pigeonhole),
+    * verified by bit_count(xor) ≤ 3. The width matches production simhash
+    * (Manku et al., WWW'07 use 64-bit fingerprints with ~16-bit band
+    * tables); 63 rather than 64 keeps the signature sum below the BIGINT
+    * sign bit so DuckDB's HUGEINT sum and Spark's long sum agree exactly.
+    * md5 is engine-portable, so the whole pair output is
+    * oracle-recomputable; SimHashSpec additionally plants near-identical
+    * docs. */
   private val simhashDedup = QueryDef(
     "simhash_dedup",
     (s, dir) => simhashPairs(docs(s, dir), maxHamming = 3),
@@ -866,7 +870,7 @@ object TextOps {
               SELECT doc_id, b,
                      strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1 AS d
               FROM tok,
-              LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb
+              LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb
             ), votes AS (
               SELECT doc_id, b,
                      SUM(CASE WHEN (d >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END) AS v
@@ -877,16 +881,16 @@ object TextOps {
               FROM votes GROUP BY doc_id
             ), cand AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
-              FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON (a.sig & 65535) = (b.sig & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255) AND a.doc_id < b.doc_id
+              FROM sig a JOIN sig b ON ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535) AND a.doc_id < b.doc_id
               UNION
               SELECT a.doc_id, b.doc_id, a.sig, b.sig
-              FROM sig a JOIN sig b ON ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255) AND a.doc_id < b.doc_id)
+              FROM sig a JOIN sig b ON ((a.sig >> 48) & 32767) = ((b.sig >> 48) & 32767) AND a.doc_id < b.doc_id)
             SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
             FROM cand
             WHERE bit_count(xor(s1, s2)) <= 3
@@ -906,7 +910,7 @@ object TextOps {
         explode(expr("filter(split(text, ' '), t -> length(t) > 0)")).as("tok"))
       val bits = tok
         .select(col("doc_id"), md5(col("tok")).as("h"),
-          explode(expr("sequence(0, 31)")).as("b"))
+          explode(expr("sequence(0, 62)")).as("b"))
         .withColumn("d",
           expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
         .withColumn("bit", expr("shiftright(d, b % 4) % 2"))
@@ -925,7 +929,7 @@ object TextOps {
               SELECT doc_id, b,
                      strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1 AS d
               FROM tok,
-              LATERAL (SELECT unnest(generate_series(0, 31)) AS b) bb
+              LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb
             ), votes AS (
               SELECT doc_id, b,
                      SUM(CASE WHEN (d >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END) AS v
@@ -948,12 +952,12 @@ object TextOps {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val votes = new Array[Int](32)
+          val votes = new Array[Int](63)
           text.split(' ').foreach { tok =>
             if (tok.nonEmpty) {
               val h = md5Hex(md, tok)
               var b = 0
-              while (b < 32) {
+              while (b < 63) {
                 val d0 = Character.digit(h.charAt(b >> 2), 16)
                 if (((d0 >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
                 b += 1
@@ -962,17 +966,22 @@ object TextOps {
           }
           var sig = 0L
           var b = 0
-          while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+          while (b < 63) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
           (id, sig)
         }
       }.toDF("doc_id", "sig")
       // self-joined below: pin so the bit-vote kernel runs once
       .localCheckpoint()
+    // 16/16/16/15-bit bands: bucket cardinality 65536 (32768 for the top
+    // band), so bucket occupancy — and the candidate join's quadratic
+    // term — is O(N/2^16) per band instead of the O(N/256) an 8-bit
+    // banding degrades to (measured 4.8× at a 10× corpus before this)
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(0xffL).as("bucket"))): _*))
+          shiftrightunsigned(col("sig"), b * 16)
+            .bitwiseAND(if (b == 3) 0x7fffL else 0xffffL).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("a")

@@ -12,8 +12,11 @@ class SimHashSpec extends SparkSpec {
     // set (weighted features) so ONE changed occurrence shifts votes by ±1
     // against margins of ~3 — few bits flip. A single change in a short
     // unrepeated doc flips ~10% of bits (margins of ±1), which is correct
-    // simhash behavior, not a near-dup.
-    val words = "the quick brown fox jumps over lazy dog runs far away home tonight again".split(" ")
+    // simhash behavior, not a near-dup. The distinct-word count is ODD on
+    // purpose: every bit's vote margin is then an odd multiple of 3, and
+    // the edit shifts votes by at most 2, so no bit can cross zero — the
+    // guarantee is deterministic at any signature width.
+    val words = "the quick brown fox jumps over lazy dog runs far away home tonight again soon".split(" ")
     val baseToks = words ++ words ++ words
     val base = baseToks.mkString(" ")
     val nearToks = baseToks.clone(); nearToks(nearToks.length - 1) = "today"
