@@ -33,7 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schema-adaptive readers + DuckDB oracle see the same physical types as
   * the driver-generated parquet.
   *
-  * Run standalone: `runMain graft.tools.ScaleUp [baseDir] [outDir]`.
+  * Run standalone: `runMain graft.tools.ScaleUp [baseDir] [outDir] [factor]`
+  * (factor defaults to 10; a 30× dir gives a third scale point so per-query
+  * scaling exponents can be fit, separating fixed cost from slope).
   */
 object ScaleUp {
   val DefaultOut = "/tmp/graft_sf1"
@@ -43,7 +45,8 @@ object ScaleUp {
     * table set (v3 generated only the 4 spot-bench tables). */
   private val Marker = "_READY_v4"
 
-  def ensure(spark: SparkSession, base: String, out: String = DefaultOut): String = {
+  def ensure(spark: SparkSession, base: String, out: String = DefaultOut,
+      factor: Int = 10): String = {
     import org.apache.spark.sql.functions._
     val ready = new java.io.File(s"$out/$Marker")
     if (ready.exists) return out
@@ -52,8 +55,8 @@ object ScaleUp {
     def write(df: DataFrame, table: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$table.parquet")
     def interleave(df: DataFrame, keys: String*) : DataFrame =
-      (0 until 10).map { i =>
-        keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) * 10 + i))
+      (0 until factor).map { i =>
+        keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) * factor + i))
       }.reduce(_ unionAll _)
 
     // dims verbatim
@@ -62,8 +65,8 @@ object ScaleUp {
     }
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    write((0 until 10).map { i =>
-      val d = docs.withColumn("doc_id", col("doc_id") * 10 + i)
+    write((0 until factor).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") * factor + i)
       if (i == 0) d
       else d.withColumn("text", array_join(
         transform(split(col("text"), " "), t => concat(lit(s"c${i}_"), t)), " "))
@@ -72,18 +75,21 @@ object ScaleUp {
     write(interleave(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey"),
       "orders")
     // (l_orderkey, l_linenumber) stays unique across copies; value columns
-    // untouched, so per-group quantile work scales 10× in rows, not groups
+    // untouched, so per-group quantile work scales ×factor in rows, not groups
     write(interleave(spark.read.parquet(s"$base/lineitem.parquet"), "l_orderkey"),
       "lineitem")
     write(interleave(spark.read.parquet(s"$base/events.parquet"), "event_id"),
       "events")
 
+    // element roll wraps at the 64-dim embedding width for factors > 64
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    write((0 until 10).map { i =>
-      val e = emb.withColumn("vec_id", col("vec_id") * 10 + i)
-      if (i == 0) e
+    write((0 until factor).map { i =>
+      val e = emb.withColumn("vec_id", col("vec_id") * factor + i)
+      val roll = i % 64
+      if (roll == 0) e
       else e.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
+        concat(slice(col("embedding"), roll + 1, 64 - roll),
+          slice(col("embedding"), 1, roll)))
     }.reduce(_ unionAll _), "embeddings")
 
     ready.createNewFile()
@@ -93,6 +99,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse(DefaultOut)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,7 +108,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[scaleup] wrote ${ensure(spark, base, out)}")
+    println(s"[scaleup] wrote ${ensure(spark, base, out, factor)}")
     spark.stop()
   }
 }
