@@ -562,9 +562,13 @@ object PipelineOps {
   private val crossSourceOverlap = QueryDef(
     "cross_source_overlap",
     (s, dir) => {
+      // distinct + join on a 16-hex-char md5 prefix of the gram, not the
+      // gram text: counts are identical (64-bit collision odds are
+      // negligible, and BOTH engines hash, so even a collision agrees) and
+      // the shuffle/join keys are fixed 16 bytes instead of ~40-char grams
       val sg = docs(s, dir)
         .select(col("source"), explode(wordNgramParts(col("text"), 5)).as("p"))
-        .select(col("source"), gramOf(col("p"), 5).as("g"))
+        .select(col("source"), substring(md5(gramOf(col("p"), 5)), 1, 16).as("g"))
         .distinct()
       sg.as("a")
         .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
@@ -573,10 +577,11 @@ object PipelineOps {
         .orderBy("src1", "src2")
     },
     Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-            g AS (SELECT DISTINCT source,
-                         unnest(list_transform(range(1, len(w) - 3),
-                                i -> array_to_string(w[i:i+4], ' '))) AS g
-                  FROM toks WHERE len(w) >= 5)
+            gg AS (SELECT source,
+                          unnest(list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' '))) AS gtxt
+                   FROM toks WHERE len(w) >= 5),
+            g AS (SELECT DISTINCT source, substr(md5(gtxt), 1, 16) AS g FROM gg)
             SELECT a.source AS src1, b.source AS src2,
                    CAST(count(*) AS BIGINT) AS n_shared_grams
             FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
