@@ -914,8 +914,112 @@ object VectorOps {
             FROM best ORDER BY vec_id"""),
   )
 
+  /** X83 ANN recall report — the evaluation artifact every ANN deployment
+    * ships beside its index: recall@k of each approximate method against
+    * the brute-force ground truth, at each method's own (probe set, k).
+    * IVF and LSH are measured at k=3 over probes `vec_id < 10` (their
+    * query shapes); PQ at its top-50-nearest-to-probe-0 shape against the
+    * exact full-dimension squared-distance top-50. Recall is an exact
+    * integer (`hits·10⁴ div truth`), so the whole report — including the
+    * three method pipelines AND their ground truths — is recomputed by
+    * DuckDB and hash-matched: the oracle composes the already-proven
+    * `ann_ivf_topk` / `ann_lsh_topk` / `ann_pq_topk` SQL as CTEs.
+    *
+    * Scale shape: one plan. The truths reuse [[bruteTopk]] (probe side
+    * broadcast, corpus scanned once) and a broadcast-probe exact-distance
+    * scan; the methods reuse their own scale paths; the final join keys on
+    * (method, qid, neighbor_id) over ≤ |probes|·k rows — report-sized,
+    * not corpus-sized. */
+  private val annRecallReport = QueryDef(
+    "ann_recall_report",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      import s.implicits._
+      val e = emb(s, dir)
+      val probe3 = col("vec_id") < 10
+      def tagged(name: String, d: DataFrame) =
+        d.select(lit(name).as("method"), col("qid"), col("neighbor_id"))
+      // exact full-dim scaled squared distance to probe 0, top 50 —
+      // per-element rounds are non-negative, so HALF_UP here equals the
+      // kernel's Math.round exactly
+      val p0 = broadcast(e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("pe")))
+      val pqTruth = e.crossJoin(p0)
+        .select(col("vec_id").as("neighbor_id"),
+          aggregate(
+            zip_with(col("embedding"), col("pe"), (x, y) =>
+              round((x.cast("double") - y.cast("double")) *
+                (x.cast("double") - y.cast("double")) * lit(10000d)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("d"))
+        .orderBy(asc("d"), asc("neighbor_id")).limit(50)
+        .select(lit(0L).as("qid"), col("neighbor_id"))
+      val truths =
+        tagged("ivf", bruteTopk(e, probe3, 3))
+          .unionAll(tagged("lsh", bruteTopk(e, probe3, 3)))
+          .unionAll(pqTruth.select(lit("pq").as("method"), col("qid"), col("neighbor_id")))
+      val found =
+        tagged("ivf", ivfTopk(e, probe3, k = 3, nprobe = 6, codebookK = 16))
+          .unionAll(tagged("lsh", md5LshMultiTopk(e, probe3, k = 3,
+            tables = 12, bits = 6, dim = 64)))
+          .unionAll(pqTopk(e, k = 50, codebookK = 16, subspaces = 4)
+            .select(lit("pq").as("method"), lit(0L).as("qid"),
+              col("vec_id").as("neighbor_id")))
+          .withColumn("hit", lit(1L))
+      truths.join(found, Seq("method", "qid", "neighbor_id"), "left")
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .select(col("method"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 10000L div n_truth").as("recall_scaled"))
+        .orderBy("method")
+    }, {
+      // truth CTEs are written directly; the three method pipelines are
+      // the EXISTING oracle SELECTs wrapped as CTEs (a CTE body may carry
+      // its own WITH), so the report can never drift from the queries it
+      // audits
+      val ivfSql = annIvfTopk.oracle.get
+      val lshSql = annLshTopk.oracle.get
+      val pqSql = annPqTopk.oracle.get
+      Some(s"""WITH m_ivf AS ($ivfSql),
+            m_lsh AS ($lshSql),
+            m_pq AS ($pqSql),
+            q3 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            ts AS (SELECT qid, e.vec_id AS neighbor_id,
+                          CAST(list_sum(list_transform(list_zip(qe, e.embedding),
+                               p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000)))
+                               AS BIGINT) AS score
+                   FROM embeddings e, q3 WHERE e.vec_id <> qid),
+            truth3 AS (SELECT qid, neighbor_id FROM (
+                         SELECT *, row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, neighbor_id) AS rn FROM ts)
+                       WHERE rn <= 3),
+            p0 AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+            pd AS (SELECT e.vec_id AS neighbor_id,
+                          CAST(list_sum(list_transform(list_zip(e.embedding, p0.pe),
+                               p -> round((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 10000)))
+                               AS BIGINT) AS d
+                   FROM embeddings e CROSS JOIN p0),
+            truth_pq AS (SELECT CAST(0 AS BIGINT) AS qid, neighbor_id
+                         FROM pd ORDER BY d, neighbor_id LIMIT 50),
+            truths AS (SELECT 'ivf' AS method, qid, neighbor_id FROM truth3
+                       UNION ALL SELECT 'lsh', qid, neighbor_id FROM truth3
+                       UNION ALL SELECT 'pq', qid, neighbor_id FROM truth_pq),
+            found AS (SELECT 'ivf' AS method, qid, neighbor_id FROM m_ivf
+                      UNION ALL SELECT 'lsh', qid, neighbor_id FROM m_lsh
+                      UNION ALL SELECT 'pq', CAST(0 AS BIGINT), vec_id FROM m_pq)
+            SELECT t.method,
+                   CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(count(f.method) AS BIGINT) AS n_hits,
+                   CAST((count(f.method) * 10000) // count(*) AS BIGINT) AS recall_scaled
+            FROM truths t LEFT JOIN found f
+              ON f.method = t.method AND f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+            GROUP BY t.method ORDER BY t.method""")
+    },
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
       embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune,
-      embedDecontaminate)
+      embedDecontaminate, annRecallReport)
 }

@@ -85,4 +85,28 @@ class Round10OpsSpec extends SparkSpec {
     val zeroSampled = out.filter(col("n_sampled") === 0 && col("tokens_kept") =!= 0).count()
     assert(zeroSampled == 0, "tokens_kept nonzero with no sampled docs")
   }
+
+  test("ann_recall_report rows reconcile with direct truth-vs-method joins") {
+    val s = spark
+    import graft.operators.VectorOps
+    val rep = Registry.queries("ann_recall_report")(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet == Set("ivf", "lsh", "pq"), s"methods: ${rep.keySet}")
+    rep.foreach { case (m, (nTruth, nHits, recall)) =>
+      assert(nHits <= nTruth, s"$m: hits $nHits > truth $nTruth")
+      assert(recall == nHits * 10000L / nTruth, s"$m: recall mis-scaled")
+    }
+    // independent recount for the ivf row: brute truth joined to the IVF
+    // result directly (the report computed the same thing through its
+    // union-of-methods plan)
+    val e = Tables.embeddings(s, sf)
+    val truth = VectorOps.bruteTopk(e, col("vec_id") < 10, 3)
+      .select("qid", "neighbor_id")
+    val ivf = VectorOps.ivfTopk(e, col("vec_id") < 10, k = 3, nprobe = 6,
+      codebookK = 16).select("qid", "neighbor_id")
+    val hits = truth.join(ivf, Seq("qid", "neighbor_id")).count()
+    assert(rep("ivf")._2 == hits,
+      s"ivf hits ${rep("ivf")._2} != direct recount $hits")
+    assert(rep("ivf")._1 == truth.count(), "ivf truth size drifted")
+  }
 }
