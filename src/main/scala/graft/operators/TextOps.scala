@@ -1966,6 +1966,159 @@ object TextOps {
             ORDER BY id1, id2"""),
   )
 
+  /** X84 leakage-safe train/val SPLIT assignment — the step a curation run
+    * takes AFTER near-dup discovery and BEFORE carving eval data: a naive
+    * per-doc hash split (the `deterministic_sample` rule) can put two
+    * near-duplicate documents on opposite sides of the train/val boundary,
+    * silently inflating every evaluation run on the val slice. The guard
+    * assigns the split at the duplicate-COMPONENT level: every member of a
+    * near-dup cluster follows its component label (the min doc_id), so a
+    * cluster can never straddle the boundary. Output is the audit a
+    * pipeline ships beside the split: per method (naive vs guarded), the
+    * train/val doc counts and the number of near-dup PAIRS crossing the
+    * boundary — 0 for the guarded method BY CONSTRUCTION (both endpoints
+    * of an edge share a component, hence a split), and that zero is
+    * recomputed here as a checked value, not assumed.
+    *
+    * Scale: reuses the memoized duplicate closure ([[dupComponents]] —
+    * pointer-jumped min-label propagation, O(log diameter) rounds); the
+    * assignment itself is a narrow md5 map over the label table, and the
+    * audit joins the (edge-proportional) near-dup pair list against two
+    * broadcast-size label projections. Nothing here rescans text. The
+    * probe set (doc_id < 300) matches the closure's; singleton docs take
+    * their own id as the component label. */
+  private val splitLeakageGuard = QueryDef(
+    "split_leakage_guard",
+    (s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 300).select("doc_id")
+      val comps = dupComponents(s, dir)
+        .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("comp"))
+      val lab = base.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(substring(md5(concat(lit("split:"), key.cast("string"))), 1, 1) === "0",
+          lit("val")).otherwise(lit("train"))
+      val assigned = lab
+        .withColumn("naive", splitOf(col("doc_id")))
+        .withColumn("guarded", splitOf(col("comp")))
+      val edges = jaccardEdges(s, dir).select("id1", "id2")
+      def report(splitCol: String, method: String): DataFrame = {
+        val a = assigned.select(col("doc_id"), col(splitCol).as("split"))
+        val counts = a.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+        val cross = edges
+          .join(a.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+          .join(a.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+          .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("n_cross_pairs"))
+        counts.crossJoin(cross)
+          .select(lit(method).as("method"), col("n_train"), col("n_val"),
+            coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
+      }
+      report("naive", "naive").unionAll(report("guarded", "guarded")).orderBy("method")
+    },
+    Some("""WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sz sa ON sa.doc_id = id1
+              JOIN sz sb ON sb.doc_id = id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+            e AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+            comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+            lab AS (
+              SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS comp
+              FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+              WHERE d.doc_id < 300),
+            a AS (
+              SELECT doc_id,
+                CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                     THEN 'val' ELSE 'train' END AS naive,
+                CASE WHEN substring(md5('split:' || CAST(comp AS VARCHAR)), 1, 1) = '0'
+                     THEN 'val' ELSE 'train' END AS guarded
+              FROM lab)
+            SELECT 'naive' AS method,
+                   (SELECT CAST(count(*) FILTER (WHERE naive = 'train') AS BIGINT) FROM a) AS n_train,
+                   (SELECT CAST(count(*) FILTER (WHERE naive = 'val') AS BIGINT) FROM a) AS n_val,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+                    JOIN a x ON x.doc_id = p.id1 JOIN a y ON y.doc_id = p.id2
+                    WHERE x.naive <> y.naive) AS n_cross_pairs
+            UNION ALL
+            SELECT 'guarded',
+                   (SELECT CAST(count(*) FILTER (WHERE guarded = 'train') AS BIGINT) FROM a),
+                   (SELECT CAST(count(*) FILTER (WHERE guarded = 'val') AS BIGINT) FROM a),
+                   (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+                    JOIN a x ON x.doc_id = p.id1 JOIN a y ON y.doc_id = p.id2
+                    WHERE x.guarded <> y.guarded)
+            ORDER BY method"""),
+  )
+
+  /** X85 corpus NOVELTY curve — the dataset-diversity audit run before
+    * mixing decisions: per document (in doc_id = ingestion order), the
+    * fraction of its distinct word 3-grams never seen in any earlier
+    * document. A corpus whose novelty collapses toward 0 early is
+    * saturated (more data, no new content — the scaling-law regime where
+    * dedup/mixing matter most); a flat curve means sources keep adding
+    * genuinely new text. "First seen" is min(doc_id) over the corpus for
+    * the gram, so the curve is exact, order-deterministic, and
+    * reshard-stable.
+    *
+    * Scale: grams are a narrow arrays_zip map (codegen'd — no interpreted
+    * HOF lambdas, same rationale as `ngram_topk`); the first-seen flag is
+    * ONE hash shuffle keyed on the gram (a window partitioned by gram —
+    * per-gram groups are duplication-bounded, no skew reducer), then one
+    * partial-aggregated groupBy back on doc_id. The corpus is read once;
+    * nothing quadratic, nothing driver-side. */
+  private val ngramNovelty = QueryDef(
+    "ngram_novelty",
+    (s, dir) => {
+      val ts = split(col("text"), " ")
+      val cnt = greatest(size(ts) - 2, lit(0))
+      val grams = docs(s, dir)
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(ts, lit(1), cnt), slice(ts, lit(2), cnt), slice(ts, lit(3), cnt))).as("p"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("p").getField("0"), col("p").getField("1"),
+            col("p").getField("2")).as("g"))
+        .distinct()
+      val w = Window.partitionBy("g")
+      grams
+        .withColumn("dmin", min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("dmin") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 100 div n_grams").as("novelty_x100"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            gr AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+                   FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+                   WHERE len(w) >= 3),
+            m AS (SELECT g, min(doc_id) AS dmin FROM gr GROUP BY g)
+            SELECT gr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE m.dmin = gr.doc_id) AS BIGINT) AS n_novel,
+                   CAST(count(*) FILTER (WHERE m.dmin = gr.doc_id) * 100
+                        // count(*) AS BIGINT) AS novelty_x100
+            FROM gr JOIN m USING (g)
+            GROUP BY gr.doc_id ORDER BY gr.doc_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     gopherQualityRules, rareBigramRate, editDistancePairs,
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
@@ -1974,6 +2127,6 @@ object TextOps {
     dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
     textNormalize, bpeMerges, bpeEncode, urlHostStats, mixtureWeights,
-    qualityWeightedSample, minhashDecontaminate,
+    qualityWeightedSample, minhashDecontaminate, splitLeakageGuard, ngramNovelty,
   )
 }

@@ -1018,8 +1018,63 @@ object VectorOps {
     },
   )
 
+  /** X86 HARD-NEGATIVE mining — the contrastive-training data op a
+    * retrieval/embedding pipeline runs over the same corpus it dedups: for
+    * each probe vector, the k most-similar corpus vectors that are NOT
+    * near-duplicates (score below the `embed_near_dup` 0.4 threshold —
+    * above it the "negative" is a positive in disguise and poisons the
+    * loss). Each row also carries the probe's excluded near-dup count, so
+    * the mining report doubles as a contamination audit of the negative
+    * pool. Ranking and the exclusion boundary both use the scaled-int dot
+    * product, so the mined set is bit-identical across engines.
+    *
+    * Scale: probes broadcast, corpus scanned once into one score stream
+    * that forks to (a) the bounded per-partition top-k heap ([[topKPerKey]]
+    * — never a global per-key window over raw scores) and (b) a count
+    * aggregate of the excluded band; the fork costs a second broadcast
+    * scan here (the baseline brute shape, like `cosine_topk`) and rides an
+    * IVF/LSH candidate stream unchanged when the corpus outgrows brute
+    * force. */
+  private val hardNegatives = QueryDef(
+    "hard_negatives",
+    (s, dir) => {
+      graft.functions.DotScaled.register(s)
+      val e = emb(s, dir)
+      val q = broadcast(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      val scored = e.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          dotScaled(col("qe"), col("embedding")).as("score"))
+      val nearDups = scored.filter(col("score") >= 4000)
+        .groupBy("qid").agg(count(lit(1)).as("n_near_dup"))
+      topKPerKey(scored.filter(col("score") < 4000), 5)
+        .join(nearDups, Seq("qid"), "left")
+        .select(col("qid"), col("neighbor_id"), col("score"), col("rn"),
+          coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT qid, e.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(list_zip(qe, e.embedding),
+                              p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000)))
+                              AS BIGINT) AS score
+                  FROM embeddings e, q WHERE e.vec_id <> qid),
+            nd AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_near_dup
+                   FROM s WHERE score >= 4000 GROUP BY qid),
+            topn AS (SELECT qid, neighbor_id, score,
+                            CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+                     FROM s WHERE score < 4000)
+            SELECT t.qid, t.neighbor_id, t.score, t.rn,
+                   CAST(coalesce(nd.n_near_dup, 0) AS BIGINT) AS n_near_dup
+            FROM topn t LEFT JOIN nd USING (qid)
+            WHERE t.rn <= 5 ORDER BY t.qid, t.rn"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
       embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune,
-      embedDecontaminate, annRecallReport)
+      embedDecontaminate, annRecallReport, hardNegatives)
 }
