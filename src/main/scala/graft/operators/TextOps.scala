@@ -165,7 +165,7 @@ object TextOps {
   /** Near-dup candidate edges: distinct-token Jaccard ≥ 0.7 among the
     * bounded probe set (doc_id < 300). Shared by `jaccard_pairs` (the pair
     * listing) and `dedup_components` (the transitive closure). */
-  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardEdgesPlan(s: SparkSession, dir: String): DataFrame = {
     val sub = docs(s, dir).filter(col("doc_id") < 300)
     val tok = sub.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
     val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -181,6 +181,19 @@ object TextOps {
       .filter(j >= 0.7)
       .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
   }
+
+  /** The verified edge list, materialized ONCE per (session, sf-dir) and
+    * read by every consumer — `jaccard_pairs` (the listing), the duplicate
+    * closure, and `split_leakage_guard`'s audit. A production curation DAG
+    * writes the pair list after the quadratic verification and fans out
+    * from the materialization; re-deriving it per consumer would triple
+    * the most expensive join in the family. Cleared by
+    * [[resetSessionMemo]] so bench passes stay honest. */
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    edgesMemo.computeIfAbsent((s, dir),
+      kv => jaccardEdgesPlan(kv._1, kv._2).localCheckpoint())
 
   /** Distributed connected components by min-label propagation WITH
     * pointer jumping, over an undirected edge list (id1, id2) → (id, comp)
@@ -267,7 +280,10 @@ object TextOps {
     * report the memoized read for BOTH queries and erase the closure from
     * the bench entirely (the honest number for the pair is one closure
     * + one cheap agg, not ε + ε). */
-  private[graft] def resetSessionMemo(): Unit = componentsMemo.clear()
+  private[graft] def resetSessionMemo(): Unit = {
+    componentsMemo.clear()
+    edgesMemo.clear()
+  }
 
   private val jaccardPairs = QueryDef(
     "jaccard_pairs",
@@ -1998,9 +2014,14 @@ object TextOps {
       def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         when(substring(md5(concat(lit("split:"), key.cast("string"))), 1, 1) === "0",
           lit("val")).otherwise(lit("train"))
+      // materialize the label table once: the naive and guarded reports
+      // each reference it twice (counts + cross-pair audit) inside one
+      // union plan. The edge list comes pre-materialized from the session
+      // memo (shared with `jaccard_pairs` and the closure). Both are tiny.
       val assigned = lab
         .withColumn("naive", splitOf(col("doc_id")))
         .withColumn("guarded", splitOf(col("comp")))
+        .localCheckpoint()
       val edges = jaccardEdges(s, dir).select("id1", "id2")
       def report(splitCol: String, method: String): DataFrame = {
         val a = assigned.select(col("doc_id"), col(splitCol).as("split"))

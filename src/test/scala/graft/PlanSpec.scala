@@ -475,4 +475,26 @@ class PlanSpec extends SparkSpec
     assert(!plan.contains("CartesianProduct"),
       s"wedge join degenerated to a cartesian product:\n${plan.take(3000)}")
   }
+
+  test("ngram_novelty: one gram-keyed exchange with partial aggregation, no joins") {
+    val plan = planOf("ngram_novelty")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"novelty curve grew a join — min-over-window plus fold needs none:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"doc-side fold lost its map-side partial aggregation:\n${plan.take(3000)}")
+  }
+
+  test("hard_negatives broadcasts the probe set; corpus never shuffles raw scores wide") {
+    val plan = planOf("hard_negatives")
+    // the probe side must ride a broadcast nested-loop (crossJoin of ≤10
+    // broadcast rows) — a SortMergeJoin anywhere on the score stream means
+    // the 100 TB corpus shuffled before the bounded top-k partial
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe set is not broadcast:\n${plan.take(3000)}")
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(!smjLines.exists(_.contains("score#")),
+      s"raw score stream shuffled through a SortMergeJoin:\n${smjLines.mkString("\n")}")
+  }
 }
