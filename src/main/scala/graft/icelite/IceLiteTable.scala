@@ -818,11 +818,19 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * that file via parquet min/max stats, and the loaded runs are sorted.
     * Returns the staging dir + one manifest entry per non-empty part
     * (empty when no positions matched — caller cleans the dir). */
-  private def writePosDeleteFiles(pos: DataFrame): (Path, Seq[DeleteFile]) = {
+  private def writePosDeleteFiles(pos: DataFrame): (Path, Seq[DeleteFile]) =
+    writeDeleteParquet(pos.sort("file_path", "pos"))
+
+  /** Write an already-arranged (file_path, pos) frame under `deletes/` and
+    * list the produced parquet parts as [[DeleteFile]]s (zero-row parts are
+    * dropped). Callers choose the arrangement: DML paths globally sort so
+    * DeleteIndex's per-data-file predicate prunes to contiguous row groups;
+    * the delete-file rewrite range-partitions itself. */
+  private def writeDeleteParquet(pos: DataFrame): (Path, Seq[DeleteFile]) = {
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
     val out = new Path(delDir, s"${UUID.randomUUID()}")
-    pos.sort("file_path", "pos").write.parquet(out.toString)
+    pos.write.parquet(out.toString)
     val f = fs(spark, location)
     val it = f.listFiles(out, true)
     val files = scala.collection.mutable.ArrayBuffer[DeleteFile]()
@@ -1263,6 +1271,63 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec, targetFiles = Some(target))
     commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
       s"compact ${snap.dataFiles.size} -> ${newFiles.size} files")
+  }
+
+  /** rewrite_position_delete_files (Iceberg's maintenance procedure;
+    * README.md:1105–1121 motivates keeping the MoR read side cheap): merge
+    * the snapshot's accumulated position-delete files into `target`
+    * range-partitioned, internally-sorted files and drop DANGLING entries —
+    * positions naming data files no longer live (a CoW rewrite replaces
+    * the files it touches, stranding their recorded positions; harmless to
+    * reads but carried forever otherwise). Data files are untouched, so
+    * the cost is O(delete rows), not O(table) — the cheap counterpart to
+    * [[compact]] when delete files pile up (MorDeleteLoadSpec measures the
+    * per-scan probe overhead this collapses). Equality deletes are left in
+    * place: their seq binds them to commit order, and Iceberg's procedure
+    * likewise scopes to position deletes.
+    *
+    * Safe to merge because position deletes apply to the exact rows they
+    * name regardless of seq ([[DeleteFile]] contract). The merged files
+    * keep the max merged seq so sequence bookkeeping stays monotone.
+    * Commit is optimistic-retry: on collision the merge is rebuilt against
+    * the winner's metadata (a racing MoR delete's new file joins the next
+    * attempt's input), and an abandoned attempt's parquet is a reclaimable
+    * orphan. The referenced-file distinct is driver-side but bounded by
+    * the live data-file count (metadata scale), same as DML planning. */
+  def rewritePositionDeletes(target: Int = 1): Unit = {
+    require(target >= 1, "target file count must be >= 1")
+    val pre = versionedMeta._2.currentSnapshot
+      .map(_.deleteFiles.count(_.kind == "pos")).getOrElse(0)
+    if (pre <= 1) return // nothing to merge; skip the empty commit
+    commitWithRetry { m =>
+      val snap = m.currentSnapshot.get
+      val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
+      // persist across the two passes (dangling scan + merged write): at
+      // high delete-FILE counts the dominant cost is re-opening thousands
+      // of tiny parquets, not the rows themselves
+      val raw = spark.read
+        .schema("file_path string, pos bigint")
+        .parquet(posDels.map(_.path): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // dangling filter: delete rows store `_metadata.file_path` strings
+      // (file:///x) while DataFile.path is Hadoop-style (file:/x) —
+      // normalize driver-side on the bounded referenced-file set rather
+      // than per row, then subtract with a literal list (O(files))
+      val liveNorm = snap.dataFiles.map(f => normPath(f.path)).toSet
+      val dangling = raw.select("file_path").distinct().collect()
+        .map(_.getString(0)).filterNot(p => liveNorm.contains(normPath(p)))
+      val kept = (if (dangling.isEmpty) raw
+                  else raw.filter(!col("file_path").isInCollection(dangling)))
+        .dropDuplicates("file_path", "pos")
+        .repartitionByRange(target, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+      val (_, files) = try writeDeleteParquet(kept) finally raw.unpersist()
+      val sq = posDels.map(_.seq).max
+      (newSnapshot(m, "replace", snap.dataFiles,
+        eqDels ++ files.map(_.copy(seq = sq))),
+        s"rewrite ${posDels.size} position delete files -> ${files.size}" +
+          (if (dangling.nonEmpty) s" (${dangling.length} dangling refs dropped)" else ""))
+    }
   }
 
   /** Z-ORDER rewrite: cluster on the interleaved bit pattern of two

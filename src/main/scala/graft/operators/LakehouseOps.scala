@@ -350,6 +350,47 @@ object LakehouseOps {
     Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
   )
 
+  /** M15 extension — rewrite_position_delete_files (Iceberg's delete-file
+    * maintenance; README.md:1105–1121): three MoR deletes accumulate
+    * separate position-delete files, a CoW update then rewrites the files
+    * it touches (stranding their recorded positions as dangling refs), and
+    * the rewrite merges everything into ONE sorted delete file with the
+    * dangling entries dropped — data files untouched, visible content
+    * identical. The embedded requires prove both halves: ≥3 delete files
+    * before, exactly one (position-kind) after. */
+  private val rewriteDeletes = QueryDef(
+    "icelite_rewrite_deletes",
+    (s, dir) => {
+      val o = orders(s, dir)
+      // two append batches → disjoint even/odd data files, so the CoW
+      // update below (odd keys only) strands SOME positions, not all
+      val t = IceLite.createFrom(s, scratch("rwdel"), o, Seq(),
+        Map("write.delete.mode" -> "merge-on-read"))
+      t.append(o.filter(col("o_orderkey") % 2 === 0))
+      t.append(o.filter(col("o_orderkey") % 2 === 1))
+      t.delete(col("o_orderkey") % 7 === 0)
+      t.delete(col("o_orderkey") % 11 === 3)
+      t.delete(col("o_orderkey") % 13 === 5)
+      // CoW update (default update mode) replaces the touched (odd-key)
+      // data files: their recorded delete positions are now dangling,
+      // while the even files' positions stay live
+      t.update(col("o_orderkey") % 10 === 1, Map("o_totalprice" -> lit(999.0)))
+      val before = t.meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos")
+      require(before >= 3, s"expected >=3 position delete files, got $before")
+      t.rewritePositionDeletes()
+      val after = t.meta.currentSnapshot.get.deleteFiles
+      require(after.size == 1 && after.head.kind == "pos",
+        s"rewrite must leave ONE merged position delete file, got ${after.map(_.kind)}")
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 1 THEN 999.0 ELSE o_totalprice END AS o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders
+             WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3 AND o_orderkey % 13 <> 5
+             ORDER BY o_orderkey"""),
+  )
+
   /** M16 expire_snapshots (README.md:1025): after expiry the current
     * snapshot still reads fully (expired-only files are gone from metadata
     * AND disk — the disk half is asserted in IceLiteSpec). */
@@ -967,7 +1008,7 @@ object LakehouseOps {
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     dropColumnDdl, timeTravel,
-    timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction,
+    timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, incrementalRead,

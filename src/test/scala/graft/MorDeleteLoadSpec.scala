@@ -30,6 +30,28 @@ import graft.SparkSpec
 class MorDeleteLoadSpec extends SparkSpec {
   import spark.implicits._
 
+  private def listParquetUnder(loc: String, dir: String): Seq[Path] = {
+    val it = IceLite.fs(spark, loc).listFiles(new Path(dir), true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s.getPath
+    }
+    buf.toSeq
+  }
+
+  private def forgeCommitOn(t: IceLiteTable, loc: String, note: String)(
+      f: (TableMetadata, Snapshot) => Snapshot): Unit = {
+    val (v, m) = (t.currentVersion, t.meta)
+    val cur = m.currentSnapshot.get
+    val ns = f(m, cur)
+    val next = m.copy(currentSnapshotId = Some(ns.id), snapshots = m.snapshots :+ ns,
+      metadataLog = m.metadataLog :+
+        MetadataLogEntry(v + 1, System.currentTimeMillis(), note))
+    t.store.createExclusive(new Path(loc, s"metadata/v${v + 1}.json"), MetaJson.toJson(next))
+    IceLite.swapHintForward(t.store, new Path(loc, s"metadata/${IceLite.HINT}"), v + 1)
+  }
+
   test("~1k position delete files + eq staircase: exact reads, compaction materializes and clears") {
     val loc = Files.createTempDirectory("mor_load").toString + "/t"
     val n = 20000L
@@ -147,5 +169,97 @@ class MorDeleteLoadSpec extends SparkSpec {
     println(f"[mor-load] pos_read=$posReadSec%.2f probe=$probeSec%.2f " +
       f"eq_read=$eqReadSec%.2f compact=$compactSec%.2f clean_read=$cleanReadSec%.2f " +
       f"n_pos_files=${delFiles.size} n_eq_files=${eqFiles.size}")
+  }
+
+  test("rewritePositionDeletes: ~1k files merge to one, dangling refs dropped, eq files untouched") {
+    val loc = Files.createTempDirectory("mor_rewrite").toString + "/t"
+    val n = 20000L
+    val df = spark.range(0, n).toDF("id").withColumn("v", col("id") * 3)
+    val t = IceLite.createFrom(spark, loc, df)
+    t.append(df)
+    val snap1 = t.meta.currentSnapshot.get
+    assert(snap1.dataFiles.size >= 2, "need several data files for a partial CoW rewrite")
+
+    val lineage = spark.read.parquet(snap1.dataFiles.map(_.path): _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("f1").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // ~1k forged position delete files masking pos % 8 == 7
+    val posDeleted = lineage.filter(_._2 % 8 == 7)
+    val delDir = loc + "/deletes/bulk"
+    posDeleted.toSeq.zipWithIndex
+      .map { case ((f, p, _), i) => (f, p, i % 1000) }
+      .toDF("file_path", "pos", "g")
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.partitionBy("g").parquet(delDir)
+    val delFiles = listParquetUnder(loc, delDir)
+      .map(p => DeleteFile(p.toString, 0L, kind = "pos", seq = 2L))
+    assert(delFiles.size >= 900, s"wanted ~1k delete files, got ${delFiles.size}")
+    // one eq delete file the rewrite must leave alone (seq-bound semantics)
+    val eqField = t.meta.currentSchema.fieldByName("id")
+    val eqDir = loc + "/deletes/eq_one"
+    (1L to 64L).map(Tuple1(_)).toDF(eqField.physName).coalesce(1).write.parquet(eqDir)
+    val eqFiles = listParquetUnder(loc, eqDir)
+      .map(p => DeleteFile(p.toString, 64L, kind = "eq",
+        eqFieldIds = Seq(eqField.id), seq = 3L))
+    forgeCommitOn(t, loc, s"forged ${delFiles.size} pos + ${eqFiles.size} eq") { (m, cur) =>
+      Snapshot(cur.id + 1, Some(cur.id), System.currentTimeMillis(), "delete",
+        cur.dataFiles, cur.deleteFiles ++ delFiles ++ eqFiles, m.currentSchemaId)
+    }
+
+    // CoW update replaces the data files holding id >= 15000: every
+    // position recorded against them is now dangling
+    val tA = IceLite.load(spark, loc)
+    tA.update(col("id") >= 15000, Map("v" -> lit(-1L)))
+    val expected = tA.read().select("id", "v").as[(Long, Long)].collect().toSet
+
+    val posBefore = tA.meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos")
+    assert(posBefore == delFiles.size)
+    val r0 = System.nanoTime()
+    tA.read().count()
+    val readBeforeSec = (System.nanoTime() - r0) / 1e9
+
+    val w0 = System.nanoTime()
+    tA.rewritePositionDeletes()
+    val rewriteSec = (System.nanoTime() - w0) / 1e9
+
+    val snapR = tA.meta.currentSnapshot.get
+    val (eqAfter, posAfter) = snapR.deleteFiles.partition(_.kind == "eq")
+    assert(posAfter.size == 1, s"expected ONE merged pos delete file, got ${posAfter.size}")
+    assert(eqAfter.map(_.path).sorted == eqFiles.map(_.path).sorted,
+      "eq delete files must pass through the rewrite untouched")
+    assert(snapR.dataFiles.map(_.path).sorted ==
+      tA.meta.snapshots.init.last.dataFiles.map(_.path).sorted,
+      "rewrite must not touch data files")
+
+    // exactness of the merged content: exactly the live positions, sorted
+    val liveNorm = snapR.dataFiles.map(f => IceLite.normPath(f.path)).toSet
+    val expectedKept = posDeleted
+      .filter { case (f, _, _) => liveNorm.contains(IceLite.normPath(f)) }
+      .map { case (f, p, _) => (f, p) }.toSet
+    assert(expectedKept.size < posDeleted.size, "update must have stranded some positions")
+    val merged = spark.read.parquet(posAfter.head.path)
+      .select("file_path", "pos").as[(String, Long)].collect()
+    assert(merged.toSet == expectedKept,
+      s"merged delete content wrong: ${merged.length} vs ${expectedKept.size}")
+    assert(merged.toSeq == merged.toSeq.sorted,
+      "merged delete file must stay sorted by (file_path, pos) for pushdown")
+
+    // content identical through a fresh load, and the changelog sees no
+    // logical change across the rewrite (op=replace is skipped)
+    val tB = IceLite.load(spark, loc)
+    assert(tB.read().select("id", "v").as[(Long, Long)].collect().toSet == expected,
+      "rewrite changed visible content")
+    val r1 = System.nanoTime()
+    tB.read().count()
+    val readAfterSec = (System.nanoTime() - r1) / 1e9
+    assert(tB.readChangesBetween(snapR.parentId.get, snapR.id).isEmpty,
+      "rewrite must emit no changelog rows (replace = no logical change)")
+
+    info(f"read with $posBefore delete files: $readBeforeSec%.2fs; " +
+      f"rewrite: $rewriteSec%.2fs; read with 1: $readAfterSec%.2fs")
+    println(f"[mor-rewrite] read_before=$readBeforeSec%.2f rewrite=$rewriteSec%.2f " +
+      f"read_after=$readAfterSec%.2f n_before=$posBefore dangling=${posDeleted.size - expectedKept.size}")
   }
 }
