@@ -47,14 +47,14 @@ object PipelineOps {
     * (higher-order functions never enter whole-stage codegen) and measured
     * ~4× slower end-to-end on the sibling bigram query. Explode the parts,
     * then assemble the gram text per ROW with [[gramOf]] (codegen'd). */
-  private def wordNgramParts(text: Column, n: Int): Column = {
+  private[graft] def wordNgramParts(text: Column, n: Int): Column = {
     val w = split(text, " ")
     val cnt = greatest(size(w) - (n - 1), lit(0))
     arrays_zip((1 to n).map(i => slice(w, lit(i), cnt)): _*)
   }
 
   /** Gram text from one exploded element of [[wordNgramParts]]. */
-  private def gramOf(p: Column, n: Int): Column =
+  private[graft] def gramOf(p: Column, n: Int): Column =
     concat_ws(" ", (0 until n).map(i => p.getField(i.toString)): _*)
 
   /** Benchmark decontamination: flag training docs that share any word

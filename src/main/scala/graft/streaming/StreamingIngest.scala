@@ -176,6 +176,75 @@ object StreamingIngest {
         }
       }
 
+  /** Streaming curation funnel — the continuous version of
+    * `curation_incremental`: a crawl stream is curated against STANDING
+    * indexes and lands exactly-once in an IceLite table. Stages, in the
+    * order a 100 TB deployment wants them (cheapest-first, state-bounded):
+    *
+    *  1. quality gate — `pretraining_pipeline`'s integer rule score, a
+    *     narrow stateless projection (no shuffle, no state);
+    *  2. standing-index dedup — stream-static LEFT join on the corpus
+    *     fingerprint index with an IS NULL filter (anti semantics; the
+    *     static side re-plans per micro-batch, so a nightly index refresh
+    *     is picked up without restarting the query);
+    *  3. in-stream dedup — `dropDuplicatesWithinWatermark` on the content
+    *     fingerprint: ONE state entry per fingerprint, EVICTED once the
+    *     event-time watermark passes it — bounded by traffic inside the
+    *     horizon, never by stream lifetime;
+    *  4. eval decontamination — EXACT word-4-gram overlap against the
+    *     benchmark gram set, run per micro-batch inside foreachBatch
+    *     (explode → broadcast semi-join → doc-level anti-join): batch
+    *     scope makes the doc-level aggregation legal and exact where a
+    *     pure streaming plan would force a bloom-filter approximation;
+    *  5. exactly-once append — `appendIfNewBatch` commits the batch id
+    *     atomically with the data, so restart replays are no-ops.
+    *
+    * Input stream: (ts TIMESTAMP, doc_id LONG, source STRING, text
+    * STRING). `existingFp` is a static (fp STRING) index; `benchGrams` a
+    * static (g STRING) eval-gram set (kept broadcast, as in
+    * `decontaminate_ngrams`). The sink table receives (doc_id, source,
+    * text, nw) — survivors with their token count. */
+  def curateStreamToIceLite(docs: DataFrame, existingFp: DataFrame,
+      benchGrams: DataFrame, table: IceLiteTable, checkpoint: String,
+      watermark: String = "10 minutes"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val gated = docs
+      .selectExpr("ts", "doc_id", "source", "text", "md5(text) AS fp",
+        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+        "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+      .selectExpr("ts", "doc_id", "source", "text", "fp", "nw",
+        """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
+           - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
+           AS score""")
+      .filter(col("score") >= 400L)
+    val fresh = gated
+      .join(existingFp.select(col("fp"), lit(1L).as("_hit")), Seq("fp"), "left")
+      .filter(col("_hit").isNull).drop("_hit")
+    val deduped = fresh
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+    deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val grams = batch.select(col("doc_id"),
+            explode(graft.operators.PipelineOps.wordNgramParts(col("text"), 4)).as("p"))
+            .select(col("doc_id"), graft.operators.PipelineOps.gramOf(col("p"), 4).as("g"))
+          val contaminated = grams
+            .join(broadcast(benchGrams.select("g")), Seq("g"), "left_semi")
+            .select("doc_id").distinct()
+          val out = batch
+            .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+            .select("doc_id", "source", "text", "nw")
+          // skip fully-contaminated batches: batch ids only dedup replays
+          // of batches that WROTE, so no empty snapshots pile up
+          if (!out.isEmpty) { table.appendIfNewBatch(batchId, out); () }
+        }
+      }
+  }
+
   /** Streaming UPSERT via EQUALITY deletes — same contract as
     * [[upsertToIceLite]] (latest event per key wins, exactly-once per
     * batch) but with O(batch) write cost: the batch's keys become an

@@ -219,4 +219,48 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 0.5)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming curation funnel: gate, index dedup, stream dedup, decontaminate, append") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val df = mem.toDF.toDF("ts", "doc_id", "source", "text")
+
+    val corpusText = "an old page that was already stored in the corpus a while ago"
+    val existingFp = Seq(Tuple1(corpusText)).toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val benchGrams = Seq("secret eval benchmark phrase").toDF("g")
+
+    val goodText = "the cat sat on a mat and the dog ran by a red van in the sun"
+    val good2Text = "a small bird flew to the tree and a cat sat by the door to nap"
+    val lowqText = "zzzzzzzzzzzzzzzz qqqqqqqqqqqqqqqq wwwwwwwwwwwwwwww kkkkkkkkkkkkkkkk"
+    val contamText = "a tale with the secret eval benchmark phrase put in a book by the lake"
+
+    val loc = Files.createTempDirectory("stream_curate").toString + "/t"
+    val sinkSchema = Seq((0L, "", "", 0L)).toDF("doc_id", "source", "text", "nw")
+    val table = IceLite.createFrom(spark, loc, sinkSchema)
+    val q = StreamingIngest.curateStreamToIceLite(df, existingFp, benchGrams,
+      table, Files.createTempDirectory("stream_curate_cp").toString).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "web", goodText),
+        (ts("2024-01-01 10:00:01"), 2L, "web", lowqText),      // quality gate drops
+        (ts("2024-01-01 10:00:02"), 3L, "web", corpusText),    // standing index drops
+        (ts("2024-01-01 10:00:03"), 4L, "web", contamText))    // decontamination drops
+      q.processAllAvailable()
+      mem.addData(
+        (ts("2024-01-01 10:01:00"), 5L, "web", goodText),      // in-stream duplicate drops
+        (ts("2024-01-01 10:01:01"), 6L, "web", good2Text))
+      q.processAllAvailable()
+
+      val got = table.read().select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, goodText), (6L, good2Text)), s"got $got")
+      // survivor rows carry the quality stage's token count
+      val nw = table.read().filter(col("doc_id") === 1L).head.getAs[Long]("nw")
+      assert(nw == goodText.split(" ").length, s"nw=$nw")
+      // two non-empty batches → exactly two append snapshots
+      assert(table.meta.snapshots.count(_.operation == "append") == 2,
+        s"ops: ${table.meta.snapshots.map(_.operation)}")
+    } finally q.stop()
+  }
 }
