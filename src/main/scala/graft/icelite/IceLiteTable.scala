@@ -1294,40 +1294,45 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * attempt's input), and an abandoned attempt's parquet is a reclaimable
     * orphan. The referenced-file distinct is driver-side but bounded by
     * the live data-file count (metadata scale), same as DML planning. */
-  def rewritePositionDeletes(target: Int = 1): Unit = {
+  def rewritePositionDeletes(target: Int = 1): Boolean = {
     require(target >= 1, "target file count must be >= 1")
-    val pre = versionedMeta._2.currentSnapshot
-      .map(_.deleteFiles.count(_.kind == "pos")).getOrElse(0)
-    if (pre <= 1) return // nothing to merge; skip the empty commit
-    commitWithRetry { m =>
-      val snap = m.currentSnapshot.get
-      val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
-      // persist across the two passes (dangling scan + merged write): at
-      // high delete-FILE counts the dominant cost is re-opening thousands
-      // of tiny parquets, not the rows themselves
-      val raw = spark.read
-        .schema("file_path string, pos bigint")
-        .parquet(posDels.map(_.path): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // dangling filter: delete rows store `_metadata.file_path` strings
-      // (file:///x) while DataFile.path is Hadoop-style (file:/x) —
-      // normalize driver-side on the bounded referenced-file set rather
-      // than per row, then subtract with a literal list (O(files))
-      val liveNorm = snap.dataFiles.map(f => normPath(f.path)).toSet
-      val dangling = raw.select("file_path").distinct().collect()
-        .map(_.getString(0)).filterNot(p => liveNorm.contains(normPath(p)))
-      val kept = (if (dangling.isEmpty) raw
-                  else raw.filter(!col("file_path").isInCollection(dangling)))
-        .dropDuplicates("file_path", "pos")
-        .repartitionByRange(target, col("file_path"), col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-      val (_, files) = try writeDeleteParquet(kept) finally raw.unpersist()
-      val sq = posDels.map(_.seq).max
-      (newSnapshot(m, "replace", snap.dataFiles,
-        eqDels ++ files.map(_.copy(seq = sq))),
-        s"rewrite ${posDels.size} position delete files -> ${files.size}" +
-          (if (dangling.nonEmpty) s" (${dangling.length} dangling refs dropped)" else ""))
-    }
+    // the no-op check lives INSIDE the retry lambda: a racing compaction
+    // can clear the delete files between a pre-check and the commit, and
+    // the rebase must then bail (no empty commit) instead of merging air
+    object Noop extends Exception
+    try {
+      commitWithRetry { m =>
+        val snap = m.currentSnapshot.getOrElse(throw Noop)
+        val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
+        if (posDels.size <= 1) throw Noop
+        // persist across the two passes (dangling scan + merged write): at
+        // high delete-FILE counts the dominant cost is re-opening thousands
+        // of tiny parquets, not the rows themselves
+        val raw = spark.read
+          .schema("file_path string, pos bigint")
+          .parquet(posDels.map(_.path): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // dangling filter: delete rows store `_metadata.file_path` strings
+        // (file:///x) while DataFile.path is Hadoop-style (file:/x) —
+        // normalize driver-side on the bounded referenced-file set rather
+        // than per row, then subtract with a literal list (O(files))
+        val liveNorm = snap.dataFiles.map(f => normPath(f.path)).toSet
+        val dangling = raw.select("file_path").distinct().collect()
+          .map(_.getString(0)).filterNot(p => liveNorm.contains(normPath(p)))
+        val kept = (if (dangling.isEmpty) raw
+                    else raw.filter(!col("file_path").isInCollection(dangling)))
+          .dropDuplicates("file_path", "pos")
+          .repartitionByRange(target, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+        val (_, files) = try writeDeleteParquet(kept) finally raw.unpersist()
+        val sq = posDels.map(_.seq).max
+        (newSnapshot(m, "replace", snap.dataFiles,
+          eqDels ++ files.map(_.copy(seq = sq))),
+          s"rewrite ${posDels.size} position delete files -> ${files.size}" +
+            (if (dangling.nonEmpty) s" (${dangling.length} dangling refs dropped)" else ""))
+      }
+      true // committed a rewrite snapshot
+    } catch { case Noop => false }
   }
 
   /** Z-ORDER rewrite: cluster on the interleaved bit pattern of two

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Randomized concurrency stress over the commit protocol: many rounds of
-  * racing writers (append | delete | compact), each op on its own table
-  * handle, with an EXACT end-state invariant.
+  * racing writers (append | delete | compact | delete-file rewrite), each
+  * op on its own table handle, with an EXACT end-state invariant.
   *
   * The ops are chosen order-commutative by construction — appends insert
   * disjoint fresh key ranges, each delete targets one key committed in an
@@ -41,12 +41,17 @@ class ConcurrencyStressSpec extends SparkSpec {
   private val commits = new AtomicInteger(0)
 
   /** Re-run `op` on conflict, on a FRESH handle per attempt. */
-  private def retrying(loc: String, label: String)(op: IceLiteTable => Unit): Unit = {
+  private def retrying(loc: String, label: String)(op: IceLiteTable => Unit): Unit =
+    retryingCounted(loc, label) { t => op(t); 1 }
+
+  /** Like [[retrying]] but `op` reports how many version commits it made
+    * (0 for a no-op maintenance call), keeping the version == 1 + commits
+    * invariant exact. */
+  private def retryingCounted(loc: String, label: String)(op: IceLiteTable => Int): Unit = {
     var attempt = 0
     while (true) {
       try {
-        op(new IceLiteTable(spark, loc))
-        commits.incrementAndGet()
+        commits.addAndGet(op(new IceLiteTable(spark, loc)))
         return
       } catch {
         case NonFatal(e) if isConflict(e) && attempt < 30 =>
@@ -106,7 +111,14 @@ class ConcurrencyStressSpec extends SparkSpec {
         // it must survive any interleaving (delete+insert share one seq)
         (if (eq) Seq(Future(retrying(loc, s"upsert r$r")(
           _.upsertEq(Seq(upKey).toDF("id"), Seq("id"))))) else Seq()) ++
-        (if (r % 5 == 4) Seq(Future(retrying(loc, s"compact r$r")(_.compact(3)))) else Seq())
+        (if (r % 5 == 4) Seq(Future(retrying(loc, s"compact r$r")(_.compact(3)))) else Seq()) ++
+        // delete-file rewrite is content-neutral like compaction; it may
+        // legitimately no-op (<=1 pos file, e.g. right after a compaction
+        // cleared them) and reports 0 commits for that case
+        (if (deleteMode == "merge-on-read" && !eq && r % 7 == 3)
+          Seq(Future(retryingCounted(loc, s"rewrite r$r")(
+            t => if (t.rewritePositionDeletes()) 1 else 0)))
+        else Seq())
       ops.foreach(Await.result(_, 180.seconds))
       expected = expected ++ (base until base + 40L) - victim
 
