@@ -129,4 +129,70 @@ class CrashRecoverySpec extends SparkSpec {
     assert(t.read().select("id").as[Long].collect().toSet == expected,
       "reclaim changed the table contents")
   }
+
+  test("30 randomized kills mid delete-file rewrite: reads stay exact, recovery merges, leaks reclaimed") {
+    val loc = Files.createTempDirectory("crashrw").toString + "/t"
+    val quarantineMs = 250L
+    IceLite.createFrom(spark, loc, spark.range(0, 2000).toDF("id"),
+      properties = Map(
+        "write.delete.mode" -> "merge-on-read",
+        "commit.orphan-quarantine-ms" -> quarantineMs.toString))
+    new IceLiteTable(spark, loc).append(spark.range(0, 2000).toDF("id"))
+
+    def posFiles(): Int = new IceLiteTable(spark, loc)
+      .meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos")
+
+    val rng = new scala.util.Random(7)
+    var expected = (0L until 2000L).toSet
+    var nextVictim = 0L
+    var tornCommits = 0
+    for (i <- 1 to 30) {
+      // keep >=2 position delete files on the table so the rewrite has
+      // real work (a landed rewrite from a prior round merged them to 1)
+      while (posFiles() <= 1) {
+        new IceLiteTable(spark, loc).delete(col("id") === nextVictim)
+        expected -= nextVictim
+        nextVictim += 1
+      }
+      val at = Kill.values.toSeq(rng.nextInt(Kill.values.size))
+      val inner = new HadoopCommitStore(IceLite.fs(spark, loc))
+      val crashing = new IceLiteTable(spark, loc, Some(new CrashingStore(inner, at)))
+      intercept[SimulatedCrash] { crashing.rewritePositionDeletes() }
+      if (at == Kill.AfterVersionFile) { tornCommits += 1; Thread.sleep(quarantineMs + 50) }
+
+      // the rewrite is content-neutral, so the read is exact REGARDLESS of
+      // where the writer died, and every referenced delete file exists
+      val reader = new IceLiteTable(spark, loc)
+      val f = IceLite.fs(spark, loc)
+      reader.meta.currentSnapshot.get.deleteFiles.foreach(d =>
+        assert(f.exists(new Path(d.path)), s"referenced delete file missing: ${d.path} (kill=$at)"))
+      assert(reader.read().select("id").as[Long].collect().toSet == expected,
+        s"iteration $i (kill=$at): content drifted")
+      if (at == Kill.AfterHintSwap)
+        assert(posFiles() == 1, s"iteration $i: landed rewrite did not merge")
+
+      // unaided recovery: a plain rewrite (or no-op, if the killed one
+      // landed) must go through and leave exactly one merged file
+      if (i % 5 == 0) {
+        new IceLiteTable(spark, loc).rewritePositionDeletes()
+        assert(posFiles() == 1, s"iteration $i: recovery rewrite did not merge")
+        assert(new IceLiteTable(spark, loc).read().select("id").as[Long].collect().toSet == expected,
+          s"iteration $i: recovery rewrite changed content")
+      }
+    }
+    assert(tornCommits >= 5, s"schedule mix too thin: only $tornCommits torn commits")
+
+    // reclaim: every merged-delete parquet a dead writer leaked goes;
+    // nothing referenced by live history goes
+    val t = new IceLiteTable(spark, loc)
+    val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1)
+    assert(removed.nonEmpty, "30 kills must have leaked at least one merged delete file")
+    val live = t.meta.snapshots
+      .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
+      .map(IceLite.normPath).toSet
+    removed.foreach(r =>
+      assert(!live.contains(IceLite.normPath(r)), s"reclaimed a LIVE file: $r"))
+    assert(t.read().select("id").as[Long].collect().toSet == expected,
+      "reclaim changed the table contents")
+  }
 }
