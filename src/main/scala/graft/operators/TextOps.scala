@@ -1215,6 +1215,100 @@ object TextOps {
             GROUP BY fp ORDER BY doc_id"""),
   )
 
+  /** X89 incremental NEAR-dup dedup — the fuzzy complement of
+    * `dedup_incremental`: screen the new crawl slice (doc_id%10 ≥ 8)
+    * against the STANDING corpus (doc_id%10 < 8) with the same banded
+    * MinHash construction as `minhash_dedup`, then verify candidates by
+    * exact shingle-Jaccard ≥ 0.5. Output: one row per slice doc that is a
+    * verified near-dup of something already ingested — its partner count,
+    * first (min-id) corpus partner, and best Jaccard — the drop/audit list
+    * a nightly run feeds back into the funnel.
+    *
+    * Scale shape: in production the corpus side joins from its STORED
+    * signature index (recomputed here for self-containedness, exactly as
+    * `curation_incremental` recomputes its fingerprint index). Candidates
+    * come from an equi-join on (band, bucket) — the nightly slice is the
+    * small side and broadcasts; the corpus side never self-joins, so the
+    * cost is O(slice × occupancy), not O(corpus²). Verification joins
+    * shingle arrays back for the DEDUPED candidate pairs only. */
+  private val minhashIncremental = QueryDef(
+    "minhash_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sigS = minhashSignatures(d.filter(col("doc_id") % 10 >= 8), bands = 4, rowsPerBand = 2)
+      val sigC = minhashSignatures(d.filter(col("doc_id") % 10 < 8), bands = 4, rowsPerBand = 2)
+      val bS = sigS.select(col("doc_id").as("slice_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val bC = sigC.select(col("doc_id").as("corpus_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val cand = bS.join(bC, Seq("band", "bucket"))
+        .select("slice_id", "corpus_id").dropDuplicates("slice_id", "corpus_id")
+      val shS = sigS.select(col("doc_id").as("slice_id"), col("shingles").as("sh1"))
+      val shC = sigC.select(col("doc_id").as("corpus_id"), col("shingles").as("sh2"))
+      cand
+        .join(shS, Seq("slice_id"))
+        .join(shC, Seq("corpus_id"))
+        .withColumn("jaccard",
+          round(
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))).cast("double"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy("slice_id")
+        .agg(
+          count(lit(1)).as("n_dups"),
+          min(col("corpus_id")).as("first_dup"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("slice_id")
+    },
+    Some("""WITH ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            s AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+            c AS (SELECT * FROM sig WHERE doc_id % 10 < 8),
+            cand AS (
+              SELECT s.doc_id AS slice_id, c.doc_id AS corpus_id
+              FROM s JOIN c ON s.h1 = c.h1 AND s.h2 = c.h2
+              UNION
+              SELECT s.doc_id, c.doc_id FROM s JOIN c ON s.h3 = c.h3 AND s.h4 = c.h4
+              UNION
+              SELECT s.doc_id, c.doc_id FROM s JOIN c ON s.h5 = c.h5 AND s.h6 = c.h6
+              UNION
+              SELECT s.doc_id, c.doc_id FROM s JOIN c ON s.h7 = c.h7 AND s.h8 = c.h8),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT cand.slice_id, cand.corpus_id, count(*) AS i
+              FROM cand
+              JOIN sh s1 ON s1.doc_id = cand.slice_id
+              JOIN sh s2 ON s2.doc_id = cand.corpus_id AND s2.sh = s1.sh
+              GROUP BY 1, 2),
+            ver AS (
+              SELECT inter.slice_id, inter.corpus_id,
+                     round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+              FROM inter
+              JOIN sz sa ON sa.doc_id = inter.slice_id
+              JOIN sz sb ON sb.doc_id = inter.corpus_id
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5)
+            SELECT CAST(slice_id AS BIGINT) AS slice_id,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(corpus_id) AS BIGINT) AS first_dup,
+                   max(jaccard) AS max_jaccard
+            FROM ver GROUP BY slice_id ORDER BY slice_id"""),
+  )
+
   /** X41 inverted index — term → capped posting list, the retrieval-side
     * data structure a corpus search/decontamination service builds from
     * the same token stream as TF-IDF.
@@ -2149,5 +2243,6 @@ object TextOps {
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
     textNormalize, bpeMerges, bpeEncode, urlHostStats, mixtureWeights,
     qualityWeightedSample, minhashDecontaminate, splitLeakageGuard, ngramNovelty,
+    minhashIncremental,
   )
 }

@@ -83,4 +83,30 @@ class Round10bOpsSpec extends SparkSpec {
       out.select("qid", "neighbor_id", "score", "rn", "n_near_dup")).count() == 0,
       "window ranking has a row the operator missed")
   }
+
+  test("minhash_incremental agrees with minhash_dedup's cross-split pairs per slice doc") {
+    val s = spark
+    // a doc's signature is a per-doc computation, so the corpus-wide
+    // self-join's verified pairs restricted to (slice, corpus) splits must
+    // aggregate to exactly the incremental screen's output
+    val out = Registry.queries("minhash_incremental")(s, sf).localCheckpoint()
+    val pairs = Registry.queries("minhash_dedup")(s, sf).localCheckpoint()
+    val cross = pairs
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, j), (b, a, j))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("slice_id", "corpus_id", "jaccard")
+      .filter(col("slice_id") % 10 >= 8 && col("corpus_id") % 10 < 8)
+      .groupBy("slice_id")
+      .agg(count(lit(1)).as("n_dups"), min("corpus_id").as("first_dup"),
+        max("jaccard").as("max_jaccard"))
+    assert(out.exceptAll(cross).count() == 0 && cross.exceptAll(out).count() == 0,
+      "incremental screen diverged from the corpus-wide pair list")
+    assert(out.count() > 0, "fixture must contain cross-split near-dups")
+  }
 }
