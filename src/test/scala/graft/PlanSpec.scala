@@ -325,6 +325,15 @@ class PlanSpec extends SparkSpec
       s"semdedup pair generation degenerated to all-pairs:\n${plan.take(3000)}")
   }
 
+  test("minhash_incremental screens slice-vs-corpus by band-bucket keys — never all-pairs") {
+    // the candidate stage must stay a keyed equi-join on (band, bucket):
+    // a cartesian/nested-loop here is the O(slice × corpus) blow-up the
+    // banding exists to avoid
+    val plan = planOf("minhash_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"slice-vs-corpus candidate generation degenerated to all-pairs:\n${plan.take(3000)}")
+  }
+
   test("embed_decontaminate broadcasts the eval side and partial-aggregates best-of") {
     val plan = planOf("embed_decontaminate")
     assert(plan.contains("BroadcastExchange"),
