@@ -26,7 +26,7 @@ object IceLiteProcedures {
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
     "create_branch", "create_tag", "fast_forward", "drop_ref", "rewrite_zorder",
-    "create_changelog_view")
+    "create_changelog_view", "rewrite_position_delete_files")
 
   def load(warehouse: String, name: String): UnboundProcedure = name match {
     case "rollback_to_snapshot" => proc(warehouse, name, "snapshot_id",
@@ -39,6 +39,15 @@ object IceLiteProcedures {
         val before = t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L)
         t.compact(arg.toInt)
         Seq(before, t.meta.currentSnapshot.map(_.dataFiles.size.toLong).getOrElse(0L))
+      }
+    case "rewrite_position_delete_files" => proc(warehouse, name, "target_files",
+      out = Seq("delete_files_before" -> DataTypes.LongType,
+        "delete_files_after" -> DataTypes.LongType)) { (t, arg) =>
+        def posCount = t.meta.currentSnapshot
+          .map(_.deleteFiles.count(_.kind == "pos").toLong).getOrElse(0L)
+        val before = posCount
+        t.rewritePositionDeletes(arg.toInt)
+        Seq(before, posCount)
       }
     case "expire_snapshots" => proc(warehouse, name, "older_than_ms",
       out = Seq("remaining_snapshots" -> DataTypes.LongType)) { (t, arg) =>

@@ -242,6 +242,25 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM ilsql.proc.t").head.getLong(0) == 20)
   }
 
+  test("CALL rewrite_position_delete_files merges MoR delete files via SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.rwd")
+    spark.sql("CREATE TABLE ilsql.rwd.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO ilsql.rwd.t SELECT id FROM range(100)")
+    spark.sql("DELETE FROM ilsql.rwd.t WHERE id % 10 = 1")
+    spark.sql("DELETE FROM ilsql.rwd.t WHERE id % 10 = 3")
+    spark.sql("DELETE FROM ilsql.rwd.t WHERE id % 10 = 5")
+    val r = spark.sql(
+      "CALL ilsql.system.rewrite_position_delete_files('rwd.t', 1)").collect()
+    assert(r.head.getLong(0) >= 3 && r.head.getLong(1) == 1,
+      s"rewrite returned ${r.toSeq}")
+    val want = (0L until 100L).filterNot(i => i % 10 == 1 || i % 10 == 3 || i % 10 == 5)
+    assert(spark.sql("SELECT count(*), sum(id) FROM ilsql.rwd.t").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).head == (want.size.toLong, want.sum),
+      "rewrite changed visible content through SQL")
+  }
+
   test("CALL create_changelog_view exposes the CDC feed to SQL") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.cdc")
