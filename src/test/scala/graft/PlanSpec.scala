@@ -332,6 +332,12 @@ class PlanSpec extends SparkSpec
     val plan = planOf("minhash_incremental")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"slice-vs-corpus candidate generation degenerated to all-pairs:\n${plan.take(3000)}")
+    // positive shape: the candidate stage is a hash join KEYED on the band
+    // bucket (signatures are checkpointed BEFORE the join, so unlike the
+    // edit_distance case the join is inspectable here)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashJoin") && l.contains("band") && l.contains("bucket")),
+      s"no band/bucket-keyed hash join in the plan:\n${plan.take(3000)}")
   }
 
   test("embed_decontaminate broadcasts the eval side and partial-aggregates best-of") {
