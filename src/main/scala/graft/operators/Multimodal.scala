@@ -325,6 +325,83 @@ object Multimodal {
             ORDER BY id1, id2"""),
   )
 
+  /** X90 incremental image near-dup — the multimodal member of the
+    * incremental-screen trio (exact fingerprints: `dedup_incremental`;
+    * text near-dup: `minhash_incremental`): new-slice images (doc_id%10
+    * ≥ 8) screened against the STANDING corpus with the same 63-bit
+    * aHash + 16/16/16/15-bit banding as `multimodal_phash_near_dup`,
+    * verified by hamming ≤ 3 on band collisions only. Output: per slice
+    * image its verified partner count, first corpus partner, and closest
+    * hamming distance — the nightly drop/audit list for the image
+    * modality.
+    *
+    * Scale shape: in production the corpus signatures join from their
+    * stored 12-byte/image index; the slice side is the small input of the
+    * (band, key) equi-join and broadcasts — O(slice × occupancy), never
+    * O(corpus²), occupancy O(N/2^16) by the wide bands. */
+  private val phashIncremental = QueryDef(
+    "multimodal_phash_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), encode(col("text"), "utf-8"))
+        .as[(Long, Array[Byte])]
+      val sigs = averageHash(imgs)
+      def bandsOf(d: DataFrame, idAs: String, sigAs: String): DataFrame = d
+        .select(col("doc_id").as(idAs), col("sig").as(sigAs),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr(
+          s"shiftright($sigAs, band * 16) & CASE WHEN band = 3 THEN 32767 ELSE 65535 END"))
+      val bS = bandsOf(sigs.filter(col("doc_id") % 10 >= 8), "slice_id", "s1")
+      val bC = bandsOf(sigs.filter(col("doc_id") % 10 < 8), "corpus_id", "s2")
+      bS.join(bC, Seq("band", "key"))
+        .select("slice_id", "corpus_id", "s1", "s2")
+        .dropDuplicates("slice_id", "corpus_id")
+        .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .groupBy("slice_id")
+        .agg(
+          count(lit(1)).as("n_dups"),
+          min(col("corpus_id")).as("first_dup"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("slice_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, length(text) AS n,
+                       list_transform(string_split_regex(text, ''), c -> ascii(c)) AS a
+                       FROM documents),
+            tot AS (SELECT doc_id, n, a, coalesce(list_sum(a), 0) AS s FROM d),
+            blk AS (SELECT doc_id, n, s, b,
+                           (b*n)//63 AS lo, ((b+1)*n)//63 AS hi,
+                           coalesce(list_sum(a[(b*n)//63 + 1 : ((b+1)*n)//63]), 0) AS bs
+                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb),
+            sig AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN bs * n > s * (hi - lo)
+                                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+                    FROM blk GROUP BY doc_id),
+            sl AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+            co AS (SELECT * FROM sig WHERE doc_id % 10 < 8),
+            cand AS (
+              SELECT sl.doc_id AS slice_id, co.doc_id AS corpus_id, sl.sig AS s1, co.sig AS s2
+              FROM sl JOIN co ON (sl.sig & 65535) = (co.sig & 65535)
+              UNION
+              SELECT sl.doc_id, co.doc_id, sl.sig, co.sig
+              FROM sl JOIN co ON ((sl.sig >> 16) & 65535) = ((co.sig >> 16) & 65535)
+              UNION
+              SELECT sl.doc_id, co.doc_id, sl.sig, co.sig
+              FROM sl JOIN co ON ((sl.sig >> 32) & 65535) = ((co.sig >> 32) & 65535)
+              UNION
+              SELECT sl.doc_id, co.doc_id, sl.sig, co.sig
+              FROM sl JOIN co ON ((sl.sig >> 48) & 32767) = ((co.sig >> 48) & 32767)),
+            ver AS (SELECT slice_id, corpus_id,
+                           CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+                    FROM cand WHERE bit_count(xor(s1, s2)) <= 3)
+            SELECT CAST(slice_id AS BIGINT) AS slice_id,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(corpus_id) AS BIGINT) AS first_dup,
+                   CAST(min(hamming) AS BIGINT) AS min_hamming
+            FROM ver GROUP BY slice_id ORDER BY slice_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(binaryMeta, imageDecodeStats, frameSample,
-    phashNearDup)
+    phashNearDup, phashIncremental)
 }

@@ -109,4 +109,31 @@ class Round10bOpsSpec extends SparkSpec {
       "incremental screen diverged from the corpus-wide pair list")
     assert(out.count() > 0, "fixture must contain cross-split near-dups")
   }
+
+  test("multimodal_phash_incremental flags a planted cross-split retouch, and only it") {
+    // the sf0.001/sf0.01 fixtures carry no hamming<=3 image pairs (the
+    // planted near-dups only appear at sf0.1+), so the check PLANTS its
+    // own corpus: slice doc 18 is a one-character retouch of corpus doc 3;
+    // two unrelated random docs must stay silent
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    def txt(n: Int): String = new String(Array.fill(n)(('a' + rng.nextInt(26)).toChar))
+    val base = txt(256)
+    val retouch = base.updated(40, (base(40) ^ 1).toChar)
+    val docs = Seq((3L, base), (5L, txt(256)), (18L, retouch), (28L, txt(256)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phash_inc").toString
+    docs.write.parquet(dir + "/documents.parquet")
+
+    val sig = graft.operators.Multimodal.averageHash(
+        docs.select(col("doc_id"), encode(col("text"), "utf-8")).as[(Long, Array[Byte])])
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h = java.lang.Long.bitCount(sig(3L) ^ sig(18L)).toLong
+    assert(h <= 3, s"retouch moved the aHash $h bits — planted pair is broken")
+
+    val out = Registry.queries("multimodal_phash_incremental")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((18L, 1L, 3L, h)), s"got $out, want Seq((18,1,3,$h))")
+  }
 }
