@@ -49,7 +49,10 @@ object Bench {
     "triangle_count", "bpe_merges", "embed_kmeans", "substring_dedup_trim",
     "icelite_cdc_apply", "quantile_sketch_grouped",
     "minhash_decontaminate", "rare_bigram_rate", "edit_distance_pairs",
-    "gopher_quality_rules")
+    "gopher_quality_rules",
+    // round-10 wave heavies: keep the spot set honest as the registry grows
+    "split_leakage_guard", "icelite_rewrite_deletes", "minhash_incremental",
+    "ann_recall_report", "ngram_novelty")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete

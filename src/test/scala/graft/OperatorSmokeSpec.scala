@@ -23,7 +23,7 @@ class OperatorSmokeSpec extends SparkSpec {
       // sf0.001 corpus (the oracle still cross-checks the empty result);
       // everything else >0
       val mayBeEmpty = Set("jaccard_pairs", "minhash_dedup",
-        "multimodal_phash_near_dup")
+        "multimodal_phash_near_dup", "multimodal_phash_incremental")
       if (!mayBeEmpty(d.name))
         assert(n > 0, s"${d.name} returned 0 rows")
       assert(df.columns.nonEmpty)
