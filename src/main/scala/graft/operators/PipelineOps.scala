@@ -436,6 +436,79 @@ object PipelineOps {
             ORDER BY t0.doc_id"""),
   )
 
+  /** X91 paragraph-granularity exact dedup — the dedup granularity between
+    * whole-document (`dedup_exact`) and covering-gram (`substring_dedup_trim`):
+    * Dolma and CCNet both dedup at the PARAGRAPH level, because boilerplate
+    * repeats in paragraph-sized units (nav bars, licence blocks) that
+    * neither doc-level hashing nor per-position gram trimming expresses
+    * directly. Documents are split into non-overlapping 20-token
+    * pseudo-paragraphs (the synthetic corpus has no newline structure;
+    * fixed windows are the same convention `context_chunks` uses), every
+    * occurrence after the FIRST — corpus order = (doc_id, para_idx) — is
+    * dropped, and the doc is rebuilt from its surviving paragraphs. Output
+    * is per-doc paragraph counts plus the md5 of the rebuilt text, so the
+    * keep-first decision AND the rebuild are hash-checked cross-engine.
+    *
+    * Scale shape: one corpus-sized shuffle, keyed on paragraph content —
+    * exactly Dolma's dedup key — with the first-occurrence decision a
+    * row_number inside each paragraph's partition (paragraph partitions
+    * are duplicate-multiplicity-sized, never corpus-sized); the rebuild
+    * re-aggregates the kept stream by doc_id. No join back against a
+    * second expansion of the corpus, no all-pairs anything. At 100 TB the
+    * paragraph stream is the same bytes the corpus itself occupies — the
+    * minimum any content-level dedup moves — and a production run would
+    * swap the rebuild md5 for writing the kept paragraphs out. */
+  private val paragraphDedup = QueryDef(
+    "paragraph_dedup",
+    (s, dir) => {
+      val paras = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .filter(col("nt") > 0L) // guards the descending-sequence trap below
+        .withColumn("n_paras", expr("(nt + 19) div 20"))
+        .withColumn("pidx", explode(expr("sequence(0L, n_paras - 1)")))
+        .select(col("doc_id"), col("n_paras"), col("pidx"),
+          concat_ws(" ",
+            expr("slice(toks, cast(pidx * 20 + 1 AS INT), 20)")).as("para"))
+      val w = Window.partitionBy("para").orderBy("doc_id", "pidx")
+      paras.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(max("n_paras").as("n_paras"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          // collect_list skips the nulls the `when` leaves for dropped
+          // paragraphs, so only kept (pidx, para) pairs reach the rebuild
+          collect_list(when(col("rn") === 1,
+            struct(col("pidx"), col("para")))).as("pp"))
+        .select(col("doc_id"), col("n_paras"),
+          (col("n_paras") - col("n_kept")).as("n_removed"),
+          md5(array_join(transform(sort_array(col("pp")), x => x("para")), " "))
+            .as("kept_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM documents),
+            n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt
+                  FROM t WHERE len(w) > 0),
+            p AS (SELECT doc_id, CAST((nt + 19) // 20 AS BIGINT) AS n_paras,
+                         CAST(u.i AS BIGINT) AS pidx,
+                         array_to_string(w[u.i*20+1 : u.i*20+20], ' ') AS para
+                  FROM n, unnest(range(0, CAST((nt + 19) // 20 AS INT))) AS u(i)),
+            r AS (SELECT doc_id, n_paras, pidx, para,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, pidx) AS rn
+                  FROM p),
+            a AS (SELECT doc_id, max(n_paras) AS n_paras,
+                         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                         coalesce(md5(string_agg(para, ' ' ORDER BY pidx)
+                                      FILTER (WHERE rn = 1)), md5('')) AS kept_md5
+                  FROM r GROUP BY doc_id)
+            SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+                   CAST(n_paras - n_kept AS BIGINT) AS n_removed, kept_md5
+            FROM a ORDER BY doc_id"""),
+  )
+
   /** X69 context-window chunking — the doc→training-example conversion:
     * each document is split into sliding token windows of size 64 with
     * stride 48 (25% overlap, the long-document recipe), the exact shape a
@@ -923,7 +996,8 @@ object PipelineOps {
 
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
-      domainBudgetSample, repeatedNgramSpans, substringDedupTrim, contextChunks,
+      domainBudgetSample, repeatedNgramSpans, substringDedupTrim, paragraphDedup,
+      contextChunks,
       urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline,
       curationIncremental)
 }

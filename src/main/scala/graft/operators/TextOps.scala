@@ -385,6 +385,68 @@ object TextOps {
             FROM comp GROUP BY c ORDER BY keep_doc"""),
   )
 
+  /** X92 duplicate-cluster size distribution — the dedup REPORT every
+    * curation run publishes next to the keep/drop decision: how many
+    * clusters of each size exist, and how many documents they hold. The
+    * histogram is what tells you whether duplication is a long tail of
+    * pairs (cheap to drop) or a few giant boilerplate clusters (worth a
+    * source-level investigation) — the two corpora need different
+    * responses, and `dedup_resolve`'s per-cluster listing doesn't
+    * aggregate to that answer. Singleton docs (no near-dup edge) are
+    * included as size-1 clusters so the histogram partitions the probe
+    * set: Σ n_docs = |probe|.
+    *
+    * Scale shape: reads the SAME memoized closure `dedup_components` /
+    * `dedup_resolve` consume (one closure per curation DAG, fanned out);
+    * on top of it, two tiny aggregations (per-component size, then the
+    * size histogram — both component-count-sized) and one left join of
+    * the probe ids against the label table. Nothing corpus-sized moves
+    * beyond the closure itself. */
+  private val dedupClusterStats = QueryDef(
+    "dedup_cluster_stats",
+    (s, dir) => {
+      val comps = dupComponents(s, dir)
+        .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("comp"))
+      docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        // edge-less docs are their own singleton component
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum("csize").as("n_docs"))
+        .orderBy("cluster_size")
+    },
+    Some("""WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sz sa ON sa.doc_id = id1
+              JOIN sz sb ON sb.doc_id = id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+            e AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+            comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+            alldocs AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS c
+                        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+                        LEFT JOIN comp ON comp.node = d.doc_id),
+            cs AS (SELECT c, CAST(count(*) AS BIGINT) AS csize
+                   FROM alldocs GROUP BY c)
+            SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(csize) AS BIGINT) AS n_docs
+            FROM cs GROUP BY csize ORDER BY cluster_size"""),
+  )
+
   /** Deterministic corpus sampling: md5-bucket the doc id and keep ~1/16
     * of documents — the reproducible, engine-portable alternative to
     * `TABLESAMPLE`/`rand()` for carving train/eval splits. A narrow filter
@@ -1671,6 +1733,80 @@ object TextOps {
     },
   )
 
+  /** X93 tokenizer fertility audit — the per-SOURCE tokenizer-health
+    * diagnostic (Rust et al. 2021): fertility (BPE tokens emitted per
+    * whitespace word, ×100 floor) and continuation rate (fraction of word
+    * occurrences the tokenizer splits into >1 subword, ×10000 floor). A
+    * source whose fertility runs hot relative to the corpus is one the
+    * tokenizer models poorly — it pays more sequence length per word —
+    * and that's a MIXING input, which is why the audit is per source
+    * while `bpe_encode` reports per-language compression. Both metrics
+    * are exact integer floors, so the cross-engine hashes are bit-stable.
+    *
+    * Scale shape: identical to `bpe_encode`'s lookup-shaped apply — the
+    * corpus partial-aggregates straight to (source, word) multiplicities
+    * (vocabulary-bounded per source), joins the already-merged vocab by
+    * word, and aggregates out; the only corpus-sized pass is the word
+    * count scan that training itself already makes. */
+  private val tokenizerFertility = QueryDef(
+    "tokenizer_fertility",
+    (s, dir) => {
+      val vocab = learnBpe(docs(s, dir), 5)._2
+        .select(col("word"),
+          size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      val perSrcWord = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      perSrcWord.join(vocab, "word")
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
+          sum(when(col("n_sub") > 1L, col("n")).otherwise(0L)).as("n_split"))
+        .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 100 div n_words").as("fertility_x100"),
+          expr("n_split * 10000 div n_words").as("split_rate_x10000"))
+        .orderBy("source")
+    },
+    Some {
+      def iter(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""t$i AS (SELECT f, string_split(trim(s), ' ') AS toks FROM $prev
+                    WHERE len(string_split(trim(s), ' ')) >= 2),
+            p$i AS (SELECT f, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t$i),
+            m$i AS (SELECT p[1] AS a, p[2] AS b FROM p$i GROUP BY 1, 2
+                    ORDER BY CAST(sum(f) AS BIGINT) DESC, a, b LIMIT 1),
+            v$i AS (SELECT word, f, replace(replace(replace(s,
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+                    FROM $prev, m$i),"""
+      }
+      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> '' GROUP BY word),
+          v0 AS (SELECT word, f, ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ' AS s
+             FROM wf),
+          ${iter(1)}
+          ${iter(2)}
+          ${iter(3)}
+          ${iter(4)}
+          ${iter(5)}
+          vocab AS (SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub FROM v5),
+          psw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+                  WHERE word <> '' GROUP BY 1, 2)
+          SELECT source,
+                 CAST(sum(n) AS BIGINT) AS n_words,
+                 CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens,
+                 CAST(sum(n * n_sub) * 100 // sum(n) AS BIGINT) AS fertility_x100,
+                 CAST(sum(CASE WHEN n_sub > 1 THEN n ELSE 0 END) * 10000 // sum(n) AS BIGINT)
+                   AS split_rate_x10000
+          FROM psw JOIN vocab USING (word)
+          GROUP BY source ORDER BY source"""
+    },
+  )
+
   /** X52 URL parsing + domain blocklist — the C4/Gopher-style provenance
     * filter: every crawl pipeline drops documents by registrable domain
     * before any content-level work (cheapest filter first). Deterministic
@@ -2239,9 +2375,10 @@ object TextOps {
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
     docFingerprint, jaccardPairs, minhashDedup, minhashSignature,
     tokenizeRegex, simhashDedup, simhashSignature, deterministicSample, curationPipeline,
-    dedupComponents, dedupResolve, piiRedact, ngramTopk, stratifiedSample,
+    dedupComponents, dedupResolve, dedupClusterStats, piiRedact, ngramTopk,
+    stratifiedSample,
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
-    textNormalize, bpeMerges, bpeEncode, urlHostStats, mixtureWeights,
+    textNormalize, bpeMerges, bpeEncode, tokenizerFertility, urlHostStats, mixtureWeights,
     qualityWeightedSample, minhashDecontaminate, splitLeakageGuard, ngramNovelty,
     minhashIncremental,
   )
