@@ -52,7 +52,8 @@ object Bench {
     "gopher_quality_rules",
     // round-10 wave heavies: keep the spot set honest as the registry grows
     "split_leakage_guard", "icelite_rewrite_deletes", "minhash_incremental",
-    "ann_recall_report", "ngram_novelty")
+    "ann_recall_report", "ngram_novelty",
+    "paragraph_dedup", "tokenizer_fertility", "dedup_cluster_stats")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete
