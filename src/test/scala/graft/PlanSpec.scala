@@ -512,4 +512,19 @@ class PlanSpec extends SparkSpec
     assert(!smjLines.exists(_.contains("score#")),
       s"raw score stream shuffled through a SortMergeJoin:\n${smjLines.mkString("\n")}")
   }
+
+  test("paragraph_dedup is join-free: one content-keyed window, no second corpus expansion") {
+    val plan = planOf("paragraph_dedup")
+    // keep-first is a row_number INSIDE the paragraph partition; the
+    // rebuild re-aggregates the same stream by doc_id — any join means a
+    // second expansion of the corpus joined back against the first
+    assert(!plan.contains("Join"),
+      s"paragraph dedup grew a join:\n${plan.take(3000)}")
+    // the window key is the paragraph content (Dolma's dedup key): the
+    // first wide exchange must hash on para, not on doc_id
+    val firstHash = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq.lastOption.getOrElse("")
+    assert(firstHash.contains("para#"),
+      s"bottom-most exchange is not keyed on paragraph content: $firstHash")
+  }
 }
