@@ -994,10 +994,195 @@ object PipelineOps {
             FROM fl GROUP BY source ORDER BY source"""),
   )
 
+  /** X94 mixing schedule — the data-recipe artifact a multi-source run
+    * actually trains from: given the X68 temperature-α=1/2 mixture weights
+    * and a total budget of TWO corpus epochs of characters (B = 2·Σchars,
+    * the "see the data about twice" default), the per-source draw and the
+    * resulting epoch count. chars_drawn = ⌊B·w/Σw⌋, epochs_x100 =
+    * ⌊100·chars_drawn/n_chars⌋; a source is UPSAMPLED when its epochs
+    * exceed the uniform 2.00 — temperature flattening up-weights small
+    * domains at the expense of large ones, and this table is where that
+    * trade becomes auditable (the report DoReMi/UNIMAX-style recipes ship
+    * beside their weights).
+    *
+    * Exactness: the B·w product is widened to DECIMAL(38,0) BEFORE the
+    * integer division — at 100 TB (Σchars ~ 10^14, w ~ √(10^14·10^4) =
+    * 10^9) the product is ~2·10^23, past int64; both engines multiply in
+    * 128-bit and the quotient (≤ B) lands back in BIGINT. The weight
+    * kernel is the same float-seeded, CASE-corrected exact isqrt as
+    * `mixture_weights` (property-tested there against BigInt).
+    *
+    * Scale: one partial-aggregated groupBy over the corpus (|sources| rows
+    * out), then a broadcast 1-row total — identical shape to
+    * `mixture_weights`; the 100 TB side is scanned once. */
+  private val mixingSchedule = QueryDef(
+    "mixing_schedule",
+    (s, dir) => {
+      val m = docs(s, dir)
+        .groupBy("source")
+        .agg(sum(col("n_chars").cast("long")).as("n_chars"))
+        .withColumn("s0", expr("cast(floor(sqrt(cast(n_chars * 10000 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("weight_scaled", expr(
+          """CASE WHEN (s0+1)*(s0+1) <= n_chars*10000 THEN s0+1
+                  WHEN s0*s0 > n_chars*10000 THEN s0-1
+                  ELSE s0 END"""))
+        .drop("s0")
+      val tot = m.agg(sum("weight_scaled").as("wtot"), sum("n_chars").as("ctot"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("chars_drawn", expr(
+          "cast((cast(2 * ctot AS DECIMAL(38,0)) * weight_scaled) div wtot AS BIGINT)"))
+        .withColumn("epochs_x100", expr("(chars_drawn * 100) div n_chars"))
+        .select(col("source"), col("n_chars"), col("weight_scaled"),
+          col("chars_drawn"), col("epochs_x100"),
+          (col("epochs_x100") > 200).cast("long").as("upsampled"))
+        .orderBy("source")
+    },
+    Some("""WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1),
+            w AS (SELECT *, CAST(floor(sqrt(CAST(n_chars * 10000 AS DOUBLE))) AS BIGINT) AS s0 FROM s),
+            w2 AS (SELECT source, n_chars,
+                   CASE WHEN (s0+1)*(s0+1) <= n_chars*10000 THEN s0+1
+                        WHEN s0*s0 > n_chars*10000 THEN s0-1
+                        ELSE s0 END AS weight_scaled FROM w),
+            t AS (SELECT CAST(sum(weight_scaled) AS BIGINT) AS wtot,
+                         CAST(sum(n_chars) AS BIGINT) AS ctot FROM w2),
+            d AS (SELECT source, n_chars, weight_scaled,
+                   CAST((CAST(2 * ctot AS HUGEINT) * weight_scaled) // wtot AS BIGINT) AS chars_drawn
+                  FROM w2, t)
+            SELECT source, n_chars, weight_scaled, chars_drawn,
+                   CAST((chars_drawn * 100) // n_chars AS BIGINT) AS epochs_x100,
+                   CAST(CASE WHEN (chars_drawn * 100) // n_chars > 200 THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+            FROM d ORDER BY source"""),
+  )
+
+  /** X95 shard manifest — the artifact the WRITE side of a curation run
+    * publishes: documents assigned to 16 output shards by an md5 draw on
+    * the doc id (reshard-stable like `deterministic_sample` — membership
+    * is a pure function of the id, never of partitioning), and per shard
+    * the doc/token/char mass, the id range, and an ORDER-INDEPENDENT
+    * content checksum — the sum of each doc's 60-bit md5-text prefix,
+    * accumulated in DECIMAL(38,0) and surfaced mod 2^60. Because the
+    * checksum is a commutative sum, two writers that partition the corpus
+    * differently produce byte-identical manifests, which is exactly what
+    * makes the manifest usable as a cross-run integrity check
+    * (Round10dOpsSpec asserts the invariance; WebDataset-style shard
+    * listings carry the same per-shard digests).
+    *
+    * Scale: one narrow scan (shard/hash are per-row projections) into a
+    * 16-key partial aggregate — map-side combine reduces each executor's
+    * output to at most 16 rows before the only exchange. */
+  private[graft] def shardManifestOp(d: DataFrame): DataFrame =
+    d.select(col("doc_id").cast("long").as("doc_id"),
+        expr("cast(conv(substring(md5(concat('shard:', cast(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 16")
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars").cast("long").as("n_chars"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) AS DECIMAL(38,0))").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        expr("cast(sum(h) % 1152921504606846976 AS BIGINT)").as("checksum60"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  private val shardManifest = QueryDef(
+    "shard_manifest",
+    (s, dir) => shardManifestOp(docs(s, dir)),
+    Some("""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(concat('0x', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+            FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum60,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc
+            FROM t GROUP BY shard ORDER BY shard"""),
+  )
+
+  /** X96 curriculum ordering — quality-ordered training curriculum: every
+    * doc's GLOBAL ordinal under (quality score desc, doc_id) plus its
+    * decile, the artifact behind score-ordered / staged training schedules.
+    * The score is `quality_weighted_sample`'s integer p_scaled, so the
+    * ranking is exact and ties are impossible (doc_id breaks them).
+    *
+    * Scale: a global row_number over ONE window partition sends 100 TB
+    * through a single reducer — the same trap `sequence_pack_global`
+    * avoids, solved the same way: `repartitionByRange` on the sort key
+    * spreads the total order across the cluster (range boundaries from
+    * sampling, pinned by localCheckpoint so both passes see identical
+    * partitions), pass 1 ships ONE count per partition to the driver,
+    * pass 2 is a narrow map adding each partition's exact start offset.
+    * Output is partition-count-invariant (Round10dOpsSpec asserts 3 vs 8)
+    * and equals the single-window formulation, which is what the DuckDB
+    * oracle computes. */
+  private[graft] def curriculumOrderOp(d: DataFrame, numParts: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val scored = d
+      .selectExpr("cast(doc_id AS BIGINT) AS doc_id",
+        "cast(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+        "cast(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+        "cast(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+      .selectExpr("doc_id",
+        "CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END AS srs",
+        "CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END AS wls")
+      .selectExpr("doc_id",
+        "greatest(0L, least(1000L, 500 + 2 * srs - abs(wls - 4000) div 4)) AS p_scaled")
+    val parts = scored
+      .repartitionByRange(numParts, col("p_scaled").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("p_scaled").desc, col("doc_id").asc)
+      .as[(Long, Long)]
+      // pin the partitioning: pass 2 must see the SAME partitions pass 1
+      // counted (range boundaries come from sampling; don't recompute)
+      .localCheckpoint()
+    val partCounts = parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))
+    }.collect().sortBy(_._1) // one count per partition — driver-tiny
+    val total = math.max(partCounts.map(_._2).sum, 1L)
+    val offsets = partCounts.map(_._1).zip(
+      partCounts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val bco = s.sparkContext.broadcast(offsets)
+    parts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var ord = bco.value.getOrElse(pid, 0L)
+        it.map { case (id, p) => ord += 1; (id, p, ord) }
+      }.toDF("doc_id", "p_scaled", "ordinal")
+      .withColumn("decile", expr(s"((ordinal - 1) * 10) div ${total}L"))
+      .orderBy("ordinal")
+  }
+
+  private val curriculumOrder = QueryDef(
+    "curriculum_order",
+    (s, dir) => curriculumOrderOp(docs(s, dir),
+      numParts = s.sessionState.conf.numShufflePartitions),
+    Some("""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+            FROM documents),
+            r AS (SELECT doc_id,
+                   CASE WHEN nw > 0 THEN (stop * 1000) // nw ELSE 0 END AS srs,
+                   CASE WHEN nw > 0 THEN (letters * 1000) // nw ELSE 0 END AS wls FROM f),
+            sc AS (SELECT doc_id,
+                   greatest(0, least(1000, 500 + 2 * srs - abs(wls - 4000) // 4)) AS p_scaled FROM r),
+            o AS (SELECT doc_id, p_scaled,
+                   row_number() OVER (ORDER BY p_scaled DESC, doc_id) AS ordinal FROM sc),
+            n AS (SELECT count(*) AS n FROM sc)
+            SELECT doc_id, CAST(p_scaled AS BIGINT) AS p_scaled,
+                   CAST(ordinal AS BIGINT) AS ordinal,
+                   CAST(((ordinal - 1) * 10) // n AS BIGINT) AS decile
+            FROM o, n ORDER BY ordinal"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, paragraphDedup,
       contextChunks,
       urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline,
-      curationIncremental)
+      curationIncremental, mixingSchedule, shardManifest, curriculumOrder)
 }

@@ -527,4 +527,28 @@ class PlanSpec extends SparkSpec
     assert(firstHash.contains("para#"),
       s"bottom-most exchange is not keyed on paragraph content: $firstHash")
   }
+
+  test("shard_manifest is a single join-free partial aggregate over one scan") {
+    val plan = planOf("shard_manifest")
+    // map-side combine reduces each executor to ≤16 rows before the only
+    // exchange; a join or a second scan means the manifest re-reads the
+    // corpus it is supposed to summarize in one pass
+    assert(plan.contains("partial_sum"),
+      s"manifest aggregate lost its map-side partial:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"manifest grew a join:\n${plan.take(3000)}")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n${plan.take(3000)}")
+  }
+
+  test("mixing_schedule partial-aggregates per source and broadcasts the 1-row total") {
+    val plan = planOf("mixing_schedule")
+    assert(plan.contains("partial_sum"),
+      s"per-source aggregate lost its map-side partial:\n${plan.take(3000)}")
+    // the Σw/Σchars totals join the |sources|-row frame via broadcast —
+    // a SortMergeJoin here would shuffle for a single-row side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"totals row is not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected sort-merge join against a 1-row side:\n${plan.take(3000)}")
+  }
 }

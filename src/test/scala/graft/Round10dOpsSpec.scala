@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Differential checks for the round-10 fifth wave (X94–X96): re-derive
+  * each operator's core quantity with an independent formulation and
+  * assert agreement, mirroring Round9OpsSpec / Round10{,b,c}OpsSpec.
+  */
+class Round10dOpsSpec extends SparkSpec {
+
+  test("mixing_schedule: weights equal mixture_weights'; the drawn mass exhausts the 2-epoch budget up to per-source floors") {
+    val sched = Registry.queries("mixing_schedule")(spark, sf).localCheckpoint()
+    val mix = Registry.queries("mixture_weights")(spark, sf)
+
+    // the isqrt weight kernel must agree with the standalone operator's
+    val wMismatch = sched.select(col("source"), col("weight_scaled").as("w1"))
+      .join(mix.select(col("source"), col("weight_scaled").as("w2")), Seq("source"))
+      .filter(col("w1") =!= col("w2")).count()
+    assert(wMismatch == 0, "weight kernel disagrees with mixture_weights")
+
+    // Σ chars_drawn ∈ (B - nSources·1, B]: each source floors away < 1 unit
+    val row = sched.agg(sum("chars_drawn"), sum("n_chars"), count(lit(1))).head
+    val (drawn, chars, nSrc) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val budget = 2L * chars
+    assert(drawn <= budget && drawn > budget - nSrc,
+      s"drawn mass $drawn outside ($budget - $nSrc, $budget]")
+
+    // upsampled ⟺ epochs_x100 > 200, and small sources (below mean mass)
+    // can only be up-weighted relative to large ones under α = 1/2
+    val badFlag = sched.filter(
+      (col("upsampled") === 1L) =!= (col("epochs_x100") > 200L)).count()
+    assert(badFlag == 0)
+
+    // driver-side BigInt recompute of the 128-bit-widened draw — exact,
+    // independent of the DECIMAL(38,0) path the operator uses
+    val rows = sched.select("n_chars", "weight_scaled", "chars_drawn", "epochs_x100").collect()
+    val wtot = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val expect = (BigInt(2L * chars) * r.getLong(1) / wtot).toLong
+      assert(r.getLong(2) == expect, s"chars_drawn ${r.getLong(2)} != BigInt recompute $expect")
+      assert(r.getLong(3) == r.getLong(2) * 100L / r.getLong(0))
+    }
+  }
+
+  test("shard_manifest: partitions the corpus; the checksum is order-independent across reshards") {
+    val d = Tables.documents(spark, sf)
+    val out = Registry.queries("shard_manifest")(spark, sf).localCheckpoint()
+
+    // the 16 shards partition the corpus exactly
+    assert(out.agg(sum("n_docs")).head.getLong(0) == d.count())
+    assert(out.count() <= 16)
+
+    // reshard invariance: a different physical layout must produce a
+    // byte-identical manifest (the commutative-checksum claim)
+    val a = operators.PipelineOps.shardManifestOp(d.repartition(3)).collect()
+    val b = operators.PipelineOps.shardManifestOp(d.repartition(17)).collect()
+    assert(a.sameElements(b), "manifest differs across physical layouts")
+
+    // checksum actually depends on content: perturb one doc's text and the
+    // touched shard's checksum must move, all others stay
+    val perturbed = d.withColumn("text",
+      when(col("doc_id") === d.agg(min("doc_id")).head.get(0), concat(col("text"), lit(" zz")))
+        .otherwise(col("text")))
+    val c = operators.PipelineOps.shardManifestOp(perturbed)
+      .select("shard", "checksum60").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = out.select("shard", "checksum60").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changed = orig.keys.count(k => c(k) != orig(k))
+    assert(changed == 1, s"expected exactly one shard checksum to move, got $changed")
+  }
+
+  test("curriculum_order: equals the single-window formulation and is partition-count-invariant") {
+    val out = Registry.queries("curriculum_order")(spark, sf).localCheckpoint()
+    val d = Tables.documents(spark, sf)
+
+    // ordinals are a permutation of 1..N
+    val n = d.count()
+    assert(out.count() == n)
+    val row = out.agg(min("ordinal"), max("ordinal"), countDistinct("ordinal")).head
+    assert(row.getLong(0) == 1L && row.getLong(1) == n && row.getLong(2) == n)
+
+    // the distributed two-pass ordinal equals the single-window row_number
+    // (fine at test scale; the operator exists so 100 TB never runs this)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_scaled").desc, col("doc_id").asc)
+    val ref = out.select("doc_id", "p_scaled")
+      .withColumn("ord2", row_number().over(win).cast("long"))
+    val mismatch = out.join(ref.select("doc_id", "ord2"), Seq("doc_id"))
+      .filter(col("ordinal") =!= col("ord2")).count()
+    assert(mismatch == 0, "two-pass ordinal disagrees with the window formulation")
+
+    // partition-count invariance (range boundaries are sampled; the result
+    // must not depend on how many ranges the sampler chose)
+    val p3 = operators.PipelineOps.curriculumOrderOp(d, 3).collect()
+    val p8 = operators.PipelineOps.curriculumOrderOp(d, 8).collect()
+    assert(p3.sameElements(p8), "ordinal assignment depends on the partition count")
+
+    // deciles are monotone in the ordinal and near-balanced
+    val badDecile = out.filter(
+      col("decile") =!= expr(s"((ordinal - 1) * 10) div ${n}L")).count()
+    assert(badDecile == 0)
+  }
+}
