@@ -53,7 +53,9 @@ object Bench {
     // round-10 wave heavies: keep the spot set honest as the registry grows
     "split_leakage_guard", "icelite_rewrite_deletes", "minhash_incremental",
     "ann_recall_report", "ngram_novelty",
-    "paragraph_dedup", "tokenizer_fertility", "dedup_cluster_stats")
+    "paragraph_dedup", "tokenizer_fertility", "dedup_cluster_stats",
+    "curriculum_order", "shard_manifest", "mixing_schedule",
+    "dedup_recall_report", "packing_efficiency")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete

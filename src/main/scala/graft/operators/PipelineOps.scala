@@ -1179,10 +1179,54 @@ object PipelineOps {
             FROM o, n ORDER BY ordinal"""),
   )
 
+  /** X98 packing efficiency — the batch-shape audit a training run reads
+    * before trusting its packed sequences: per source, bin count, token
+    * mass, capacity (bins × the 512-token budget), fill rate in exact
+    * per-mille, overfull-bin count (a bin exceeds the budget exactly when
+    * a single document is longer than the budget — the signal that the
+    * corpus needs `context_chunks` splitting before packing), and the
+    * largest bin. Composes the proven skew-safe `sequence_pack` and
+    * aggregates its bins per source — the report is |sources| rows, and
+    * fill_permille > ~950 is what "packing is not wasting compute" means
+    * operationally.
+    *
+    * Scale: everything downstream of the pack is a per-source rollup of
+    * bin-count-sized data; the pack itself is the spec'd skew-safe
+    * bucketed prefix sum. */
+  private val packingEfficiency = QueryDef(
+    "packing_efficiency",
+    (s, dir) => sequencePackOp(docs(s, dir),
+        buckets = s.sessionState.conf.numShufflePartitions)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("seq_tokens").as("total_tokens"),
+        sum((col("seq_tokens") > lit(B)).cast("long")).as("n_overfull"),
+        max("seq_tokens").as("max_bin_tokens"))
+      .withColumn("capacity", col("n_bins") * lit(B))
+      .withColumn("fill_permille", expr("(total_tokens * 1000) div capacity"))
+      .orderBy("source"),
+    Some(s"""WITH t AS (SELECT source, doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+            bins AS (SELECT source,
+                    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $B.0) AS BIGINT) AS seq_id,
+                    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+                   FROM c GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN seq_tokens > $B THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull,
+                   CAST(max(seq_tokens) AS BIGINT) AS max_bin_tokens,
+                   CAST(count(*) * $B AS BIGINT) AS capacity,
+                   CAST((sum(seq_tokens) * 1000) // (count(*) * $B) AS BIGINT) AS fill_permille
+            FROM bins GROUP BY source ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, paragraphDedup,
       contextChunks,
       urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline,
-      curationIncremental, mixingSchedule, shardManifest, curriculumOrder)
+      curationIncremental, mixingSchedule, shardManifest, curriculumOrder,
+      packingEfficiency)
 }

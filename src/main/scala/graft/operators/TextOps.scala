@@ -2370,6 +2370,169 @@ object TextOps {
             GROUP BY gr.doc_id ORDER BY gr.doc_id"""),
   )
 
+  /** X97 dedup recall report — the evaluation artifact shipped beside a
+    * near-dup index, the text sibling of `ann_recall_report`: recall and
+    * precision of the banded MinHash and SimHash screens against exact
+    * shingle-Jaccard ≥ 0.5 ground truth, on the same bounded probe set the
+    * Jaccard baseline uses (doc_id < 300 — fixed size at every sf, so the
+    * all-pairs truth stays O(1) while the methods under audit are the
+    * linear-scale paths). Per method: truth/found/hit/miss/extra pair
+    * counts plus recall and precision in exact ppm. MinHash verifies exact
+    * Jaccard after banding, so its extras are 0 by construction and its
+    * misses are precisely the banding's false negatives; SimHash is scored
+    * against Jaccard truth it never computes — its extras/misses expose
+    * the hamming↔jaccard measure gap, which is the number a curation run
+    * needs before trusting one screen to stand in for the other.
+    *
+    * Scale: the probe set is fixed-size by construction; both method
+    * pipelines reuse their production constructions (banded, never
+    * all-pairs) on the subset, and every aggregate after pair generation
+    * is report-sized. The oracle recomputes truth and both methods from
+    * the proven `minhash_dedup`/`simhash_dedup` SQL restricted to the
+    * probe — banding collisions between two probe docs depend only on
+    * their own signatures, so the subset restriction is exact. */
+  private val dedupRecallReport = QueryDef(
+    "dedup_recall_report",
+    (s, dir) => {
+      val probe = docs(s, dir).filter(col("doc_id") < 300)
+      val sig = minhashSignatures(probe, bands = 4, rowsPerBand = 2)
+      val shl = sig.select(col("doc_id").as("sid"), explode(col("shingles")).as("shg"))
+      val sz = shl.groupBy("sid").agg(count(lit(1)).as("n"))
+      val inter = shl.as("a")
+        .join(shl.as("b"), col("a.shg") === col("b.shg") && col("a.sid") < col("b.sid"))
+        .groupBy(col("a.sid").as("id1"), col("b.sid").as("id2"))
+        .agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sz.as("sa"), col("id1") === col("sa.sid"))
+        .join(sz.as("sb"), col("id2") === col("sb.sid"))
+        .filter(round(col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double"), 4) >= 0.5)
+        .select(col("id1"), col("id2"))
+        // three consumers (two method joins + the count): pin the bounded
+        // all-pairs truth so it is computed once
+        .localCheckpoint()
+      val mh = minhashPairs(probe, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        .select("id1", "id2")
+      val sh2 = simhashPairs(probe, maxHamming = 3).select("id1", "id2")
+      val tFlag = truth.withColumn("tr", lit(1L))
+      def ev(name: String, f: DataFrame): DataFrame =
+        f.join(tFlag, Seq("id1", "id2"), "left")
+          .agg(count(lit(1)).as("found_pairs"),
+            coalesce(sum("tr"), lit(0L)).as("hits"))
+          .withColumn("method", lit(name))
+      val tc = truth.agg(count(lit(1)).as("truth_pairs"))
+      ev("minhash", mh).unionByName(ev("simhash", sh2))
+        .crossJoin(broadcast(tc))
+        .select(col("method"), col("truth_pairs"), col("found_pairs"), col("hits"),
+          (col("truth_pairs") - col("hits")).as("misses"),
+          (col("found_pairs") - col("hits")).as("extras"),
+          expr("cast(CASE WHEN truth_pairs > 0 THEN (hits * 1000000) div truth_pairs END AS BIGINT)")
+            .as("recall_ppm"),
+          expr("cast(CASE WHEN found_pairs > 0 THEN (hits * 1000000) div found_pairs END AS BIGINT)")
+            .as("precision_ppm"))
+        .orderBy("method")
+    },
+    Some("""WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            ts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+              FROM p),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+                          ELSE text END AS sh
+              FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pin AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT id1, id2 FROM pin
+              JOIN sz sa ON sa.doc_id = id1
+              JOIN sz sb ON sb.doc_id = id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+                     min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+                     min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+                     min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+              FROM sh GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM sig a JOIN sig b ON a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id),
+            minter AS (
+              SELECT c.id1, c.id2, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.id1
+              JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+              GROUP BY 1, 2),
+            mh AS (
+              SELECT minter.id1, minter.id2 FROM minter
+              JOIN sz sa ON sa.doc_id = minter.id1
+              JOIN sz sb ON sb.doc_id = minter.id2
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+            stok AS (
+              SELECT doc_id, md5(t) AS h
+              FROM p,
+              LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t) u),
+            sbits AS (
+              SELECT doc_id, b,
+                     strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1 AS d
+              FROM stok,
+              LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb),
+            svotes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (d >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM sbits GROUP BY doc_id, b),
+            ssig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+              FROM svotes GROUP BY doc_id),
+            scand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+              FROM ssig a JOIN ssig b ON (a.sig & 65535) = (b.sig & 65535) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM ssig a JOIN ssig b ON ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM ssig a JOIN ssig b ON ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535) AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id, a.sig, b.sig
+              FROM ssig a JOIN ssig b ON ((a.sig >> 48) & 32767) = ((b.sig >> 48) & 32767) AND a.doc_id < b.doc_id),
+            shp AS (
+              SELECT id1, id2 FROM scand WHERE bit_count(xor(s1, s2)) <= 3),
+            tcount AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM truth),
+            ev AS (
+              SELECT 'minhash' AS method,
+                     CAST(count(*) AS BIGINT) AS found_pairs,
+                     CAST(coalesce(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+              FROM mh LEFT JOIN truth t ON t.id1 = mh.id1 AND t.id2 = mh.id2
+              UNION ALL
+              SELECT 'simhash',
+                     CAST(count(*) AS BIGINT),
+                     CAST(coalesce(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+              FROM shp LEFT JOIN truth t ON t.id1 = shp.id1 AND t.id2 = shp.id2)
+            SELECT method, truth_pairs, found_pairs, hits,
+                   truth_pairs - hits AS misses,
+                   found_pairs - hits AS extras,
+                   CAST(CASE WHEN truth_pairs > 0 THEN (hits * 1000000) // truth_pairs END AS BIGINT) AS recall_ppm,
+                   CAST(CASE WHEN found_pairs > 0 THEN (hits * 1000000) // found_pairs END AS BIGINT) AS precision_ppm
+            FROM ev, tcount ORDER BY method"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     gopherQualityRules, rareBigramRate, editDistancePairs,
     dedupExact, textStats, tokenCounts, docQuality, langIdHeuristic,
@@ -2380,6 +2543,6 @@ object TextOps {
     tfidfTopk, dedupIncremental, invertedIndex, bm25Topk, qualityClassifier,
     textNormalize, bpeMerges, bpeEncode, tokenizerFertility, urlHostStats, mixtureWeights,
     qualityWeightedSample, minhashDecontaminate, splitLeakageGuard, ngramNovelty,
-    minhashIncremental,
+    minhashIncremental, dedupRecallReport,
   )
 }

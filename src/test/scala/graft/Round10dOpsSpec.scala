@@ -99,4 +99,55 @@ class Round10dOpsSpec extends SparkSpec {
       col("decile") =!= expr(s"((ordinal - 1) * 10) div ${n}L")).count()
     assert(badDecile == 0)
   }
+
+  test("dedup_recall_report: minhash row reconciles with minhash_dedup's probe-set pairs; simhash extras are non-truth pairs") {
+    val rep = Registry.queries("dedup_recall_report")(spark, sf).collect()
+      .map(r => r.getString(r.fieldIndex("method")) -> r).toMap
+    val mh = rep("minhash"); val sh = rep("simhash")
+
+    // minhash verifies exact Jaccard ≥ 0.5 after banding — the same
+    // measure as truth — so every found pair IS a truth pair
+    assert(mh.getLong(mh.fieldIndex("extras")) == 0L,
+      "minhash produced a pair the exact-Jaccard truth rejects")
+    assert(mh.getLong(mh.fieldIndex("precision_ppm")) == 1000000L ||
+      mh.getLong(mh.fieldIndex("found_pairs")) == 0L)
+
+    // found_pairs(minhash) equals the production minhash_dedup restricted
+    // to the probe set — the report audits the operator it ships beside
+    val probePairs = Registry.queries("minhash_dedup")(spark, sf)
+      .filter(col("id1") < 300 && col("id2") < 300).count()
+    assert(mh.getLong(mh.fieldIndex("found_pairs")) == probePairs,
+      s"report found ${mh.getLong(mh.fieldIndex("found_pairs"))} != minhash_dedup probe pairs $probePairs")
+
+    // counting identities per method
+    Seq(mh, sh).foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("hits") + g("misses") == g("truth_pairs"))
+      assert(g("hits") + g("extras") == g("found_pairs"))
+      assert(g("hits") <= g("truth_pairs") && g("hits") <= g("found_pairs"))
+    }
+  }
+
+  test("packing_efficiency: reconciles with sequence_pack's bins; overfull bins are exactly the budget-exceeding ones") {
+    val eff = Registry.queries("packing_efficiency")(spark, sf).localCheckpoint()
+    val bins = Registry.queries("sequence_pack")(spark, sf).localCheckpoint()
+
+    // per-source rollup of the pack's own output must match the operator
+    val ref = bins.groupBy("source")
+      .agg(count(lit(1)).as("nb"), sum("seq_tokens").as("tt"),
+        sum((col("seq_tokens") > 512L).cast("long")).as("no"),
+        max("seq_tokens").as("mx"))
+    val bad = eff.join(ref, Seq("source"))
+      .filter(col("n_bins") =!= col("nb") || col("total_tokens") =!= col("tt") ||
+        col("n_overfull") =!= col("no") || col("max_bin_tokens") =!= col("mx"))
+      .count()
+    assert(bad == 0, "efficiency report disagrees with a direct rollup of sequence_pack")
+
+    // a bin exceeds the budget only by a single over-long document's
+    // overflow ⇒ fill > 1000‰ for a source implies it has overfull bins
+    val badFill = eff.filter(col("fill_permille") > 1000L && col("n_overfull") === 0L).count()
+    assert(badFill == 0)
+    // capacity identity
+    assert(eff.filter(col("capacity") =!= col("n_bins") * 512L).count() == 0)
+  }
 }
