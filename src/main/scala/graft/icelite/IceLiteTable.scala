@@ -1070,7 +1070,25 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           commitFrom(v, withBatch(newSnapshot(m, "merge", newFiles, Seq())),
             s"merge into empty table: ${newFiles.map(_.rows).sum} inserts")
         case Some(snap) =>
-          val tgt = readWithLineage(m, snap)
+          // Iceberg-style dynamic discovery pruning: a matched target row's
+          // key necessarily lies inside [min, max] of the SOURCE keys (one
+          // tiny agg over the persisted source — the small side of a MERGE
+          // by construction), and a target row OUTSIDE that range can
+          // neither match a source row nor change the unmatched-source
+          // anti-join. So on a key-sorted/clustered table a narrow-band
+          // MERGE scans O(matching files), not O(table), during discovery.
+          // NOT MATCHED BY SOURCE inspects every target row — no pruning.
+          val keyRange: Seq[Stats.StatFilter] =
+            if (notMatchedBySource.nonEmpty) Seq()
+            else {
+              val r = srcPrefixed.agg(
+                org.apache.spark.sql.functions.min(sKey),
+                org.apache.spark.sql.functions.max(sKey)).head
+              if (r.isNullAt(0)) Seq()
+              else IceLite.statFiltersFromCondition(
+                col(targetKey) >= lit(r.get(0)) && col(targetKey) <= lit(r.get(1)))
+            }
+          val tgt = scanSnapshot(m, snap, lineage = true, _ => true, keyRange)
           val tgtKeys = tgt.select(col(targetKey), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
           try {
             // CoW discovery: only files holding matched rows are rewritten —

@@ -207,6 +207,55 @@ class DataSkippingSpec extends SparkSpec {
       df.filter(col("x").between(10, 17)).count())
   }
 
+  test("MERGE discovery prunes target files by the source key range") {
+    val t = mkTable("dmlmerge")
+    // source keys confined to one file's id range (100–199): dynamic
+    // pruning scans ONE 100-row file during discovery — unpruned
+    // discovery alone reads all 400 rows
+    val src = spark.range(150, 155).toDF("id")
+      .withColumn("name", concat(lit("merged"), col("id")))
+      .withColumn("amount", lit(-5.0))
+    @volatile var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) records += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.merge(src, "id")
+      var last = -1L
+      var spins = 0
+      while (records != last && spins < 50) {
+        last = records; Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(records > 0, "listener saw no input records")
+    assert(records < 350,
+      s"merge read $records records — discovery is not pruned by the source " +
+        "key range (a full-table discovery alone reads 400)")
+    val note = t.meta.metadataLog.last.note
+    assert(note.contains("rewrote 1 files"), s"unexpected commit note: $note")
+    // semantics unchanged: 5 updates in place, no inserts
+    assert(t.read().count() == 400)
+    assert(t.read().filter(col("amount") === -5.0).count() == 5)
+    assert(t.read().filter(col("name") === "merged152").count() == 1)
+  }
+
+  test("MERGE with out-of-range insert keys still inserts (pruning misses nothing)") {
+    val t = mkTable("dmlmergeins")
+    // keys 150–154 update file 1; keys 900–901 match nothing → inserts.
+    // the wide source range disables most pruning — correctness must not
+    // depend on it
+    val src = spark.range(150, 155).toDF("id")
+      .union(spark.range(900, 902).toDF("id"))
+      .withColumn("name", concat(lit("m"), col("id")))
+      .withColumn("amount", lit(-7.0))
+    t.merge(src, "id")
+    assert(t.read().count() == 402)
+    assert(t.read().filter(col("amount") === -7.0).count() == 7)
+    assert(t.read().filter(col("id") === 900L).count() == 1)
+  }
+
   test("pruning is conservative after schema evolution (no stats → keep)") {
     val t = mkTable("evo")
     t.addColumn("extra", "BIGINT", Some("7"))
