@@ -263,4 +263,54 @@ class StreamingSpec extends SparkSpec {
         s"ops: ${table.meta.snapshots.map(_.operation)}")
     } finally q.stop()
   }
+
+  test("streaming curation funnel survives restart: checkpoint resumes state, replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val df = mem.toDF.toDF("ts", "doc_id", "source", "text")
+    val existingFp = Seq(Tuple1("an old page in the corpus already")).toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val benchGrams = Seq("secret eval benchmark phrase").toDF("g")
+    val goodText = "the cat sat on a mat and the dog ran by a red van in the sun"
+    val good2Text = "a small bird flew to the tree and a cat sat by the door to nap"
+
+    val loc = Files.createTempDirectory("stream_restart").toString + "/t"
+    val cp = Files.createTempDirectory("stream_restart_cp").toString
+    val sinkSchema = Seq((0L, "", "", 0L)).toDF("doc_id", "source", "text", "nw")
+    val table = IceLite.createFrom(spark, loc, sinkSchema)
+
+    // phase 1: process one batch, then KILL the query
+    val q1 = StreamingIngest.curateStreamToIceLite(df, existingFp, benchGrams, table, cp).start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "web", goodText))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val appendsAfterPhase1 = table.meta.snapshots.count(_.operation == "append")
+    assert(appendsAfterPhase1 == 1)
+
+    // phase 2: RESTART from the same checkpoint. The dedup state must be
+    // restored (a same-fingerprint doc inside the watermark still drops),
+    // committed offsets must not be reprocessed, and new data must flow.
+    val q2 = StreamingIngest.curateStreamToIceLite(df, existingFp, benchGrams, table, cp).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:30"), 7L, "web", goodText),   // dup of phase-1 doc — state-store drop
+        (ts("2024-01-01 10:00:31"), 8L, "web", good2Text))  // genuinely new
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = table.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 8L), s"after restart got $got")
+    // doc 1 was not re-appended by the restart (offsets committed)
+    assert(table.read().filter(col("doc_id") === 1L).count() == 1)
+
+    // crash-window replay: foreachBatch can re-run its LAST batch id if
+    // the offset commit did not land before death — the idempotent append
+    // protocol must make that exact replay a no-op
+    val lastBatch = table.meta.properties("streaming.last-committed-batch-id").toLong
+    val replay = Seq((8L, "web", good2Text, good2Text.split(" ").length.toLong))
+      .toDF("doc_id", "source", "text", "nw")
+    assert(!table.appendIfNewBatch(lastBatch, replay), "replayed batch id must be skipped")
+    assert(table.read().count() == 2, "replay changed committed state")
+  }
 }
