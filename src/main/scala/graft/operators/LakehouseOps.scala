@@ -203,24 +203,29 @@ object LakehouseOps {
     (s, dir) => {
       val t = mkTable(s, dir, "merge")
       val o = orders(s, dir)
+      // insert keys rebase past max(o_orderkey) so they collide with no
+      // existing key at ANY data scale (a fixed +10M offset overlapped the
+      // key domain at the 100x scale-up); parquet-stats-cheap driver agg
+      val rebase = o.agg(max("o_orderkey")).head.getLong(0) + 1L
       val updates = o.filter(col("o_orderkey") % 100 === 0)
         .withColumn("o_orderstatus", lit("M"))
         .withColumn("o_totalprice", lit(999.99))
       val inserts = o.filter(col("o_orderkey") % 500 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(rebase))
         .withColumn("o_orderstatus", lit("N"))
       t.merge(updates.unionByName(inserts), "o_orderkey")
       state(t)
     },
-    Some(s"""SELECT o_orderkey, o_custkey,
+    Some(s"""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders)
+             SELECT o_orderkey, o_custkey,
              CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
              CASE WHEN o_orderkey % 100 = 0 THEN 999.99 ELSE o_totalprice END AS o_totalprice,
              CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
              FROM orders
              UNION ALL
-             SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+             SELECT o_orderkey + mx.rebase, o_custkey, 'N', o_totalprice,
              CAST(o_orderdate AS DATE), o_orderpriority
-             FROM orders WHERE o_orderkey % 500 = 0
+             FROM orders, mx WHERE o_orderkey % 500 = 0
              ORDER BY o_orderkey"""),
   )
 
