@@ -55,7 +55,7 @@ object Bench {
     "ann_recall_report", "ngram_novelty",
     "paragraph_dedup", "tokenizer_fertility", "dedup_cluster_stats",
     "curriculum_order", "shard_manifest", "mixing_schedule",
-    "dedup_recall_report", "packing_efficiency")
+    "dedup_recall_report", "packing_efficiency", "dataset_card", "embedding_drift")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete

@@ -1222,11 +1222,95 @@ object PipelineOps {
             FROM bins GROUP BY source ORDER BY source"""),
   )
 
+  /** X99 dataset card — the datasheet a published corpus ships (HF dataset
+    * cards / the Dolma report): per source, size (docs / tokens / chars /
+    * distinct languages), quality-gate pass rate, exact-duplicate rate,
+    * benchmark-contamination rate, and the mean clamped quality score —
+    * every rate an exact per-mille. Composes the PROVEN pieces one more
+    * time (the `pretraining_pipeline` score, the keep-first text window,
+    * the broadcast 5-gram contamination probe), so the card can never
+    * drift from the operators it summarizes. The mean uses the CLAMPED
+    * [0,1000] score: a raw sum could go negative, where Spark's `div`
+    * truncates toward zero but DuckDB's `//` floors — clamping keeps both
+    * engines on the same positive-floor arithmetic.
+    *
+    * Scale: one corpus scan with narrow flags, one text-keyed window, one
+    * broadcast gram semi-probe (eval side tiny by construction), and a
+    * |sources|-row rollup — the same shapes the composed operators are
+    * individually plan-asserted to. */
+  private val datasetCard = QueryDef(
+    "dataset_card",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .selectExpr("doc_id", "source", "lang", "text",
+          "CAST(n_chars AS BIGINT) AS n_chars",
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS nw",
+          "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
+        .selectExpr("doc_id", "source", "lang", "text", "n_chars", "nw",
+          """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
+             - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
+             AS score""")
+      val dup = base
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("text")))
+        .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+      dup
+        .join(ngramContaminationHits(s, dir).select(col("doc_id"), lit(1L).as("contam")),
+          Seq("doc_id"), "left")
+        .withColumn("is_contam", when(col("contam").isNotNull, 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("nw").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          expr("(sum(CASE WHEN score >= 400 THEN 1 ELSE 0 END) * 1000) div count(1)")
+            .as("quality_pass_permille"),
+          expr("(sum(is_dup) * 1000) div count(1)").as("dup_permille"),
+          expr("(sum(is_contam) * 1000) div count(1)").as("contaminated_permille"),
+          expr("sum(greatest(0L, least(1000L, score))) div count(1)").as("mean_score"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, source, lang, text, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop,
+                     CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+              FROM documents),
+            sc AS (
+              SELECT *, 500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) // nw ELSE 0 END)
+                     - abs((CASE WHEN nw > 0 THEN (letters * 1000) // nw ELSE 0 END) - 4000) // 4
+                     AS score
+              FROM base),
+            dd AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM sc),
+            toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM toks WHERE len(w) >= 5),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+            contam AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+                       WHERE gr.source <> 'src0'),
+            fl AS (SELECT d.*,
+                     CASE WHEN d.doc_id <> d.keep_id THEN 1 ELSE 0 END AS is_dup,
+                     CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam
+                   FROM dd d LEFT JOIN contam c ON c.doc_id = d.doc_id)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(nw) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST((sum(CASE WHEN score >= 400 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS quality_pass_permille,
+                   CAST((sum(is_dup) * 1000) // count(*) AS BIGINT) AS dup_permille,
+                   CAST((sum(is_contam) * 1000) // count(*) AS BIGINT) AS contaminated_permille,
+                   CAST(sum(greatest(0, least(1000, score))) // count(*) AS BIGINT) AS mean_score
+            FROM fl GROUP BY source ORDER BY source"""),
+  )
+
   def defs: Seq[QueryDef] =
     Seq(decontaminateNgrams, repetitionSignals, sequencePack, sequencePackGlobal,
       domainBudgetSample, repeatedNgramSpans, substringDedupTrim, paragraphDedup,
       contextChunks,
       urlCanonicalDedup, crossSourceOverlap, decontaminateAgreement, pretrainingPipeline,
       curationIncremental, mixingSchedule, shardManifest, curriculumOrder,
-      packingEfficiency)
+      packingEfficiency, datasetCard)
 }

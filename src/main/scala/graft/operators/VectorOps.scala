@@ -1073,8 +1073,60 @@ object VectorOps {
             WHERE t.rn <= 5 ORDER BY t.qid, t.rn"""),
   )
 
+  /** X100 embedding drift — the batch-over-batch monitoring artifact an
+    * embedding pipeline publishes: per label, the L1 shift and the worst
+    * single-dimension shift between the centroids of two deterministic
+    * corpus halves (vec_id parity stands in for "previous slice vs new
+    * slice"). A drifting encoder or a changed upstream distribution shows
+    * up here before it degrades ANN recall. Same exactness recipe as
+    * `embed_centroid` (1e6-scaled integer sums, floor-divided means), so
+    * shifts are bit-identical cross-engine.
+    *
+    * Scale: one exploded scan partial-aggregates to (label, half, dim)
+    * rows — bounded by labels·2·dims, independent of corpus size — and
+    * every later join/rollup is report-sized. */
+  private val embeddingDrift = QueryDef(
+    "embedding_drift",
+    (s, dir) => {
+      val c = emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2).cast("long").as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("half"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * 1000000d).cast("long").as("v"))
+        .groupBy("label", "half", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("sv").cast("double") / col("n").cast("double")).cast("long").as("c"))
+      val a = c.filter(col("half") === 0L).select(col("label"), col("dim"), col("c").as("ca"))
+      val b = c.filter(col("half") === 1L).select(col("label"), col("dim"), col("c").as("cb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(sum(abs(col("ca") - col("cb"))).as("l1_shift_scaled"),
+          max(abs(col("ca") - col("cb"))).as("max_dim_shift_scaled"),
+          count(lit(1)).as("dims"))
+        .orderBy("label")
+    },
+    Some("""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+                   CAST(vec_id % 2 AS BIGINT) AS half,
+                   unnest(range(1, len(embedding)+1)) AS dim,
+                   unnest(list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v
+                 FROM embeddings),
+            c AS (SELECT label, half, CAST(dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+                 FROM ex GROUP BY 1, 2, 3),
+            j AS (SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+                 FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+                 WHERE a.half = 0 AND b.half = 1)
+            SELECT label, CAST(sum(abs(ca - cb)) AS BIGINT) AS l1_shift_scaled,
+                   CAST(max(abs(ca - cb)) AS BIGINT) AS max_dim_shift_scaled,
+                   CAST(count(*) AS BIGINT) AS dims
+            FROM j GROUP BY label ORDER BY label"""),
+  )
+
   val defs: Seq[QueryDef] =
     Seq(cosineTopk, embedNorms, annIvfTopk, annLshTopk, annLshMd5Topk, annPqTopk,
       embedNearDup, embedQuantize, embedCentroid, embedKmeans, semdedupPrune,
-      embedDecontaminate, annRecallReport, hardNegatives)
+      embedDecontaminate, annRecallReport, hardNegatives, embeddingDrift)
 }

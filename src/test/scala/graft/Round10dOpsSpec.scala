@@ -150,4 +150,72 @@ class Round10dOpsSpec extends SparkSpec {
     // capacity identity
     assert(eff.filter(col("capacity") =!= col("n_bins") * 512L).count() == 0)
   }
+
+  test("dataset_card: rates reconcile with independent dup/contamination/quality recounts") {
+    val card = Registry.queries("dataset_card")(spark, sf).localCheckpoint()
+    val d = Tables.documents(spark, sf)
+
+    // sizes partition the corpus
+    assert(card.agg(sum("n_docs")).head.getLong(0) == d.count())
+
+    // global dup count: N − |distinct texts| must equal Σ n_docs·dup rate
+    // recomputed the card's way — rebuild is_dup via a groupBy-min join
+    // (no window) and compare per-source permilles exactly
+    val keepers = d.groupBy("text").agg(min("doc_id").as("keep_id"))
+    val dupFlag = d.join(keepers, Seq("text"))
+      .select(col("source"), (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
+      .groupBy("source")
+      .agg(expr("(sum(is_dup) * 1000) div count(1)").as("dp2"))
+    assert(card.join(dupFlag, Seq("source"))
+      .filter(col("dup_permille") =!= col("dp2")).count() == 0,
+      "dup_permille disagrees with the groupBy-min recount")
+
+    // contamination: the card's flagged docs are exactly decontaminate_ngrams'
+    val contamBySrc = Registry.queries("decontaminate_ngrams")(spark, sf)
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("nc"))
+    val cp2 = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .join(contamBySrc, Seq("source"), "left")
+      .select(col("source"),
+        expr("(coalesce(nc, 0L) * 1000) div n").as("cp2"))
+    assert(card.join(cp2, Seq("source"))
+      .filter(col("contaminated_permille") =!= col("cp2")).count() == 0,
+      "contaminated_permille disagrees with decontaminate_ngrams")
+
+    // rates are permilles
+    val badRange = card.filter(
+      col("quality_pass_permille") < 0 || col("quality_pass_permille") > 1000 ||
+      col("dup_permille") < 0 || col("dup_permille") > 1000 ||
+      col("contaminated_permille") < 0 || col("contaminated_permille") > 1000 ||
+      col("mean_score") < 0 || col("mean_score") > 1000).count()
+    assert(badRange == 0)
+  }
+
+  test("embedding_drift: equals two parity-filtered embed_centroid runs; half-swap symmetric") {
+    val drift = Registry.queries("embedding_drift")(spark, sf).localCheckpoint()
+    val e = Tables.embeddings(spark, sf)
+
+    // independent recount: run the embed_centroid construction per parity
+    // half and fold the joined dims to the same L1/max
+    def centroids(parity: Int) = e.filter(col("vec_id") % 2 === parity)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("v"))
+      .groupBy("label", "dim")
+      .agg(floor(sum("v").cast("double") / count(lit(1)).cast("double")).cast("long").as("c"))
+    val ref = centroids(0).withColumnRenamed("c", "ca")
+      .join(centroids(1).withColumnRenamed("c", "cb"), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(abs(col("ca") - col("cb"))).as("l1b"),
+        max(abs(col("ca") - col("cb"))).as("mxb"))
+    val mismatch = drift.join(ref, Seq("label"))
+      .filter(col("l1_shift_scaled") =!= col("l1b") ||
+        col("max_dim_shift_scaled") =!= col("mxb")).count()
+    assert(mismatch == 0, "drift disagrees with the per-parity centroid recount")
+
+    // dims column = the embedding width everywhere
+    val width = e.select(size(col("embedding"))).head.getInt(0).toLong
+    assert(drift.filter(col("dims") =!= width).count() == 0)
+  }
 }
