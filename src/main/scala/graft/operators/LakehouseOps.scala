@@ -302,9 +302,13 @@ object LakehouseOps {
       val t = mkTable(s, dir, "evo")
       t.addColumn("discount_rate", "DOUBLE", Some("0.05"))
       t.renameColumn("o_orderpriority", "priority")
+      // appended keys rebase past max(o_orderkey): a fixed offset collides
+      // with the key domain at large scale factors, making the final
+      // ORDER BY tie-ambiguous (same fix as icelite_merge)
+      val rebase = o.agg(max("o_orderkey")).head.getLong(0) + 1L
       t.append(
         o.filter(col("o_orderkey") < 100)
-          .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(rebase))
           .withColumn("discount_rate", lit(0.25))
           .withColumnRenamed("o_orderpriority", "priority"))
       t.read()
@@ -314,14 +318,15 @@ object LakehouseOps {
           col("priority"), col("discount_rate"))
         .orderBy("o_orderkey")
     },
-    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    Some("""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders)
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             CAST(o_orderdate AS DATE) AS o_orderdate,
             o_orderpriority AS priority, 0.05 AS discount_rate
             FROM orders
             UNION ALL
-            SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, o_totalprice,
+            SELECT o_orderkey + mx.rebase, o_custkey, o_orderstatus, o_totalprice,
             CAST(o_orderdate AS DATE), o_orderpriority, 0.25
-            FROM orders WHERE o_orderkey < 100
+            FROM orders, mx WHERE o_orderkey < 100
             ORDER BY o_orderkey"""),
   )
 
@@ -625,6 +630,9 @@ object LakehouseOps {
     "icelite_sql_merge",
     (s, dir) => {
       val tbl = mkSqlOrders(s, dir, "m")
+      // insert keys rebase past max(o_orderkey): a fixed offset collides
+      // with the key domain at large scale factors (same fix as
+      // icelite_merge), and the oracle computes the identical rebase
       s.sql(s"""MERGE INTO icelite.sqldml.$tbl AS t
                 USING (
                   SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
@@ -632,7 +640,8 @@ object LakehouseOps {
                          o_orderpriority
                   FROM orders_src_m WHERE o_orderkey % 100 = 0
                   UNION ALL
-                  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+                  SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM orders_src_m),
+                         o_custkey, 'N', o_totalprice,
                          CAST(o_orderdate AS DATE), o_orderpriority
                   FROM orders_src_m WHERE o_orderkey % 500 = 0
                 ) AS src
@@ -641,15 +650,16 @@ object LakehouseOps {
                 WHEN NOT MATCHED THEN INSERT *""")
       s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
     },
-    Some("""SELECT o_orderkey, o_custkey,
+    Some("""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders)
+            SELECT o_orderkey, o_custkey,
             CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
             CASE WHEN o_orderkey % 100 = 0 THEN 999.99 ELSE o_totalprice END AS o_totalprice,
             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
             FROM orders
             UNION ALL
-            SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+            SELECT o_orderkey + mx.rebase, o_custkey, 'N', o_totalprice,
             CAST(o_orderdate AS DATE), o_orderpriority
-            FROM orders WHERE o_orderkey % 500 = 0
+            FROM orders, mx WHERE o_orderkey % 500 = 0
             ORDER BY o_orderkey"""),
   )
 
@@ -661,12 +671,16 @@ object LakehouseOps {
     "icelite_sql_merge_cond",
     (s, dir) => {
       val tbl = mkSqlOrders(s, dir, "mc")
+      // rebase unmatched keys past max(o_orderkey) — a fixed offset
+      // collides with the key domain at large scale factors (same fix as
+      // icelite_merge); the oracle computes the identical rebase
       s.sql(s"""MERGE INTO icelite.sqldml.$tbl AS t
                 USING (
                   SELECT o_orderkey AS k, o_totalprice AS p
                   FROM orders_src_mc WHERE o_orderkey % 50 = 0
                   UNION ALL
-                  SELECT o_orderkey + 10000000, o_totalprice
+                  SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM orders_src_mc),
+                         o_totalprice
                   FROM orders_src_mc WHERE o_orderkey % 500 = 0
                 ) AS src
                 ON t.o_orderkey = src.k
@@ -677,10 +691,11 @@ object LakehouseOps {
                   VALUES (src.k, CAST(1 AS BIGINT), 'Z', src.p, DATE '1995-06-17', '1-URGENT')""")
       s.sql(s"SELECT * FROM icelite.sqldml.$tbl ORDER BY o_orderkey")
     },
-    Some("""WITH src AS (
+    Some("""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders),
+            src AS (
               SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 50 = 0
               UNION ALL
-              SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 500 = 0)
+              SELECT o_orderkey + mx.rebase, o_totalprice FROM orders, mx WHERE o_orderkey % 500 = 0)
             SELECT t.o_orderkey, t.o_custkey,
                    CASE WHEN s.k IS NOT NULL THEN 'C' ELSE t.o_orderstatus END AS o_orderstatus,
                    CASE WHEN s.k IS NOT NULL THEN s.p + 1.0 ELSE t.o_totalprice END AS o_totalprice,
@@ -689,7 +704,7 @@ object LakehouseOps {
             WHERE NOT (s.k IS NOT NULL AND t.o_orderkey % 100 = 0)
             UNION ALL
             SELECT k, CAST(1 AS BIGINT), 'Z', p, DATE '1995-06-17', '1-URGENT'
-            FROM src WHERE k >= 10000000 AND p > 1000.0
+            FROM src, mx WHERE k >= mx.rebase AND p > 1000.0
             ORDER BY o_orderkey"""),
   )
 
