@@ -57,10 +57,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private[icelite] val store: CommitStore =
     commitStore.getOrElse(new HadoopCommitStore(fs(spark, location)))
 
+  /** Manifest chunk IO (chunked file-table metadata, [[ManifestIO]]).
+    * Exposed to the pruning specs for its chunk-load instrumentation. */
+  private[icelite] val manifestIO = new ManifestIO(store, location)
+
   // ---------------------------------------------------------------- metadata
 
   private def metaAt(v: Int): TableMetadata =
-    MetaJson.fromJson(store.readString(new Path(location, s"metadata/v$v.json")))
+    MetaJson.fromJson(store.readString(new Path(location, s"metadata/v$v.json")), manifestIO)
 
   /** (version, metadata) loaded as ONE consistent unit — the version is
     * read first and the metadata fetched for exactly that version, so a
@@ -84,7 +88,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * regressing the table. */
   private def commitAt(v: Int, next: TableMetadata, note: String): Unit = {
     val entry = MetadataLogEntry(v, System.currentTimeMillis(), note)
-    val withLog = next.copy(metadataLog = next.metadataLog :+ entry)
+    // spill crossed-threshold inline tails into side manifest chunks
+    // FIRST, so the version file carries refs + summaries, never the bulk
+    // entries (chunks from an attempt that then collides are orphans the
+    // grace-period sweep reclaims)
+    val withLog = manifestIO.spill(next.copy(metadataLog = next.metadataLog :+ entry))
     // create-if-absent: the conflict check
     store.createExclusive(new Path(location, s"metadata/v$v.json"), MetaJson.toJson(withLog))
     IceLite.swapHintForward(store, new Path(location, s"metadata/$HINT"), v)
@@ -150,16 +158,26 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * the same outcome Iceberg's commit-ordered assignment gives the
     * later-committing writer). */
   private def nextSeq(m: TableMetadata): Long =
-    m.snapshots.iterator.flatMap(s =>
-      s.dataFiles.iterator.map(_.seq) ++ s.deleteFiles.iterator.map(_.seq))
+    m.snapshots.iterator.map(s =>
+      // listing maxSeq comes from manifest summaries — no chunk load
+      math.max(s.files.maxSeq, s.deleteFiles.iterator.map(_.seq).maxOption.getOrElse(0L)))
       .maxOption.getOrElse(0L) + 1
 
   private def newSnapshot(
       m: TableMetadata, op: String,
-      dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]): TableMetadata = {
-    val snap = Snapshot(
+      dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]): TableMetadata =
+    newSnapshotL(m, op, FileListing.inline(dataFiles), deleteFiles)
+
+  /** Listing-based snapshot builder: add-files paths (append, MoR delete,
+    * rollback) pass the parent's listing (± a tail) so parent manifest
+    * chunks carry over BY REFERENCE — commit cost stays O(new files) on a
+    * 10M-file table. */
+  private def newSnapshotL(
+      m: TableMetadata, op: String,
+      files: FileListing, deleteFiles: Seq[DeleteFile]): TableMetadata = {
+    val snap = new Snapshot(
       nextSnapshotId(m), m.currentSnapshotId, System.currentTimeMillis(), op,
-      dataFiles, deleteFiles, m.currentSchemaId)
+      files, deleteFiles, m.currentSchemaId)
     m.copy(currentSnapshotId = Some(snap.id), snapshots = m.snapshots :+ snap)
   }
 
@@ -281,8 +299,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val snap = cur.currentSnapshot
       val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
       val stamped = files.map(_.copy(seq = sq))
-      (newSnapshot(cur, "append",
-        snap.map(_.dataFiles).getOrElse(Seq()) ++ stamped,
+      (newSnapshotL(cur, "append",
+        snap.map(_.files).getOrElse(FileListing.empty).append(stamped),
         snap.map(_.deleteFiles).getOrElse(Seq())),
         s"append ${files.map(_.rows).sum} rows")
     }
@@ -308,8 +326,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val snap = cur.currentSnapshot
         val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
-        (newSnapshot(cur, "append",
-          snap.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = sq)),
+        (newSnapshotL(cur, "append",
+          snap.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = sq))),
           snap.map(_.deleteFiles).getOrElse(Seq()))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
@@ -345,8 +363,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val cs = cur.currentSnapshot
         val sq = nextSeq(cur)
-        (newSnapshot(cur, "overwrite",
-          cs.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = sq)),
+        (newSnapshotL(cur, "overwrite",
+          cs.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = sq))),
           cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = sq)))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"upsert (eq) batch $batchId: ${files.map(_.rows).sum} rows")
@@ -408,9 +426,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val proj =
       if (snapshotSchema && snap.schemaId >= 0) m.schema(snap.schemaId)
       else m.currentSchema
-    // manifest-level pruning: partition values + per-file column stats,
-    // evaluated driver-side against metadata only
-    val files = snap.dataFiles.filter(df =>
+    // two-level pruning, driver-side against metadata only: manifest
+    // CHUNKS are discarded against their partition/stat summaries first
+    // (skipped chunks are never parsed — candidates()), then the surviving
+    // chunks' entries are pruned file-by-file on partition values +
+    // per-file column stats
+    val files = snap.files.candidates(m, prune, statFilters).filter(df =>
       prune(df.partition) && statFilters.forall(flt =>
         Stats.mayContain(df, m.schema(df.schemaId), m.currentSchema, flt)))
     if (files.isEmpty) {
@@ -744,8 +765,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             "merge-on-read update conflicts with concurrent deletes: new " +
               "delete files appeared since the scanned snapshot; re-run the update")
         val sq = nextSeq(cur)
-        (newSnapshot(cur, "update",
-          cs.dataFiles ++ newFiles.map(_.copy(seq = sq)),
+        (newSnapshotL(cur, "update",
+          cs.files.append(newFiles.map(_.copy(seq = sq))),
           cs.deleteFiles ++ dels.map(_.copy(seq = sq))),
           s"update (mor) ${dels.map(_.rows).sum} positions")
       } catch {
@@ -871,7 +892,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         throw new IceLite.ConcurrentRewriteException(
           "merge-on-read delete conflicts with a concurrent rewrite: " +
             "referenced data files were replaced; re-run the delete")
-      (newSnapshot(cur, "delete", cs.dataFiles, cs.deleteFiles ++ files.toSeq),
+      (newSnapshotL(cur, "delete", cs.files, cs.deleteFiles ++ files.toSeq),
         s"delete (mor) ${files.map(_.rows).sum} positions")
     } catch {
       case e: IceLite.ConcurrentRewriteException =>
@@ -931,7 +952,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("cannot delete from an empty table"))
       val s = nextSeq(cur)
-      (newSnapshot(cur, "delete", cs.dataFiles, cs.deleteFiles ++ dels.map(_.copy(seq = s))),
+      (newSnapshotL(cur, "delete", cs.files, cs.deleteFiles ++ dels.map(_.copy(seq = s))),
         s"delete (eq) ${dels.map(_.rows).sum} keys on ${fields.map(_.name).mkString(",")}")
     }
   }
@@ -961,8 +982,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     commitWithRetry { cur =>
       val cs = cur.currentSnapshot
       val s = nextSeq(cur)
-      (newSnapshot(cur, "overwrite",
-        cs.map(_.dataFiles).getOrElse(Seq()) ++ files.map(_.copy(seq = s)),
+      (newSnapshotL(cur, "overwrite",
+        cs.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = s))),
         cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = s))),
         s"upsert (eq) ${files.map(_.rows).sum} rows on ${keyCols.mkString(",")}")
     }
@@ -1344,7 +1365,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .sortWithinPartitions("file_path", "pos")
         val (_, files) = try writeDeleteParquet(kept) finally raw.unpersist()
         val sq = posDels.map(_.seq).max
-        (newSnapshot(m, "replace", snap.dataFiles,
+        (newSnapshotL(m, "replace", snap.files,
           eqDels ++ files.map(_.copy(seq = sq))),
           s"rewrite ${posDels.size} position delete files -> ${files.size}" +
             (if (dangling.nonEmpty) s" (${dangling.length} dangling refs dropped)" else ""))
@@ -1410,7 +1431,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   def rollbackTo(snapshotId: Long): Unit =
     commitWithRetry { m =>
       val tgt = m.snapshot(snapshotId)
-      (newSnapshot(m, "rollback", tgt.dataFiles, tgt.deleteFiles),
+      (newSnapshotL(m, "rollback", tgt.files, tgt.deleteFiles),
         s"rollback to $snapshotId")
     }
 
@@ -1425,6 +1446,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val cur0 = m0.currentSnapshotId.getOrElse(return)
     if (!m0.snapshots.exists(s => s.timestampMs < olderThanMs && s.id != cur0)) return
     var toDelete: Seq[String] = Seq()
+    var manifestsToDelete: Seq[String] = Seq()
     commitWithRetry { m =>
       val curId = m.currentSnapshotId.getOrElse(sys.error("empty table"))
       // every named ref's head stays live no matter its age — expiring a
@@ -1432,17 +1454,23 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val pinned = m.refs.values.map(_.snapshotId).toSet + curId
       val (dead, live) = m.snapshots.partition(s =>
         s.timestampMs < olderThanMs && !pinned.contains(s.id))
-      if (dead.isEmpty) { toDelete = Seq(); (m, "expire 0 snapshots") }
+      if (dead.isEmpty) { toDelete = Seq(); manifestsToDelete = Seq(); (m, "expire 0 snapshots") }
       else {
         val liveFiles = live.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
           .map(normPath).toSet
         toDelete = dead.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
           .filterNot(p => liveFiles.contains(normPath(p))).distinct
+        // manifest chunks referenced ONLY by dead snapshots go too —
+        // ref paths come from the listings, no chunk load needed
+        val liveManifests = live.flatMap(_.files.manifests.map(r => normPath(r.path))).toSet
+        manifestsToDelete = dead.flatMap(_.files.manifests.map(_.path))
+          .filterNot(p => liveManifests.contains(normPath(p))).distinct
         (m.copy(snapshots = live), s"expire ${dead.size} snapshots")
       }
     }
     val f = fs(spark, location)
     toDelete.foreach(p => f.delete(new Path(p), false))
+    manifestsToDelete.foreach(p => store.delete(new Path(p)))
   }
 
   /** remove_orphan_files (README.md:1028): FS listing ∖ referenced files,
@@ -1469,6 +1497,21 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             f.delete(st.getPath, false)
             removed += st.getPath.toString
           }
+        }
+      }
+    }
+    // manifest chunks stranded by collided commit attempts: same sweep,
+    // referenced-set = every snapshot's manifest refs (paths only)
+    val refManifests = m.snapshots.flatMap(_.files.manifests.map(r => normPath(r.path))).toSet
+    val mfDir = new Path(location, "metadata/manifests")
+    if (f.exists(mfDir)) {
+      val it = f.listFiles(mfDir, false)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !refManifests.contains(normPath(st.getPath.toString)) &&
+          st.getModificationTime < olderThanMs) {
+          f.delete(st.getPath, false)
+          removed += st.getPath.toString
         }
       }
     }
@@ -1536,8 +1579,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       require(ref.refType == "branch", s"$branch is a tag; tags are immutable")
       val head = cur.snapshot(ref.snapshotId)
       val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
-      val snap = Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
-        "append", head.dataFiles ++ files.map(_.copy(seq = sq)), head.deleteFiles,
+      val snap = new Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
+        "append", head.files.append(files.map(_.copy(seq = sq))), head.deleteFiles,
         cur.currentSchemaId)
       (cur.copy(snapshots = cur.snapshots :+ snap,
         refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),
@@ -1586,7 +1629,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     import spark.implicits._
     meta.snapshots.map(s => (
       s.id, s.parentId.getOrElse(-1L), new java.sql.Timestamp(s.timestampMs), s.operation,
-      s.dataFiles.size.toLong, s.deleteFiles.size.toLong, s.totalRows))
+      s.files.fileCount, s.deleteFiles.size.toLong, s.totalRows))
       .toDF("snapshot_id", "parent_id", "committed_at", "operation",
         "data_files", "delete_files", "total_rows")
   }

@@ -1,0 +1,188 @@
+package graft.icelite
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+
+/** Chunked manifest metadata — the indirection that takes IceLite's file
+  * tracking from "one driver-parsed JSON" to Iceberg's manifest-list shape
+  * (/root/reference/README.md:520–529 "efficient metadata" promise).
+  *
+  * A snapshot no longer inlines its full file set into `vN.json`. Instead
+  * it holds a [[FileListing]]: a list of [[ManifestRef]]s — pointers to
+  * immutable side manifest files, each covering a bounded chunk of
+  * [[DataFile]] entries — plus a small inline tail of not-yet-chunked
+  * files. The manifest list entry carries PRUNING SUMMARIES (the distinct
+  * partition tuples and per-field aggregated min/max of its chunk), so
+  * read planning discards whole manifests against the summaries BEFORE
+  * loading a single file entry: on a 10M-file table a partition- or
+  * stat-selective read parses O(surviving chunks), not O(all files).
+  *
+  * Commit cost is O(changed files), not O(table): an append reuses every
+  * parent manifest by reference and spills only its own new tail; a CoW
+  * rewrite reuses each parent manifest whose chunk survived intact and
+  * rewrites only the chunks it touched ([[ManifestIO.spill]]).
+  *
+  * Manifest chunks are written through the SAME [[CommitStore]] contract
+  * as version files (immutable create-once blobs), so the format rides the
+  * store's object-store portability; the chunk payload is the interned
+  * JSON entry shape — swapping it for parquet/avro (Iceberg's choice)
+  * would change no part of the protocol, only the chunk codec.
+  */
+final case class ManifestRef(
+    path: String, fileCount: Long, rowCount: Long, maxSeq: Long,
+    /** Distinct partition tuples of the chunk's files; None = too many
+      * distinct tuples to summarize (pruning degrades to "keep"). */
+    partitions: Option[Seq[Map[String, String]]],
+    /** Per-field-id aggregated min/max across the chunk. A field appears
+      * ONLY if every file in the chunk has stats for it AND every file's
+      * schema contains it (absent ⇒ conservative keep at planning). */
+    stats: Map[Int, ColumnStats])
+
+/** A snapshot's data-file set: manifest chunk refs + an inline tail.
+  * Entry loading is lazy and memoized — planning against the summaries
+  * ([[candidates]]) touches only surviving chunks; [[fileCount]],
+  * [[totalRows]] and [[maxSeq]] come from the summaries for free. */
+final class FileListing private (
+    val manifests: Seq[ManifestRef],
+    val tail: Seq[DataFile],
+    io: ManifestIO) {
+
+  /** Every file entry — forces all manifest chunks (memoized). Metadata
+    * maintenance (expire, orphans) and CoW planning use this; pruned reads
+    * go through [[candidates]] and never force skipped chunks. */
+  lazy val all: Seq[DataFile] = manifests.flatMap(io.read) ++ tail
+
+  /** Same listing plus `fs` appended to the inline tail — parent manifests
+    * carry over BY REFERENCE, so building an append snapshot on a 10M-file
+    * table touches no existing chunk. */
+  def append(fs: Seq[DataFile]): FileListing = new FileListing(manifests, tail ++ fs, io)
+
+  def withIo(nio: ManifestIO): FileListing = new FileListing(manifests, tail, nio)
+
+  def fileCount: Long = manifests.map(_.fileCount).sum + tail.size
+  def totalRows: Long = manifests.map(_.rowCount).sum + tail.map(_.rows).sum
+  def maxSeq: Long =
+    (manifests.map(_.maxSeq).iterator ++ tail.iterator.map(_.seq)).maxOption.getOrElse(0L)
+
+  /** Candidate files for a scan: manifest-level pruning first (a chunk
+    * whose partition summary has no tuple passing `prune`, or whose stat
+    * summary refutes a filter, is skipped WITHOUT loading its entries),
+    * then the surviving chunks' entries plus the tail. Callers re-apply
+    * the same predicates per file — this is a superset, never a miss. */
+  def candidates(m: TableMetadata, prune: Map[String, String] => Boolean,
+      statFilters: Seq[Stats.StatFilter]): Seq[DataFile] = {
+    val live = manifests.filter { r =>
+      r.partitions.forall(_.exists(prune)) &&
+        statFilters.forall(f => Stats.summaryMayContain(r.stats, m.currentSchema, f))
+    }
+    live.flatMap(io.read) ++ tail
+  }
+}
+
+object FileListing {
+  val empty: FileListing = inline(Seq())
+  def inline(fs: Seq[DataFile]): FileListing = new FileListing(Seq(), fs, null)
+  def apply(manifests: Seq[ManifestRef], tail: Seq[DataFile], io: ManifestIO): FileListing =
+    new FileListing(manifests, tail, io)
+}
+
+/** Manifest chunk IO + the commit-time spill policy. One instance per
+  * [[IceLiteTable]]; chunks are immutable, so the read cache never
+  * invalidates. `readCount` instruments chunk loads for the pruning specs
+  * (a pruned plan must load only surviving chunks). */
+final class ManifestIO(store: CommitStore, location: String) {
+  val readCount = new AtomicLong(0)
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DataFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean = size() > 128
+    })
+
+  def read(ref: ManifestRef): Seq[DataFile] = {
+    val hit = cache.get(ref.path)
+    if (hit != null) hit
+    else {
+      readCount.incrementAndGet()
+      val fs = MetaJson.manifestFromJson(store.readString(new Path(ref.path)))
+      cache.put(ref.path, fs)
+      fs
+    }
+  }
+
+  /** Write one immutable manifest chunk and compute its summaries. */
+  def write(files: Seq[DataFile], m: TableMetadata): ManifestRef = {
+    val p = new Path(new Path(location, "metadata/manifests"),
+      s"mf-${java.util.UUID.randomUUID()}.json")
+    store.createExclusive(p, MetaJson.manifestToJson(files))
+    val distinctParts = files.map(_.partition).distinct
+    val ref = ManifestRef(
+      p.toString, files.size, files.map(_.rows).sum,
+      files.map(_.seq).maxOption.getOrElse(0L),
+      if (distinctParts.size <= 64) Some(distinctParts) else None,
+      Stats.summarize(files, m))
+    cache.put(ref.path, files)
+    ref
+  }
+
+  /** Commit-time spill: chunk every snapshot whose inline tail crossed
+    * `write.metadata.manifest.min-files` into side manifests of at most
+    * `write.metadata.manifest.target-files` entries.
+    *
+    * Reuse rules keep commits O(changed files):
+    *  - a listing that already has manifests (loaded snapshot, or an
+    *    append built on one) keeps them by reference and spills only its
+    *    tail;
+    *  - a fully-inline listing (CoW rewrite, compaction) reuses each
+    *    PARENT manifest whose entire chunk survived into the new file set
+    *    and chunks only the remainder — so a CoW touching one chunk
+    *    rewrites one chunk.
+    * Chunks written by a commit attempt that later collides are orphans;
+    * removeOrphanFiles reclaims them after the grace period. */
+  def spill(m: TableMetadata): TableMetadata = {
+    val minFiles = m.properties.getOrElse("write.metadata.manifest.min-files", "8").toInt
+    if (minFiles <= 0) return m // chunking disabled by property
+    val target = math.max(1,
+      m.properties.getOrElse("write.metadata.manifest.target-files", "5000").toInt)
+    val processed = scala.collection.mutable.Map[Long, Seq[ManifestRef]]()
+    var changed = false
+    val newSnaps = m.snapshots.map { s =>
+      val l = s.files
+      val out =
+        if (l.tail.size < minFiles) l
+        else if (l.manifests.nonEmpty) {
+          changed = true
+          FileListing(l.manifests ++ l.tail.grouped(target).map(write(_, m)).toSeq, Seq(), this)
+        } else {
+          changed = true
+          val parentRefs = s.parentId.flatMap(processed.get).getOrElse(Seq())
+          var remaining = l.tail.toSet
+          val reused = parentRefs.filter { r =>
+            val fs = read(r)
+            fs.nonEmpty && fs.forall(remaining.contains) && { remaining --= fs; true }
+          }
+          val rest = l.tail.filter(remaining.contains)
+          FileListing(reused ++ rest.grouped(target).map(write(_, m)).toSeq, Seq(), this)
+        }
+      processed(s.id) = out.manifests
+      if (out eq l) s else s.withListing(out)
+    }
+    if (changed) m.copy(snapshots = newSnaps) else m
+  }
+}
+
+object ManifestIO {
+  /** For pure-serde contexts (property tests, documents with no manifest
+    * refs): forcing a manifest-backed listing without a real store is a
+    * programming error, not a silent empty read. */
+  val detached: ManifestIO = new ManifestIO(new CommitStore {
+    private def die = sys.error("manifest-backed metadata needs a table-bound ManifestIO")
+    def readString(p: Path): String = die
+    def createExclusive(p: Path, content: String): Unit = die
+    def replace(p: Path, content: String): Unit = die
+    def exists(p: Path): Boolean = die
+    def modificationTime(p: Path): Long = die
+    def delete(p: Path): Unit = die
+  }, "")
+}

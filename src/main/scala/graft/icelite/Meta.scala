@@ -71,11 +71,55 @@ final case class DeleteFile(path: String, rows: Long,
 /** `schemaId` records the table's CURRENT schema at commit time (-1 =
   * pre-upgrade legacy snapshot → read through the live schema). Time
   * travel projects through it, so `VERSION AS OF` shows the columns the
-  * table had then — Iceberg's snapshot-scoped-schema semantics. */
-final case class Snapshot(
-    id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
-    dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile], schemaId: Int = -1) {
-  def totalRows: Long = dataFiles.map(_.rows).sum
+  * table had then — Iceberg's snapshot-scoped-schema semantics.
+  *
+  * Data files live behind a [[FileListing]] (inline tail + chunked
+  * manifest refs): `dataFiles` forces the full set, while planning-side
+  * callers use `files.candidates` so summary-pruned chunks are never
+  * loaded. Delete files stay inline — [[IceLiteTable.rewritePositionDeletes]]
+  * keeps their count bounded, and chunking them too would be the same
+  * mechanism again (Iceberg's delete manifests). */
+final class Snapshot(
+    val id: Long, val parentId: Option[Long], val timestampMs: Long,
+    val operation: String, val files: FileListing,
+    val deleteFiles: Seq[DeleteFile], val schemaId: Int) {
+  /** Full file set — forces every manifest chunk (memoized in the IO). */
+  def dataFiles: Seq[DataFile] = files.all
+  /** From manifest summaries — no chunk load. */
+  def totalRows: Long = files.totalRows
+
+  /** Source-compatible case-class-style copy; `dataFiles = <seq>` swaps in
+    * an inline listing, omitting it keeps the (possibly lazy) listing. */
+  def copy(id: Long = id, parentId: Option[Long] = parentId,
+      timestampMs: Long = timestampMs, operation: String = operation,
+      dataFiles: Seq[DataFile] = null, deleteFiles: Seq[DeleteFile] = deleteFiles,
+      schemaId: Int = schemaId): Snapshot =
+    new Snapshot(id, parentId, timestampMs, operation,
+      if (dataFiles == null) files else FileListing.inline(dataFiles),
+      deleteFiles, schemaId)
+
+  def withListing(l: FileListing): Snapshot =
+    new Snapshot(id, parentId, timestampMs, operation, l, deleteFiles, schemaId)
+
+  /** Value equality over the LOGICAL content (forces listings) — the serde
+    * round-trip property tests compare whole metadata trees. */
+  override def equals(o: Any): Boolean = o match {
+    case s: Snapshot => s.id == id && s.parentId == parentId &&
+      s.timestampMs == timestampMs && s.operation == operation &&
+      s.schemaId == schemaId && s.deleteFiles == deleteFiles && s.dataFiles == dataFiles
+    case _ => false
+  }
+  override def hashCode: Int = (id, timestampMs, operation).hashCode
+  override def toString: String =
+    s"Snapshot($id,$parentId,$timestampMs,$operation," +
+      s"${files.manifests.size} manifests+${files.tail.size} inline,$deleteFiles,$schemaId)"
+}
+
+object Snapshot {
+  def apply(id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
+      dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile], schemaId: Int = -1): Snapshot =
+    new Snapshot(id, parentId, timestampMs, operation,
+      FileListing.inline(dataFiles), deleteFiles, schemaId)
 }
 
 final case class MetadataLogEntry(version: Int, timestampMs: Long, note: String)
@@ -146,8 +190,12 @@ object MetaJson {
     // metadata stays O(unique files + snapshots) instead of
     // O(snapshots × files) — at 100 TB (≈10^6 data files, long snapshot
     // logs) the inline-v1 shape is driver poison: every retained snapshot
-    // re-serializes the whole live file set. fromJson reads both versions.
-    root.put("formatVersion", 2)
+    // re-serializes the whole live file set. fromJson reads all versions.
+    // v3 adds the manifest list: a snapshot's chunked files live in side
+    // manifest files ([[ManifestIO]]); only refs + pruning summaries and
+    // the small inline tail are serialized here. Serialization never
+    // forces a chunk — refs pass through verbatim.
+    root.put("formatVersion", 3)
     root.put("location", m.location)
     root.put("lastFieldId", m.lastFieldId)
     root.put("currentSchemaId", m.currentSchemaId)
@@ -176,11 +224,12 @@ object MetaJson {
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(root.put("currentSnapshotId", _))
-    // shared file tables: each distinct file entry serialized exactly once
+    // shared file tables: each distinct INLINE file entry serialized
+    // exactly once (chunked entries live in their manifest files)
     val dataIdx = scala.collection.mutable.LinkedHashMap[DataFile, Int]()
     val delIdx = scala.collection.mutable.LinkedHashMap[DeleteFile, Int]()
     m.snapshots.foreach { s =>
-      s.dataFiles.foreach(f => dataIdx.getOrElseUpdate(f, dataIdx.size))
+      s.files.tail.foreach(f => dataIdx.getOrElseUpdate(f, dataIdx.size))
       s.deleteFiles.foreach(f => delIdx.getOrElseUpdate(f, delIdx.size))
     }
     val dft = root.putArray("dataFileTable")
@@ -195,8 +244,31 @@ object MetaJson {
       n.put("timestampMs", s.timestampMs)
       n.put("operation", s.operation)
       if (s.schemaId != -1) n.put("schemaId", s.schemaId)
+      if (s.files.manifests.nonEmpty) {
+        val mfs = n.putArray("manifests")
+        s.files.manifests.foreach { r =>
+          val rn = mfs.addObject()
+          rn.put("path", r.path); rn.put("fileCount", r.fileCount)
+          rn.put("rowCount", r.rowCount)
+          if (r.maxSeq != 0) rn.put("maxSeq", r.maxSeq)
+          r.partitions.foreach { ps =>
+            val pn = rn.putArray("partitions")
+            ps.foreach { p =>
+              val po = pn.addObject()
+              p.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+            }
+          }
+          if (r.stats.nonEmpty) {
+            val sn = rn.putObject("stats")
+            r.stats.toSeq.sortBy(_._1).foreach { case (fid, cs) =>
+              val cn = sn.putObject(fid.toString)
+              cn.put("min", cs.min); cn.put("max", cs.max)
+            }
+          }
+        }
+      }
       val dfs = n.putArray("dataFileRefs")
-      s.dataFiles.foreach(f => dfs.add(dataIdx(f)))
+      s.files.tail.foreach(f => dfs.add(dataIdx(f)))
       val dels = n.putArray("deleteFileRefs")
       s.deleteFiles.foreach(f => dels.add(delIdx(f)))
     }
@@ -215,14 +287,24 @@ object MetaJson {
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  def fromJson(s: String): TableMetadata = {
+  /** Serialize one manifest chunk's entries (the side-file payload). */
+  def manifestToJson(files: Seq[DataFile]): String = {
+    val root = M.createObjectNode()
+    val arr = root.putArray("files")
+    files.foreach(f => writeDataFile(arr.addObject(), f))
+    M.writeValueAsString(root)
+  }
+
+  def manifestFromJson(s: String): Seq[DataFile] = {
     val r = M.readTree(s)
-    def arr(n: JsonNode, k: String): Seq[JsonNode] =
-      Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Seq())
+    r.get("files").elements().asScala.map(readDataFileNode).toSeq
+  }
+
+  private def readDataFileNode(fn: JsonNode): DataFile = {
     def strMap(n: JsonNode, k: String): Map[String, String] =
       Option(n.get(k)).map(o => o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map())
-    def readDataFile(fn: JsonNode): DataFile = DataFile(
+    DataFile(
       fn.get("path").asText(), fn.get("rows").asLong(),
       fn.get("schemaId").asInt(), fn.get("specId").asInt(),
       strMap(fn, "partition"),
@@ -232,6 +314,21 @@ object MetaJson {
             e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
         .getOrElse(Map()),
       Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))
+  }
+
+  /** Pure parse — valid only for metadata with no manifest refs (property
+    * tests, fixtures); forcing a ref through this overload errors. Tables
+    * load through the io-bound overload. */
+  def fromJson(s: String): TableMetadata = fromJson(s, ManifestIO.detached)
+
+  def fromJson(s: String, io: ManifestIO): TableMetadata = {
+    val r = M.readTree(s)
+    def arr(n: JsonNode, k: String): Seq[JsonNode] =
+      Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Seq())
+    def strMap(n: JsonNode, k: String): Map[String, String] =
+      Option(n.get(k)).map(o => o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map())
+    def readDataFile(fn: JsonNode): DataFile = readDataFileNode(fn)
     def readDeleteFile(fn: JsonNode): DeleteFile = DeleteFile(
       fn.get("path").asText(), fn.get("rows").asLong(),
       Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
@@ -261,14 +358,31 @@ object MetaJson {
       properties = strMap(r, "properties"),
       currentSnapshotId = Option(r.get("currentSnapshotId")).map(_.asLong()),
       snapshots = arr(r, "snapshots").map { n =>
-        Snapshot(
+        // v3 manifest refs (lazy chunks) + v2 index refs for the inline
+        // tail, falling back to v1 inline entries
+        val refs = arr(n, "manifests").map { rn =>
+          ManifestRef(
+            rn.get("path").asText(), rn.get("fileCount").asLong(),
+            rn.get("rowCount").asLong(),
+            Option(rn.get("maxSeq")).map(_.asLong()).getOrElse(0L),
+            Option(rn.get("partitions")).map(pn =>
+              pn.elements().asScala.map(po =>
+                po.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap).toSeq),
+            Option(rn.get("stats")).map(sn =>
+              sn.properties().asScala.map(e =>
+                e.getKey.toInt -> ColumnStats(
+                  e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
+              .getOrElse(Map()))
+        }
+        val tail =
+          if (n.has("dataFileRefs")) arr(n, "dataFileRefs").map(i => dataTable(i.asInt()))
+          else arr(n, "dataFiles").map(readDataFile)
+        new Snapshot(
           n.get("id").asLong(),
           Option(n.get("parentId")).map(_.asLong()),
           n.get("timestampMs").asLong(),
           n.get("operation").asText(),
-          // v2 index refs, falling back to v1 inline entries
-          if (n.has("dataFileRefs")) arr(n, "dataFileRefs").map(i => dataTable(i.asInt()))
-          else arr(n, "dataFiles").map(readDataFile),
+          FileListing(refs, tail, io),
           if (n.has("deleteFileRefs")) arr(n, "deleteFileRefs").map(i => delTable(i.asInt()))
           else arr(n, "deleteFiles").map(readDeleteFile),
           Option(n.get("schemaId")).map(_.asInt()).getOrElse(-1))

@@ -105,6 +105,61 @@ object Stats {
     }
   }
 
+  /** Manifest-level variant of [[mayContain]]: evaluate a filter against a
+    * chunk's AGGREGATED per-field bounds. [[summarize]] only emits a field
+    * when every file in the chunk bounds it, so an absent field is a
+    * conservative keep — never a miss. */
+  def summaryMayContain(stats: Map[Int, ColumnStats], current: TableSchema,
+      flt: StatFilter): Boolean = {
+    val field = current.fields.find(_.name == flt.column).getOrElse(return true)
+    val cs = stats.getOrElse(field.id, return true)
+    val v = normalize(flt.value, field.dtype).getOrElse(return true)
+    val (mn, mx) = (parse(cs.min, field.dtype), parse(cs.max, field.dtype)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _                  => return true
+    }
+    flt match {
+      case _: Eq => ord(mn, v) <= 0 && ord(v, mx) <= 0
+      case _: Lt => ord(mn, v) < 0
+      case _: Le => ord(mn, v) <= 0
+      case _: Gt => ord(v, mx) < 0
+      case _: Ge => ord(v, mx) <= 0
+    }
+  }
+
+  /** Aggregate per-field min/max across a manifest chunk's files. A field
+    * survives only if EVERY file's schema contains it (a file without the
+    * field may hold default/null rows any predicate must see) AND every
+    * file has parseable stats for it — partial bounds can't prune safely.
+    * Comparison domains are widening-stable (INT→BIGINT both "long"), so
+    * one dtype lookup per field id serves mixed-schema chunks. */
+  def summarize(files: Seq[DataFile], m: TableMetadata): Map[Int, ColumnStats] = {
+    if (files.isEmpty) return Map()
+    def schemaOf(id: Int) = m.schemas.find(_.schemaId == id)
+    val eligible = files.map { f =>
+      schemaOf(f.schemaId).map(sch => f.stats.keySet.filter(sch.hasId))
+        .getOrElse(Set.empty[Int])
+    }.reduce(_ intersect _)
+    eligible.iterator.flatMap { fid =>
+      val dtype = m.schemas.iterator.flatMap(_.fields.find(_.id == fid)).nextOption()
+        .map(_.dtype).getOrElse("")
+      val bounds = files.map { f =>
+        val cs = f.stats(fid)
+        (parse(cs.min, dtype), parse(cs.max, dtype)) match {
+          case (Some(a), Some(b)) => Some(((a, cs.min), (b, cs.max)))
+          case _                  => None
+        }
+      }
+      if (bounds.exists(_.isEmpty)) None
+      else {
+        val bs = bounds.flatten
+        val mn = bs.map(_._1).minBy(identity)(Ordering.fromLessThan((x, y) => ord(x._1, y._1) < 0))
+        val mx = bs.map(_._2).maxBy(identity)(Ordering.fromLessThan((x, y) => ord(x._1, y._1) < 0))
+        Some(fid -> ColumnStats(mn._2, mx._2))
+      }
+    }.toMap
+  }
+
   private def ord(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)

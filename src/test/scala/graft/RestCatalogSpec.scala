@@ -49,7 +49,7 @@ class RestCatalogSpec extends SparkSpec {
       val created = post(s"$base/namespaces/analytics/tables",
         """{"name": "events", "schema": [{"name": "event_id", "type": "BIGINT"}]}""")
       assert(created.statusCode() == 200)
-      assert(M.readTree(created.body()).get("metadata").get("formatVersion").asInt() == 2)
+      assert(M.readTree(created.body()).get("metadata").get("formatVersion").asInt() == 3)
       assert(cat.listTables("analytics") == Seq("events"))
 
       // list tables
