@@ -61,6 +61,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * Exposed to the pruning specs for its chunk-load instrumentation. */
   private[icelite] val manifestIO = new ManifestIO(store, location)
 
+  /** Planning instrumentation: the LARGEST per-scan file count any
+    * scanSnapshot admitted since the last reset. Deterministic — driver
+    * metadata arithmetic, no task-metric listeners — so pruning specs
+    * assert on it directly (e.g. a stat-pruned MERGE discovery plans 1
+    * file of N, not N). */
+  private[graft] val maxPlannedFiles = new java.util.concurrent.atomic.AtomicLong(0)
+
   // ---------------------------------------------------------------- metadata
 
   private def metaAt(v: Int): TableMetadata =
@@ -434,6 +441,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val files = snap.files.candidates(m, prune, statFilters).filter(df =>
       prune(df.partition) && statFilters.forall(flt =>
         Stats.mayContain(df, m.schema(df.schemaId), m.currentSchema, flt)))
+    maxPlannedFiles.updateAndGet(prev => math.max(prev, files.size))
     if (files.isEmpty) {
       val empty = StructType(proj.fields.map(f =>
         StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)))
@@ -1075,12 +1083,18 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         }: _*))
       }
     try {
-      // ANSI cardinality check: a target row matching >1 source rows is an
-      // error whenever a matched clause could fire
-      if (matched.nonEmpty) {
-        val dupCount = srcPrefixed.groupBy(sKey).count().filter(col("count") > 1).limit(1).count()
-        if (dupCount > 0) sys.error(s"MERGE: duplicate source rows on key $sourceKey")
-      }
+      // ONE pass over the persisted source serves both the ANSI
+      // cardinality check (a target row matching >1 source rows is an
+      // error whenever a matched clause could fire) and the discovery
+      // key range — r10 ran these as two separate jobs, a measurable
+      // fixed overhead per MERGE
+      val srcAgg = srcPrefixed.groupBy(sKey.as("_k")).agg(count(lit(1)).as("_c"))
+        .agg(max(col("_c")),
+          org.apache.spark.sql.functions.min(col("_k")).as("_kmin"),
+          org.apache.spark.sql.functions.max(col("_k")).as("_kmax"))
+        .head
+      if (matched.nonEmpty && !srcAgg.isNullAt(0) && srcAgg.getLong(0) > 1)
+        sys.error(s"MERGE: duplicate source rows on key $sourceKey")
       m.currentSnapshot match {
         case None => // empty target: only insert clauses can fire
           val rows = insertRows(srcPrefixed).map(aligned)
@@ -1100,15 +1114,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           // MERGE scans O(matching files), not O(table), during discovery.
           // NOT MATCHED BY SOURCE inspects every target row — no pruning.
           val keyRange: Seq[Stats.StatFilter] =
-            if (notMatchedBySource.nonEmpty) Seq()
-            else {
-              val r = srcPrefixed.agg(
-                org.apache.spark.sql.functions.min(sKey),
-                org.apache.spark.sql.functions.max(sKey)).head
-              if (r.isNullAt(0)) Seq()
-              else IceLite.statFiltersFromCondition(
-                col(targetKey) >= lit(r.get(0)) && col(targetKey) <= lit(r.get(1)))
-            }
+            if (notMatchedBySource.nonEmpty || srcAgg.isNullAt(1)) Seq()
+            else IceLite.statFiltersFromCondition(
+              col(targetKey) >= lit(srcAgg.get(1)) && col(targetKey) <= lit(srcAgg.get(2)))
           val tgt = scanSnapshot(m, snap, lineage = true, _ => true, keyRange)
           val tgtKeys = tgt.select(col(targetKey), col("_file")).persist(StorageLevel.MEMORY_AND_DISK)
           try {

@@ -215,24 +215,18 @@ class DataSkippingSpec extends SparkSpec {
     val src = spark.range(150, 155).toDF("id")
       .withColumn("name", concat(lit("merged"), col("id")))
       .withColumn("amount", lit(-5.0))
-    @volatile var records = 0L
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) records += te.taskMetrics.inputMetrics.recordsRead
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      t.merge(src, "id")
-      var last = -1L
-      var spins = 0
-      while (records != last && spins < 50) {
-        last = records; Thread.sleep(100); spins += 1
-      }
-    } finally spark.sparkContext.removeSparkListener(listener)
-    assert(records > 0, "listener saw no input records")
-    assert(records < 350,
-      s"merge read $records records — discovery is not pruned by the source " +
-        "key range (a full-table discovery alone reads 400)")
+    // deterministic pruning assertion: maxPlannedFiles is driver-side
+    // metadata arithmetic (no async task-metric listeners) — every scan
+    // the MERGE runs (discovery AND the hit rewrite) must plan only the
+    // single file whose stats admit the source key range [150, 154]
+    val total = t.meta.currentSnapshot.get.dataFiles.size
+    assert(total == 4, s"fixture expects 4 files, got $total")
+    t.maxPlannedFiles.set(0)
+    t.merge(src, "id")
+    val planned = t.maxPlannedFiles.get
+    assert(planned == 1,
+      s"merge planned $planned of $total files — discovery is not pruned " +
+        "by the source key range")
     val note = t.meta.metadataLog.last.note
     assert(note.contains("rewrote 1 files"), s"unexpected commit note: $note")
     // semantics unchanged: 5 updates in place, no inserts
