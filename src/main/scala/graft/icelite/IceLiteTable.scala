@@ -106,11 +106,85 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   }
 
   /** One-shot commit for operations whose output is DERIVED from the
-    * loaded snapshot (CoW rewrites, compaction, overwrite): any concurrent
-    * commit means the derived file set is stale, so the collision
-    * propagates to the caller, who must re-run the whole operation. */
+    * loaded snapshot (compaction, overwrite): any concurrent commit means
+    * the derived file set is stale, so the collision propagates to the
+    * caller, who must re-run the whole operation. Predicate-scoped CoW
+    * rewrites use [[commitCowRewrite]] instead, which can validate and
+    * rebase across DISJOINT concurrent commits. */
   private def commitFrom(loadedVersion: Int, next: TableMetadata, note: String): Unit =
     commitAt(loadedVersion + 1, next, note)
+
+  /** Commit a predicate-scoped copy-on-write rewrite (UPDATE / DELETE /
+    * MERGE) with Iceberg-style validation-and-rebase: on a version
+    * collision, reload the winner's state and RETRY iff the conflicting
+    * commits provably touched disjoint data — otherwise abort with
+    * [[IceLite.ConcurrentRewriteException]] (the caller re-runs the whole
+    * op against the new state). Two disjoint-partition UPDATEs therefore
+    * both land without caller intervention; overlapping ones still abort.
+    *
+    * Validation (serializable, mirroring Iceberg's validateDataFilesExist /
+    * validateNoNewDeleteFiles / validateAddedDataFiles):
+    *  1. every file this rewrite REPLACED is still live — a concurrent
+    *     rewrite of a shared file means both ops derived from it;
+    *  2. no delete file was added since the scanned snapshot — new MoR/eq
+    *     deletes may cover rows this rewrite re-materialized from its
+    *     pre-delete scan (committing would resurrect them);
+    *  3. every concurrently ADDED data file is refuted by this op's
+    *     predicate stat-filters — an added file that may hold matching
+    *     rows was not seen by the already-evaluated predicate (for MERGE:
+    *     may hold keys inside the source key range → duplicate inserts).
+    *     With no derivable filters, any added file aborts.
+    * On success the rebased snapshot is the winner's file set minus the
+    * replaced files plus this op's rewritten files (re-stamped into the
+    * winner's sequence order). */
+  private def commitCowRewrite(
+      loadedVersion: Int, loadedMeta: TableMetadata, scanned: Snapshot,
+      hitPaths: Set[String], newFiles: Seq[DataFile],
+      condFilters: Seq[Stats.StatFilter], op: String, note: String,
+      finish: TableMetadata => TableMetadata = identity): Unit = {
+    val scannedDels = scanned.deleteFiles.map(d => normPath(d.path)).toSet
+    val scannedData = scanned.dataFiles.map(f => normPath(f.path)).toSet
+    var v = loadedVersion
+    var m = loadedMeta
+    var attempt = 0
+    while (true) {
+      val cs = m.currentSnapshot.getOrElse(
+        throw new IceLite.ConcurrentRewriteException("table emptied concurrently; re-run"))
+      val keep = cs.dataFiles.filterNot(f => hitPaths.contains(normPath(f.path)))
+      val sq = nextSeq(m)
+      val next = newSnapshotL(m, op,
+        FileListing.inline(keep ++ newFiles.map(_.copy(seq = sq))), cs.deleteFiles)
+      try { commitAt(v + 1, finish(next), note); return }
+      catch {
+        case e @ (_: java.io.IOException | _: IceLite.CommitSupersededException) =>
+          if (attempt >= 4) throw new IceLite.ConcurrentRewriteException(
+            s"copy-on-write rewrite lost $attempt consecutive commit races; re-run (${e.getMessage})")
+          attempt += 1
+          val (nv, nm) = versionedMeta
+          val ncs = nm.currentSnapshot.getOrElse(
+            throw new IceLite.ConcurrentRewriteException("table emptied concurrently; re-run"))
+          val live = ncs.dataFiles.map(f => normPath(f.path)).toSet
+          if (!hitPaths.subsetOf(live))
+            throw new IceLite.ConcurrentRewriteException(
+              "copy-on-write rewrite conflicts with a concurrent rewrite of " +
+                "the same files; re-run the operation")
+          if (ncs.deleteFiles.exists(d => !scannedDels.contains(normPath(d.path))))
+            throw new IceLite.ConcurrentRewriteException(
+              "copy-on-write rewrite conflicts with concurrent deletes: new " +
+                "delete files appeared since the scanned snapshot; re-run")
+          val added = ncs.dataFiles.filterNot(f => scannedData.contains(normPath(f.path)))
+          val unsafeAdd = added.exists(f => condFilters.isEmpty ||
+            condFilters.forall(flt =>
+              Stats.mayContain(f, nm.schema(f.schemaId), nm.currentSchema, flt)))
+          if (unsafeAdd)
+            throw new IceLite.ConcurrentRewriteException(
+              "copy-on-write rewrite conflicts with concurrent appends whose " +
+                "stats admit this operation's predicate; re-run")
+          v = nv; m = nm
+          Thread.sleep(25L + scala.util.Random.nextInt(50))
+      }
+    }
+  }
 
   /** Optimistic-retry commit for operations whose intent can be REBUILT on
     * top of a newer table state (append's add-files, MoR delete's
@@ -796,7 +870,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
-    val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
+    val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     val rewritten = hitDf.select(m.currentSchema.fields.map { fld =>
       assignments.get(fld.name)
@@ -804,8 +878,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         .getOrElse(col(fld.name))
     }: _*)
     val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
-    commitFrom(v, newSnapshot(m, "update", keep ++ newFiles, snap.deleteFiles),
-      s"update rewrote ${hit.size} files")
+    commitCowRewrite(v, m, snap, touched, newFiles,
+      IceLite.statFiltersFromCondition(cond), "update", s"update rewrote ${hit.size} files")
   }
 
   /** DELETE WHERE — copy-on-write (README.md:959–960) or merge-on-read
@@ -825,7 +899,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
-    val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
+    val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     // SQL DELETE removes only rows where cond is TRUE; a NULL condition
     // (three-valued logic) KEEPS the row, so the kept-rows filter must be
@@ -833,8 +907,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // silently drop NULL-condition rows from the rewritten files.
     val newFiles = writeFiles(
       hitDf.filter(!coalesce(cond, lit(false))), m, m.currentSchemaId, m.defaultSpec)
-    commitFrom(v, newSnapshot(m, "delete", keep ++ newFiles, snap.deleteFiles),
-      s"delete (cow) rewrote ${hit.size} files")
+    commitCowRewrite(v, m, snap, touched, newFiles,
+      IceLite.statFiltersFromCondition(cond), "delete", s"delete (cow) rewrote ${hit.size} files")
   }
 
   /** Merge-on-read DELETE: write (file, pos) tuples — no data rewrite; the
@@ -1127,7 +1201,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
               if (notMatchedBySource.nonEmpty) snap.dataFiles.map(f => normPath(f.path)).toSet
               else tgtKeys.join(srcPrefixed.select(sKey.as("_sk")), col(targetKey) === col("_sk"), "left_semi")
                 .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
-            val (hit, keep) = snap.dataFiles.partition(f => touched.contains(normPath(f.path)))
+            val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
             val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
             val joined = hitDf.join(srcPrefixed, col(targetKey) === sKey, "left_outer")
             val matchedFlag = sKey.isNotNull // equi-join: non-null iff matched
@@ -1160,8 +1234,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
               .map(ins => aligned(mergedTouched).unionByName(aligned(ins)))
               .getOrElse(aligned(mergedTouched))
             val newFiles = writeFiles(outRows, m, m.currentSchemaId, m.defaultSpec)
-            commitFrom(v, withBatch(newSnapshot(m, "merge", keep ++ newFiles, snap.deleteFiles)),
-              s"merge rewrote ${hit.size} files")
+            commitCowRewrite(v, m, snap, touched, newFiles, keyRange, "merge",
+              s"merge rewrote ${hit.size} files", withBatch)
           } finally tgtKeys.unpersist()
       }
       true

@@ -147,4 +147,113 @@ class ConcurrencyStressSpec extends SparkSpec {
   test("50 equality-delete schedules: racing append/deleteEq/upsertEq/compact, exact end state") {
     runStress("merge-on-read", rounds = 50, seed = 37, eq = true)
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic CoW validation-and-rebase schedules: a gate store blocks
+  // the LOSER's version-file write until the winner has committed, so the
+  // collision (and the rebase decision) happens on every run, not when the
+  // scheduler feels like it.
+
+  /** Wraps the real store; the first version-file createExclusive blocks
+    * on `gate` (manifest chunk writes pass through ungated). */
+  private final class GateStore(inner: CommitStore,
+      gate: java.util.concurrent.CountDownLatch) extends CommitStore {
+    private val gated = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Opens once the gated handle has read the version hint — i.e. its
+      * operation has LOADED the pre-winner state. */
+    val loaded = new java.util.concurrent.CountDownLatch(1)
+    override def readString(p: org.apache.hadoop.fs.Path): String = {
+      val s = inner.readString(p)
+      if (p.getName == "version-hint.text") loaded.countDown()
+      s
+    }
+    override def createExclusive(p: org.apache.hadoop.fs.Path, content: String): Unit = {
+      if (p.getName.matches("v\\d+\\.json") && gated.compareAndSet(false, true))
+        gate.await()
+      inner.createExclusive(p, content)
+    }
+    override def replace(p: org.apache.hadoop.fs.Path, content: String): Unit = inner.replace(p, content)
+    override def exists(p: org.apache.hadoop.fs.Path): Boolean = inner.exists(p)
+    override def modificationTime(p: org.apache.hadoop.fs.Path): Long = inner.modificationTime(p)
+    override def delete(p: org.apache.hadoop.fs.Path): Unit = inner.delete(p)
+  }
+
+  /** Table with 4 files of disjoint 100-key id ranges + a `v` column. */
+  private def mkRanged(tag: String): String = {
+    val loc = Files.createTempDirectory(s"cowrebase_$tag").toString + "/t"
+    val df = spark.range(0, 400).toDF("id").withColumn("v", lit(0L))
+    val t = IceLite.createFrom(spark, loc, df,
+      properties = Map("commit.orphan-quarantine-ms" -> "3600000"))
+    (0 until 4).foreach(b =>
+      t.append(df.filter(col("id") >= b * 100 && col("id") < (b + 1) * 100)))
+    loc
+  }
+
+  /** Run `gatedOp` on a gate-store handle in a thread, run `winnerOp` to
+    * completion, open the gate, join. Returns the gated op's failure. */
+  private def interleave(loc: String)(winnerOp: IceLiteTable => Unit)(
+      gatedOp: IceLiteTable => Unit): Option[Throwable] = {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val inner = new HadoopCommitStore(IceLite.fs(spark, loc))
+    val gs = new GateStore(inner, gate)
+    val gatedT = new IceLiteTable(spark, loc, Some(gs))
+    val fut = Future(gatedOp(gatedT))
+    // wait until the gated op has LOADED the pre-winner state (its commit
+    // attempt then parks on the gate, which we hold until after)
+    assert(gs.loaded.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "gated op never loaded the table")
+    winnerOp(new IceLiteTable(spark, loc))
+    gate.countDown()
+    try { Await.result(fut, 120.seconds); None } catch { case NonFatal(e) => Some(e) }
+  }
+
+  test("disjoint-partition CoW UPDATEs both commit via validation-and-rebase") {
+    val loc = mkRanged("disjoint")
+    val vBefore = new IceLiteTable(spark, loc).currentVersion
+    val err = interleave(loc)(
+      _.update(col("id") === 50L, Map("v" -> lit(1L))))(
+      _.update(col("id") === 250L, Map("v" -> lit(2L))))
+    assert(err.isEmpty, s"disjoint update must rebase, not abort: $err")
+    val t = new IceLiteTable(spark, loc)
+    assert(t.currentVersion == vBefore + 2, "both updates must land as commits")
+    val got = t.read().filter(col("v") =!= 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((50L, 1L), (250L, 2L)), s"both updates must apply: $got")
+  }
+
+  test("overlapping CoW UPDATEs: the loser aborts instead of clobbering") {
+    val loc = mkRanged("overlap")
+    val err = interleave(loc)(
+      _.update(col("id") === 50L, Map("v" -> lit(1L))))(
+      _.update(col("id") === 55L, Map("v" -> lit(2L))))
+    assert(err.exists(_.isInstanceOf[IceLite.ConcurrentRewriteException]),
+      s"same-file update must abort with ConcurrentRewriteException, got $err")
+    val t = new IceLiteTable(spark, loc)
+    val got = t.read().filter(col("v") =!= 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((50L, 1L)), s"only the winner may apply: $got")
+  }
+
+  test("CoW DELETE rebases over a stat-disjoint append, aborts on an admitting one") {
+    val loc1 = mkRanged("addsafe")
+    // appended keys [10000,10020) are refuted by the delete's Eq(id,250)
+    // stat filter → the delete validates and rebases over the append
+    val err1 = interleave(loc1)(
+      _.append(spark.range(10000, 10020).toDF("id").withColumn("v", lit(9L))))(
+      _.delete(col("id") === 250L))
+    assert(err1.isEmpty, s"stat-disjoint append must not abort the delete: $err1")
+    val t1 = new IceLiteTable(spark, loc1)
+    assert(t1.read().count() == 419)
+    assert(t1.read().filter(col("id") === 250L).count() == 0)
+    assert(t1.read().filter(col("id") >= 10000L).count() == 20, "the append must survive the rebase")
+
+    val loc2 = mkRanged("addunsafe")
+    // appended key 250 is ADMITTED by the delete's predicate stats: the
+    // delete's already-evaluated scan never saw it → must abort
+    val err2 = interleave(loc2)(
+      _.append(Seq((250L, 9L)).toDF("id", "v")))(
+      _.delete(col("id") === 250L))
+    assert(err2.exists(_.isInstanceOf[IceLite.ConcurrentRewriteException]),
+      s"predicate-admitting append must abort the delete, got $err2")
+  }
 }
