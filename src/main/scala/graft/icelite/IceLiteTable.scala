@@ -385,6 +385,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         snap.map(_.deleteFiles).getOrElse(Seq())),
         s"append ${files.map(_.rows).sum} rows")
     }
+    autoMaintain()
   }
 
   /** Idempotent streaming append: commits `df` AND records `batchId` in the
@@ -413,6 +414,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
       }
+      autoMaintain()
       true
     } catch {
       case _: IceLite.BatchReplayedException =>
@@ -450,6 +452,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"upsert (eq) batch $batchId: ${files.map(_.rows).sum} rows")
       }
+      autoMaintain()
       true
     } catch {
       case _: IceLite.BatchReplayedException =>
@@ -790,6 +793,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     if (m.properties.getOrElse("write.update.mode", "copy-on-write") == "merge-on-read")
       updateMor(m, cond, assignments)
     else updateCow(v, m, cond, assignments)
+    autoMaintain()
   }
 
   /** Merge-on-read UPDATE (Iceberg v2 `write.update.mode=merge-on-read`):
@@ -890,6 +894,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     if (m.properties.getOrElse("write.delete.mode", "copy-on-write") == "merge-on-read")
       deleteMor(m, cond)
     else deleteCow(v, m, cond)
+    autoMaintain()
   }
 
   private def deleteCow(v: Int, m: TableMetadata, cond: Column): Unit = {
@@ -1037,6 +1042,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       (newSnapshotL(cur, "delete", cs.files, cs.deleteFiles ++ dels.map(_.copy(seq = s))),
         s"delete (eq) ${dels.map(_.rows).sum} keys on ${fields.map(_.name).mkString(",")}")
     }
+    autoMaintain()
   }
 
   /** Streaming-style upsert: ONE commit that equality-deletes the source
@@ -1069,6 +1075,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = s))),
         s"upsert (eq) ${files.map(_.rows).sum} rows on ${keyCols.mkString(",")}")
     }
+    autoMaintain()
   }
 
   /** MERGE INTO … ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -1238,6 +1245,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
               s"merge rewrote ${hit.size} files", withBatch)
           } finally tgtKeys.unpersist()
       }
+      autoMaintain()
       true
     } finally srcPrefixed.unpersist()
   }
@@ -1256,6 +1264,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
     commitFrom(v, newSnapshot(m, "overwrite", files, Seq()),
       s"overwrite with ${files.map(_.rows).sum} rows")
+    autoMaintain()
   }
 
   // ------------------------------------------------------------ DDL / evolution
@@ -1379,10 +1388,56 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
   // ------------------------------------------------------------ maintenance
 
+  /** Post-commit auto-maintenance (Iceberg-style table-property policies):
+    * every successful DML commit checks the thresholds and runs the
+    * corresponding maintenance exactly once per crossing —
+    *  - `maintenance.auto.rewrite-deletes.file-threshold` = N: when the
+    *    current snapshot carries ≥ N position-delete files, merge them
+    *    ([[rewritePositionDeletes]] with the threshold as its no-op floor,
+    *    so a racing writer's rebuilt attempt no-ops after the winner);
+    *  - `maintenance.auto.compact.file-threshold` = N (+
+    *    `maintenance.auto.compact.target-files`, default 8): when the data
+    *    file count reaches N, compact.
+    * Maintenance commits are `replace` snapshots — changelog-silent by the
+    * existing CDC rule. Advisory by design: the triggering DML has already
+    * committed, so a maintenance race (another writer compacted first, a
+    * collision with a concurrent append) is swallowed — the next crossing
+    * commit re-triggers. */
+  private def autoMaintain(): Unit =
+    try {
+      val m = meta
+      m.properties.get("maintenance.auto.rewrite-deletes.file-threshold")
+        .map(_.toInt).foreach { thr =>
+          val n = m.currentSnapshot.map(_.deleteFiles.count(_.kind == "pos")).getOrElse(0)
+          if (n >= thr) { rewritePositionDeletes(1, minFiles = thr); () }
+        }
+      m.properties.get("maintenance.auto.compact.file-threshold")
+        .map(_.toInt).foreach { thr =>
+          // re-load and re-check INSIDE the one-shot attempt: after a racing
+          // writer's compaction the count is below threshold and this no-ops
+          val (v, cur) = versionedMeta
+          val snap = cur.currentSnapshot
+          if (snap.exists(_.files.fileCount >= thr)) {
+            val target = cur.properties
+              .getOrElse("maintenance.auto.compact.target-files", "8").toInt
+            compactFrom(v, cur, target)
+          }
+        }
+    } catch {
+      // advisory: the triggering DML already committed — a maintenance
+      // failure (lost race, exhausted retries) must not fail the caller
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[icelite] auto-maintenance skipped: ${e.getMessage}")
+    }
+
   /** rewrite_data_files (README.md:1022): many small files → `target`
     * files. Logical content unchanged; MoR deletes are materialized. */
   def compact(target: Int): Unit = {
     val (v, m) = versionedMeta
+    compactFrom(v, m, target)
+  }
+
+  private def compactFrom(v: Int, m: TableMetadata, target: Int): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
     // with a declared sort order, writeFiles range-clusters into `target`
     // files itself — repartitioning here too would just add a second
@@ -1415,17 +1470,21 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * attempt's input), and an abandoned attempt's parquet is a reclaimable
     * orphan. The referenced-file distinct is driver-side but bounded by
     * the live data-file count (metadata scale), same as DML planning. */
-  def rewritePositionDeletes(target: Int = 1): Boolean = {
+  def rewritePositionDeletes(target: Int = 1, minFiles: Int = 2): Boolean = {
     require(target >= 1, "target file count must be >= 1")
+    require(minFiles >= 2, "a rewrite below 2 input files merges nothing")
     // the no-op check lives INSIDE the retry lambda: a racing compaction
     // can clear the delete files between a pre-check and the commit, and
-    // the rebase must then bail (no empty commit) instead of merging air
+    // the rebase must then bail (no empty commit) instead of merging air.
+    // Auto-maintenance passes its threshold as minFiles, so a racing
+    // trigger whose rebuilt attempt finds the winner already merged
+    // no-ops instead of re-rewriting one file (exactly-once per crossing).
     object Noop extends Exception
     try {
       commitWithRetry { m =>
         val snap = m.currentSnapshot.getOrElse(throw Noop)
         val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
-        if (posDels.size <= 1) throw Noop
+        if (posDels.size < minFiles) throw Noop
         // persist across the two passes (dangling scan + merged write): at
         // high delete-FILE counts the dominant cost is re-opening thousands
         // of tiny parquets, not the rows themselves

@@ -1025,8 +1025,40 @@ object LakehouseOps {
             ORDER BY side"""),
   )
 
+  /** Auto-maintenance policies (Iceberg-style, round-11): the
+    * `maintenance.auto.rewrite-deletes.file-threshold` table property
+    * triggers rewrite_position_delete_files from the COMMIT path once the
+    * accumulated delete-file count crosses it — no manual CALL. The
+    * embedded requires prove the policy fired exactly once and collapsed
+    * the files; the oracle proves maintenance never changed the logical
+    * content. Race-safety and changelog-silence are spec'd in
+    * AutoMaintenanceSpec. */
+  private val autoMaintain = QueryDef(
+    "icelite_auto_maintain",
+    (s, dir) => {
+      val t = mkTable(s, dir, "automaint",
+        props = Map(
+          "write.delete.mode" -> "merge-on-read",
+          "maintenance.auto.rewrite-deletes.file-threshold" -> "3"))
+      t.delete(col("o_orderkey") % 10 === 1)
+      t.delete(col("o_orderkey") % 10 === 2)
+      require(t.meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos") == 2,
+        "below threshold the delete files must accumulate untouched")
+      t.delete(col("o_orderkey") % 10 === 3) // third file crosses the threshold
+      val m = t.meta
+      require(m.currentSnapshot.get.deleteFiles.count(_.kind == "pos") == 1,
+        "crossing the threshold must self-merge the delete files")
+      require(m.snapshots.count(_.operation == "replace") == 1,
+        "exactly one self-maintenance commit per crossing")
+      state(t)
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey % 10 NOT IN (1, 2, 3) ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
+    autoMaintain,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
