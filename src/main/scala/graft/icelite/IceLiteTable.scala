@@ -284,7 +284,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def writeFiles(df: DataFrame, m: TableMetadata, schemaId: Int, spec: PartitionSpec,
       targetFiles: Option[Int] = None): Seq[DataFile] = {
     val sch = m.schema(schemaId)
-    val phys = df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.physName)): _*)
+    val phys = df.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.physName)): _*)
     val stagingDir = new Path(location, s"staging-${UUID.randomUUID()}")
     val f = fs(spark, location)
     val partCols = spec.fields.map(sf => "_p_" + sf.name)
@@ -470,8 +470,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def alignToSchema(df: DataFrame, m: TableMetadata): DataFrame = {
     val sch = m.currentSchema
     df.select(sch.fields.map { fld =>
-      if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dtype).as(fld.name)
-      else fld.defaultSql.map(d => expr(d).cast(fld.dtype)).getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
+      if (df.columns.contains(fld.name)) {
+        // a Spark TIMESTAMP fed to a TIMESTAMP_NS column converts through
+        // unix_micros ×1000 (a bare cast to BIGINT would yield SECONDS);
+        // a LONG source is taken as already-exact nanos
+        if (fld.dtype.equalsIgnoreCase("TIMESTAMP_NS") &&
+          df.schema(fld.name).dataType == org.apache.spark.sql.types.TimestampType)
+          (unix_micros(col(fld.name)) * 1000L).as(fld.name)
+        else col(fld.name).cast(fld.sparkDdl).as(fld.name)
+      }
+      else fld.defaultSql.map(d => expr(d).cast(fld.sparkDdl)).getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
     }: _*)
   }
 
@@ -486,12 +494,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       proj: TableSchema): DataFrame = {
     val fsch = m.schema(fileSchemaId)
     val physSchema = StructType(fsch.fields.map(fl =>
-      StructField(fl.physName, DataType.fromDDL(fl.dtype), nullable = true)))
+      StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true)))
     val base = spark.read.schema(physSchema).parquet(files.map(_.path): _*)
     val cols = proj.fields.map { fld =>
-      if (fsch.hasId(fld.id)) col(fsch.byId(fld.id).physName).cast(fld.dtype).as(fld.name)
-      else fld.defaultSql.map(d => expr(d).cast(fld.dtype))
-        .getOrElse(lit(null).cast(fld.dtype)).as(fld.name)
+      if (fsch.hasId(fld.id)) col(fsch.byId(fld.id).physName).cast(fld.sparkDdl).as(fld.name)
+      else fld.defaultSql.map(d => expr(d).cast(fld.sparkDdl))
+        .getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
     }
     val lin =
       if (lineage) Seq(
@@ -521,7 +529,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     maxPlannedFiles.updateAndGet(prev => math.max(prev, files.size))
     if (files.isEmpty) {
       val empty = StructType(proj.fields.map(f =>
-        StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)))
+        StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)))
       val lin = if (lineage)
         StructType(Seq(StructField("_file", DataType.fromDDL("string")),
           StructField("_pos", DataType.fromDDL("bigint")))) else StructType(Seq())
@@ -592,7 +600,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       proj: TableSchema): DataFrame = {
     val fields = del.eqFieldIds.map(proj.byId)
     val keys = spark.read.parquet(del.path)
-      .select(fields.map(f => col(f.physName).cast(f.dtype).as(s"_k_${f.name}")): _*)
+      .select(fields.map(f => col(f.physName).cast(f.sparkDdl).as(s"_k_${f.name}")): _*)
       .distinct()
     val cond = fields.map(f => d(f.name) <=> col(s"_k_${f.name}")).reduce(_ && _)
     d.join(broadcast(keys), cond, "left_anti")
@@ -708,7 +716,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     }
     if (parts.isEmpty) {
       val st = StructType(m.currentSchema.fields.map(f =>
-        StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)) ++
+        StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)) ++
         Seq(StructField("_change_type", DataType.fromDDL("string")),
           StructField("_commit_version", DataType.fromDDL("bigint"))))
       spark.createDataFrame(
@@ -767,7 +775,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       else {
         val fields = d.eqFieldIds.map(m.currentSchema.byId)
         val keys = spark.read.parquet(d.path)
-          .select(fields.map(f => col(f.physName).cast(f.dtype).as(s"_k_${f.name}")): _*)
+          .select(fields.map(f => col(f.physName).cast(f.sparkDdl).as(s"_k_${f.name}")): _*)
           .distinct()
         // null-safe: mirrors antiJoinEqKeys — the changelog reports the
         // same NULL-keyed rows as deleted that the read path drops
@@ -828,7 +836,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       // every matched row satisfies cond — apply assignments directly
       val rewritten = matched.select(m.currentSchema.fields.map { fld =>
         assignments.get(fld.name)
-          .map(a => a.cast(fld.dtype).as(fld.name))
+          .map(a => a.cast(fld.sparkDdl).as(fld.name))
           .getOrElse(col(fld.name))
       }: _*)
       val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
@@ -878,7 +886,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     val rewritten = hitDf.select(m.currentSchema.fields.map { fld =>
       assignments.get(fld.name)
-        .map(a => when(cond, a.cast(fld.dtype)).otherwise(col(fld.name)).as(fld.name))
+        .map(a => when(cond, a.cast(fld.sparkDdl)).otherwise(col(fld.name)).as(fld.name))
         .getOrElse(col(fld.name))
     }: _*)
     val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
@@ -993,7 +1001,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * parquet part, seq left 0 — the COMMIT lambda stamps it. */
   private def writeEqDeleteFiles(keys: DataFrame, fields: Seq[Field]): Seq[DeleteFile] = {
     val phys = keys.distinct()
-      .select(fields.map(f => col(f.name).cast(f.dtype).as(f.physName)): _*)
+      .select(fields.map(f => col(f.name).cast(f.sparkDdl).as(f.physName)): _*)
     val delDir = new Path(location, "deletes")
     val f = fs(spark, location)
     f.mkdirs(delDir)
@@ -1103,7 +1111,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // the general machinery (source pre-aligned to the target schema so
     // star expansion is exact)
     val sch = meta.currentSchema
-    val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+    val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.name)): _*)
     val matched = Seq(IceLite.MergeUpdate(None,
       sch.fields.filter(_.name != key).map(f => f.name -> col(s"_s_${f.name}")).toMap))
     val notMatched = Seq(IceLite.MergeInsert(None,
@@ -1147,7 +1155,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sKey = col(s"_s_$sourceKey")
     def aligned(df: DataFrame): DataFrame =
-      df.select(sch.fields.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
+      df.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.name)): _*)
     // first applicable insert clause per unmatched source row (none → no insert)
     def insertRows(candidates: DataFrame): Option[DataFrame] =
       if (notMatched.isEmpty) None
@@ -1181,7 +1189,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           val rows = insertRows(srcPrefixed).map(aligned)
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(sch.fields.map(f => StructField(f.name, DataType.fromDDL(f.dtype))))))
+              StructType(sch.fields.map(f => StructField(f.name, DataType.fromDDL(f.sparkDdl))))))
           val newFiles = writeFiles(rows, m, m.currentSchemaId, m.defaultSpec)
           commitFrom(v, withBatch(newSnapshot(m, "merge", newFiles, Seq())),
             s"merge into empty table: ${newFiles.map(_.rows).sum} inserts")

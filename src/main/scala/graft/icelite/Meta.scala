@@ -28,6 +28,13 @@ import scala.jdk.CollectionConverters._
   */
 final case class Field(id: Int, name: String, dtype: String, defaultSql: Option[String]) {
   def physName: String = s"f$id"
+  /** Spark-facing DDL type. Iceberg-V3 `TIMESTAMP_NS` (README.md:1173–1179)
+    * is carried as a raw nanos-since-epoch BIGINT: Spark tops out at µs
+    * precision, and the long carrier is lossless, orders identically, and
+    * stat-prunes through the same long domain. Every cast / schema
+    * construction goes through this; `dtype` stays the declared logical
+    * type in metadata (so the intent survives in the table schema). */
+  def sparkDdl: String = if (dtype.equalsIgnoreCase("TIMESTAMP_NS")) "BIGINT" else dtype
 }
 
 final case class TableSchema(schemaId: Int, fields: Seq[Field]) {

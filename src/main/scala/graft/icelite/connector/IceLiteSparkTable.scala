@@ -38,7 +38,7 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
 
   override def schema(): StructType = StructType(
     tbl.meta.currentSchema.fields.map(f =>
-      StructField(f.name, DataType.fromDDL(f.dtype), nullable = true)))
+      StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)))
 
   override def properties(): util.Map[String, String] = tbl.meta.properties.asJava
 

@@ -1056,9 +1056,38 @@ object LakehouseOps {
              WHERE o_orderkey % 10 NOT IN (1, 2, 3) ORDER BY o_orderkey"""),
   )
 
+  /** V3 TIMESTAMP_NS stored IN the lakehouse (round-11;
+    * README.md:1173–1179): a column declared TIMESTAMP_NS lands as a
+    * lossless nanos-since-epoch BIGINT carrier ([[graft.icelite.Field.sparkDdl]]),
+    * so sub-µs precision survives the IceLite write/DML/read cycle that
+    * Spark's µs TIMESTAMP would truncate. The query ingests events with
+    * exact nanosecond stamps, row-level-deletes a slice, and reads back
+    * raw nanos — which DuckDB recomputes via epoch_ns (native ns reader
+    * on the ns fixture vintage, µs×1000 on the µs vintage — both exactly
+    * the Spark-side derivation). TimestampNsSpec proves the sub-µs bits
+    * and long-domain stat pruning on the ns column. */
+  private val timestampNsTable = QueryDef(
+    "icelite_timestamp_ns",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ns = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp")) * 1000L
+      }
+      val t = IceLite.create(s, scratch("tsns"),
+        Seq("event_id" -> "BIGINT", "ts_ns" -> "TIMESTAMP_NS"))
+      t.append(raw.select(col("event_id"), ns.as("ts_ns")))
+      t.delete(col("event_id") % 7 === 0)
+      t.read().orderBy("event_id")
+    },
+    Some("""SELECT event_id, epoch_ns(ts) AS ts_ns FROM events
+            WHERE event_id % 7 <> 0 ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain,
+    autoMaintain, timestampNsTable,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,

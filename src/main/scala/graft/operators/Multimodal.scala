@@ -215,61 +215,138 @@ object Multimodal {
             ORDER BY v.doc_id"""),
   )
 
-  /** Perceptual average-hash (aHash) of a binary image payload: split the
-    * bytes into 63 equal block ranges (boundaries ⌊b·n/63⌋), set bit b iff
-    * the block's mean byte exceeds the whole-payload mean. The compare is
-    * integer cross-multiplied (`blockSum·n > totalSum·blockLen`) so both
-    * engines decide every bit exactly — no float means. 63 blocks (not a
-    * round 64) keeps the signature below the BIGINT sign bit so Spark and
-    * DuckDB sum the bit weights identically; the width matches production
-    * 64-bit perceptual hashes and — like the simhash rework it mirrors —
-    * exists so the LSH bands can be 15–16 bits wide (bucket occupancy
-    * O(N/2^16), not the quadratic-at-scale O(N/256) of 8-bit bands).
-    * Byte-addressed in a partition-wise kernel, the same adapter shape as
-    * [[decodeImages]] (a real pHash would DCT a decoded bitmap here; the
-    * blocking/banding plumbing around it is identical). Empty payload →
-    * signature 0. */
-  def averageHash(images: Dataset[(Long, Array[Byte])]): DataFrame = {
+  /** ×10⁴ fixed-point DCT-II cosine table, `ct(k·16 + x) =
+    * round(cos(π·(2x+1)·k/32)·10⁴)` for frequencies k ∈ [0,8) over 16
+    * samples. Computed once here and INTERPOLATED verbatim into the
+    * DuckDB oracle SQL ([[dctSigCtes]]), so both engines multiply the
+    * byte-identical integer table — no cross-engine cos() ULP risk. */
+  private[graft] val cosTable: Array[Long] =
+    Array.tabulate(8, 16)((k, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * k / 32.0) * 10000.0)).flatten
+
+  /** True perceptual DCT hash (pHash, the Zauner 2010 construction — the
+    * round-11 upgrade of the former block-mean aHash at this seam):
+    *  1. decode the payload to a 16×16 grayscale bitmap — block-mean
+    *     downsample over the byte stream, fixed-point `⌊blockSum·100 /
+    *     len⌋` per cell (exact integer, both engines floor-divide);
+    *  2. 2-D DCT-II via two separable integer passes against
+    *     [[cosTable]] (magnitudes ≤ 16·25500·10⁴·16·10⁴ ≈ 6.5e14 — no
+    *     Long overflow);
+    *  3. keep the LOW-FREQUENCY 8×8 coefficient block and set bit b iff
+    *     AC coefficient b exceeds the MEDIAN of the 63 ACs (exact integer
+    *     selection — the balanced-bit property real pHash relies on).
+    * 63 bits (DC excluded) keeps the signature below the BIGINT sign bit
+    * and the 16/16/16/15 LSH banding unchanged. Empty payload → all-zero
+    * bitmap → signature 0. Partition-wise kernel, same adapter shape as
+    * [[decodeImages]]. */
+  def dctHash(images: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { it =>
+      val ct = cosTable
       it.map { case (id, bytes) =>
         val n = bytes.length
-        var total = 0L
-        var i = 0
-        while (i < n) { total += bytes(i) & 0xff; i += 1 }
+        val p = new Array[Long](256)
+        var c = 0
+        while (c < 256) {
+          val lo = c * n / 256
+          val hi = (c + 1) * n / 256
+          if (hi > lo) {
+            var bs = 0L
+            var j = lo
+            while (j < hi) { bs += bytes(j) & 0xff; j += 1 }
+            p(c) = bs * 100 / (hi - lo)
+          }
+          c += 1
+        }
+        // separable DCT: G[u][y] = Σ_x p[x][y]·ct[u][x], then
+        // F[u][v] = Σ_y G[u][y]·ct[v][y]
+        val g = new Array[Long](128)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < 16) {
+            var acc = 0L
+            var x = 0
+            while (x < 16) { acc += p(x * 16 + y) * ct(u * 16 + x); x += 1 }
+            g(u * 16 + y) = acc
+            y += 1
+          }
+          u += 1
+        }
+        val f = new Array[Long](64)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0L
+            var y = 0
+            while (y < 16) { acc += g(u * 16 + y) * ct(v * 16 + y); y += 1 }
+            f(u * 8 + v) = acc
+            v += 1
+          }
+          u += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+        val sorted = ac.clone()
+        java.util.Arrays.sort(sorted)
+        val med = sorted(31) // 32nd smallest of 63 = the median
         var sig = 0L
         var b = 0
-        while (b < 63) {
-          val lo = b * n / 63
-          val hi = (b + 1) * n / 63
-          var bs = 0L
-          var j = lo
-          while (j < hi) { bs += bytes(j) & 0xff; j += 1 }
-          if (bs * n > total * (hi - lo)) sig |= 1L << b
-          b += 1
-        }
+        while (b < 63) { if (ac(b) > med) sig |= 1L << b; b += 1 }
         (id, sig)
       }
     }.toDF("doc_id", "sig")
+  }
+
+  /** Shared oracle CTE chain ending in `sig(doc_id, sig)` — the DuckDB
+    * re-derivation of [[dctHash]], with [[cosTable]] interpolated as an
+    * integer list literal so the two engines can never drift. */
+  private val dctSigCtes: String = {
+    val ctl = cosTable.mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, length(text) AS n,
+                     list_transform(string_split_regex(text, ''), ch -> ascii(ch)) AS a
+              FROM documents),
+            ctt AS (SELECT $ctl AS ct),
+            px AS (SELECT doc_id, list_transform(range(0, 256), c ->
+                     CASE WHEN ((c+1)*n)//256 > (c*n)//256
+                          THEN (coalesce(list_sum(a[CAST((c*n)//256 + 1 AS INT):CAST(((c+1)*n)//256 AS INT)]), 0) * 100)
+                               // (((c+1)*n)//256 - (c*n)//256)
+                          ELSE 0 END) AS p
+                   FROM d),
+            gm AS (SELECT doc_id, list_transform(range(0, 128), g ->
+                     list_sum(list_transform(range(0, 16), x ->
+                       p[CAST(x*16 + g%16 + 1 AS INT)] * ct[CAST((g//16)*16 + x + 1 AS INT)]))) AS g
+                   FROM px CROSS JOIN ctt),
+            fm AS (SELECT doc_id, list_transform(range(1, 64), f ->
+                     list_sum(list_transform(range(0, 16), y ->
+                       g[CAST((f//8)*16 + y + 1 AS INT)] * ct[CAST((f%8)*16 + y + 1 AS INT)]))) AS ac
+                   FROM gm CROSS JOIN ctt),
+            fm2 AS (SELECT doc_id, ac, list_sort(ac)[32] AS med FROM fm),
+            sig AS (SELECT doc_id,
+                     CAST(coalesce(list_sum(list_transform(range(0, 63), b ->
+                          CASE WHEN ac[CAST(b+1 AS INT)] > med
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT) AS sig
+                    FROM fm2)"""
   }
 
   /** Perceptual near-duplicate detection for the image modality — the
     * multimodal member of the near-dup family (text: `simhash_dedup` /
     * `minhash_dedup`; embeddings: `embed_near_dup`). A re-encoded or
     * lightly-retouched image keeps its block-brightness profile, so its
-    * aHash lands within a few bits of the original; exact-byte dedup
+    * DCT pHash lands within a few bits of the original; exact-byte dedup
     * misses it entirely.
     *
     * Scale shape (identical to `simhash_dedup`, which this mirrors bit
-    * for band): one narrow kernel pass computes 63-bit signatures, the
-    * 16/16/16/15-bit banded self-join proposes candidates (hamming ≤ 3
-    * guarantees ≥ 1 clean band by pigeonhole — no recall loss), and the
-    * bit_count verify touches only band collisions — never all-pairs.
-    * Wide bands keep bucket occupancy O(N/2^16); the original 8-bit
-    * banding measured 12.6× at a 10× corpus (quadratic in bucket
-    * occupancy). At 100 TB the signature table is 12 bytes/image; the
-    * band join shuffles keys, not payloads. */
+    * for band): one narrow kernel pass computes the 63-bit DCT pHash
+    * signatures ([[dctHash]]), the 16/16/16/15-bit banded self-join
+    * proposes candidates (hamming ≤ 3 guarantees ≥ 1 clean band by
+    * pigeonhole — no recall loss), and the bit_count verify touches only
+    * band collisions — never all-pairs. Wide bands keep bucket occupancy
+    * O(N/2^16); the original 8-bit banding measured 12.6× at a 10×
+    * corpus (quadratic in bucket occupancy). At 100 TB the signature
+    * table is 12 bytes/image; the band join shuffles keys, not
+    * payloads. */
   private val phashNearDup = QueryDef(
     "multimodal_phash_near_dup",
     (s, dir) => {
@@ -277,7 +354,7 @@ object Multimodal {
       val imgs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), encode(col("text"), "utf-8"))
         .as[(Long, Array[Byte])]
-      val sigs = averageHash(imgs)
+      val sigs = dctHash(imgs)
       val bands = sigs.select(col("doc_id"), col("sig"),
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("key", expr(
@@ -295,18 +372,7 @@ object Multimodal {
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
     },
-    Some("""WITH d AS (SELECT doc_id, length(text) AS n,
-                       list_transform(string_split_regex(text, ''), c -> ascii(c)) AS a
-                       FROM documents),
-            tot AS (SELECT doc_id, n, a, coalesce(list_sum(a), 0) AS s FROM d),
-            blk AS (SELECT doc_id, n, s, b,
-                           (b*n)//63 AS lo, ((b+1)*n)//63 AS hi,
-                           coalesce(list_sum(a[(b*n)//63 + 1 : ((b+1)*n)//63]), 0) AS bs
-                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb),
-            sig AS (SELECT doc_id,
-                           CAST(SUM(CASE WHEN bs * n > s * (hi - lo)
-                                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-                    FROM blk GROUP BY doc_id),
+    Some(s"""WITH $dctSigCtes,
             cand AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
               FROM sig a JOIN sig b ON (a.sig & 65535) = (b.sig & 65535) AND a.doc_id < b.doc_id
@@ -329,7 +395,7 @@ object Multimodal {
     * incremental-screen trio (exact fingerprints: `dedup_incremental`;
     * text near-dup: `minhash_incremental`): new-slice images (doc_id%10
     * ≥ 8) screened against the STANDING corpus with the same 63-bit
-    * aHash + 16/16/16/15-bit banding as `multimodal_phash_near_dup`,
+    * DCT pHash + 16/16/16/15-bit banding as `multimodal_phash_near_dup`,
     * verified by hamming ≤ 3 on band collisions only. Output: per slice
     * image its verified partner count, first corpus partner, and closest
     * hamming distance — the nightly drop/audit list for the image
@@ -346,7 +412,7 @@ object Multimodal {
       val imgs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), encode(col("text"), "utf-8"))
         .as[(Long, Array[Byte])]
-      val sigs = averageHash(imgs)
+      val sigs = dctHash(imgs)
       def bandsOf(d: DataFrame, idAs: String, sigAs: String): DataFrame = d
         .select(col("doc_id").as(idAs), col("sig").as(sigAs),
           explode(expr("sequence(0, 3)")).as("band"))
@@ -366,18 +432,7 @@ object Multimodal {
           min(col("hamming")).as("min_hamming"))
         .orderBy("slice_id")
     },
-    Some("""WITH d AS (SELECT doc_id, length(text) AS n,
-                       list_transform(string_split_regex(text, ''), c -> ascii(c)) AS a
-                       FROM documents),
-            tot AS (SELECT doc_id, n, a, coalesce(list_sum(a), 0) AS s FROM d),
-            blk AS (SELECT doc_id, n, s, b,
-                           (b*n)//63 AS lo, ((b+1)*n)//63 AS hi,
-                           coalesce(list_sum(a[(b*n)//63 + 1 : ((b+1)*n)//63]), 0) AS bs
-                    FROM tot, LATERAL (SELECT unnest(generate_series(0, 62)) AS b) bb),
-            sig AS (SELECT doc_id,
-                           CAST(SUM(CASE WHEN bs * n > s * (hi - lo)
-                                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-                    FROM blk GROUP BY doc_id),
+    Some(s"""WITH $dctSigCtes,
             sl AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
             co AS (SELECT * FROM sig WHERE doc_id % 10 < 8),
             cand AS (

@@ -710,7 +710,7 @@ object PipelineOps {
         .orderBy("source")
     },
     Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-            grams AS (
+            grams AS MATERIALIZED (
               SELECT doc_id, source,
                      unnest(list_transform(range(1, len(w) - 3),
                             i -> array_to_string(w[i:i+4], ' '))) AS g
@@ -718,17 +718,17 @@ object PipelineOps {
             bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
             nghit AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
                       WHERE gr.source <> 'src0'),
-            ts AS (
+            ts AS MATERIALIZED (
               SELECT doc_id, text,
                      list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT doc_id,
                      CASE WHEN len(ts) >= 3
                           THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
                           ELSE text END AS sh
               FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
-            sig AS (
+            sig AS MATERIALIZED (
               SELECT doc_id,
                      min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
                      min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
@@ -739,7 +739,7 @@ object PipelineOps {
                    WHERE d.source = 'src0'),
             tr AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
                    WHERE d.source <> 'src0'),
-            cand AS (
+            cand AS MATERIALIZED (
               SELECT tr.doc_id AS tid, ev.doc_id AS eid
               FROM tr JOIN ev ON tr.h1 = ev.h1 AND tr.h2 = ev.h2
               UNION
@@ -751,18 +751,29 @@ object PipelineOps {
               UNION
               SELECT tr.doc_id, ev.doc_id
               FROM tr JOIN ev ON tr.h7 = ev.h7 AND tr.h8 = ev.h8),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            -- candidate-scoped per-doc SHINGLE SETS: the exact-Jaccard
+            -- verify only ever touches banding candidates, and pairing
+            -- through list_intersect keyed on doc_id leaves the planner no
+            -- shingle-equality join path — the naive sh-join formulation
+            -- let DuckDB pair every shared shingle across the slices
+            -- first (a per-shingle cross product that spilled tens of GB
+            -- at 100x before restricting to candidates)
+            shT AS (SELECT s.doc_id, list(s.sh) AS ls FROM sh s
+                    JOIN (SELECT DISTINCT tid FROM cand) t ON s.doc_id = t.tid
+                    GROUP BY s.doc_id),
+            shE AS (SELECT s.doc_id, list(s.sh) AS ls FROM sh s
+                    JOIN (SELECT DISTINCT eid FROM cand) t ON s.doc_id = t.eid
+                    GROUP BY s.doc_id),
             inter AS (
-              SELECT c.tid, c.eid, count(*) AS i
+              SELECT c.tid, c.eid, len(list_intersect(a.ls, b.ls)) AS i,
+                     len(a.ls) AS na, len(b.ls) AS nb
               FROM cand c
-              JOIN sh s1 ON s1.doc_id = c.tid
-              JOIN sh s2 ON s2.doc_id = c.eid AND s2.sh = s1.sh
-              GROUP BY 1, 2),
-            mhhit AS (SELECT DISTINCT inter.tid AS doc_id FROM inter
-                      JOIN sz sa ON sa.doc_id = inter.tid
-                      JOIN sz sb ON sb.doc_id = inter.eid
-                      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
-            evv AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE label = 0),
+              JOIN shT a ON a.doc_id = c.tid
+              JOIN shE b ON b.doc_id = c.eid),
+            mhhit AS (SELECT DISTINCT tid AS doc_id FROM inter
+                      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5),
+            evv AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings
+                    WHERE label = 0 ORDER BY vec_id LIMIT 32),
             trv AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
             sv AS (SELECT trv.vec_id,
                    CAST(list_sum(list_transform(list_zip(trv.embedding, evv.ee),

@@ -2405,8 +2405,12 @@ object TextOps {
       val truth = inter
         .join(sz.as("sa"), col("id1") === col("sa.sid"))
         .join(sz.as("sb"), col("id2") === col("sb.sid"))
-        .filter(round(col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i")).cast("double"), 4) >= 0.5)
+        // raw-ratio compare, NOT rounded: the oracle's truth CTE compares
+        // the unrounded ratio, and the two engines must share one
+        // threshold convention (a pair at Jaccard ∈ [0.49995, 0.5) must
+        // fall on the same side in both)
+        .filter(col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double") >= 0.5)
         .select(col("id1"), col("id2"))
         // three consumers (two method joins + the count): pin the bounded
         // all-pairs truth so it is computed once

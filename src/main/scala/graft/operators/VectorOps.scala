@@ -804,10 +804,15 @@ object VectorOps {
     *
     * Scale: this is the SemDeDup trick itself — the quadratic similarity
     * check is confined WITHIN cells (one equi-join on cell id, Σ per-cell
-    * products ≈ N²/k for balanced cells), never across the corpus; k grows
-    * with the corpus so per-cell membership stays bounded. All-pairs never
-    * materializes, and the oracle recomputes codebook, assignment, pair
-    * similarities, and drops end to end. */
+    * products ≈ N²/k for balanced cells), never across the corpus; in
+    * production k grows with the corpus so per-cell membership stays
+    * bounded. The fixture's codebook is FIXED at 16 cells, so to keep
+    * both engines sf-linear the pairwise screen runs on a PINNED probe
+    * slice (`vec_id < 2000` — the whole corpus at sf ≤ 0.1, a fixed-size
+    * slice above it; the dedup_recall_report fixed-probe pattern); cell
+    * assignment and membership accounting stay full-corpus. The oracle
+    * recomputes codebook, assignment, pair similarities, and drops end
+    * to end. */
   private val semdedupPrune = QueryDef(
     "semdedup_prune",
     (s, dir) => {
@@ -821,7 +826,8 @@ object VectorOps {
             .minBy { case (cid, sc) => (-sc, cid) }._1
           (id, best, v)
         }).toDF("vec_id", "cell", "emb")
-      val dropped = cell.as("a").join(cell.as("b"),
+      val probe = cell.filter(col("vec_id") < 2000L)
+      val dropped = probe.as("a").join(probe.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
           dotScaled(col("a.emb"), col("b.emb")).as("sim"))
@@ -852,6 +858,7 @@ object VectorOps {
                       CAST(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                            p -> round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 10000))) AS BIGINT) AS sim
                  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                      AND a.vec_id < 2000 AND b.vec_id < 2000
                  JOIN embeddings ea ON ea.vec_id = a.vec_id
                  JOIN embeddings eb ON eb.vec_id = b.vec_id),
             dropped AS (SELECT DISTINCT cell, vec_id FROM pairs WHERE sim >= 4000)
@@ -882,7 +889,13 @@ object VectorOps {
   private[operators] def embedContaminationFlags(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotScaled.register(s)
     val e = emb(s, dir)
+    // The eval split is pinned to the 32 lowest-id label-0 vectors: a
+    // benchmark set is bounded by construction (MBs against a 100 TB
+    // train side), and pinning its size keeps BOTH engines' train×eval
+    // cross sf-LINEAR — the fixture analog of dedup_recall_report's
+    // fixed probe set, closing the 100× oracle-timeout gap.
     val ev = broadcast(e.filter(col("label") === 0)
+      .orderBy("vec_id").limit(32)
       .select(col("vec_id").as("eval_id"), col("embedding").as("ee")))
     e.filter(col("label") =!= 0)
       .select(col("vec_id"), col("embedding"))
@@ -899,7 +912,8 @@ object VectorOps {
   private val embedDecontaminate = QueryDef(
     "embed_decontaminate",
     (s, dir) => embedContaminationFlags(s, dir).orderBy("vec_id"),
-    Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE label = 0),
+    Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings
+                        WHERE label = 0 ORDER BY vec_id LIMIT 32),
             tr AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
             s AS (SELECT tr.vec_id, ev.eval_id,
                   CAST(list_sum(list_transform(list_zip(tr.embedding, ev.ee),

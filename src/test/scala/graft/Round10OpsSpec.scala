@@ -13,18 +13,18 @@ class Round10OpsSpec extends SparkSpec {
   private def hash1(payload: Array[Byte]): Long = {
     val s = spark
     import s.implicits._
-    Multimodal.averageHash(
+    Multimodal.dctHash(
       s.createDataset(Seq((1L, payload)))).collect()(0).getLong(1)
   }
 
-  test("averageHash: identical payloads hash identically; a retouch stays near; noise lands far") {
+  test("dctHash: identical payloads hash identically; a retouch stays near; noise lands far") {
     val rng = new scala.util.Random(7)
     val base = Array.fill[Byte](256)((rng.nextInt(256) - 128).toByte)
     val retouch = base.clone()
     retouch(40) = (retouch(40) ^ 0x01).toByte // sub-block brightness nudge
     val noise = Array.fill[Byte](256)((rng.nextInt(256) - 128).toByte)
     val h0 = hash1(base)
-    assert(hash1(base.clone()) == h0, "aHash is not deterministic")
+    assert(hash1(base.clone()) == h0, "pHash is not deterministic")
     val hr = java.lang.Long.bitCount(h0 ^ hash1(retouch))
     assert(hr <= 3, s"one-byte retouch moved the hash $hr bits")
     val hn = java.lang.Long.bitCount(h0 ^ hash1(noise))
@@ -37,7 +37,7 @@ class Round10OpsSpec extends SparkSpec {
     val imgs = Tables.documents(s, sf)
       .select(col("doc_id").cast("long"), encode(col("text"), "utf-8"))
       .as[(Long, Array[Byte])]
-    val sigs = Multimodal.averageHash(imgs).localCheckpoint()
+    val sigs = Multimodal.dctHash(imgs).localCheckpoint()
     // hamming ≤ 3 over 4 bands of 8 bits ⇒ ≥ 1 clean band (pigeonhole),
     // so the banded join must recover EVERY brute-force pair
     val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))

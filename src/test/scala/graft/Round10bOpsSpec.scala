@@ -126,11 +126,11 @@ class Round10bOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("phash_inc").toString
     docs.write.parquet(dir + "/documents.parquet")
 
-    val sig = graft.operators.Multimodal.averageHash(
+    val sig = graft.operators.Multimodal.dctHash(
         docs.select(col("doc_id"), encode(col("text"), "utf-8")).as[(Long, Array[Byte])])
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val h = java.lang.Long.bitCount(sig(3L) ^ sig(18L)).toLong
-    assert(h <= 3, s"retouch moved the aHash $h bits — planted pair is broken")
+    assert(h <= 3, s"retouch moved the pHash $h bits — planted pair is broken")
 
     val out = Registry.queries("multimodal_phash_incremental")(s, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

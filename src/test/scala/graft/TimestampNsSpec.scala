@@ -40,6 +40,43 @@ class TimestampNsSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NS column survives the IceLite write/DML/read cycle losslessly") {
+    import graft.icelite.{IceLite, Stats}
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("tsns").toString + "/t"
+    val t = IceLite.create(spark, loc,
+      Seq("id" -> "BIGINT", "ts_ns" -> "TIMESTAMP_NS"))
+    // nanos deliberately NOT divisible by 1000 — the bits a µs TIMESTAMP
+    // column would destroy
+    val rows = (0L until 100L).map(i => (i, 1700000000_000000000L + i * 1000003L))
+    t.append(rows.toDF("id", "ts_ns"))
+    val got = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == rows, "sub-µs bits must survive the roundtrip")
+    // declared type survives in metadata; physical carrier is BIGINT
+    assert(t.meta.currentSchema.fieldByName("ts_ns").dtype == "TIMESTAMP_NS")
+    // CoW delete through the ns column works and keeps exact values
+    t.delete(col("ts_ns") === rows(7)._2)
+    assert(t.read().count() == 99)
+    assert(t.read().filter(col("id") === 7L).count() == 0)
+    // long-domain stat pruning applies to the ns column like any BIGINT:
+    // the filter prunes FILES (rows of surviving files still come back),
+    // and the re-applied predicate is exact
+    val planned = t.read(statFilters = Seq(Stats.Ge("ts_ns", rows(98)._2)))
+    assert(planned.count() < 99, "stat filter on the ns column must skip files")
+    assert(planned.filter(col("ts_ns") >= rows(98)._2).count() == 2)
+    // a Spark TIMESTAMP source converts through unix_micros×1000, not a
+    // seconds-granularity cast
+    val t2 = IceLite.create(spark,
+      java.nio.file.Files.createTempDirectory("tsns2").toString + "/t",
+      Seq("id" -> "BIGINT", "ts_ns" -> "TIMESTAMP_NS"))
+    t2.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")))
+      .toDF("id", "ts_ns"))
+    val ns = t2.read().head.getLong(1)
+    assert(ns % 1000L == 0 && ns / 1000L ==
+      java.time.LocalDateTime.parse("2024-01-02T03:04:05.123456")
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 123456L)
+  }
+
   test("µs truncation is floor division (matches DuckDB semantics)") {
     if (isNanosVintage) {
       val raw = rawEvents.select(col("ts"))
