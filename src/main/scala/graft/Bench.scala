@@ -116,9 +116,16 @@ object Bench {
     graft.operators.TextOps.resetSessionMemo()
     val passA = sorted.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     graft.operators.TextOps.resetSessionMemo()
-    val passB = sorted.map { case (name, fn) =>
-      name -> (if (passA(name).isDefined) timeOnce(name, fn) else None)
-    }.toMap
+    // SPARK_GRAFT_PASSES=1 skips the second interleaved pass — for the
+    // very long full-registry scale points (100×), where per-query
+    // runtimes are large enough that the min-of-two noise defense buys
+    // little and doubles a multi-hour run
+    val passB =
+      if (sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt < 2)
+        sorted.map { case (name, _) => name -> Option.empty[Double] }.toMap
+      else sorted.map { case (name, fn) =>
+        name -> (if (passA(name).isDefined) timeOnce(name, fn) else None)
+      }.toMap
     val results = sorted.map { case (name, _) =>
       val runs = passA(name).toSeq ++ passB(name).toSeq
       name -> runs.sorted.headOption.getOrElse(0.0)
