@@ -1037,14 +1037,17 @@ object LakehouseOps {
     "icelite_auto_maintain",
     (s, dir) => {
       val t = mkTable(s, dir, "automaint",
-        props = Map(
-          "write.delete.mode" -> "merge-on-read",
-          "maintenance.auto.rewrite-deletes.file-threshold" -> "3"))
+        props = Map("write.delete.mode" -> "merge-on-read"))
       t.delete(col("o_orderkey") % 10 === 1)
       t.delete(col("o_orderkey") % 10 === 2)
-      require(t.meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos") == 2,
-        "below threshold the delete files must accumulate untouched")
-      t.delete(col("o_orderkey") % 10 === 3) // third file crosses the threshold
+      // files-per-delete grows with data scale (the sorted position write
+      // parallelizes), so the threshold is set RELATIVE to the observed
+      // accumulation — the next delete's files cross it at any sf
+      val n2 = t.meta.currentSnapshot.get.deleteFiles.count(_.kind == "pos")
+      require(n2 >= 2, "two MoR deletes must accumulate delete files")
+      t.setProperties(Map(
+        "maintenance.auto.rewrite-deletes.file-threshold" -> (n2 + 1).toString))
+      t.delete(col("o_orderkey") % 10 === 3) // crosses → self-rewrite fires
       val m = t.meta
       require(m.currentSnapshot.get.deleteFiles.count(_.kind == "pos") == 1,
         "crossing the threshold must self-merge the delete files")

@@ -851,17 +851,17 @@ object TextOps {
           coalesce(sum(col("np")), lit(0L)).as("n_pairs"))
         .orderBy("source")
     },
-    Some("""WITH ts AS (
+    Some("""WITH ts AS MATERIALIZED (
               SELECT doc_id, text,
                      list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT doc_id,
                      CASE WHEN len(ts) >= 3
                           THEN ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
                           ELSE text END AS sh
               FROM ts, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i) g),
-            sig AS (
+            sig AS MATERIALIZED (
               SELECT doc_id,
                      min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
                      min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
@@ -872,7 +872,7 @@ object TextOps {
                    WHERE d.source = 'src0'),
             tr AS (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.doc_id
                    WHERE d.source <> 'src0'),
-            cand AS (
+            cand AS MATERIALIZED (
               SELECT tr.doc_id AS tid, ev.doc_id AS eid
               FROM tr JOIN ev ON tr.h1 = ev.h1 AND tr.h2 = ev.h2
               UNION
