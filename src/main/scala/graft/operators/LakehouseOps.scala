@@ -38,6 +38,16 @@ object LakehouseOps {
     """o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority"""
 
+  /** Max of a BIGINT column from the table's own manifest stats — the
+    * metadata answer to a footer-stats MAX, O(files) driver-side with no
+    * Spark job (dogfoods the same stats the data-skipping path prunes
+    * with). */
+  private def maxKeyFromStats(t: IceLiteTable, colName: String): Long = {
+    val fld = t.meta.currentSchema.fieldByName(colName)
+    t.meta.currentSnapshot.get.dataFiles
+      .flatMap(_.stats.get(fld.id)).map(_.max.toLong).max
+  }
+
   private def mkTable(s: SparkSession, dir: String, name: String,
       partition: Seq[(String, String)] = Seq(),
       props: Map[String, String] = Map()): IceLiteTable = {
@@ -205,8 +215,11 @@ object LakehouseOps {
       val o = orders(s, dir)
       // insert keys rebase past max(o_orderkey) so they collide with no
       // existing key at ANY data scale (a fixed +10M offset overlapped the
-      // key domain at the 100x scale-up); parquet-stats-cheap driver agg
-      val rebase = o.agg(max("o_orderkey")).head.getLong(0) + 1L
+      // key domain at the 100x scale-up). The bound comes from the
+      // just-written table's MANIFEST STATS — a driver-side metadata
+      // lookup, zero Spark jobs (the r10 agg job was the measured part of
+      // the icelite_merge sf0.1 regression)
+      val rebase = maxKeyFromStats(t, "o_orderkey") + 1L
       val updates = o.filter(col("o_orderkey") % 100 === 0)
         .withColumn("o_orderstatus", lit("M"))
         .withColumn("o_totalprice", lit(999.99))
@@ -304,8 +317,9 @@ object LakehouseOps {
       t.renameColumn("o_orderpriority", "priority")
       // appended keys rebase past max(o_orderkey): a fixed offset collides
       // with the key domain at large scale factors, making the final
-      // ORDER BY tie-ambiguous (same fix as icelite_merge)
-      val rebase = o.agg(max("o_orderkey")).head.getLong(0) + 1L
+      // ORDER BY tie-ambiguous (same fix as icelite_merge — and like
+      // there, the bound reads from manifest stats, no Spark job)
+      val rebase = maxKeyFromStats(t, "o_orderkey") + 1L
       t.append(
         o.filter(col("o_orderkey") < 100)
           .withColumn("o_orderkey", col("o_orderkey") + lit(rebase))
