@@ -467,18 +467,32 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** Convert a source column to `fld`'s STORAGE representation — the ONE
+    * shared rule for every target-schema alignment (append/overwrite,
+    * MERGE source alignment, UPDATE/MERGE assignment values, eq-delete key
+    * writes): a Spark TIMESTAMP feeding a TIMESTAMP_NS field converts via
+    * unix_micros×1000 — a bare cast to the BIGINT carrier would yield epoch
+    * SECONDS, silently corrupting the value by 1e9. A LONG source is taken
+    * as already-exact nanos; everything else is a plain storage-type cast.
+    * `srcType` is the column's ANALYZED type (from the frame schema, or
+    * [[resolvedType]] for free-standing assignment Columns). */
+  private def convertTo(c: Column, fld: Field,
+      srcType: Option[DataType]): Column =
+    if (fld.dtype.equalsIgnoreCase("TIMESTAMP_NS") &&
+      srcType.contains(org.apache.spark.sql.types.TimestampType))
+      unix_micros(c) * 1000L
+    else c.cast(fld.sparkDdl)
+
+  /** Analyzed Spark type of `c` over `df` — analysis only, no job. None
+    * when the column doesn't resolve (caller falls back to a plain cast). */
+  private def resolvedType(df: DataFrame, c: Column): Option[DataType] =
+    scala.util.Try(df.select(c).schema.head.dataType).toOption
+
   private def alignToSchema(df: DataFrame, m: TableMetadata): DataFrame = {
     val sch = m.currentSchema
     df.select(sch.fields.map { fld =>
-      if (df.columns.contains(fld.name)) {
-        // a Spark TIMESTAMP fed to a TIMESTAMP_NS column converts through
-        // unix_micros ×1000 (a bare cast to BIGINT would yield SECONDS);
-        // a LONG source is taken as already-exact nanos
-        if (fld.dtype.equalsIgnoreCase("TIMESTAMP_NS") &&
-          df.schema(fld.name).dataType == org.apache.spark.sql.types.TimestampType)
-          (unix_micros(col(fld.name)) * 1000L).as(fld.name)
-        else col(fld.name).cast(fld.sparkDdl).as(fld.name)
-      }
+      if (df.columns.contains(fld.name))
+        convertTo(col(fld.name), fld, Some(df.schema(fld.name).dataType)).as(fld.name)
       else fld.defaultSql.map(d => expr(d).cast(fld.sparkDdl)).getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
     }: _*)
   }
@@ -836,7 +850,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       // every matched row satisfies cond — apply assignments directly
       val rewritten = matched.select(m.currentSchema.fields.map { fld =>
         assignments.get(fld.name)
-          .map(a => a.cast(fld.sparkDdl).as(fld.name))
+          .map(a => convertTo(a, fld, resolvedType(matched, a)).as(fld.name))
           .getOrElse(col(fld.name))
       }: _*)
       val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
@@ -886,7 +900,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     val rewritten = hitDf.select(m.currentSchema.fields.map { fld =>
       assignments.get(fld.name)
-        .map(a => when(cond, a.cast(fld.sparkDdl)).otherwise(col(fld.name)).as(fld.name))
+        .map(a => when(cond, convertTo(a, fld, resolvedType(hitDf, a)))
+          .otherwise(col(fld.name)).as(fld.name))
         .getOrElse(col(fld.name))
     }: _*)
     val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
@@ -1001,7 +1016,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * parquet part, seq left 0 — the COMMIT lambda stamps it. */
   private def writeEqDeleteFiles(keys: DataFrame, fields: Seq[Field]): Seq[DeleteFile] = {
     val phys = keys.distinct()
-      .select(fields.map(f => col(f.name).cast(f.sparkDdl).as(f.physName)): _*)
+      .select(fields.map(f => convertTo(col(f.name), f,
+        scala.util.Try(keys.schema(f.name).dataType).toOption).as(f.physName)): _*)
     val delDir = new Path(location, "deletes")
     val f = fs(spark, location)
     f.mkdirs(delDir)
@@ -1111,7 +1127,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // the general machinery (source pre-aligned to the target schema so
     // star expansion is exact)
     val sch = meta.currentSchema
-    val srcAligned = source.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.name)): _*)
+    val srcAligned = source.select(sch.fields.map(f =>
+      convertTo(col(f.name), f,
+        scala.util.Try(source.schema(f.name).dataType).toOption).as(f.name)): _*)
     val matched = Seq(IceLite.MergeUpdate(None,
       sch.fields.filter(_.name != key).map(f => f.name -> col(s"_s_${f.name}")).toMap))
     val notMatched = Seq(IceLite.MergeInsert(None,
@@ -1155,7 +1173,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sKey = col(s"_s_$sourceKey")
     def aligned(df: DataFrame): DataFrame =
-      df.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.name)): _*)
+      df.select(sch.fields.map(f =>
+        convertTo(col(f.name), f,
+          scala.util.Try(df.schema(f.name).dataType).toOption).as(f.name)): _*)
     // first applicable insert clause per unmatched source row (none → no insert)
     def insertRows(candidates: DataFrame): Option[DataFrame] =
       if (notMatched.isEmpty) None
@@ -1236,10 +1256,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             val updates: Seq[(IceLite.MergeUpdate, Int)] =
               matched.zipWithIndex.collect { case (u: IceLite.MergeUpdate, i) => (u, i) } ++
                 notMatchedBySource.zipWithIndex.collect { case (u: IceLite.MergeUpdate, i) => (u, 1000 + i) }
+            // assignment values convert at the point of use (convertTo):
+            // a TIMESTAMP assigned to a TIMESTAMP_NS field must land as
+            // nanos BEFORE the when() merges it with the BIGINT target
+            // column (type coercion would otherwise corrupt or fail)
             val mergedTouched = kept.select(sch.fields.map { f =>
               updates.foldRight(col(f.name)) { case ((u, i), els) =>
                 u.assignments.get(f.name)
-                  .map(a => when(col("_act") === i, a).otherwise(els)).getOrElse(els)
+                  .map(a => when(col("_act") === i,
+                    convertTo(a, f, resolvedType(kept, a))).otherwise(els)).getOrElse(els)
               }.as(f.name)
             }: _*)
             // source rows matching NO target row anywhere → insert candidates
@@ -1417,7 +1442,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       m.properties.get("maintenance.auto.rewrite-deletes.file-threshold")
         .map(_.toInt).foreach { thr =>
           val n = m.currentSnapshot.map(_.deleteFiles.count(_.kind == "pos")).getOrElse(0)
-          if (n >= thr) { rewritePositionDeletes(1, minFiles = thr); () }
+          // clamp: rewritePositionDeletes requires minFiles >= 2, so a
+          // threshold of 1 means "merge whenever 2+ files exist" instead of
+          // throwing into the advisory catch on every commit
+          if (n >= thr) { rewritePositionDeletes(1, minFiles = math.max(2, thr)); () }
         }
       m.properties.get("maintenance.auto.compact.file-threshold")
         .map(_.toInt).foreach { thr =>

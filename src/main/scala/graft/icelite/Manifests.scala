@@ -93,6 +93,9 @@ object FileListing {
   * (a pruned plan must load only surviving chunks). */
 final class ManifestIO(store: CommitStore, location: String) {
   val readCount = new AtomicLong(0)
+  /** Chunks written since last reset — the compaction/CoW specs assert a
+    * commit re-chunks only what it must (no double spill). */
+  val writeCount = new AtomicLong(0)
 
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Seq[DataFile]](16, 0.75f, true) {
@@ -113,6 +116,7 @@ final class ManifestIO(store: CommitStore, location: String) {
 
   /** Write one immutable manifest chunk and compute its summaries. */
   def write(files: Seq[DataFile], m: TableMetadata): ManifestRef = {
+    writeCount.incrementAndGet()
     val p = new Path(new Path(location, "metadata/manifests"),
       s"mf-${java.util.UUID.randomUUID()}.json")
     store.createExclusive(p, MetaJson.manifestToJson(files))
@@ -145,11 +149,13 @@ final class ManifestIO(store: CommitStore, location: String) {
     if (minFiles <= 0) return m // chunking disabled by property
     val target = math.max(1,
       m.properties.getOrElse("write.metadata.manifest.target-files", "5000").toInt)
+    val maxCount = math.max(1,
+      m.properties.getOrElse("write.metadata.manifest.max-count", "32").toInt)
     val processed = scala.collection.mutable.Map[Long, Seq[ManifestRef]]()
     var changed = false
     val newSnaps = m.snapshots.map { s =>
       val l = s.files
-      val out =
+      var out =
         if (l.tail.size < minFiles) l
         else if (l.manifests.nonEmpty) {
           changed = true
@@ -165,10 +171,44 @@ final class ManifestIO(store: CommitStore, location: String) {
           val rest = l.tail.filter(remaining.contains)
           FileListing(reused ++ rest.grouped(target).map(write(_, m)).toSeq, Seq(), this)
         }
+      // Undersized-chunk consolidation, HEAD snapshot only (history keeps
+      // its immutable refs): an append-heavy table otherwise accumulates
+      // one small chunk per commit forever — the manifest list in vN.json
+      // and per-scan chunk loads growing O(commits) would erode the
+      // O(surviving chunks) planning claim. Iceberg's merge-append rule.
+      if (m.currentSnapshotId.contains(s.id) && out.manifests.size > maxCount) {
+        out = FileListing(consolidate(out.manifests, target, m), out.tail, this)
+        changed = true
+      }
       processed(s.id) = out.manifests
       if (out eq l) s else s.withListing(out)
     }
     if (changed) m.copy(snapshots = newSnaps) else m
+  }
+
+  /** Merge runs of ADJACENT undersized chunks (combined fileCount ≤ target)
+    * into full-size ones; full chunks pass through by reference. Reads only
+    * the chunks it merges — O(merged small chunks), never O(table). Order
+    * is preserved, so reuse-by-parent in later commits still matches. */
+  private def consolidate(refs: Seq[ManifestRef], target: Int,
+      m: TableMetadata): Seq[ManifestRef] = {
+    val out = scala.collection.mutable.ArrayBuffer[ManifestRef]()
+    val run = scala.collection.mutable.ArrayBuffer[ManifestRef]()
+    var runCount = 0L
+    def flush(): Unit = {
+      if (run.size == 1) out += run.head
+      else if (run.nonEmpty) out += write(run.toSeq.flatMap(read), m)
+      run.clear(); runCount = 0
+    }
+    refs.foreach { r =>
+      if (r.fileCount >= target) { flush(); out += r }
+      else {
+        if (runCount + r.fileCount > target) flush()
+        run += r; runCount += r.fileCount
+      }
+    }
+    flush()
+    out.toSeq
   }
 }
 

@@ -47,9 +47,32 @@ object Stats {
     }
     perColumn.flatMap { case (fid, (mn, mx, prim, isString)) =>
       for (a <- render(mn, prim, isString); b <- render(mx, prim, isString))
-        yield fid -> ColumnStats(a, b)
+        yield fid -> (
+          if (isString) ColumnStats(truncLower(a), truncUpper(b))
+          else ColumnStats(a, b))
     }.toMap
   }
+
+  /** Iceberg-style bound truncation for STRING stats (write.metadata
+    * .metrics truncate(16)): long text columns must not put full document
+    * prefixes into every manifest entry and chunk summary — on a 100 TB
+    * documents table that alone re-inflates the version file. Truncation
+    * stays CONSERVATIVE in the code-unit order [[ord]] compares with:
+    * a lower bound truncates DOWN (a prefix never exceeds the original),
+    * an upper bound truncates then increments the last non-\uffff unit
+    * (strictly above every string sharing the 16-unit prefix). An upper
+    * bound of 16 \uffff units can't be safely truncated and stays full. */
+  private[icelite] val BoundLen = 16
+  private[icelite] def truncLower(s: String): String =
+    if (s.length <= BoundLen) s else s.substring(0, BoundLen)
+  private[icelite] def truncUpper(s: String): String =
+    if (s.length <= BoundLen) s
+    else {
+      val t = s.substring(0, BoundLen).toCharArray
+      var i = t.length - 1
+      while (i >= 0 && t(i) == '\uffff') i -= 1
+      if (i < 0) s else new String(t, 0, i) + (t(i) + 1).toChar
+    }
 
   private def cmp(a: Any, b: Any, p: PrimitiveTypeName, isString: Boolean): Int =
     (p, isString) match {
@@ -85,14 +108,14 @@ object Stats {
   final case class Gt(column: String, value: Any) extends StatFilter
   final case class Ge(column: String, value: Any) extends StatFilter
 
-  /** May `file` contain rows satisfying `flt`? Conservative true. */
-  def mayContain(file: DataFile, fileSchema: TableSchema, current: TableSchema,
-      flt: StatFilter): Boolean = {
-    val field = current.fields.find(_.name == flt.column).getOrElse(return true)
-    if (!fileSchema.hasId(field.id)) return true // column absent: default/null rows
-    val cs = file.stats.getOrElse(field.id, return true)
-    val v = normalize(flt.value, field.dtype).getOrElse(return true)
-    val (mn, mx) = (parse(cs.min, field.dtype), parse(cs.max, field.dtype)) match {
+  /** Shared bounds-vs-filter evaluation: may a [min,max] bound pair for a
+    * column of `dtype` admit rows satisfying `flt`? Conservative true on
+    * unparseable/unnormalizable values. Both [[mayContain]] (per-file) and
+    * [[summaryMayContain]] (per-manifest-chunk) are this check — only the
+    * stats lookup differs. */
+  private def boundsAdmit(cs: ColumnStats, dtype: String, flt: StatFilter): Boolean = {
+    val v = normalize(flt.value, dtype).getOrElse(return true)
+    val (mn, mx) = (parse(cs.min, dtype), parse(cs.max, dtype)) match {
       case (Some(a), Some(b)) => (a, b)
       case _                  => return true
     }
@@ -105,6 +128,15 @@ object Stats {
     }
   }
 
+  /** May `file` contain rows satisfying `flt`? Conservative true. */
+  def mayContain(file: DataFile, fileSchema: TableSchema, current: TableSchema,
+      flt: StatFilter): Boolean = {
+    val field = current.fields.find(_.name == flt.column).getOrElse(return true)
+    if (!fileSchema.hasId(field.id)) return true // column absent: default/null rows
+    val cs = file.stats.getOrElse(field.id, return true)
+    boundsAdmit(cs, field.dtype, flt)
+  }
+
   /** Manifest-level variant of [[mayContain]]: evaluate a filter against a
     * chunk's AGGREGATED per-field bounds. [[summarize]] only emits a field
     * when every file in the chunk bounds it, so an absent field is a
@@ -113,18 +145,7 @@ object Stats {
       flt: StatFilter): Boolean = {
     val field = current.fields.find(_.name == flt.column).getOrElse(return true)
     val cs = stats.getOrElse(field.id, return true)
-    val v = normalize(flt.value, field.dtype).getOrElse(return true)
-    val (mn, mx) = (parse(cs.min, field.dtype), parse(cs.max, field.dtype)) match {
-      case (Some(a), Some(b)) => (a, b)
-      case _                  => return true
-    }
-    flt match {
-      case _: Eq => ord(mn, v) <= 0 && ord(v, mx) <= 0
-      case _: Lt => ord(mn, v) < 0
-      case _: Le => ord(mn, v) <= 0
-      case _: Gt => ord(v, mx) < 0
-      case _: Ge => ord(v, mx) <= 0
-    }
+    boundsAdmit(cs, field.dtype, flt)
   }
 
   /** Aggregate per-field min/max across a manifest chunk's files. A field
@@ -175,20 +196,29 @@ object Stats {
     case _        => None
   }
 
-  /** Predicate constant → same comparable domain. */
-  private def normalize(v: Any, dtype: String): Option[Any] = (domain(dtype), v) match {
-    case ("long", n: Number)  => Some(n.longValue)
-    case ("long", t: java.sql.Timestamp) => // stats store raw micros
-      Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-    case ("long", i: java.time.Instant) =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
-    case ("long", d: java.time.LocalDateTime) => // timestamp_ntz micros
-      Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000)
-    case ("long", d: java.sql.Date)       => Some(d.toLocalDate.toEpochDay)
-    case ("long", d: java.time.LocalDate) => Some(d.toEpochDay)
-    case ("double", n: Number) => Some(n.doubleValue)
-    case ("string", s: String) => Some(s)
-    case _ => None
+  /** Predicate constant → same comparable domain. A datetime constant on a
+    * TIMESTAMP_NS column scales to NANOS (the stats domain for that dtype,
+    * [[Field.sparkDdl]]'s BIGINT-nanos carrier) — micros here would make
+    * stat pruning skip files whose nano bounds actually admit the value. */
+  private def normalize(v: Any, dtype: String): Option[Any] = {
+    val isNs = dtype.equalsIgnoreCase("TIMESTAMP_NS")
+    (domain(dtype), v) match {
+      case ("long", n: Number)  => Some(n.longValue)
+      case ("long", t: java.sql.Timestamp) => // stats store raw micros (nanos for NS)
+        Some(if (isNs) Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+             else t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      case ("long", i: java.time.Instant) =>
+        Some(if (isNs) i.getEpochSecond * 1000000000L + i.getNano
+             else i.getEpochSecond * 1000000L + i.getNano / 1000)
+      case ("long", d: java.time.LocalDateTime) => // timestamp_ntz micros
+        Some(if (isNs) d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + d.getNano
+             else d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000)
+      case ("long", d: java.sql.Date)       => Some(d.toLocalDate.toEpochDay)
+      case ("long", d: java.time.LocalDate) => Some(d.toEpochDay)
+      case ("double", n: Number) => Some(n.doubleValue)
+      case ("string", s: String) => Some(s)
+      case _ => None
+    }
   }
 
   private def domain(dtype: String): String = {

@@ -44,8 +44,13 @@ object LakehouseOps {
     * with). */
   private def maxKeyFromStats(t: IceLiteTable, colName: String): Long = {
     val fld = t.meta.currentSchema.fieldByName(colName)
-    t.meta.currentSnapshot.get.dataFiles
-      .flatMap(_.stats.get(fld.id)).map(_.max.toLong).max
+    val files = t.meta.currentSnapshot.get.dataFiles
+    val stats = files.flatMap(_.stats.get(fld.id))
+    // stats answer only when EVERY live file bounds the column — a
+    // stat-less file (fromFooter poisons columns on stat-less blocks)
+    // could hold the true max; fall back to the distributed agg then
+    if (stats.size == files.size && stats.nonEmpty) stats.map(_.max.toLong).max
+    else t.read().agg(max(col(colName)).cast("bigint")).head.getLong(0)
   }
 
   private def mkTable(s: SparkSession, dir: String, name: String,
