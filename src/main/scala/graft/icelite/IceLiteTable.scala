@@ -59,7 +59,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
   /** Manifest chunk IO (chunked file-table metadata, [[ManifestIO]]).
     * Exposed to the pruning specs for its chunk-load instrumentation. */
-  private[icelite] val manifestIO = new ManifestIO(store, location)
+  private[icelite] val manifestIO =
+    new ManifestIO(store, location, spark.sessionState.newHadoopConf())
 
   /** Planning instrumentation: the LARGEST per-scan file count any
     * scanSnapshot admitted since the last reset. Deterministic — driver
@@ -142,18 +143,61 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       hitPaths: Set[String], newFiles: Seq[DataFile],
       condFilters: Seq[Stats.StatFilter], op: String, note: String,
       finish: TableMetadata => TableMetadata = identity): Unit = {
-    val scannedDels = scanned.deleteFiles.map(d => normPath(d.path)).toSet
-    val scannedData = scanned.dataFiles.map(f => normPath(f.path)).toSet
+    // Retry-only validation inputs are LAZY: the no-collision path (the
+    // overwhelming majority) never forces a pruned chunk — first-attempt
+    // cost stays O(admitted chunks), the chunks the discovery scan already
+    // loaded and cached.
+    lazy val scannedDels = scanned.deleteFiles.map(d => normPath(d.path)).toSet
+    val scannedDelRefs = scanned.deletes.manifests.map(_.path).toSet
+    val scannedRefPaths = scanned.files.manifests.map(_.path).toSet
+    lazy val scannedData = scanned.dataFiles.map(f => normPath(f.path)).toSet
+    def chunkMayHoldHits(r: ManifestRef, cur: TableSchema): Boolean =
+      condFilters.isEmpty ||
+        condFilters.forall(f => Stats.summaryMayContain(r.stats, cur, f))
+    // hit → the scanned chunk that carried it (None = inline tail). A
+    // chunk whose stat summary refutes the predicate provably holds no hit
+    // (file bounds are within chunk bounds, and a hit file's bounds admit
+    // the predicate), so only discovery-admitted chunks — cache hits — are
+    // read here.
+    val hitContainer: Map[String, Option[String]] = {
+      val mp = scala.collection.mutable.Map[String, Option[String]]()
+      scanned.files.manifests.foreach { r =>
+        if (chunkMayHoldHits(r, loadedMeta.currentSchema))
+          manifestIO.read(r).foreach { f =>
+            val p = normPath(f.path); if (hitPaths.contains(p)) mp(p) = Some(r.path)
+          }
+      }
+      scanned.files.tail.foreach { f =>
+        val p = normPath(f.path); if (hitPaths.contains(p)) mp(p) = None
+      }
+      mp.toMap
+    }
     var v = loadedVersion
     var m = loadedMeta
     var attempt = 0
     while (true) {
       val cs = m.currentSnapshot.getOrElse(
         throw new IceLite.ConcurrentRewriteException("table emptied concurrently; re-run"))
-      val keep = cs.dataFiles.filterNot(f => hitPaths.contains(normPath(f.path)))
+      // CHUNK-SCOPED rebuild: a parent manifest whose summary refutes the
+      // predicate, or whose (cached) entries contain no hit, carries over
+      // BY REFERENCE; only hit-holding chunks dissolve into survivors. On
+      // a 10M-file table a CoW touching one chunk loads one chunk — never
+      // the file table.
       val sq = nextSeq(m)
-      val next = newSnapshotL(m, op,
-        FileListing.inline(keep ++ newFiles.map(_.copy(seq = sq))), cs.deleteFiles)
+      val keptRefs = scala.collection.mutable.ArrayBuffer[ManifestRef]()
+      val loose = scala.collection.mutable.ArrayBuffer[DataFile]()
+      cs.files.manifests.foreach { r =>
+        if (!chunkMayHoldHits(r, m.currentSchema)) keptRefs += r
+        else {
+          val entries = manifestIO.read(r)
+          if (!entries.exists(f => hitPaths.contains(normPath(f.path)))) keptRefs += r
+          else loose ++= entries.filterNot(f => hitPaths.contains(normPath(f.path)))
+        }
+      }
+      loose ++= cs.files.tail.filterNot(f => hitPaths.contains(normPath(f.path)))
+      loose ++= newFiles.map(_.copy(seq = sq))
+      val next = newSnapshotDL(m, op,
+        FileListing(keptRefs.toSeq, loose.toSeq, manifestIO), cs.deletes)
       try { commitAt(v + 1, finish(next), note); return }
       catch {
         case e @ (_: java.io.IOException | _: IceLite.CommitSupersededException) =>
@@ -163,16 +207,35 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           val (nv, nm) = versionedMeta
           val ncs = nm.currentSnapshot.getOrElse(
             throw new IceLite.ConcurrentRewriteException("table emptied concurrently; re-run"))
-          val live = ncs.dataFiles.map(f => normPath(f.path)).toSet
-          if (!hitPaths.subsetOf(live))
+          // 1. replaced-files-live, chunk-scoped: a hit carried by a chunk
+          // the winner still references is live by immutability; otherwise
+          // search only the winner's tail + NEW chunks (O(changed chunks))
+          val ncsRefPaths = ncs.files.manifests.map(_.path).toSet
+          val ncsTail = ncs.files.tail.map(f => normPath(f.path)).toSet
+          lazy val newChunkFiles: Set[String] = ncs.files.manifests
+            .filterNot(r => scannedRefPaths.contains(r.path))
+            .flatMap(r => manifestIO.read(r).map(f => normPath(f.path))).toSet
+          val allLive = hitPaths.forall { p =>
+            (hitContainer.get(p).flatten match {
+              case Some(chunk) => ncsRefPaths.contains(chunk)
+              case None        => false
+            }) || ncsTail.contains(p) || newChunkFiles.contains(p)
+          }
+          if (!allLive)
             throw new IceLite.ConcurrentRewriteException(
               "copy-on-write rewrite conflicts with a concurrent rewrite of " +
                 "the same files; re-run the operation")
-          if (ncs.deleteFiles.exists(d => !scannedDels.contains(normPath(d.path))))
+          if (hasNewDeletesSince(ncs, scannedDelRefs, scannedDels))
             throw new IceLite.ConcurrentRewriteException(
               "copy-on-write rewrite conflicts with concurrent deletes: new " +
                 "delete files appeared since the scanned snapshot; re-run")
-          val added = ncs.dataFiles.filterNot(f => scannedData.contains(normPath(f.path)))
+          // 3. added-files-refuted, chunk-scoped: carried chunks add
+          // nothing; candidates come from the winner's tail + new chunks
+          // only (a re-chunked OLD file that slips in is refuted against
+          // scannedData — conservative, never a miss)
+          val added = (ncs.files.tail ++ ncs.files.manifests
+            .filterNot(r => scannedRefPaths.contains(r.path)).flatMap(manifestIO.read))
+            .filterNot(f => scannedData.contains(normPath(f.path)))
           val unsafeAdd = added.exists(f => condFilters.isEmpty ||
             condFilters.forall(flt =>
               Stats.mayContain(f, nm.schema(f.schemaId), nm.currentSchema, flt)))
@@ -185,6 +248,19 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       }
     }
   }
+
+  /** Chunk-scoped "did a delete file appear since the scanned snapshot":
+    * a delete chunk ref carried by path identity is immutable, so only
+    * NEW refs need their entries read (a spill may have chunked OLD tail
+    * deletes into a new ref — its contents decide, not its novelty) and
+    * the inline tail is checked directly. O(changed chunks), never
+    * O(all delete files) — the validation counterpart of the delete
+    * manifest list. */
+  private def hasNewDeletesSince(cur: Snapshot, scannedRefPaths: Set[String],
+      scannedDelPaths: Set[String]): Boolean =
+    cur.deletes.tail.exists(d => !scannedDelPaths.contains(normPath(d.path))) ||
+      cur.deletes.manifests.exists(r => !scannedRefPaths.contains(r.path) &&
+        manifestIO.readDeletes(r).exists(d => !scannedDelPaths.contains(normPath(d.path))))
 
   /** Optimistic-retry commit for operations whose intent can be REBUILT on
     * top of a newer table state (append's add-files, MoR delete's
@@ -241,7 +317,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def nextSeq(m: TableMetadata): Long =
     m.snapshots.iterator.map(s =>
       // listing maxSeq comes from manifest summaries — no chunk load
-      math.max(s.files.maxSeq, s.deleteFiles.iterator.map(_.seq).maxOption.getOrElse(0L)))
+      math.max(s.files.maxSeq, s.deletes.maxSeq))
       .maxOption.getOrElse(0L) + 1
 
   private def newSnapshot(
@@ -249,16 +325,21 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile]): TableMetadata =
     newSnapshotL(m, op, FileListing.inline(dataFiles), deleteFiles)
 
-  /** Listing-based snapshot builder: add-files paths (append, MoR delete,
-    * rollback) pass the parent's listing (± a tail) so parent manifest
-    * chunks carry over BY REFERENCE — commit cost stays O(new files) on a
-    * 10M-file table. */
   private def newSnapshotL(
       m: TableMetadata, op: String,
-      files: FileListing, deleteFiles: Seq[DeleteFile]): TableMetadata = {
+      files: FileListing, deleteFiles: Seq[DeleteFile]): TableMetadata =
+    newSnapshotDL(m, op, files, DeleteListing.inline(deleteFiles))
+
+  /** Listing-based snapshot builder: add-files paths (append, MoR delete,
+    * rollback) pass the parent's listings (± a tail) so parent manifest
+    * chunks — data AND delete — carry over BY REFERENCE; commit cost stays
+    * O(new files) on a 10M-file table. */
+  private def newSnapshotDL(
+      m: TableMetadata, op: String,
+      files: FileListing, deletes: DeleteListing): TableMetadata = {
     val snap = new Snapshot(
       nextSnapshotId(m), m.currentSnapshotId, System.currentTimeMillis(), op,
-      files, deleteFiles, m.currentSchemaId)
+      files, deletes, m.currentSchemaId)
     m.copy(currentSnapshotId = Some(snap.id), snapshots = m.snapshots :+ snap)
   }
 
@@ -380,9 +461,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val snap = cur.currentSnapshot
       val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
       val stamped = files.map(_.copy(seq = sq))
-      (newSnapshotL(cur, "append",
+      (newSnapshotDL(cur, "append",
         snap.map(_.files).getOrElse(FileListing.empty).append(stamped),
-        snap.map(_.deleteFiles).getOrElse(Seq())),
+        snap.map(_.deletes).getOrElse(DeleteListing.empty)),
         s"append ${files.map(_.rows).sum} rows")
     }
     autoMaintain()
@@ -408,9 +489,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val snap = cur.currentSnapshot
         val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
-        (newSnapshotL(cur, "append",
+        (newSnapshotDL(cur, "append",
           snap.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = sq))),
-          snap.map(_.deleteFiles).getOrElse(Seq()))
+          snap.map(_.deletes).getOrElse(DeleteListing.empty))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"append batch $batchId: ${files.map(_.rows).sum} rows")
       }
@@ -446,9 +527,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           throw new IceLite.BatchReplayedException(s"batch $batchId already committed")
         val cs = cur.currentSnapshot
         val sq = nextSeq(cur)
-        (newSnapshotL(cur, "overwrite",
+        (newSnapshotDL(cur, "overwrite",
           cs.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = sq))),
-          cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = sq)))
+          cs.map(_.deletes).getOrElse(DeleteListing.empty)
+            .append(dels.map(_.copy(seq = sq))))
           .copy(properties = cur.properties + (key -> batchId.toString)),
           s"upsert (eq) batch $batchId: ${files.map(_.rows).sum} rows")
       }
@@ -550,7 +632,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(lin ++ empty))
     }
-    val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
+    // delete-manifest pruning: chunks whose summaries cannot apply to the
+    // planned files (all-eq at or below every planned seq, or a pos path
+    // range missing every planned path) are never parsed — candidates()
+    val (eqDels, posDels) = snap.deletes.candidates(files).partition(_.kind == "eq")
     val needLineage = lineage || posDels.nonEmpty
     def scanBySchema(fs: Seq[DataFile]): DataFrame =
       fs.groupBy(_.schemaId).toSeq.sortBy(_._1)
@@ -858,6 +943,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         .parquet(dels.map(_.path): _*)
         .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
       val scannedDeletes = snap.deleteFiles.map(d => normPath(d.path)).toSet
+      val scannedDelRefs = snap.deletes.manifests.map(_.path).toSet
       try commitWithRetry { cur =>
         val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
         val live = cs.dataFiles.map(d => normPath(d.path)).toSet
@@ -868,14 +954,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         // a concurrent DELETE that added delete files since the scan may
         // cover rows this update re-appends as fresh copies the delete's
         // positions can never mask — resurrection; abort conservatively
-        if (cs.deleteFiles.exists(d => !scannedDeletes.contains(normPath(d.path))))
+        if (hasNewDeletesSince(cs, scannedDelRefs, scannedDeletes))
           throw new IceLite.ConcurrentRewriteException(
             "merge-on-read update conflicts with concurrent deletes: new " +
               "delete files appeared since the scanned snapshot; re-run the update")
         val sq = nextSeq(cur)
-        (newSnapshotL(cur, "update",
+        (newSnapshotDL(cur, "update",
           cs.files.append(newFiles.map(_.copy(seq = sq))),
-          cs.deleteFiles ++ dels.map(_.copy(seq = sq))),
+          cs.deletes.append(dels.map(_.copy(seq = sq)))),
           s"update (mor) ${dels.map(_.rows).sum} positions")
       } catch {
         case e: IceLite.ConcurrentRewriteException =>
@@ -891,12 +977,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val snap = m.currentSnapshot.getOrElse(return)
     // touched-file discovery scans only files whose stats admit the
     // condition (conservative manifest pruning; cond is re-applied anyway)
-    val df = scanSnapshot(m, snap, lineage = true, _ => true,
-      IceLite.statFiltersFromCondition(cond))
+    val filters = IceLite.statFiltersFromCondition(cond)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true, filters)
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
-    val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
+    // hit resolution goes through the SAME pruned candidate set the scan
+    // used (cache hits), never snap.dataFiles — forcing the full file
+    // table here would undo the chunk-scoped CoW on a 10M-file table
+    val hit = snap.files.candidates(m, _ => true, filters)
+      .filter(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     val rewritten = hitDf.select(m.currentSchema.fields.map { fld =>
       assignments.get(fld.name)
@@ -922,12 +1012,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
   private def deleteCow(v: Int, m: TableMetadata, cond: Column): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = scanSnapshot(m, snap, lineage = true, _ => true,
-      IceLite.statFiltersFromCondition(cond))
+    val filters = IceLite.statFiltersFromCondition(cond)
+    val df = scanSnapshot(m, snap, lineage = true, _ => true, filters)
     val touched = df.filter(cond).select("_file").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
     if (touched.isEmpty) return
-    val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
+    // pruned candidates, not snap.dataFiles — see updateCow
+    val hit = snap.files.candidates(m, _ => true, filters)
+      .filter(f => touched.contains(normPath(f.path)))
     val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
     // SQL DELETE removes only rows where cond is TRUE; a NULL condition
     // (three-valued logic) KEEPS the row, so the kept-rows filter must be
@@ -970,8 +1062,34 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        val n = try r.getRecordCount finally r.close()
-        if (n > 0) files += DeleteFile(st.getPath.toString, n)
+        val (n, lo, hi) = try {
+          // harvest the referenced file_path range from the footer the
+          // reader already opened — the delete-manifest pruning summary
+          // rides along for free (bounds normalized so planning compares
+          // them against DataFile paths directly)
+          var lo0: Option[String] = None; var hi0: Option[String] = None
+          var ok = true
+          import scala.jdk.CollectionConverters._
+          for (block <- r.getFooter.getBlocks.asScala;
+               c <- block.getColumns.asScala
+               if c.getPath.toDotString == "file_path") {
+            val stt = c.getStatistics
+            if (stt == null || stt.isEmpty || !stt.hasNonNullValue) ok = false
+            else {
+              val mn = stt.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val mx = stt.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              lo0 = Some(lo0.fold(mn)(v => if (v <= mn) v else mn))
+              hi0 = Some(hi0.fold(mx)(v => if (v >= mx) v else mx))
+            }
+          }
+          (r.getRecordCount,
+            if (ok) lo0.map(normPath) else None,
+            if (ok) hi0.map(normPath) else None)
+        } finally r.close()
+        if (n > 0)
+          files += DeleteFile(st.getPath.toString, n, pathLo = lo, pathHi = hi)
       }
     }
     (out, files.toSeq)
@@ -1002,7 +1120,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         throw new IceLite.ConcurrentRewriteException(
           "merge-on-read delete conflicts with a concurrent rewrite: " +
             "referenced data files were replaced; re-run the delete")
-      (newSnapshotL(cur, "delete", cs.files, cs.deleteFiles ++ files.toSeq),
+      (newSnapshotDL(cur, "delete", cs.files, cs.deletes.append(files.toSeq)),
         s"delete (mor) ${files.map(_.rows).sum} positions")
     } catch {
       case e: IceLite.ConcurrentRewriteException =>
@@ -1063,7 +1181,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("cannot delete from an empty table"))
       val s = nextSeq(cur)
-      (newSnapshotL(cur, "delete", cs.files, cs.deleteFiles ++ dels.map(_.copy(seq = s))),
+      (newSnapshotDL(cur, "delete", cs.files, cs.deletes.append(dels.map(_.copy(seq = s)))),
         s"delete (eq) ${dels.map(_.rows).sum} keys on ${fields.map(_.name).mkString(",")}")
     }
     autoMaintain()
@@ -1094,9 +1212,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     commitWithRetry { cur =>
       val cs = cur.currentSnapshot
       val s = nextSeq(cur)
-      (newSnapshotL(cur, "overwrite",
+      (newSnapshotDL(cur, "overwrite",
         cs.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = s))),
-        cs.map(_.deleteFiles).getOrElse(Seq()) ++ dels.map(_.copy(seq = s))),
+        cs.map(_.deletes).getOrElse(DeleteListing.empty).append(dels.map(_.copy(seq = s)))),
         s"upsert (eq) ${files.map(_.rows).sum} rows on ${keyCols.mkString(",")}")
     }
     autoMaintain()
@@ -1236,7 +1354,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
               if (notMatchedBySource.nonEmpty) snap.dataFiles.map(f => normPath(f.path)).toSet
               else tgtKeys.join(srcPrefixed.select(sKey.as("_sk")), col(targetKey) === col("_sk"), "left_semi")
                 .select("_file").distinct().collect().map(r => normPath(r.getString(0))).toSet
-            val hit = snap.dataFiles.filter(f => touched.contains(normPath(f.path)))
+            // pruned candidates when the key range scoped discovery —
+            // forcing snap.dataFiles would undo chunk-scoped CoW (the
+            // NOT MATCHED BY SOURCE branch reads every file by semantics)
+            val hit = (if (notMatchedBySource.nonEmpty) snap.dataFiles
+                       else snap.files.candidates(m, _ => true, keyRange))
+              .filter(f => touched.contains(normPath(f.path)))
             val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
             val joined = hitDf.join(srcPrefixed, col(targetKey) === sKey, "left_outer")
             val matchedFlag = sKey.isNotNull // equi-join: non-null iff matched
@@ -1369,8 +1492,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       // re-apply the eq delete through the current schema, where the
       // dropped field no longer resolves. Compact materializes the delete;
       // expire ages the old snapshots out — then the drop is safe.
-      require(!m.snapshots.exists(_.deleteFiles.exists(d =>
-        d.kind == "eq" && d.eqFieldIds.contains(fld.id))),
+      // eqFieldIdSet reads delete-chunk summaries + inline tail — the
+      // guard never forces a delete manifest load
+      require(!m.snapshots.exists(_.deletes.eqFieldIdSet.contains(fld.id)),
         s"$name keys an equality delete in a retained snapshot; " +
           "compact, then expire those snapshots first")
       val next = sch.copy(
@@ -1441,7 +1565,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val m = meta
       m.properties.get("maintenance.auto.rewrite-deletes.file-threshold")
         .map(_.toInt).foreach { thr =>
-          val n = m.currentSnapshot.map(_.deleteFiles.count(_.kind == "pos")).getOrElse(0)
+          // summary counts — the threshold check loads no delete chunk
+          val n = m.currentSnapshot.map(_.deletes.posFileCount).getOrElse(0L)
           // clamp: rewritePositionDeletes requires minFiles >= 2, so a
           // threshold of 1 means "merge whenever 2+ files exist" instead of
           // throwing into the advisory catch on every commit
@@ -1449,21 +1574,54 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         }
       m.properties.get("maintenance.auto.compact.file-threshold")
         .map(_.toInt).foreach { thr =>
-          // re-load and re-check INSIDE the one-shot attempt: after a racing
-          // writer's compaction the count is below threshold and this no-ops
-          val (v, cur) = versionedMeta
-          val snap = cur.currentSnapshot
-          if (snap.exists(_.files.fileCount >= thr)) {
-            val target = cur.properties
-              .getOrElse("maintenance.auto.compact.target-files", "8").toInt
-            compactFrom(v, cur, target)
+          // load + threshold re-check + one-shot compact, RETRIED on a
+          // commit collision: a racing writer's commit (append, another
+          // policy's commit, a skip-trace) must not permanently cancel
+          // this crossing's compaction. Exactly-once still holds — after
+          // the winner's compaction the re-check is below threshold and
+          // the loser no-ops.
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            val (v, cur) = versionedMeta
+            val snap = cur.currentSnapshot
+            if (!snap.exists(_.files.fileCount >= thr)) done = true
+            else {
+              val target = cur.properties
+                .getOrElse("maintenance.auto.compact.target-files", "8").toInt
+              try { compactFrom(v, cur, target); done = true }
+              catch {
+                case e @ (_: java.io.IOException | _: IceLite.CommitSupersededException) =>
+                  if (attempts >= 3) throw e
+                  Thread.sleep(30L + scala.util.Random.nextInt(50))
+              }
+            }
           }
         }
     } catch {
       // advisory: the triggering DML already committed — a maintenance
-      // failure (lost race, exhausted retries) must not fail the caller
+      // failure (lost race, exhausted retries) must not fail the caller.
+      // The skip is surfaced as an OBSERVABLE table-metadata trace, not
+      // just a stderr line a production operator would never see.
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[icelite] auto-maintenance skipped: ${e.getMessage}")
+        recordMaintenanceSkip(e)
+    }
+
+  /** Best-effort `maintenance.last-skip` property commit (timestamped
+    * reason) so a skipped advisory maintenance is visible in the table
+    * metadata and its history log; a failure of the trace commit itself
+    * degrades back to stderr — never to the DML caller. */
+  private def recordMaintenanceSkip(e: Throwable): Unit =
+    try commitWithRetry({ m =>
+      (m.copy(properties = m.properties + ("maintenance.last-skip" ->
+        s"${System.currentTimeMillis()}: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")),
+        s"auto-maintenance skipped: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+    }, retries = 2)
+    catch {
+      case scala.util.control.NonFatal(e2) =>
+        System.err.println(s"[icelite] could not record maintenance skip: ${e2.getMessage}")
     }
 
   /** rewrite_data_files (README.md:1022): many small files → `target`
@@ -1519,6 +1677,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     try {
       commitWithRetry { m =>
         val snap = m.currentSnapshot.getOrElse(throw Noop)
+        // summary pre-check before forcing any delete chunk
+        if (snap.deletes.posFileCount < minFiles) throw Noop
         val (eqDels, posDels) = snap.deleteFiles.partition(_.kind == "eq")
         if (posDels.size < minFiles) throw Noop
         // persist across the two passes (dangling scan + merged write): at
@@ -1608,7 +1768,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   def rollbackTo(snapshotId: Long): Unit =
     commitWithRetry { m =>
       val tgt = m.snapshot(snapshotId)
-      (newSnapshotL(m, "rollback", tgt.files, tgt.deleteFiles),
+      (newSnapshotDL(m, "rollback", tgt.files, tgt.deletes),
         s"rollback to $snapshotId")
     }
 
@@ -1637,10 +1797,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .map(normPath).toSet
         toDelete = dead.flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
           .filterNot(p => liveFiles.contains(normPath(p))).distinct
-        // manifest chunks referenced ONLY by dead snapshots go too —
-        // ref paths come from the listings, no chunk load needed
-        val liveManifests = live.flatMap(_.files.manifests.map(r => normPath(r.path))).toSet
-        manifestsToDelete = dead.flatMap(_.files.manifests.map(_.path))
+        // manifest chunks (data AND delete) referenced ONLY by dead
+        // snapshots go too — ref paths come from the listings, no chunk
+        // load needed
+        val liveManifests = live.flatMap(s =>
+          s.files.manifests.map(r => normPath(r.path)) ++
+            s.deletes.manifests.map(r => normPath(r.path))).toSet
+        manifestsToDelete = dead.flatMap(s =>
+          s.files.manifests.map(_.path) ++ s.deletes.manifests.map(_.path))
           .filterNot(p => liveManifests.contains(normPath(p))).distinct
         (m.copy(snapshots = live), s"expire ${dead.size} snapshots")
       }
@@ -1678,8 +1842,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       }
     }
     // manifest chunks stranded by collided commit attempts: same sweep,
-    // referenced-set = every snapshot's manifest refs (paths only)
-    val refManifests = m.snapshots.flatMap(_.files.manifests.map(r => normPath(r.path))).toSet
+    // referenced-set = every snapshot's manifest refs (paths only),
+    // data and delete manifests alike
+    val refManifests = m.snapshots.flatMap(s =>
+      s.files.manifests.map(r => normPath(r.path)) ++
+        s.deletes.manifests.map(r => normPath(r.path))).toSet
     val mfDir = new Path(location, "metadata/manifests")
     if (f.exists(mfDir)) {
       val it = f.listFiles(mfDir, false)
@@ -1757,7 +1924,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val head = cur.snapshot(ref.snapshotId)
       val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
       val snap = new Snapshot(nextSnapshotId(cur), Some(head.id), System.currentTimeMillis(),
-        "append", head.files.append(files.map(_.copy(seq = sq))), head.deleteFiles,
+        "append", head.files.append(files.map(_.copy(seq = sq))), head.deletes,
         cur.currentSchemaId)
       (cur.copy(snapshots = cur.snapshots :+ snap,
         refs = cur.refs + (branch -> ref.copy(snapshotId = snap.id))),
@@ -1806,7 +1973,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     import spark.implicits._
     meta.snapshots.map(s => (
       s.id, s.parentId.getOrElse(-1L), new java.sql.Timestamp(s.timestampMs), s.operation,
-      s.files.fileCount, s.deleteFiles.size.toLong, s.totalRows))
+      s.files.fileCount, s.deletes.fileCount, s.totalRows))
       .toDF("snapshot_id", "parent_id", "committed_at", "operation",
         "data_files", "delete_files", "total_rows")
   }

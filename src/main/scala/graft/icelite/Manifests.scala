@@ -87,12 +87,104 @@ object FileListing {
     new FileListing(manifests, tail, io)
 }
 
+/** Delete-manifest list entry — the DELETE-side mirror of [[ManifestRef]]
+  * (Iceberg carries data and delete manifests in the same manifest list).
+  * Summaries serve three pruning/bookkeeping rules without a chunk load:
+  *  - `maxSeq` vs the scan's min data seq: an all-eq chunk whose deletes
+  *    are all at or below every planned file's sequence cannot apply;
+  *  - `pathLo`/`pathHi` (aggregated normalized file_path bounds of the
+  *    chunk's POSITION deletes): a scan whose planned data files all fall
+  *    outside the range skips the chunk (None ⇒ conservative keep);
+  *  - `posCount` / `eqFieldIds`: maintenance thresholds and the
+  *    drop-column eq-key guard read counts/ids from summaries alone. */
+final case class DeleteManifestRef(
+    path: String, fileCount: Long, rowCount: Long, maxSeq: Long,
+    posCount: Long, eqFieldIds: Seq[Int],
+    pathLo: Option[String], pathHi: Option[String])
+
+/** A snapshot's delete-file set: delete manifest chunk refs + an inline
+  * tail — [[FileListing]]'s shape applied to deletes, so a MoR-heavy
+  * workload (thousands of position/eq delete files between maintenance
+  * runs) cannot re-inflate the version file: the metadata carries refs +
+  * summaries, commits append to the tail by reference, and the commit-time
+  * spill chunks crossed-threshold tails exactly like data files. */
+final class DeleteListing private (
+    val manifests: Seq[DeleteManifestRef],
+    val tail: Seq[DeleteFile],
+    io: ManifestIO) {
+
+  /** Every delete entry — forces all chunks (memoized). Maintenance
+    * (rewrite, expire, orphans, changelog) uses this; scans go through
+    * [[candidates]] and never force pruned chunks. */
+  lazy val all: Seq[DeleteFile] = manifests.flatMap(io.readDeletes) ++ tail
+
+  /** Same listing plus `fs` on the inline tail — parent chunks carry over
+    * BY REFERENCE, so a MoR delete commit is O(new delete files). */
+  def append(fs: Seq[DeleteFile]): DeleteListing =
+    new DeleteListing(manifests, tail ++ fs, io)
+
+  def fileCount: Long = manifests.map(_.fileCount).sum + tail.size
+  def posFileCount: Long = manifests.map(_.posCount).sum + tail.count(_.kind == "pos")
+  def maxSeq: Long =
+    (manifests.iterator.map(_.maxSeq) ++ tail.iterator.map(_.seq)).maxOption.getOrElse(0L)
+  /** Union of eq-delete key field ids — summaries + tail, no chunk load. */
+  def eqFieldIdSet: Set[Int] =
+    manifests.flatMap(_.eqFieldIds).toSet ++
+      tail.filter(_.kind == "eq").flatMap(_.eqFieldIds)
+
+  /** Delete files a scan over `planned` data files must consider: chunks
+    * are pruned against their summaries first (an inapplicable-seq all-eq
+    * chunk, or a pos chunk whose path range misses every planned file, is
+    * skipped WITHOUT loading its entries). Superset, never a miss — the
+    * read path re-scopes eq deletes per file seq and keys the position
+    * index by exact file path anyway. */
+  def candidates(planned: Seq[DataFile]): Seq[DeleteFile] = {
+    if (manifests.isEmpty) return tail
+    val minSeq = planned.iterator.map(_.seq).minOption.getOrElse(Long.MaxValue)
+    val paths = planned.map(f => IceLite.normPath(f.path)).sorted.toIndexedSeq
+    def intersects(lo: String, hi: String): Boolean = {
+      var l = 0; var r = paths.length
+      while (l < r) { val mid = (l + r) >>> 1; if (paths(mid) < lo) l = mid + 1 else r = mid }
+      l < paths.length && paths(l) <= hi
+    }
+    val live = manifests.filter { ref =>
+      val eqMayApply = (ref.fileCount - ref.posCount) > 0 && ref.maxSeq > minSeq
+      val posMayApply = ref.posCount > 0 && ((ref.pathLo, ref.pathHi) match {
+        case (Some(lo), Some(hi)) => intersects(lo, hi)
+        case _                    => true // unknown bounds: conservative keep
+      })
+      eqMayApply || posMayApply
+    }
+    live.flatMap(io.readDeletes) ++ tail
+  }
+}
+
+object DeleteListing {
+  val empty: DeleteListing = inline(Seq())
+  def inline(fs: Seq[DeleteFile]): DeleteListing = new DeleteListing(Seq(), fs, null)
+  def apply(manifests: Seq[DeleteManifestRef], tail: Seq[DeleteFile],
+      io: ManifestIO): DeleteListing = new DeleteListing(manifests, tail, io)
+}
+
 /** Manifest chunk IO + the commit-time spill policy. One instance per
   * [[IceLiteTable]]; chunks are immutable, so the read cache never
   * invalidates. `readCount` instruments chunk loads for the pruning specs
   * (a pruned plan must load only surviving chunks). */
-final class ManifestIO(store: CommitStore, location: String) {
+final class ManifestIO(store: CommitStore, location: String,
+    conf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration()) {
   val readCount = new AtomicLong(0)
+
+  /** Chunk payload codec — `write.metadata.manifest.codec` ∈ avro
+    * (default; Iceberg's own manifest format, several× cheaper to parse,
+    * [[ManifestCodec]]) | json (the original text payload). READS dispatch
+    * on the chunk file's extension, so a table written under either
+    * codec — or migrated between them — always loads. */
+  private def codecOf(m: TableMetadata): String =
+    m.properties.getOrElse("write.metadata.manifest.codec", "avro") match {
+      case "json" => "json"
+      case _      => "avro"
+    }
   /** Chunks written since last reset — the compaction/CoW specs assert a
     * commit re-chunks only what it must (no double spill). */
   val writeCount = new AtomicLong(0)
@@ -108,18 +200,74 @@ final class ManifestIO(store: CommitStore, location: String) {
     if (hit != null) hit
     else {
       readCount.incrementAndGet()
-      val fs = MetaJson.manifestFromJson(store.readString(new Path(ref.path)))
+      val p = new Path(ref.path)
+      val fs =
+        if (ref.path.endsWith(".json")) MetaJson.manifestFromJson(store.readString(p))
+        else ManifestCodec.readData(p, conf)
       cache.put(ref.path, fs)
       fs
     }
   }
 
-  /** Write one immutable manifest chunk and compute its summaries. */
+  /** Delete-chunk loads since last reset — the delete-pruning specs'
+    * instrument (a path/seq-pruned scan must load only surviving chunks). */
+  val deleteReadCount = new AtomicLong(0)
+
+  private val delCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DeleteFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DeleteFile]]): Boolean = size() > 128
+    })
+
+  def readDeletes(ref: DeleteManifestRef): Seq[DeleteFile] = {
+    val hit = delCache.get(ref.path)
+    if (hit != null) hit
+    else {
+      deleteReadCount.incrementAndGet()
+      val p = new Path(ref.path)
+      val fs =
+        if (ref.path.endsWith(".json")) MetaJson.deleteManifestFromJson(store.readString(p))
+        else ManifestCodec.readDeletes(p, conf)
+      delCache.put(ref.path, fs)
+      fs
+    }
+  }
+
+  /** Write one immutable DELETE manifest chunk with its summaries. */
+  def writeDeletes(files: Seq[DeleteFile], m: TableMetadata): DeleteManifestRef = {
+    writeCount.incrementAndGet()
+    val codec = codecOf(m)
+    val p = new Path(new Path(location, "metadata/manifests"),
+      s"dmf-${java.util.UUID.randomUUID()}.$codec")
+    if (codec == "json") store.createExclusive(p, MetaJson.deleteManifestToJson(files))
+    else ManifestCodec.writeDeletes(p, files, conf)
+    val pos = files.filter(_.kind == "pos")
+    // path-range summary only when EVERY pos file carries bounds —
+    // partial bounds can't prune safely
+    val bounds =
+      if (pos.nonEmpty && pos.forall(f => f.pathLo.isDefined && f.pathHi.isDefined))
+        (Some(pos.flatMap(_.pathLo).min), Some(pos.flatMap(_.pathHi).max))
+      else (None, None)
+    val ref = DeleteManifestRef(
+      p.toString, files.size, files.map(_.rows).sum,
+      files.map(_.seq).maxOption.getOrElse(0L), pos.size,
+      files.filter(_.kind == "eq").flatMap(_.eqFieldIds).distinct.sorted,
+      bounds._1, bounds._2)
+    delCache.put(ref.path, files)
+    ref
+  }
+
+  /** Write one immutable manifest chunk and compute its summaries. JSON
+    * chunks ride the CommitStore; avro chunks are data-plane files
+    * (referenced only by a version file committed after the write, so a
+    * crashed attempt strands an orphan, never a torn read). */
   def write(files: Seq[DataFile], m: TableMetadata): ManifestRef = {
     writeCount.incrementAndGet()
+    val codec = codecOf(m)
     val p = new Path(new Path(location, "metadata/manifests"),
-      s"mf-${java.util.UUID.randomUUID()}.json")
-    store.createExclusive(p, MetaJson.manifestToJson(files))
+      s"mf-${java.util.UUID.randomUUID()}.$codec")
+    if (codec == "json") store.createExclusive(p, MetaJson.manifestToJson(files))
+    else ManifestCodec.writeData(p, files, conf)
     val distinctParts = files.map(_.partition).distinct
     val ref = ManifestRef(
       p.toString, files.size, files.map(_.rows).sum,
@@ -165,8 +313,14 @@ final class ManifestIO(store: CommitStore, location: String) {
           val parentRefs = s.parentId.flatMap(processed.get).getOrElse(Seq())
           var remaining = l.tail.toSet
           val reused = parentRefs.filter { r =>
-            val fs = read(r)
-            fs.nonEmpty && fs.forall(remaining.contains) && { remaining --= fs; true }
+            // summary refutation BEFORE the read: a chunk larger than what
+            // remains can't be fully contained — a full-table rewrite
+            // (compaction, z-order) therefore reuses nothing without
+            // loading a single parent chunk
+            r.fileCount > 0 && r.fileCount <= remaining.size && {
+              val fs = read(r)
+              fs.forall(remaining.contains) && { remaining --= fs; true }
+            }
           }
           val rest = l.tail.filter(remaining.contains)
           FileListing(reused ++ rest.grouped(target).map(write(_, m)).toSeq, Seq(), this)
@@ -181,9 +335,48 @@ final class ManifestIO(store: CommitStore, location: String) {
         changed = true
       }
       processed(s.id) = out.manifests
-      if (out eq l) s else s.withListing(out)
+      // delete tails get the SAME treatment (Iceberg's delete manifests):
+      // a MoR-heavy run between maintenance passes must not re-inflate
+      // the version file with thousands of inline delete entries
+      val dl = s.deletes
+      var dout =
+        if (dl.tail.size < minFiles) dl
+        else {
+          changed = true
+          DeleteListing(
+            dl.manifests ++ dl.tail.grouped(target).map(writeDeletes(_, m)).toSeq,
+            Seq(), this)
+        }
+      if (m.currentSnapshotId.contains(s.id) && dout.manifests.size > maxCount) {
+        dout = DeleteListing(consolidateDeletes(dout.manifests, target, m), dout.tail, this)
+        changed = true
+      }
+      val s2 = if (out eq l) s else s.withListing(out)
+      if (dout eq dl) s2 else s2.withDeletes(dout)
     }
     if (changed) m.copy(snapshots = newSnaps) else m
+  }
+
+  /** [[consolidate]] for delete chunks. */
+  private def consolidateDeletes(refs: Seq[DeleteManifestRef],
+      target: Int, m: TableMetadata): Seq[DeleteManifestRef] = {
+    val out = scala.collection.mutable.ArrayBuffer[DeleteManifestRef]()
+    val run = scala.collection.mutable.ArrayBuffer[DeleteManifestRef]()
+    var runCount = 0L
+    def flush(): Unit = {
+      if (run.size == 1) out += run.head
+      else if (run.nonEmpty) out += writeDeletes(run.toSeq.flatMap(readDeletes), m)
+      run.clear(); runCount = 0
+    }
+    refs.foreach { r =>
+      if (r.fileCount >= target) { flush(); out += r }
+      else {
+        if (runCount + r.fileCount > target) flush()
+        run += r; runCount += r.fileCount
+      }
+    }
+    flush()
+    out.toSeq
   }
 
   /** Merge runs of ADJACENT undersized chunks (combined fileCount ≤ target)

@@ -71,42 +71,60 @@ final case class DataFile(
   *  - `kind="eq"`: parquet of key values (physical `f<id>` columns listed
   *    in `eqFieldIds`); removes ALL matching rows from data files with
   *    seq < this file's seq. The content-addressed delete streaming
-  *    upserts need — no scan at delete time. */
+  *    upserts need — no scan at delete time.
+  * `pathLo`/`pathHi` (pos only): normalized min/max of the referenced
+  * `file_path` column, harvested from the delete parquet's own footer at
+  * write — the delete-side pruning summary (a scan whose planned data
+  * files all fall outside the range never loads the delete chunk). */
 final case class DeleteFile(path: String, rows: Long,
-    kind: String = "pos", eqFieldIds: Seq[Int] = Seq(), seq: Long = 0)
+    kind: String = "pos", eqFieldIds: Seq[Int] = Seq(), seq: Long = 0,
+    pathLo: Option[String] = None, pathHi: Option[String] = None)
 
 /** `schemaId` records the table's CURRENT schema at commit time (-1 =
   * pre-upgrade legacy snapshot → read through the live schema). Time
   * travel projects through it, so `VERSION AS OF` shows the columns the
   * table had then — Iceberg's snapshot-scoped-schema semantics.
   *
-  * Data files live behind a [[FileListing]] (inline tail + chunked
-  * manifest refs): `dataFiles` forces the full set, while planning-side
-  * callers use `files.candidates` so summary-pruned chunks are never
-  * loaded. Delete files stay inline — [[IceLiteTable.rewritePositionDeletes]]
-  * keeps their count bounded, and chunking them too would be the same
-  * mechanism again (Iceberg's delete manifests). */
+  * Data files live behind a [[FileListing]] and delete files behind a
+  * [[DeleteListing]] (inline tail + chunked manifest refs each):
+  * `dataFiles`/`deleteFiles` force the full sets, while planning-side
+  * callers use the listings' `candidates` so summary-pruned chunks are
+  * never loaded — Iceberg's manifest list carrying both data and delete
+  * manifests (README.md:520–529 "efficient metadata"). */
 final class Snapshot(
     val id: Long, val parentId: Option[Long], val timestampMs: Long,
     val operation: String, val files: FileListing,
-    val deleteFiles: Seq[DeleteFile], val schemaId: Int) {
+    val deletes: DeleteListing, val schemaId: Int) {
+
+  /** Source-compatible secondary constructor: an inline delete set. */
+  def this(id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
+      files: FileListing, deleteFiles: Seq[DeleteFile], schemaId: Int) =
+    this(id, parentId, timestampMs, operation, files,
+      DeleteListing.inline(deleteFiles), schemaId)
+
   /** Full file set — forces every manifest chunk (memoized in the IO). */
   def dataFiles: Seq[DataFile] = files.all
+  /** Full delete set — forces every delete manifest chunk (memoized). */
+  def deleteFiles: Seq[DeleteFile] = deletes.all
   /** From manifest summaries — no chunk load. */
   def totalRows: Long = files.totalRows
 
-  /** Source-compatible case-class-style copy; `dataFiles = <seq>` swaps in
-    * an inline listing, omitting it keeps the (possibly lazy) listing. */
+  /** Source-compatible case-class-style copy; `dataFiles`/`deleteFiles` =
+    * <seq> swaps in an inline listing, omitting keeps the lazy listing. */
   def copy(id: Long = id, parentId: Option[Long] = parentId,
       timestampMs: Long = timestampMs, operation: String = operation,
-      dataFiles: Seq[DataFile] = null, deleteFiles: Seq[DeleteFile] = deleteFiles,
+      dataFiles: Seq[DataFile] = null, deleteFiles: Seq[DeleteFile] = null,
       schemaId: Int = schemaId): Snapshot =
     new Snapshot(id, parentId, timestampMs, operation,
       if (dataFiles == null) files else FileListing.inline(dataFiles),
-      deleteFiles, schemaId)
+      if (deleteFiles == null) deletes else DeleteListing.inline(deleteFiles),
+      schemaId)
 
   def withListing(l: FileListing): Snapshot =
-    new Snapshot(id, parentId, timestampMs, operation, l, deleteFiles, schemaId)
+    new Snapshot(id, parentId, timestampMs, operation, l, deletes, schemaId)
+
+  def withDeletes(dl: DeleteListing): Snapshot =
+    new Snapshot(id, parentId, timestampMs, operation, files, dl, schemaId)
 
   /** Value equality over the LOGICAL content (forces listings) — the serde
     * round-trip property tests compare whole metadata trees. */
@@ -119,14 +137,15 @@ final class Snapshot(
   override def hashCode: Int = (id, timestampMs, operation).hashCode
   override def toString: String =
     s"Snapshot($id,$parentId,$timestampMs,$operation," +
-      s"${files.manifests.size} manifests+${files.tail.size} inline,$deleteFiles,$schemaId)"
+      s"${files.manifests.size} manifests+${files.tail.size} inline," +
+      s"${deletes.manifests.size} dmanifests+${deletes.tail.size} inline dels,$schemaId)"
 }
 
 object Snapshot {
   def apply(id: Long, parentId: Option[Long], timestampMs: Long, operation: String,
       dataFiles: Seq[DataFile], deleteFiles: Seq[DeleteFile], schemaId: Int = -1): Snapshot =
     new Snapshot(id, parentId, timestampMs, operation,
-      FileListing.inline(dataFiles), deleteFiles, schemaId)
+      FileListing.inline(dataFiles), DeleteListing.inline(deleteFiles), schemaId)
 }
 
 final case class MetadataLogEntry(version: Int, timestampMs: Long, note: String)
@@ -189,7 +208,17 @@ object MetaJson {
       f.eqFieldIds.foreach(ids.add)
     }
     if (f.seq != 0) fn.put("seq", f.seq)
+    f.pathLo.foreach(v => fn.put("plo", v))
+    f.pathHi.foreach(v => fn.put("phi", v))
   }
+
+  private def readDeleteFileNode(fn: JsonNode): DeleteFile = DeleteFile(
+    fn.get("path").asText(), fn.get("rows").asLong(),
+    Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
+    Option(fn.get("eqFieldIds")).map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Seq()),
+    Option(fn.get("seq")).map(_.asLong()).getOrElse(0L),
+    Option(fn.get("plo")).map(_.asText()),
+    Option(fn.get("phi")).map(_.asText()))
 
   def toJson(m: TableMetadata): String = {
     val root = M.createObjectNode()
@@ -237,7 +266,9 @@ object MetaJson {
     val delIdx = scala.collection.mutable.LinkedHashMap[DeleteFile, Int]()
     m.snapshots.foreach { s =>
       s.files.tail.foreach(f => dataIdx.getOrElseUpdate(f, dataIdx.size))
-      s.deleteFiles.foreach(f => delIdx.getOrElseUpdate(f, delIdx.size))
+      // inline delete tail only — chunked delete entries live in their
+      // delete manifests; serialization never forces a chunk
+      s.deletes.tail.foreach(f => delIdx.getOrElseUpdate(f, delIdx.size))
     }
     val dft = root.putArray("dataFileTable")
     dataIdx.keys.foreach(f => writeDataFile(dft.addObject(), f))
@@ -274,10 +305,26 @@ object MetaJson {
           }
         }
       }
+      if (s.deletes.manifests.nonEmpty) {
+        val dmfs = n.putArray("deleteManifests")
+        s.deletes.manifests.foreach { r =>
+          val rn = dmfs.addObject()
+          rn.put("path", r.path); rn.put("fileCount", r.fileCount)
+          rn.put("rowCount", r.rowCount)
+          if (r.maxSeq != 0) rn.put("maxSeq", r.maxSeq)
+          if (r.posCount != 0) rn.put("posCount", r.posCount)
+          if (r.eqFieldIds.nonEmpty) {
+            val ids = rn.putArray("eqFieldIds")
+            r.eqFieldIds.foreach(ids.add)
+          }
+          r.pathLo.foreach(v => rn.put("plo", v))
+          r.pathHi.foreach(v => rn.put("phi", v))
+        }
+      }
       val dfs = n.putArray("dataFileRefs")
       s.files.tail.foreach(f => dfs.add(dataIdx(f)))
       val dels = n.putArray("deleteFileRefs")
-      s.deleteFiles.foreach(f => dels.add(delIdx(f)))
+      s.deletes.tail.foreach(f => dels.add(delIdx(f)))
     }
     if (m.refs.nonEmpty) {
       val refs = root.putObject("refs")
@@ -305,6 +352,19 @@ object MetaJson {
   def manifestFromJson(s: String): Seq[DataFile] = {
     val r = M.readTree(s)
     r.get("files").elements().asScala.map(readDataFileNode).toSeq
+  }
+
+  /** Serialize one DELETE manifest chunk's entries. */
+  def deleteManifestToJson(files: Seq[DeleteFile]): String = {
+    val root = M.createObjectNode()
+    val arr = root.putArray("deleteFiles")
+    files.foreach(f => writeDeleteFile(arr.addObject(), f))
+    M.writeValueAsString(root)
+  }
+
+  def deleteManifestFromJson(s: String): Seq[DeleteFile] = {
+    val r = M.readTree(s)
+    r.get("deleteFiles").elements().asScala.map(readDeleteFileNode).toSeq
   }
 
   private def readDataFileNode(fn: JsonNode): DataFile = {
@@ -336,11 +396,7 @@ object MetaJson {
       Option(n.get(k)).map(o => o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map())
     def readDataFile(fn: JsonNode): DataFile = readDataFileNode(fn)
-    def readDeleteFile(fn: JsonNode): DeleteFile = DeleteFile(
-      fn.get("path").asText(), fn.get("rows").asLong(),
-      Option(fn.get("kind")).map(_.asText()).getOrElse("pos"),
-      arr(fn, "eqFieldIds").map(_.asInt()),
-      Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))
+    def readDeleteFile(fn: JsonNode): DeleteFile = readDeleteFileNode(fn)
     // v2 shared file tables (empty for v1 metadata, whose snapshots inline)
     val dataTable = arr(r, "dataFileTable").map(readDataFile).toIndexedSeq
     val delTable = arr(r, "deleteFileTable").map(readDeleteFile).toIndexedSeq
@@ -381,17 +437,29 @@ object MetaJson {
                   e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
               .getOrElse(Map()))
         }
+        val delRefs = arr(n, "deleteManifests").map { rn =>
+          DeleteManifestRef(
+            rn.get("path").asText(), rn.get("fileCount").asLong(),
+            rn.get("rowCount").asLong(),
+            Option(rn.get("maxSeq")).map(_.asLong()).getOrElse(0L),
+            Option(rn.get("posCount")).map(_.asLong()).getOrElse(0L),
+            arr(rn, "eqFieldIds").map(_.asInt()),
+            Option(rn.get("plo")).map(_.asText()),
+            Option(rn.get("phi")).map(_.asText()))
+        }
         val tail =
           if (n.has("dataFileRefs")) arr(n, "dataFileRefs").map(i => dataTable(i.asInt()))
           else arr(n, "dataFiles").map(readDataFile)
+        val delTail =
+          if (n.has("deleteFileRefs")) arr(n, "deleteFileRefs").map(i => delTable(i.asInt()))
+          else arr(n, "deleteFiles").map(readDeleteFile)
         new Snapshot(
           n.get("id").asLong(),
           Option(n.get("parentId")).map(_.asLong()),
           n.get("timestampMs").asLong(),
           n.get("operation").asText(),
           FileListing(refs, tail, io),
-          if (n.has("deleteFileRefs")) arr(n, "deleteFileRefs").map(i => delTable(i.asInt()))
-          else arr(n, "deleteFiles").map(readDeleteFile),
+          DeleteListing(delRefs, delTail, io),
           Option(n.get("schemaId")).map(_.asInt()).getOrElse(-1))
       },
       metadataLog = arr(r, "metadataLog").map(n => MetadataLogEntry(

@@ -69,6 +69,28 @@ class AutoMaintenanceSpec extends SparkSpec {
     assert(t.read().agg(sum("id")).head.getLong(0) == (0L until 120L).sum)
   }
 
+  test("a failed advisory maintenance leaves an observable trace; the next crossing retriggers") {
+    val loc = Files.createTempDirectory("automaint_skip").toString + "/t"
+    val t = IceLite.createFrom(spark, loc, (0L until 10L).toDF("id"),
+      properties = Map(
+        "maintenance.auto.compact.file-threshold" -> "6",
+        // poisoned policy: compact(0) throws into the advisory catch
+        "maintenance.auto.compact.target-files" -> "0"))
+    t.append(spark.range(0, 70).toDF("id").repartition(7))
+    assert(replaceCount(t) == 0, "poisoned maintenance must not commit a rewrite")
+    val skip = t.meta.properties.get("maintenance.last-skip")
+    assert(skip.nonEmpty, "a skipped maintenance must leave a table-metadata trace")
+    assert(t.meta.metadataLog.exists(_.note.startsWith("auto-maintenance skipped")),
+      "the skip must appear in the metadata history log")
+
+    // heal the policy: the NEXT crossing commit retriggers and succeeds
+    t.setProperties(Map("maintenance.auto.compact.target-files" -> "2"))
+    t.append(spark.range(70, 80).toDF("id").repartition(1))
+    assert(replaceCount(t) == 1, "healed policy must retrigger on the next crossing")
+    assert(t.meta.currentSnapshot.get.files.fileCount == 2L)
+    assert(t.read().agg(sum("id")).head.getLong(0) == (0L until 80L).sum)
+  }
+
   test("racing appends across the threshold still compact exactly once") {
     val loc = Files.createTempDirectory("automaint_race").toString + "/t"
     val t0 = IceLite.createFrom(spark, loc, (0L until 10L).toDF("id"),

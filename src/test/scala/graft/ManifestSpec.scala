@@ -123,4 +123,58 @@ class ManifestSpec extends graft.SparkSpec {
     val m = t.meta
     assert(MetaJson.fromJson(MetaJson.toJson(m), t.manifestIO) == m)
   }
+
+  test("CoW touching 1 of 20 chunks loads O(1) chunks end-to-end, commit included") {
+    val loc = Files.createTempDirectory("manifests_cow_scoped").toString + "/t"
+    val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT", "v" -> "BIGINT"))
+    // 20 appends × 10 files: each append spills its own chunk covering a
+    // disjoint id range, so chunk stat summaries form a range index
+    for (b <- 0L until 20L)
+      t.append(spark.range(b * 1000, b * 1000 + 1000)
+        .select(col("id"), (col("id") * 2).as("v")).repartition(10))
+    val head0 = t.meta.currentSnapshot.get
+    assert(head0.files.manifests.size == 20,
+      s"expected 20 chunks, got ${head0.files.manifests.size}")
+    val refs0 = head0.files.manifests.map(_.path).toSet
+
+    // fresh load → zeroed chunk-load counter; the CoW delete's predicate
+    // refutes 19 of 20 chunk summaries
+    val t2 = IceLite.load(spark, loc)
+    t2.delete(col("id") === 1500L)
+    assert(t2.manifestIO.readCount.get <= 2,
+      s"CoW on one chunk must load O(1) chunks end-to-end (discovery + " +
+        s"rebuild + commit), got ${t2.manifestIO.readCount.get}")
+    val head1 = t2.meta.currentSnapshot.get
+    val refs1 = head1.files.manifests.map(_.path).toSet
+    assert((refs0 intersect refs1).size == 19,
+      s"19 untouched chunks must carry BY REFERENCE, " +
+        s"carried ${(refs0 intersect refs1).size}")
+    assert(t2.read().count() == 19999L)
+    assert(t2.read().filter(col("id") === 1500L).count() == 0L)
+  }
+
+  test("compaction commit writes exactly one chunk; spill never re-reads refuted parents") {
+    val loc = Files.createTempDirectory("manifests_compact_writes").toString + "/t"
+    val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT", "v" -> "BIGINT"))
+    for (b <- 0L until 8L)
+      t.append(spark.range(b * 100, b * 100 + 100)
+        .select(col("id"), (col("id") * 2).as("v")).repartition(10))
+    assert(t.meta.currentSnapshot.get.files.manifests.size == 8)
+
+    // a full-table rewrite reuses no parent chunk — the fileCount summary
+    // refutes each (10 > 8 remaining) before any probe — and the whole new
+    // file set fits one chunk: the commit spills EXACTLY ONE manifest (the
+    // bench-regression check: compaction's manifest cost is one re-chunk,
+    // never a double spill). Reads are O(table) here by nature — the
+    // rewrite itself must plan every file; pruned-commit read bounds are
+    // covered by the CoW-scoped test above.
+    val t1 = IceLite.load(spark, loc)
+    val w0 = t1.manifestIO.writeCount.get
+    t1.compact(target = 8)
+    assert(t1.manifestIO.writeCount.get - w0 == 1,
+      s"compaction must spill exactly 1 chunk, wrote ${t1.manifestIO.writeCount.get - w0}")
+    assert(t1.meta.currentSnapshot.get.files.manifests.size == 1)
+    assert(t1.meta.currentSnapshot.get.files.fileCount == 8L)
+    assert(t1.read().agg(sum("id")).head.getLong(0) == (0L until 800L).sum)
+  }
 }

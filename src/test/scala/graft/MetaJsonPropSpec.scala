@@ -40,8 +40,24 @@ class MetaJsonPropSpec extends AnyFunSuite {
     spec <- Gen.choose(0, 5)
     part <- Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
       .map(_.take(3))
+    stats <- Gen.mapOf(Gen.zip(Gen.choose(1, 500),
+      Gen.zip(Gen.alphaNumStr.map(_.take(10)), Gen.alphaNumStr.map(_.take(10)))
+        .map { case (a, b) => ColumnStats(a, b) })).map(_.take(3))
     seq <- Gen.choose(0L, 50L)
-  } yield DataFile(path, rows, sid, spec, part, seq = seq)
+  } yield DataFile(path, rows, sid, spec, part, stats, seq = seq)
+
+  private val genDeleteFile = for {
+    p <- Gen.identifier
+    r <- Gen.choose(0L, 9999L)
+    kind <- Gen.oneOf("pos", "eq")
+    fids <- if (kind == "eq") Gen.nonEmptyListOf(Gen.choose(1, 500)).map(_.take(3))
+            else Gen.const(List[Int]())
+    seq <- Gen.choose(0L, 50L)
+    lo <- if (kind == "pos") Gen.option(Gen.identifier.map(s => s"/data/$s"))
+          else Gen.const(None)
+    hi <- if (kind == "pos") Gen.option(Gen.identifier.map(s => s"/data/$s"))
+          else Gen.const(None)
+  } yield DeleteFile(s"/del/$p.parquet", r, kind, fids, seq, lo, hi)
 
   private val genSnapshot = for {
     id <- Gen.choose(1L, 1000L)
@@ -49,14 +65,7 @@ class MetaJsonPropSpec extends AnyFunSuite {
     ts <- Gen.choose(0L, 2000000000000L)
     op <- Gen.oneOf("append", "delete", "update", "merge", "replace", "rollback", "overwrite")
     dfs <- Gen.listOf(genDataFile).map(_.take(5))
-    dels <- Gen.listOf(for {
-      p <- Gen.identifier
-      r <- Gen.choose(0L, 9999L)
-      kind <- Gen.oneOf("pos", "eq")
-      fids <- if (kind == "eq") Gen.nonEmptyListOf(Gen.choose(1, 500)).map(_.take(3))
-              else Gen.const(List[Int]())
-      seq <- Gen.choose(0L, 50L)
-    } yield DeleteFile(s"/del/$p.parquet", r, kind, fids, seq)).map(_.take(3))
+    dels <- Gen.listOf(genDeleteFile).map(_.take(3))
     schemaId <- Gen.choose(-1, 10)
   } yield Snapshot(id, parent, ts, op, dfs, dels, schemaId)
 
@@ -82,6 +91,24 @@ class MetaJsonPropSpec extends AnyFunSuite {
         .getOrElse(sys.error(s"gen failed at seed $i"))
       val back = MetaJson.fromJson(MetaJson.toJson(m))
       assert(back == m, s"roundtrip mismatch at seed $i:\n$m\nvs\n$back")
+    }
+  }
+
+  test("avro manifest codec round-trips arbitrary data and delete entries") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("codec_rt").toString
+    val params = Gen.Parameters.default
+    (1 to 60).foreach { i =>
+      val dfs = Gen.listOf(genDataFile).map(_.take(6))(params, Seed(i.toLong))
+        .getOrElse(sys.error(s"gen failed at seed $i"))
+      val dels = Gen.listOf(genDeleteFile).map(_.take(6))(params, Seed(1000L + i))
+        .getOrElse(sys.error(s"gen failed at seed $i"))
+      val dp = new org.apache.hadoop.fs.Path(s"$dir/mf-$i.avro")
+      ManifestCodec.writeData(dp, dfs, conf)
+      assert(ManifestCodec.readData(dp, conf) == dfs, s"data codec mismatch at seed $i")
+      val ep = new org.apache.hadoop.fs.Path(s"$dir/dmf-$i.avro")
+      ManifestCodec.writeDeletes(ep, dels, conf)
+      assert(ManifestCodec.readDeletes(ep, conf) == dels, s"delete codec mismatch at seed $i")
     }
   }
 

@@ -153,6 +153,49 @@ class Round12OpsSpec extends graft.SparkSpec {
     assert(MetaJson.fromJson(MetaJson.toJson(t.meta), t.manifestIO) == t.meta)
   }
 
+  test("manifest codec: avro and json chunks interoperate; avro parses faster at size") {
+    val loc = freshLoc("codec")
+    // json-codec table writes .json chunks...
+    val tj = IceLite.create(spark, loc.replace("/t", "/tj"),
+      Seq("id" -> "BIGINT", "v" -> "BIGINT"),
+      properties = Map("write.metadata.manifest.codec" -> "json",
+        "write.metadata.manifest.min-files" -> "2"))
+    tj.append(spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    val jrefs = tj.meta.currentSnapshot.get.files.manifests
+    assert(jrefs.nonEmpty && jrefs.forall(_.path.endsWith(".json")))
+    // ...then the codec flips to avro: OLD chunks keep reading (by
+    // extension), NEW chunks are avro — a live migration, no rewrite
+    tj.setProperties(Map("write.metadata.manifest.codec" -> "avro"))
+    tj.append(spark.range(100, 200).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    val mixed = tj.meta.currentSnapshot.get.files.manifests
+    assert(mixed.exists(_.path.endsWith(".json")) && mixed.exists(_.path.endsWith(".avro")),
+      s"expected mixed codecs, got ${mixed.map(_.path.split('.').last)}")
+    assert(tj.read().count() == 200L)
+    assert(tj.read().agg(sum("id")).head.getLong(0) == (0L until 200L).sum)
+
+    // parse-time comparison at 5000 entries/chunk (the default target):
+    // driver-local chunk loads, the planning-path cost at 10M files
+    val entries = (0 until 5000).map(i => DataFile(
+      s"$loc/data/part-$i.parquet", 1000L, 0, 0,
+      Map("k" -> (i % 64).toString),
+      Map(1 -> ColumnStats((i * 10).toString, (i * 10 + 9).toString),
+        2 -> ColumnStats("a" * 12, "z" * 12)), seq = i % 50))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pq = new Path(s"$loc/bench-chunk.avro")
+    ManifestCodec.writeData(pq, entries, conf)
+    val js = MetaJson.manifestToJson(entries)
+    def time[T](reps: Int)(body: => T): Double = {
+      body // warmup
+      val t0 = System.nanoTime(); (0 until reps).foreach(_ => body)
+      (System.nanoTime() - t0) / 1e6 / reps
+    }
+    val avMs = time(10)(ManifestCodec.readData(pq, conf))
+    val jsMs = time(10)(MetaJson.manifestFromJson(js))
+    info(f"chunk parse at 5000 entries: avro $avMs%.1f ms vs json $jsMs%.1f ms")
+    println(f"[codec-bench] entries=5000 avro_ms=$avMs%.1f json_ms=$jsMs%.1f")
+    assert(ManifestCodec.readData(pq, conf) == entries, "codec must be lossless")
+  }
+
   test("auto-maintenance rewrite-deletes threshold=1 is clamped, not a silent no-op") {
     val t = IceLite.create(spark, freshLoc("clamp"),
       Seq("id" -> "BIGINT", "v" -> "BIGINT"),
