@@ -1107,9 +1107,31 @@ object LakehouseOps {
             WHERE event_id % 7 <> 0 ORDER BY event_id"""),
   )
 
+  /** Cross-format interop round trip: the IceLite table EXPORTS as a
+    * real-format Apache Iceberg table (metadata.json + avro manifest
+    * list + avro manifests over name-addressable parquet,
+    * [[graft.icelite.IcebergExport]]) and an independent Iceberg-format
+    * reader ([[graft.icelite.IcebergInterop]] — parses the Iceberg spec's
+    * artifacts directly, no IceLite metadata involved) reproduces the
+    * exact table state, merge-on-read deletes materialized. The strongest
+    * fidelity evidence that IceLite's metadata design is genuinely
+    * Iceberg-shaped (README.md:830–1029). */
+  private val icebergExportRead = QueryDef(
+    "iceberg_export_read",
+    (s, dir) => {
+      val t = mkTable(s, dir, "iceexport",
+        props = Map("write.delete.mode" -> "merge-on-read"))
+      t.delete(col("o_orderkey") % 9 === 0)
+      val mj = graft.icelite.IcebergExport.export(t, scratch("iceexport_dst"))
+      stateOf(graft.icelite.IcebergInterop.read(s, mj))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey % 9 <> 0 ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain, timestampNsTable,
+    autoMaintain, timestampNsTable, icebergExportRead,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
