@@ -201,4 +201,25 @@ class DeleteManifestSpec extends SparkSpec {
     assert(IceLite.load(spark, loc).read().select("id").as[Long].collect().toSet ==
       ((0L until 100L).toSet -- Set(1L, 2L, 3L) + 1000L))
   }
+
+  test("delete-heavy table consolidates undersized delete chunks (bounded manifest count)") {
+    val loc = Files.createTempDirectory("dmf_consol").toString + "/t"
+    val t = IceLite.createFrom(spark, loc, Seq((-1L, 0L)).toDF("id", "v"),
+      properties = Map("write.delete.mode" -> "merge-on-read",
+        "write.metadata.manifest.min-files" -> "2",
+        "write.metadata.manifest.target-files" -> "50",
+        "write.metadata.manifest.max-count" -> "4"))
+    t.append(spark.range(0, 200).select(col("id"), (col("id") * 3).as("v")).repartition(4))
+    // each MoR delete lands delete files on the tail; the spill chunks
+    // them every commit (min-files 2) and consolidation must keep the
+    // DELETE manifest list bounded, like the data side
+    for (i <- 0 until 12) t.delete(col("id") === i.toLong * 7L)
+    val head = t.meta.currentSnapshot.get
+    assert(head.deletes.manifests.size <= 5,
+      s"delete chunk count must stay bounded, got ${head.deletes.manifests.size}")
+    // logical content exact through every consolidation, fresh load
+    assert(IceLite.load(spark, loc).read().select("id").as[Long].collect().toSet ==
+      ((0L until 200L).toSet -- (0 until 12).map(_ * 7L)))
+    assert(MetaJson.fromJson(MetaJson.toJson(t.meta), t.manifestIO) == t.meta)
+  }
 }
