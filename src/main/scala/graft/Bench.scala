@@ -35,7 +35,7 @@ object Bench {
     "cosine_topk", "ann_ivf_topk", "curation_pipeline", "doc_fingerprint",
     "token_counts", "multimodal_binary_meta", "icelite_append_read",
     "icelite_delete_mor", "icelite_merge", "icelite_compaction",
-    "icelite_zorder", "icelite_time_travel")
+    "icelite_zorder", "icelite_time_travel", "iceberg_export_read")
 
   /** The heaviest bench queries that read only documents/orders/lineitem/
     * embeddings (the four tables the synthetic scale-up generates) — the
@@ -55,7 +55,9 @@ object Bench {
     "ann_recall_report", "ngram_novelty",
     "paragraph_dedup", "tokenizer_fertility", "dedup_cluster_stats",
     "curriculum_order", "shard_manifest", "mixing_schedule",
-    "dedup_recall_report", "packing_efficiency", "dataset_card", "embedding_drift")
+    "dedup_recall_report", "packing_efficiency", "dataset_card", "embedding_drift",
+    // round-12: the Iceberg-format export round trip (full-table rewrite op)
+    "iceberg_export_read")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete

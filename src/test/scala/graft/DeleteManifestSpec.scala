@@ -202,6 +202,30 @@ class DeleteManifestSpec extends SparkSpec {
       ((0L until 100L).toSet -- Set(1L, 2L, 3L) + 1000L))
   }
 
+  test("orphan sweep reclaims stranded delete chunks, preserves referenced ones") {
+    val loc = Files.createTempDirectory("dmf_orphan").toString + "/t"
+    val t = IceLite.createFrom(spark, loc, Seq((-1L, 0L)).toDF("id", "v"),
+      properties = Map("write.delete.mode" -> "merge-on-read",
+        "write.metadata.manifest.min-files" -> "2"))
+    t.append(spark.range(0, 50).select(col("id"), (col("id") * 3).as("v")).repartition(2))
+    (1 to 3).foreach(i => t.delete(col("id") === i.toLong))
+    val live = t.meta.currentSnapshot.get.deletes.manifests.map(_.path)
+    assert(live.nonEmpty, "precondition: delete chunks exist")
+
+    // a collided commit attempt strands a delete chunk nothing references
+    val fs = IceLite.fs(spark, loc)
+    val stranded = new Path(loc, "metadata/manifests/dmf-stranded.avro")
+    val out = fs.create(stranded, true); out.write(1); out.close()
+
+    val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed.exists(_.endsWith("dmf-stranded.avro")),
+      "the stranded delete chunk must be reclaimed")
+    live.foreach(p => assert(fs.exists(new Path(p)),
+      s"live delete chunk must survive the sweep: $p"))
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      ((0L until 50L).toSet -- Set(1L, 2L, 3L)))
+  }
+
   test("delete-heavy table consolidates undersized delete chunks (bounded manifest count)") {
     val loc = Files.createTempDirectory("dmf_consol").toString + "/t"
     val t = IceLite.createFrom(spark, loc, Seq((-1L, 0L)).toDF("id", "v"),
