@@ -96,15 +96,56 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * regressing the table. */
   private def commitAt(v: Int, next: TableMetadata, note: String): Unit = {
     val entry = MetadataLogEntry(v, System.currentTimeMillis(), note)
+    // metadata-log retention (Iceberg's metadata-log truncation under
+    // write.metadata.previous-versions-max): the commit-note log is
+    // bounded at `write.metadata.log.max-entries` newest entries, so a
+    // long-lived table's version file does not grow O(commits). 0 = keep
+    // everything.
+    val maxLog = next.properties
+      .getOrElse("write.metadata.log.max-entries", "100").toInt
+    val fullLog = next.metadataLog :+ entry
+    val boundedLog =
+      if (maxLog > 0 && fullLog.size > maxLog) fullLog.takeRight(maxLog) else fullLog
     // spill crossed-threshold inline tails into side manifest chunks
     // FIRST, so the version file carries refs + summaries, never the bulk
     // entries (chunks from an attempt that then collides are orphans the
     // grace-period sweep reclaims)
-    val withLog = manifestIO.spill(next.copy(metadataLog = next.metadataLog :+ entry))
+    val withLog = manifestIO.spill(next.copy(metadataLog = boundedLog))
     // create-if-absent: the conflict check
     store.createExclusive(new Path(location, s"metadata/v$v.json"), MetaJson.toJson(withLog))
     IceLite.swapHintForward(store, new Path(location, s"metadata/$HINT"), v)
+    pruneOldVersionFiles(v, withLog)
   }
+
+  /** Iceberg's `write.metadata.delete-after-commit.enabled` +
+    * `write.metadata.previous-versions-max`: after a successful commit,
+    * delete version files older than the retention window so metadata/
+    * holds O(window) files instead of O(commits). Safe by the protocol:
+    * readers resolve ONLY through the forward-only hint (no backward
+    * scan exists), time travel and rollback read snapshots from the
+    * CURRENT metadata, and the orphan-step logic scans ABOVE the hint.
+    * Opt-in (Iceberg's default too) — a debugging workflow may want the
+    * full version history on disk. Deletion is best-effort and bounded
+    * per commit (amortized catch-up when the property is enabled late);
+    * a failure degrades to a stderr note, never to the committed DML. */
+  private def pruneOldVersionFiles(v: Int, m: TableMetadata): Unit =
+    if (m.properties.get("write.metadata.delete-after-commit.enabled").contains("true")) {
+      val keep = math.max(1, m.properties
+        .getOrElse("write.metadata.previous-versions-max", "100").toInt)
+      var k = v - keep - 1
+      var budget = 8
+      try {
+        var more = true
+        while (k >= 1 && budget > 0 && more) {
+          val p = new Path(location, s"metadata/v$k.json")
+          if (store.exists(p)) { store.delete(p); budget -= 1; k -= 1 }
+          else more = false
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[icelite] version-file prune skipped: ${e.getMessage}")
+      }
+    }
 
   /** One-shot commit for operations whose output is DERIVED from the
     * loaded snapshot (compaction, overwrite): any concurrent commit means
