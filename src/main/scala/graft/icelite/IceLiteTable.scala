@@ -970,7 +970,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pos = matched.select(col("_file").as("file_path"), col("_pos").as("pos"))
-      val (out, dels) = writePosDeleteFiles(pos)
+      val (out, dels) = writePosDeleteFiles(pos, m)
       val f = fs(spark, location)
       if (dels.isEmpty) { f.delete(out, true); return }
       // every matched row satisfies cond — apply assignments directly
@@ -980,9 +980,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .getOrElse(col(fld.name))
       }: _*)
       val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
-      val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
-        .parquet(dels.map(_.path): _*)
-        .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
+      val touchedPaths = referencedDataPaths(dels)
       val scannedDeletes = snap.deleteFiles.map(d => normPath(d.path)).toSet
       val scannedDelRefs = snap.deletes.manifests.map(_.path).toSet
       try commitWithRetry { cur =>
@@ -1081,9 +1079,65 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * file's positions (DeleteIndex) prunes to the row groups covering
     * that file via parquet min/max stats, and the loaded runs are sorted.
     * Returns the staging dir + one manifest entry per non-empty part
-    * (empty when no positions matched — caller cleans the dir). */
-  private def writePosDeleteFiles(pos: DataFrame): (Path, Seq[DeleteFile]) =
-    writeDeleteParquet(pos.sort("file_path", "pos"))
+    * (empty when no positions matched — caller cleans the dir).
+    *
+    * `write.delete.vector.enabled=true` switches the carrier to bitmap
+    * DELETION VECTORS (`.ildv`, [[DvCodec]]) — the V3 representation the
+    * reference describes (README.md:1098–1108): per-data-file RLE bitmaps
+    * written executor-side (positions repartitioned by data file, one
+    * container per non-empty task), O(runs) on disk for the contiguous
+    * ranges predicates actually kill. Readers dispatch on the extension,
+    * so parquet and DV deletes coexist and a table migrates live. */
+  private def writePosDeleteFiles(pos: DataFrame,
+      m: TableMetadata): (Path, Seq[DeleteFile]) =
+    if (m.properties.get("write.delete.vector.enabled").contains("true"))
+      writeDeleteVectors(pos)
+    else writeDeleteParquet(pos.sort("file_path", "pos"))
+
+  /** DV write path: per-file sorted positions → RLE blobs, one `.ildv`
+    * container per non-empty task partition. Distributed — positions
+    * never collect to the driver; the driver sees only per-file
+    * (container, file, count) summaries, O(touched files) like the
+    * parquet listing walk. */
+  private def writeDeleteVectors(pos: DataFrame): (Path, Seq[DeleteFile]) = {
+    val delDir = new Path(location, "deletes")
+    fs(spark, location).mkdirs(delDir)
+    val out = new Path(delDir, s"${UUID.randomUUID()}")
+    fs(spark, location).mkdirs(out)
+    val outStr = out.toString
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    // one shuffle keyed on the data file: each task owns whole files and
+    // emits their blobs into its own container
+    val summaries: Array[(String, String, Long)] = pos
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
+      .as[(String, Long)]
+      .repartition(col("file_path"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuilder.ofLong]()
+        it.foreach { case (fp, p) =>
+          byFile.getOrElseUpdate(fp, new scala.collection.mutable.ArrayBuilder.ofLong) += p
+        }
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          val entries = byFile.toSeq.sortBy(_._1).map { case (fp, b) =>
+            val arr = b.result(); java.util.Arrays.sort(arr)
+            fp -> arr
+          }
+          val p = new Path(outStr, s"dv-${UUID.randomUUID()}${DvCodec.Ext}")
+          val written = DvCodec.write(p, entries, confB.value)
+          written.iterator.map(e => (p.toString, e.filePath, e.count))
+        }
+      }.collect()
+    val dels = summaries.groupBy(_._1).toSeq.sortBy(_._1).map { case (dvPath, es) =>
+      val paths = es.map(e => normPath(e._2))
+      DeleteFile(dvPath, es.map(_._3).sum, kind = "pos",
+        pathLo = Some(paths.min), pathHi = Some(paths.max))
+    }
+    (out, dels)
+  }
 
   /** Write an already-arranged (file_path, pos) frame under `deletes/` and
     * list the produced parquet parts as [[DeleteFile]]s (zero-row parts are
@@ -1141,7 +1195,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val df = scanSnapshot(m, snap, lineage = true, _ => true,
       IceLite.statFiltersFromCondition(cond))
     val pos = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
-    val (out, files) = writePosDeleteFiles(pos)
+    val (out, files) = writePosDeleteFiles(pos, m)
     val f = fs(spark, location)
     if (files.isEmpty) { f.delete(out, true); return }
     // The positions reference specific data files of the scanned snapshot.
@@ -1151,9 +1205,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // (the read path ignores positions for unknown files). Harvest the
     // touched paths from the just-written delete files (metadata-scale) and
     // verify them inside every retry attempt.
-    val touchedPaths = spark.read.schema("file_path STRING, pos BIGINT")
-      .parquet(files.map(_.path).toSeq: _*)
-      .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSet
+    val touchedPaths = referencedDataPaths(files.toSeq)
     try commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
       val live = cs.dataFiles.map(df => normPath(df.path)).toSet
@@ -1168,6 +1220,42 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         f.delete(out, true) // the positions are stale; never commit them
         throw e
     }
+  }
+
+  /** Data-file paths a set of position-delete files references — the
+    * MoR rebase-validation input. Dispatches on the carrier: DV containers
+    * answer from their header index (driver-side, O(index)); parquet
+    * deletes from a column-pruned distinct scan. */
+  private def referencedDataPaths(dels: Seq[DeleteFile]): Set[String] = {
+    val (dv, pq) = dels.map(_.path).partition(_.endsWith(DvCodec.Ext))
+    val conf = spark.sessionState.newHadoopConf()
+    val fromDv = dv.flatMap(p =>
+      DvCodec.header(new Path(p), conf).map(e => normPath(e._1)))
+    val fromPq =
+      if (pq.isEmpty) Seq()
+      else spark.read.schema("file_path STRING, pos BIGINT")
+        .parquet(pq: _*)
+        .select("file_path").distinct().collect().map(r => normPath(r.getString(0))).toSeq
+    (fromDv ++ fromPq).toSet
+  }
+
+  /** (file_path, pos) rows of a mixed parquet/DV position-delete set —
+    * what the delete-file rewrite merges. DV containers expand
+    * executor-side (one task per container). */
+  private def posDeleteRows(dels: Seq[DeleteFile]): DataFrame = {
+    import spark.implicits._
+    val (dv, pq) = dels.map(_.path).partition(_.endsWith(DvCodec.Ext))
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val pqDf =
+      if (pq.isEmpty) None
+      else Some(spark.read.schema("file_path STRING, pos BIGINT").parquet(pq: _*))
+    val dvDf =
+      if (dv.isEmpty) None
+      else Some(spark.createDataset(dv).repartition(math.max(1, dv.size))
+        .flatMap(p => DvCodec.expand(new Path(p), confB.value))
+        .toDF("file_path", "pos"))
+    (pqDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
   }
 
   /** Write one equality-delete key set under deletes/ (physical `f<id>`
@@ -1724,10 +1812,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         if (posDels.size < minFiles) throw Noop
         // persist across the two passes (dangling scan + merged write): at
         // high delete-FILE counts the dominant cost is re-opening thousands
-        // of tiny parquets, not the rows themselves
-        val raw = spark.read
-          .schema("file_path string, pos bigint")
-          .parquet(posDels.map(_.path): _*)
+        // of tiny parquets, not the rows themselves. posDeleteRows expands
+        // DV containers too, so the rewrite MATERIALIZES deletion vectors
+        // into the canonical merged parquet — the maintenance path out of
+        // either carrier.
+        val raw = posDeleteRows(posDels)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // dangling filter: delete rows store `_metadata.file_path` strings
         // (file:///x) while DataFile.path is Hadoop-style (file:/x) —

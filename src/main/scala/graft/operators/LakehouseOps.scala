@@ -1107,6 +1107,28 @@ object LakehouseOps {
             WHERE event_id % 7 <> 0 ORDER BY event_id"""),
   )
 
+  /** M3c in the V3 BITMAP representation (README.md:1098–1108: deletion
+    * vectors hold delete info in bitmap form, applied at read):
+    * `write.delete.vector.enabled` switches the position-delete carrier
+    * to per-data-file RLE containers (`.ildv`, DvCodec) — same
+    * merge-on-read semantics, O(runs) on disk for the contiguous ranges
+    * predicates kill. The oracle is carrier-blind, which is the point. */
+  private val deleteDv = QueryDef(
+    "icelite_delete_dv",
+    (s, dir) => {
+      val t = mkTable(s, dir, "deldv",
+        props = Map("write.delete.mode" -> "merge-on-read",
+          "write.delete.vector.enabled" -> "true"))
+      t.delete(col("o_orderkey") % 6 === 0)
+      t.update(col("o_orderkey") % 11 === 0, Map("o_orderstatus" -> lit("V")))
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'V' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 6 <> 0 ORDER BY o_orderkey"""),
+  )
+
   /** Cross-format interop round trip: the IceLite table EXPORTS as a
     * real-format Apache Iceberg table (metadata.json + avro manifest
     * list + avro manifests over name-addressable parquet,
@@ -1131,7 +1153,7 @@ object LakehouseOps {
 
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain, timestampNsTable, icebergExportRead,
+    autoMaintain, timestampNsTable, icebergExportRead, deleteDv,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
