@@ -1098,8 +1098,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * container per non-empty task partition. Distributed — positions
     * never collect to the driver; the driver sees only per-file
     * (container, file, count) summaries, O(touched files) like the
-    * parquet listing walk. */
-  private def writeDeleteVectors(pos: DataFrame): (Path, Seq[DeleteFile]) = {
+    * parquet listing walk. `numParts` pins the container count (the
+    * delete-file rewrite's merge target); DML paths default to the
+    * session shuffle parallelism. */
+  private def writeDeleteVectors(pos: DataFrame,
+      numParts: Option[Int] = None): (Path, Seq[DeleteFile]) = {
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
     val out = new Path(delDir, s"${UUID.randomUUID()}")
@@ -1110,10 +1113,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     import spark.implicits._
     // one shuffle keyed on the data file: each task owns whole files and
     // emits their blobs into its own container
-    val summaries: Array[(String, String, Long)] = pos
+    val posTyped = pos
       .select(col("file_path").cast("string"), col("pos").cast("long"))
       .as[(String, Long)]
-      .repartition(col("file_path"))
+    val summaries: Array[(String, String, Long)] = numParts
+      .fold(posTyped.repartition(col("file_path")))(n =>
+        posTyped.repartition(n, col("file_path")))
       .mapPartitions { it =>
         val byFile = scala.collection.mutable.LinkedHashMap[String,
           scala.collection.mutable.ArrayBuilder.ofLong]()
@@ -1830,7 +1835,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .dropDuplicates("file_path", "pos")
           .repartitionByRange(target, col("file_path"), col("pos"))
           .sortWithinPartitions("file_path", "pos")
-        val (_, files) = try writeDeleteParquet(kept) finally raw.unpersist()
+        // the rewrite HONORS the table's chosen carrier: a DV-enabled
+        // table merges into `target` DV containers, others into the
+        // canonical merged parquet
+        val (_, files) =
+          try {
+            if (m.properties.get("write.delete.vector.enabled").contains("true"))
+              writeDeleteVectors(kept, numParts = Some(target))
+            else writeDeleteParquet(kept)
+          } finally raw.unpersist()
         val sq = posDels.map(_.seq).max
         (newSnapshotL(m, "replace", snap.files,
           eqDels ++ files.map(_.copy(seq = sq))),

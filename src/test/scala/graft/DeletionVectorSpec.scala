@@ -79,17 +79,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(changes(tv).count(_._1 == "delete") == 20)
   }
 
-  test("rewritePositionDeletes materializes DV containers into the merged parquet form") {
+  test("rewritePositionDeletes merges DV containers, honoring the table's carrier") {
     val t = mk("rw", dv = true)
     (0 until 4).foreach(i => t.delete(col("id") === (i * 50).toLong))
     val before = t.meta.currentSnapshot.get.deleteFiles.filter(_.kind == "pos")
     assert(before.size >= 4 && before.forall(_.path.endsWith(DvCodec.Ext)))
     assert(t.rewritePositionDeletes())
     val after = t.meta.currentSnapshot.get.deleteFiles.filter(_.kind == "pos")
-    assert(after.size == 1 && after.head.path.endsWith(".parquet"),
-      s"rewrite must merge DVs into one parquet, got ${after.map(_.path)}")
+    assert(after.size == 1 && after.head.path.endsWith(DvCodec.Ext),
+      s"a DV-enabled table's rewrite must merge into ONE DV container, " +
+        s"got ${after.map(_.path)}")
     assert(t.read().select("id").as[Long].collect().toSet ==
       ((0L until 1000L).toSet -- Set(0L, 50L, 100L, 150L)))
+
+    // a table that DISABLES the property afterwards rewrites back to the
+    // canonical parquet — the migration path out of DVs
+    t.delete(col("id") === 999L)
+    t.setProperties(Map("write.delete.vector.enabled" -> "false"))
+    assert(t.rewritePositionDeletes())
+    val back = t.meta.currentSnapshot.get.deleteFiles.filter(_.kind == "pos")
+    assert(back.size == 1 && back.head.path.endsWith(".parquet"),
+      s"disabling DVs must migrate the carrier back on rewrite, got ${back.map(_.path)}")
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      ((0L until 1000L).toSet -- Set(0L, 50L, 100L, 150L, 999L)))
   }
 
   test("a contiguous-range DV is materially smaller than its parquet twin") {
