@@ -17,16 +17,19 @@ import graft.icelite.DeleteIndex
   * This is the merge-on-read read-path filter (IceLiteTable.scanSnapshot):
   * a Scala UDF here would cut the whole-stage-codegen span right after the
   * vectorized parquet scan and pay boxing + Row conversion per row; this
-  * expression generates an inline `Arrays.binarySearch` probe, so
-  * scan→filter→downstream stays one codegen stage.
+  * expression generates an inline run-membership probe
+  * ([[graft.icelite.DvCodec.runContains]] — binary search over packed
+  * [start,len]* runs), so scan→filter→downstream stays one codegen stage.
   *
   * The broadcast carries a [[graft.icelite.DeleteIndex]] — delete-file
   * PATHS only, O(delete files) driver memory — and each task resolves its
-  * own files' sorted position arrays lazily executor-side. Because a scan
-  * task reads one parquet split at a time, `file` is constant for long row
-  * runs; a one-entry (lastFile → lastPositions) memo in generated mutable
-  * state makes the per-row cost a UTF8String equality check + binary
-  * search, with the index probe paid once per file per task.
+  * own files' packed deleted-position RUNS lazily executor-side (O(runs)
+  * task memory even for dense deletes — positions are never expanded).
+  * Because a scan task reads one parquet split at a time, `file` is
+  * constant for long row runs; a one-entry (lastFile → lastRuns) memo in
+  * generated mutable state makes the per-row cost a UTF8String equality
+  * check + O(log runs) search, with the index probe paid once per file
+  * per task.
   */
 case class PositionLive(
     left: Expression, right: Expression,
@@ -58,9 +61,9 @@ case class PositionLive(
       val fu = f.asInstanceOf[UTF8String]
       if (lastFile == null || !lastFile.equals(fu)) {
         lastFile = fu.clone() // vectorized readers reuse string buffers
-        lastArr = index.value.positionsFor(fu)
+        lastArr = index.value.runsFor(fu)
       }
-      java.util.Arrays.binarySearch(lastArr, p.asInstanceOf[Long]) < 0
+      !graft.icelite.DvCodec.runContains(lastArr, p.asInstanceOf[Long])
     }
   }
 
@@ -82,10 +85,10 @@ case class PositionLive(
         if (!${fEv.isNull} && !${pEv.isNull}) {
           if ($lastFileVar == null || !$lastFileVar.equals(${fEv.value})) {
             $lastFileVar = ${fEv.value}.clone();
-            $lastArrVar = (long[]) $idxVar.positionsFor(${fEv.value});
+            $lastArrVar = (long[]) $idxVar.runsFor(${fEv.value});
           }
           ${ev.value} =
-            java.util.Arrays.binarySearch($lastArrVar, ${pEv.value}) < 0;
+            !graft.icelite.DvCodec$$.MODULE$$.runContains($lastArrVar, ${pEv.value});
         }""",
       isNull = FalseLiteral)
   }

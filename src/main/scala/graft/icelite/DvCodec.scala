@@ -49,7 +49,47 @@ object DvCodec {
     runs.result()
   }
 
-  private def expandRuns(runs: Array[Long]): Array[Long] = {
+  /** Membership probe over a packed [start,len]* runs array — binary
+    * search on the run starts, then a bound check. This is the read-path
+    * filter shape: O(log runs) per row with O(runs) task memory, where an
+    * expanded position array would cost O(positions) on a dense-delete
+    * file. Static-shaped so codegen calls it directly. */
+  def runContains(runs: Array[Long], p: Long): Boolean = {
+    var lo = 0
+    var hi = runs.length / 2 - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val s = runs(mid << 1)
+      if (p < s) hi = mid - 1
+      else if (p >= s + runs((mid << 1) + 1)) lo = mid + 1
+      else return true
+    }
+    false
+  }
+
+  /** Merge possibly-overlapping packed run arrays (several delete files may
+    * record the same data file) into one sorted, coalesced runs array. */
+  def mergeRuns(parts: Seq[Array[Long]]): Array[Long] = {
+    val nonEmpty = parts.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) return Array.emptyLongArray
+    if (nonEmpty.size == 1) return nonEmpty.head
+    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    nonEmpty.foreach { rs =>
+      var i = 0
+      while (i < rs.length) { pairs += ((rs(i), rs(i + 1))); i += 2 }
+    }
+    val sorted = pairs.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var (curS, curL) = sorted.head
+    sorted.tail.foreach { case (s, l) =>
+      if (s <= curS + curL) curL = math.max(curL, s + l - curS)
+      else { out += curS; out += curL; curS = s; curL = l }
+    }
+    out += curS; out += curL
+    out.result()
+  }
+
+  private[icelite] def expandRuns(runs: Array[Long]): Array[Long] = {
     var n = 0L
     var i = 1
     while (i < runs.length) { n += runs(i); i += 2 }
@@ -97,55 +137,92 @@ object DvCodec {
     } finally in.close()
   }
 
-  /** Sorted deleted positions recorded for `dataFile` (empty when none):
-    * header parse + one seek to the file's own blob. */
-  def positionsFor(path: Path, conf: Configuration, dataFile: String): Array[Long] = {
+  /** Byte-exact consumption counter: sits directly under the
+    * DataInputStream (which never reads ahead), so `count` is exactly the
+    * header bytes consumed. The blob seek offset therefore comes from what
+    * the reader actually READ — never from re-encoding the path, which
+    * would have to reproduce `writeUTF`'s modified-UTF-8 quirks (NUL → 2
+    * bytes, supplementary chars → 6) to be safe. */
+  private final class CountingIn(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count = 0L
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) count += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n > 0) count += n; n
+    }
+    override def skip(n: Long): Long = {
+      val s = super.skip(n); count += s; s
+    }
+  }
+
+  /** Packed [start,len]* runs recorded for `dataFile` (empty when none):
+    * header parse + one seek to the file's own blob — O(runs) memory, the
+    * scan path probes them directly via [[runContains]]. */
+  def runsFor(path: Path, conf: Configuration, dataFile: String): Array[Long] = {
     val fs = FileSystem.get(path.toUri, conf)
     val in = fs.open(path)
     try {
-      val din = new java.io.DataInputStream(new java.io.BufferedInputStream(in))
+      val counting = new CountingIn(new java.io.BufferedInputStream(in))
+      val din = new java.io.DataInputStream(counting)
       val m = new Array[Byte](Magic.length)
       din.readFully(m)
       require(java.util.Arrays.equals(m, Magic), s"not an ILDV container: $path")
       val n = din.readInt()
-      var headerBytes = Magic.length.toLong + 4
       var runsBefore = 0L
       var targetRuns = -1
       var i = 0
       while (i < n) {
         val fp = din.readUTF(); val cnt = din.readLong(); val nRuns = din.readInt()
-        headerBytes += 2 + fp.getBytes("UTF-8").length + 8 + 4
         if (fp == dataFile && targetRuns < 0) targetRuns = nRuns
         else if (targetRuns < 0) runsBefore += nRuns
         i += 1; val _ = cnt
       }
       if (targetRuns < 0) return Array.emptyLongArray
-      in.seek(headerBytes + runsBefore * 16)
+      in.seek(counting.count + runsBefore * 16)
       val din2 = new java.io.DataInputStream(new java.io.BufferedInputStream(in))
       val runs = new Array[Long](targetRuns * 2)
       var j = 0
       while (j < runs.length) { runs(j) = din2.readLong(); j += 1 }
-      expandRuns(runs)
+      runs
     } finally in.close()
   }
 
+  /** Sorted deleted positions for `dataFile` — [[runsFor]] expanded.
+    * Diagnostic/spec surface; the scan path stays on runs. */
+  def positionsFor(path: Path, conf: Configuration, dataFile: String): Array[Long] =
+    expandRuns(runsFor(path, conf, dataFile))
+
   /** Every (filePath, pos) pair in the container — the expansion the
     * delete-file rewrite consumes to materialize DVs back into the merged
-    * parquet form. */
+    * parquet form. The container is read EAGERLY into its packed runs
+    * (O(runs) memory — the compressed form, bounded per container) and the
+    * stream closed in a finally, so a consumer that stops early or throws
+    * mid-iteration can never leak the handle; only the position expansion
+    * stays lazy. */
   def expand(path: Path, conf: Configuration): Iterator[(String, Long)] = {
     val fs = FileSystem.get(path.toUri, conf)
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(path)))
-    val m = new Array[Byte](Magic.length)
-    in.readFully(m)
-    require(java.util.Arrays.equals(m, Magic), s"not an ILDV container: $path")
-    val n = in.readInt()
-    val idx = (0 until n).map(_ => (in.readUTF(), in.readLong(), in.readInt()))
-    idx.iterator.flatMap { case (fp, _, nRuns) =>
-      (0 until nRuns).iterator.flatMap { _ =>
-        val start = in.readLong(); val len = in.readLong()
-        (start until start + len).iterator.map(fp -> _)
+    val entries =
+      try {
+        val m = new Array[Byte](Magic.length)
+        in.readFully(m)
+        require(java.util.Arrays.equals(m, Magic), s"not an ILDV container: $path")
+        val n = in.readInt()
+        val idx = (0 until n).map(_ => (in.readUTF(), in.readLong(), in.readInt()))
+        idx.map { case (fp, _, nRuns) =>
+          val runs = new Array[Long](nRuns * 2)
+          var j = 0
+          while (j < runs.length) { runs(j) = in.readLong(); j += 1 }
+          (fp, runs)
+        }
+      } finally in.close()
+    entries.iterator.flatMap { case (fp, runs) =>
+      (0 until runs.length by 2).iterator.flatMap { i =>
+        (runs(i) until runs(i) + runs(i + 1)).iterator.map(fp -> _)
       }
-    } ++ { in.close(); Iterator.empty }
+    }
   }
 }

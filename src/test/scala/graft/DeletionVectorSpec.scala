@@ -46,6 +46,42 @@ class DeletionVectorSpec extends SparkSpec {
     assert(DvCodec.expand(p, conf).size == 106)
   }
 
+  test("DV codec hardening: modified-UTF-8 paths seek exactly; expand decouples from the handle; runs probe") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = Files.createTempDirectory("dv_codec_hard").toString
+    // writeUTF emits MODIFIED UTF-8 (supplementary chars = 6 bytes vs
+    // standard UTF-8's 4; NUL = 2 bytes vs 1) — the reader derives the
+    // blob offset from bytes CONSUMED, so exotic paths cannot skew the
+    // seek into a neighboring blob
+    val pathA = "data/f_😀_\u0000.parquet" // surrogate pair + NUL
+    val pathB = "data/f_é߿.parquet"        // 2-byte class chars
+    val a = Array(3L, 4L, 5L, 100L)
+    val b = Array(7L)
+    val p = new Path(s"$dir/u${DvCodec.Ext}")
+    DvCodec.write(p, Seq(pathA -> a, pathB -> b), conf)
+    assert(DvCodec.positionsFor(p, conf, pathB).toSeq == Seq(7L),
+      "blob seek skewed by modified-UTF-8 header length")
+    assert(DvCodec.positionsFor(p, conf, pathA).toSeq == a.toSeq)
+    // the scan path consumes RUNS (packed [start,len]*), never expansions
+    assert(DvCodec.runsFor(p, conf, pathA).toSeq == Seq(3L, 3L, 100L, 1L))
+    assert(DvCodec.runContains(Array(3L, 3L, 100L, 1L), 5L))
+    assert(!DvCodec.runContains(Array(3L, 3L, 100L, 1L), 6L))
+    assert(DvCodec.runContains(Array(3L, 3L, 100L, 1L), 100L))
+    assert(!DvCodec.runContains(Array(3L, 3L, 100L, 1L), 101L))
+    // a DENSE delete set stays O(runs): one run describes a million kills
+    val dense = DvCodec.toRuns((0L until 1000000L).toArray)
+    assert(dense.length == 2)
+    assert(DvCodec.mergeRuns(Seq(Array(0L, 10L), Array(5L, 10L), Array(20L, 1L))).toSeq
+      == Seq(0L, 15L, 20L, 1L))
+    // expand() reads the container EAGERLY and closes before returning the
+    // iterator — a partial consumer can't leak the handle; proof: delete
+    // the file mid-iteration and the remaining positions still stream
+    val it = DvCodec.expand(p, conf)
+    assert(it.next()._2 == 3L)
+    org.apache.hadoop.fs.FileSystem.get(p.toUri, conf).delete(p, false)
+    assert(it.toSeq.map(_._2) == Seq(4L, 5L, 100L, 7L))
+  }
+
   test("DV-mode DELETE and UPDATE equal the parquet-delete twin; .ildv files carry the deletes") {
     val tp = mk("pq", dv = false)
     val tv = mk("dv", dv = true)
