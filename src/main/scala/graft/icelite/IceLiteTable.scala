@@ -106,11 +106,20 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val fullLog = next.metadataLog :+ entry
     val boundedLog =
       if (maxLog > 0 && fullLog.size > maxLog) fullLog.takeRight(maxLog) else fullLog
+    // persist the prune low-water mark (advanced by the LAST prune run) so
+    // catch-up survives restarts and never strands files below a gap
+    val withFloor =
+      if (next.properties.get("write.metadata.delete-after-commit.enabled").contains("true") &&
+          pruneFloor.get > next.properties
+            .get(IceLite.PruneFloorProp).map(_.toInt).getOrElse(1))
+        next.copy(properties =
+          next.properties + (IceLite.PruneFloorProp -> pruneFloor.get.toString))
+      else next
     // spill crossed-threshold inline tails into side manifest chunks
     // FIRST, so the version file carries refs + summaries, never the bulk
     // entries (chunks from an attempt that then collides are orphans the
     // grace-period sweep reclaims)
-    val withLog = manifestIO.spill(next.copy(metadataLog = boundedLog))
+    val withLog = manifestIO.spill(withFloor.copy(metadataLog = boundedLog))
     // create-if-absent: the conflict check
     store.createExclusive(new Path(location, s"metadata/v$v.json"), MetaJson.toJson(withLog))
     IceLite.swapHintForward(store, new Path(location, s"metadata/$HINT"), v)
@@ -127,20 +136,37 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * Opt-in (Iceberg's default too) — a debugging workflow may want the
     * full version history on disk. Deletion is best-effort and bounded
     * per commit (amortized catch-up when the property is enabled late);
-    * a failure degrades to a stderr note, never to the committed DML. */
+    * a failure degrades to a stderr note, never to the committed DML.
+    *
+    * The walk goes OLDEST-FIRST from a persisted low-water mark
+    * ([[IceLite.PruneFloorProp]], carried in table properties and advanced
+    * in the NEXT commit's metadata), so progress is contiguous and
+    * resumable: a budget-exhausted run, a crash, or the property being
+    * enabled late can never strand files below a gap the way a
+    * newest-first stop-at-first-missing walk does (it would park forever
+    * on the hole its own budget carved). Deletes are budget-bounded per
+    * commit; probes on already-missing versions are capped separately
+    * (each version is stepped past at most once over the table's life —
+    * amortized O(1) per commit). */
+  private val pruneFloor = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def pruneOldVersionFiles(v: Int, m: TableMetadata): Unit =
     if (m.properties.get("write.metadata.delete-after-commit.enabled").contains("true")) {
       val keep = math.max(1, m.properties
         .getOrElse("write.metadata.previous-versions-max", "100").toInt)
-      var k = v - keep - 1
+      val hi = v - keep - 1 // newest deletable version
+      var k = math.max(1, math.max(pruneFloor.get,
+        m.properties.get(IceLite.PruneFloorProp).map(_.toInt).getOrElse(1)))
       var budget = 8
+      var probes = 1024
       try {
-        var more = true
-        while (k >= 1 && budget > 0 && more) {
+        while (k <= hi && budget > 0 && probes > 0) {
           val p = new Path(location, s"metadata/v$k.json")
-          if (store.exists(p)) { store.delete(p); budget -= 1; k -= 1 }
-          else more = false
+          probes -= 1
+          if (store.exists(p)) { store.delete(p); budget -= 1 }
+          k += 1
         }
+        if (k > pruneFloor.get) pruneFloor.set(k)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[icelite] version-file prune skipped: ${e.getMessage}")
@@ -2151,6 +2177,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
 object IceLite {
   private[icelite] val HINT = "version-hint.text"
+
+  /** Internal property: lowest version file not yet confirmed pruned —
+    * the version-file prune's resumable low-water mark. */
+  private[icelite] val PruneFloorProp = "metadata.prune-low-water"
 
   /** One lowered MERGE clause ([[IceLiteTable.mergeClauses]]). Conditions
     * and assignment values are Columns over the joined row: target columns

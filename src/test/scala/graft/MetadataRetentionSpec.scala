@@ -75,4 +75,26 @@ class MetadataRetentionSpec extends SparkSpec {
       "late enablement must start reclaiming old version files")
     assert(IceLite.load(spark, loc2).read().count() == 18L)
   }
+
+  test("budget-bounded catch-up drains the WHOLE backlog — no files stranded below gaps") {
+    val loc = Files.createTempDirectory("meta_vprune_floor").toString + "/t"
+    val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT"))
+    for (i <- 0 until 30) t.append(Seq(i.toLong).toDF("id"))
+    assert(versionFiles(loc).size == 31)
+    t.setProperties(Map(
+      "write.metadata.delete-after-commit.enabled" -> "true",
+      "write.metadata.previous-versions-max" -> "2"))
+    // catch-up across RELOADED tables: the low-water mark must persist in
+    // the metadata (a newest-first walk stops at the first gap its own
+    // budget carved and strands v1..v5 forever — the round-12 defect)
+    for (i <- 0 until 6) {
+      val u = IceLite.load(spark, loc)
+      u.append(Seq((100 + i).toLong).toDF("id"))
+    }
+    val left = versionFiles(loc).map(_.stripPrefix("v").stripSuffix(".json").toInt).sorted
+    val cur = IceLite.load(spark, loc).currentVersion
+    assert(left.head >= cur - 3,
+      s"stranded version files below the window: $left (current v$cur)")
+    assert(IceLite.load(spark, loc).read().count() == 36L)
+  }
 }
