@@ -5,7 +5,8 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import scala.jdk.CollectionConverters._
 
 /** Export an IceLite table as a REAL Apache Iceberg table — the write-side
@@ -69,12 +70,21 @@ object IcebergExport {
     case other => sys.error(s"iceberg export: unsupported type $other")
   }
 
-  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
-    val f = new java.io.File(path)
-    f.getParentFile.mkdirs()
+  // Export IO rides Hadoop FileSystem resolved per path — an export onto
+  // HDFS/an object store (the deployment Iceberg exists for) must land its
+  // metadata next to its data, not on the driver's local disk.
+  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord],
+      conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, f)
+    w.create(schema, fs.create(p, false))
     try rows.foreach(w.append) finally w.close()
+  }
+
+  private def fileLen(path: String, conf: Configuration): Long = {
+    val p = new Path(path)
+    FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
   }
 
   /** Export `snapshotIds` (default: just the current snapshot) in ascending
@@ -86,9 +96,17 @@ object IcebergExport {
                else m.currentSnapshotId.toSeq)
     require(ids.nonEmpty, "iceberg export: empty table (no snapshot)")
     val conf = t.spark.sessionState.newHadoopConf()
-    new java.io.File(s"$dest/metadata").mkdirs()
+    val destFs = FileSystem.get(new Path(dest).toUri, conf)
+    destFs.mkdirs(new Path(dest, "metadata"))
 
-    val snapNodes = ids.zipWithIndex.map { case (sid, i) =>
+    // The exported metadata declares Iceberg timestamp/timestamptz types;
+    // real Iceberg readers reject parquet INT96, so the data rewrite pins
+    // the physical type to INT64 micros regardless of the session default
+    // (scoped: saved and restored around the export's writes).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = t.spark.conf.getOption(tsKey)
+    t.spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val snapNodes = try ids.zipWithIndex.map { case (sid, i) =>
       val snap = m.snapshot(sid)
       // the current snapshot reads through the CURRENT schema (metadata-only
       // DDL like rename/add-default bumps the schema with no new snapshot,
@@ -99,8 +117,7 @@ object IcebergExport {
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
       val dataDir = s"$dest/data/snap-$sid"
       df.write.parquet(dataDir)
-      val localFs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-      val parts = localFs.listStatus(new Path(dataDir))
+      val parts = destFs.listStatus(new Path(dataDir))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
       val entries = parts.toSeq.map { st =>
@@ -108,7 +125,7 @@ object IcebergExport {
         val rows = try r.getRecordCount finally r.close()
         val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
         dfr.put("content", 0)
-        dfr.put("file_path", st.getPath.toUri.getPath)
+        dfr.put("file_path", st.getPath.toString)
         dfr.put("file_format", "PARQUET")
         dfr.put("record_count", rows)
         dfr.put("file_size_in_bytes", st.getLen)
@@ -117,15 +134,18 @@ object IcebergExport {
         e
       }
       val mfPath = s"$dest/metadata/m-$sid.avro"
-      writeAvro(mfPath, entrySchema, entries)
+      writeAvro(mfPath, entrySchema, entries, conf)
       val mlRow = new GenericData.Record(manifestFileSchema)
       mlRow.put("manifest_path", mfPath)
-      mlRow.put("manifest_length", new java.io.File(mfPath).length())
+      mlRow.put("manifest_length", fileLen(mfPath, conf))
       mlRow.put("partition_spec_id", 0); mlRow.put("content", 0)
       mlRow.put("added_snapshot_id", sid)
       val mlPath = s"$dest/metadata/snap-$sid.avro"
-      writeAvro(mlPath, manifestFileSchema, Seq(mlRow))
+      writeAvro(mlPath, manifestFileSchema, Seq(mlRow), conf)
       (sid, schemaId, mlPath, snap.timestampMs, i + 1)
+    } finally prevTs match {
+      case Some(v) => t.spark.conf.set(tsKey, v)
+      case None    => t.spark.conf.unset(tsKey)
     }
 
     val exportedSchemas = snapNodes.map(_._2).distinct.sorted
@@ -165,8 +185,8 @@ object IcebergExport {
          |    $snapsJson]
          |}""".stripMargin
     val mjPath = s"$dest/metadata/v1.metadata.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(mjPath),
-      metaJson.getBytes("UTF-8"))
+    val out = destFs.create(new Path(mjPath), false)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
     mjPath
   }
 }

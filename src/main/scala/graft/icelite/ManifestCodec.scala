@@ -4,7 +4,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 import scala.jdk.CollectionConverters._
 
 /** Binary (avro) payload codec for manifest chunks — avro is Iceberg's own
@@ -46,18 +46,33 @@ object ManifestCodec {
       | {"name":"plo","type":["null","string"],"default":null},
       | {"name":"phi","type":["null","string"],"default":null}]}""".stripMargin)
 
-  /** Chunk paths are absolute; write/read go through the local-path view
-    * (manifest IO is driver-local metadata, like the JSON it replaces). */
-  private def localFile(p: Path): java.io.File = {
-    val u = p.toUri
-    new java.io.File(if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p.toString)
+  /** Chunk IO rides the table's Hadoop `FileSystem` (resolved from the
+    * chunk path's own scheme), NOT `java.io.File` — a table on HDFS/an
+    * object store must find its manifests where the `ManifestRef` says
+    * they are, and the expire/orphan sweeps (which list and delete through
+    * the same FS) must see them. Avro writes to any `OutputStream`; reads
+    * go through [[FsSeekableInput]] (avro's `SeekableInput` over
+    * `FSDataInputStream` — hadoop-client-api's own AvroFSInput binds to a
+    * SHADED avro, so the five-line bridge is spelled here), which means no
+    * local-path view exists anywhere on the manifest plane. */
+  private[icelite] final class FsSeekableInput(in: FSDataInputStream, len: Long)
+      extends org.apache.avro.file.SeekableInput {
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    override def close(): Unit = in.close()
+  }
+
+  private[icelite] def openSeekable(p: Path, conf: Configuration): FsSeekableInput = {
+    val fs = FileSystem.get(p.toUri, conf)
+    new FsSeekableInput(fs.open(p), fs.getFileStatus(p).getLen)
   }
 
   def writeData(p: Path, files: Seq[DataFile], conf: Configuration): Unit = {
-    val f = localFile(p)
-    f.getParentFile.mkdirs()
+    val fs = FileSystem.get(p.toUri, conf)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](dataSchema))
-    w.create(dataSchema, f)
+    w.create(dataSchema, fs.create(p, false))
     try files.foreach { df =>
       val r = new GenericData.Record(dataSchema)
       r.put("path", df.path); r.put("rows", df.rows)
@@ -75,7 +90,7 @@ object ManifestCodec {
 
   def readData(p: Path, conf: Configuration): Seq[DataFile] = {
     val r = new DataFileReader[GenericRecord](
-      localFile(p), new GenericDatumReader[GenericRecord]())
+      openSeekable(p, conf), new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.map { g =>
       DataFile(
         g.get("path").toString, g.get("rows").asInstanceOf[Long],
@@ -91,10 +106,9 @@ object ManifestCodec {
   }
 
   def writeDeletes(p: Path, files: Seq[DeleteFile], conf: Configuration): Unit = {
-    val f = localFile(p)
-    f.getParentFile.mkdirs()
+    val fs = FileSystem.get(p.toUri, conf)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](deleteSchema))
-    w.create(deleteSchema, f)
+    w.create(deleteSchema, fs.create(p, false))
     try files.foreach { df =>
       val r = new GenericData.Record(deleteSchema)
       r.put("path", df.path); r.put("rows", df.rows); r.put("kind", df.kind)
@@ -108,7 +122,7 @@ object ManifestCodec {
 
   def readDeletes(p: Path, conf: Configuration): Seq[DeleteFile] = {
     val r = new DataFileReader[GenericRecord](
-      localFile(p), new GenericDatumReader[GenericRecord]())
+      openSeekable(p, conf), new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.map { g =>
       DeleteFile(
         g.get("path").toString, g.get("rows").asInstanceOf[Long],
