@@ -3,6 +3,8 @@ package graft.icelite
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -25,29 +27,43 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented): data manifests with add/existing entries, snapshot
   * selection (current / VERSION AS OF), v1's inline `manifests` list and
-  * v2's `manifest-list`, flat primitive schemas. Delete manifests
-  * (content=1) in the selected snapshot raise — a read-only adapter must
-  * refuse rather than resurrect MoR-deleted rows. */
+  * v2's `manifest-list`, flat primitive schemas, partitioned tables
+  * (identity + temporal transforms, spec evolution mid-history, manifest
+  * partition tuples surfaced for pruning), and merge-on-read POSITION
+  * deletes (content=1 delete manifests over (file_path, pos) parquet).
+  * Equality-delete files (content=2 entries) still raise — a read-only
+  * adapter must refuse rather than resurrect MoR-deleted rows. */
 object IcebergInterop {
   private val M = new ObjectMapper()
 
-  private def readJson(path: String): JsonNode =
-    M.readTree(new java.io.File(stripScheme(path)))
+  // All metadata IO rides Hadoop FileSystem resolved from each artifact
+  // path's own scheme — a real Iceberg table lives on HDFS/object stores
+  // (the tutorial's own stack is Iceberg-on-MinIO, README.md:876–885), so
+  // a java.io.File view would only ever read file:// fixtures.
+  private def readJson(path: String, conf: Configuration): JsonNode = {
+    val p = new Path(path)
+    val in = FileSystem.get(p.toUri, conf).open(p)
+    try M.readTree(in) finally in.close()
+  }
 
-  private def stripScheme(p: String): String =
-    try {
-      val u = new java.net.URI(p)
-      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
-    } catch { case _: Exception => p }
-
-  private def avroRows(path: String): Seq[GenericRecord] = {
+  private def avroRows(path: String, conf: Configuration): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
-      new java.io.File(stripScheme(path)), new GenericDatumReader[GenericRecord]())
+      ManifestCodec.openSeekable(new Path(path), conf),
+      new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.toList finally reader.close()
   }
 
   private def str(r: GenericRecord, field: String): String =
     Option(r.get(field)).map(_.toString).orNull
+
+  /** Schema-safe optional field: avro's GenericRecord.get THROWS on names
+    * the writer's schema never had (v1 manifest lists lack `content`,
+    * unpartitioned writers omit `partition`, …). */
+  private def optField(r: GenericRecord, field: String): Option[AnyRef] =
+    if (r.getSchema.getField(field) != null) Option(r.get(field)) else None
+
+  private def optInt(r: GenericRecord, field: String, dflt: Int): Int =
+    optField(r, field).map(_.asInstanceOf[Number].intValue).getOrElse(dflt)
   private def long(r: GenericRecord, field: String): Long =
     r.get(field).asInstanceOf[Number].longValue
 
@@ -74,13 +90,26 @@ object IcebergInterop {
   final case class IceSnapshot(id: Long, timestampMs: Long, operation: String,
       manifestList: Option[String], manifests: Seq[String], schemaId: Option[Int])
 
+  /** One partition-spec field: `name` is the partition field name the
+    * manifest's partition tuples use; `transform` ∈ identity / year /
+    * month / day / bucket[N] / …; `sourceId` the source column's field id. */
+  final case class IceSpecField(name: String, transform: String, sourceId: Int)
+
+  /** One live data file of a snapshot, with the partition tuple its
+    * manifest recorded (stringified values; empty for unpartitioned
+    * files) and the spec it was written under. */
+  final case class IceDataFile(path: String, specId: Int,
+      partition: Map[String, String])
+
   final case class IceMeta(location: String, formatVersion: Int,
       currentSchemaId: Int, schemas: Map[Int, Seq[(String, String)]],
-      currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot])
+      currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
+      specs: Map[Int, Seq[IceSpecField]])
 
   /** Parse an Iceberg `metadata.json` (v1 or v2/v3 shapes). */
-  def loadMeta(metadataJson: String): IceMeta = {
-    val r = readJson(metadataJson)
+  def loadMeta(metadataJson: String,
+      conf: Configuration = new Configuration()): IceMeta = {
+    val r = readJson(metadataJson, conf)
     def arr(n: JsonNode, k: String): Seq[JsonNode] =
       Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Seq())
     def fieldsOf(schemaNode: JsonNode): Seq[(String, String)] =
@@ -92,6 +121,18 @@ object IcebergInterop {
         arr(r, "schemas").map(s => s.get("schema-id").asInt() -> fieldsOf(s)).toMap
       else Map(0 -> fieldsOf(r.get("schema")))
     val curSchema = Option(r.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    // v2: partition-specs[] with spec-id; v1: a single inline partition-spec
+    def specFieldsOf(n: JsonNode): Seq[IceSpecField] =
+      Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq()).map(f =>
+        IceSpecField(f.get("name").asText(), f.get("transform").asText(),
+          f.get("source-id").asInt()))
+    val specs: Map[Int, Seq[IceSpecField]] =
+      if (r.has("partition-specs"))
+        arr(r, "partition-specs").map(s =>
+          s.get("spec-id").asInt() -> specFieldsOf(s.get("fields"))).toMap
+      else if (r.has("partition-spec"))
+        Map(0 -> specFieldsOf(r.get("partition-spec")))
+      else Map(0 -> Seq())
     val snaps = arr(r, "snapshots").map { s =>
       IceSnapshot(
         s.get("snapshot-id").asLong(),
@@ -107,46 +148,79 @@ object IcebergInterop {
       Option(r.get("format-version")).map(_.asInt()).getOrElse(1),
       curSchema, schemas,
       Option(r.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
-      snaps)
+      snaps, specs)
   }
 
-  /** Live data-file paths of one snapshot: manifest-list (or v1 inline
-    * list) → data manifests → entries with status ∈ {added=1, existing=0}.
-    * Delete manifests or delete entries (status=2 rows are fine — they are
-    * REMOVED files) in the snapshot raise. */
-  private def dataFilePaths(snap: IceSnapshot): Seq[String] = {
-    val manifestPaths: Seq[(String, Int)] = snap.manifestList match {
+  /** Live file inventory of one snapshot: manifest-list (or v1 inline
+    * list) → manifests → entries with status ∈ {added=1, existing=0}
+    * (status=2 rows are REMOVED files and drop out). Data manifests
+    * (content=0) yield [[IceDataFile]]s with their manifest-recorded
+    * partition tuple; delete manifests (content=1) yield POSITION-delete
+    * file paths (data_file.content=1); equality-delete entries
+    * (content=2) raise — resurrecting or mis-keying those rows read-only
+    * would be silent corruption. */
+  private def fileInventory(meta: IceMeta, snap: IceSnapshot,
+      conf: Configuration): (Seq[IceDataFile], Seq[String]) = {
+    val manifestPaths: Seq[(String, Int, Int)] = snap.manifestList match {
       case Some(ml) =>
-        avroRows(ml).map { r =>
-          val content = Option(r.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
-          (str(r, "manifest_path"), content)
+        avroRows(ml, conf).map { r =>
+          (str(r, "manifest_path"), optInt(r, "content", 0),
+            optInt(r, "partition_spec_id", 0))
         }
-      case None => snap.manifests.map(p => (p, 0))
+      case None => snap.manifests.map(p => (p, 0, 0))
     }
-    require(!manifestPaths.exists(_._2 == 1),
-      "iceberg interop is read-only for data manifests; this snapshot " +
-        "carries DELETE manifests (merge-on-read) — compact the table first")
-    manifestPaths.map(_._1).flatMap { mp =>
-      avroRows(mp).flatMap { e =>
-        val status = Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(1)
-        if (status == 2) None // deleted entry: file left the table
-        else {
+    val dataFiles = scala.collection.mutable.ArrayBuffer[IceDataFile]()
+    val posDeletes = scala.collection.mutable.ArrayBuffer[String]()
+    manifestPaths.foreach { case (mp, manifestContent, specId) =>
+      avroRows(mp, conf).foreach { e =>
+        val status = optInt(e, "status", 1)
+        if (status != 2) { // 2 = deleted entry: file left the table
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
-          require(content == 0,
-            "iceberg interop: delete files (content != 0) are unsupported")
+          val content = optInt(df, "content", 0)
           require(str(df, "file_format").equalsIgnoreCase("parquet"),
-            s"iceberg interop: only parquet data files (got ${str(df, "file_format")})")
-          Some(str(df, "file_path"))
+            s"iceberg interop: only parquet files (got ${str(df, "file_format")})")
+          content match {
+            case 0 =>
+              require(manifestContent == 0,
+                s"iceberg interop: data file in a delete manifest: $mp")
+              val part: Map[String, String] = optField(df, "partition") match {
+                case Some(p: GenericRecord) =>
+                  p.getSchema.getFields.asScala.flatMap(f =>
+                    Option(p.get(f.name)).map(v => f.name -> v.toString)).toMap
+                case _ => Map()
+              }
+              dataFiles += IceDataFile(str(df, "file_path"), specId, part)
+            case 1 => posDeletes += str(df, "file_path")
+            case other => sys.error(
+              s"iceberg interop: equality-delete files (content=$other) are " +
+                "unsupported — a read-only adapter refuses rather than mis-apply them")
+          }
         }
       }
     }
+    (dataFiles.toSeq, posDeletes.toSeq)
   }
 
-  private def scan(spark: SparkSession, meta: IceMeta, snap: IceSnapshot): DataFrame = {
+  /** Scheme/authority-stripping normalizer, column form — delete files
+    * record `file_path` as the writer spelled it while Spark's
+    * `_metadata.file_path` renders a full URI; both normalize to the URI
+    * path (same rule as [[IceLite.normPath]]) with codegen'd regex, no UDF. */
+  private def normCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+
+  private def scan(spark: SparkSession, meta: IceMeta, snap: IceSnapshot,
+      prune: Map[String, String] => Boolean): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
     val schema = meta.schemas(snap.schemaId.getOrElse(meta.currentSchemaId))
-    val paths = dataFilePaths(snap)
-    if (paths.isEmpty) {
+    val (files, posDeletes) = fileInventory(meta, snap, conf)
+    // manifest-level partition pruning: the caller's predicate sees each
+    // file's recorded partition tuple (older-spec files surface THEIR
+    // tuple — a predicate must treat a missing key as "keep", the same
+    // conservative contract as IceLite's own prune)
+    val kept = files.filter(f => prune(f.partition))
+    if (kept.isEmpty) {
       val st = org.apache.spark.sql.types.StructType(schema.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(
           n, org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
@@ -154,29 +228,77 @@ object IcebergInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
-    spark.read.parquet(paths.map(stripScheme): _*)
-      .select(schema.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    val base = spark.read.parquet(kept.map(_.path): _*)
+    val alive =
+      if (posDeletes.isEmpty) base
+      else {
+        // merge-on-read: anti-join on normalized (file, pos). The delete
+        // side is O(deleted rows) and broadcast when small (AQE); the
+        // data side never shuffles. (IceLite's OWN read path uses the
+        // broadcast DeleteIndex + codegen'd probe instead; the read-only
+        // adapter deliberately avoids assuming foreign writers sorted
+        // their delete files the way IceLite's index relies on.)
+        val dels = spark.read.schema("file_path STRING, pos BIGINT")
+          .parquet(posDeletes: _*)
+          .select(normCol(col("file_path")).as("_dfile"), col("pos").as("_dpos"))
+          .distinct()
+        base
+          .withColumn("_ifile", normCol(col("_metadata.file_path")))
+          .withColumn("_ipos", col("_metadata.row_index"))
+          .join(dels, col("_ifile") === col("_dfile") && col("_ipos") === col("_dpos"),
+            "left_anti")
+      }
+    alive.select(schema.map { case (n, t) => col(n).cast(t).as(n) }: _*)
   }
 
+  private def snapOrEmpty(meta: IceMeta): IceSnapshot =
+    meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.id == id))
+      .getOrElse(IceSnapshot(0, 0, "append", None, Seq(), None))
+
   /** Read the table's current snapshot. */
-  def read(spark: SparkSession, metadataJson: String): DataFrame = {
-    val meta = loadMeta(metadataJson)
-    meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.id == id)) match {
-      case Some(s) => scan(spark, meta, s)
-      case None    => scan(spark, meta,
-        IceSnapshot(0, 0, "append", None, Seq(), None))
-    }
+  def read(spark: SparkSession, metadataJson: String): DataFrame =
+    readPruned(spark, metadataJson, _ => true)
+
+  /** Current snapshot with manifest-level partition pruning: `prune` sees
+    * each data file's recorded partition tuple (partition field name →
+    * stringified value; use `forall`-shaped predicates so files from
+    * other specs stay conservatively kept). */
+  def readPruned(spark: SparkSession, metadataJson: String,
+      prune: Map[String, String] => Boolean): DataFrame = {
+    val meta = loadMeta(metadataJson, spark.sessionState.newHadoopConf())
+    scan(spark, meta, snapOrEmpty(meta), prune)
+  }
+
+  /** The file-level plan a pruned read would scan — the observable the
+    * pruning specs assert on (and a migration tool's file inventory). */
+  def planFiles(spark: SparkSession, metadataJson: String,
+      prune: Map[String, String] => Boolean = _ => true): Seq[IceDataFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = loadMeta(metadataJson, conf)
+    fileInventory(meta, snapOrEmpty(meta), conf)._1.filter(f => prune(f.partition))
   }
 
   /** Time travel: VERSION AS OF an Iceberg snapshot id. */
   def readAsOf(spark: SparkSession, metadataJson: String, snapshotId: Long): DataFrame = {
-    val meta = loadMeta(metadataJson)
+    val meta = loadMeta(metadataJson, spark.sessionState.newHadoopConf())
     val s = meta.snapshots.find(_.id == snapshotId)
       .getOrElse(sys.error(s"no iceberg snapshot $snapshotId"))
-    scan(spark, meta, s)
+    scan(spark, meta, s, _ => true)
   }
 
+  /** Iceberg's encoded partition value for a temporal transform — what a
+    * pruning predicate compares against: year → years since 1970, month →
+    * months since 1970-01, day → days since epoch. */
+  def temporalPartitionValue(transform: String, date: java.time.LocalDate): Int =
+    transform match {
+      case "year"  => date.getYear - 1970
+      case "month" => (date.getYear - 1970) * 12 + date.getMonthValue - 1
+      case "day"   => date.toEpochDay.toInt
+      case other   => sys.error(s"not a temporal transform: $other")
+    }
+
   /** The snapshot log, oldest first: (id, timestampMs, operation). */
-  def snapshots(metadataJson: String): Seq[(Long, Long, String)] =
-    loadMeta(metadataJson).snapshots.map(s => (s.id, s.timestampMs, s.operation))
+  def snapshots(metadataJson: String,
+      conf: Configuration = new Configuration()): Seq[(Long, Long, String)] =
+    loadMeta(metadataJson, conf).snapshots.map(s => (s.id, s.timestampMs, s.operation))
 }

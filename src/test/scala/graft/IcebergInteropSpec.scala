@@ -144,8 +144,8 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, mj3).count() == 50L,
       "a status=2 manifest entry removes its file from the scan")
 
-    // a DELETE manifest (content=1) in the selected snapshot must refuse,
-    // not silently resurrect MoR-deleted rows
+    // a delete manifest whose entries claim to be DATA files is malformed
+    // — refuse loudly rather than scan files under the wrong content role
     val ml4 = s"$loc/metadata/snap-4.avro"
     writeAvro(ml4, manifestFileSchema,
       Seq(manifestFileRow(m1, 0, 1L), manifestFileRow(m2, 1, 4L)))
@@ -153,7 +153,187 @@ class IcebergInteropSpec extends SparkSpec {
     Files.write(Paths.get(mj4),
       metadataJson(loc, Seq((4L, ml4)), 4L).getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, mj4))
-    assert(e.getMessage.contains("DELETE manifests"))
+    assert(e.getMessage.contains("data file in a delete manifest"))
+  }
+
+  // ---- partitioned fixtures -------------------------------------------
+
+  /** manifest_entry schema whose data_file carries a partition record —
+    * the shape real partitioned manifests have (field per spec field). */
+  private def partEntrySchema(partFields: Seq[(String, String)]): Schema = {
+    val pf = partFields.map { case (n, t) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null}""" }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         | {"name":"status","type":"int"},
+         | {"name":"snapshot_id","type":"long"},
+         | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |   {"name":"content","type":"int"},
+         |   {"name":"file_path","type":"string"},
+         |   {"name":"file_format","type":"string"},
+         |   {"name":"partition","type":{"type":"record","name":"pt","fields":[$pf]}},
+         |   {"name":"record_count","type":"long"},
+         |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+  }
+
+  private def partEntry(schema: Schema, snapId: Long, filePath: String,
+      rows: Long, part: Seq[(String, Any)]): GenericRecord = {
+    val dfSchema = schema.getField("data_file").schema()
+    val pt = new GenericData.Record(dfSchema.getField("partition").schema())
+    part.foreach { case (k, v) => pt.put(k, v) }
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", 0); df.put("file_path", filePath)
+    df.put("file_format", "PARQUET"); df.put("partition", pt)
+    df.put("record_count", rows); df.put("file_size_in_bytes", 1024L)
+    val e = new GenericData.Record(schema)
+    e.put("status", 1); e.put("snapshot_id", snapId); e.put("data_file", df)
+    e
+  }
+
+  test("partitioned v2 table: two specs, evolution mid-history, manifest pruning") {
+    import java.time.LocalDate
+    val loc = Files.createTempDirectory("iceberg_part").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    def pfile(name: String, region: String, day: LocalDate, ids: Range): String = {
+      val out = s"$loc/$name"
+      ids.map(i => (i.toLong, region, java.sql.Date.valueOf(day)))
+        .toDF("id", "region", "d").coalesce(1).write.parquet(out)
+      Files.list(Paths.get(out)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    val d1 = LocalDate.of(2024, 1, 10); val d2 = LocalDate.of(2024, 3, 5)
+    // snapshot 1: spec 0 = identity(region)
+    val s0 = partEntrySchema(Seq("region" -> "string"))
+    val fEu0 = pfile("data/eu0", "EU", d1, 0 until 20)
+    val fUs0 = pfile("data/us0", "US", d1, 20 until 40)
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, s0, Seq(
+      partEntry(s0, 1L, fEu0, 20, Seq("region" -> "EU")),
+      partEntry(s0, 1L, fUs0, 20, Seq("region" -> "US"))))
+    // snapshot 2 adds files under EVOLVED spec 1 = identity(region), day(d)
+    val s1 = partEntrySchema(Seq("region" -> "string", "d_day" -> "int"))
+    val fEu1 = pfile("data/eu1", "EU", d2, 40 until 50)
+    val fUs1 = pfile("data/us1", "US", d2, 50 until 60)
+    val m2 = s"$loc/metadata/m2.avro"
+    writeAvro(m2, s1, Seq(
+      partEntry(s1, 2L, fEu1, 10, Seq("region" -> "EU",
+        "d_day" -> Int.box(IcebergInterop.temporalPartitionValue("day", d2)))),
+      partEntry(s1, 2L, fUs1, 10, Seq("region" -> "US",
+        "d_day" -> Int.box(IcebergInterop.temporalPartitionValue("day", d2))))))
+
+    val mlSchema = manifestFileSchema
+    def mlRow(path: String, specId: Int, snapId: Long): GenericRecord = {
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", path); r.put("manifest_length", 512L)
+      r.put("partition_spec_id", specId); r.put("content", 0)
+      r.put("added_snapshot_id", snapId)
+      r
+    }
+    val ml2 = s"$loc/metadata/snap-2.avro"
+    writeAvro(ml2, mlSchema, Seq(mlRow(m1, 0, 1L), mlRow(m2, 1, 2L)))
+    val mj = s"$loc/metadata/v2.metadata.json"
+    Files.write(Paths.get(mj),
+      s"""{
+         |  "format-version": 2,
+         |  "location": "$loc",
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 3,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "required": false, "type": "long"},
+         |    {"id": 2, "name": "region", "required": false, "type": "string"},
+         |    {"id": 3, "name": "d", "required": false, "type": "date"}]}],
+         |  "default-spec-id": 1,
+         |  "partition-specs": [
+         |    {"spec-id": 0, "fields": [
+         |      {"name": "region", "transform": "identity", "source-id": 2, "field-id": 1000}]},
+         |    {"spec-id": 1, "fields": [
+         |      {"name": "region", "transform": "identity", "source-id": 2, "field-id": 1000},
+         |      {"name": "d_day", "transform": "day", "source-id": 3, "field-id": 1001}]}],
+         |  "current-snapshot-id": 2,
+         |  "snapshots": [
+         |    {"snapshot-id": 2, "timestamp-ms": 1700000000002, "schema-id": 0,
+         |     "summary": {"operation": "append"}, "manifest-list": "$ml2"}]
+         |}""".stripMargin.getBytes("UTF-8"))
+
+    // spec metadata parsed: both specs, transforms intact
+    val meta = IcebergInterop.loadMeta(mj)
+    assert(meta.specs(0).map(_.transform) == Seq("identity"))
+    assert(meta.specs(1).map(f => (f.name, f.transform)) ==
+      Seq(("region", "identity"), ("d_day", "day")))
+
+    // full read = all four files, exact rows
+    assert(IcebergInterop.read(spark, mj).count() == 60L)
+
+    // identity pruning spans BOTH specs (the field survives evolution)
+    val euFiles = IcebergInterop.planFiles(spark, mj,
+      m => m.get("region").forall(_ == "EU"))
+    assert(euFiles.map(_.path).toSet == Set(fEu0, fEu1),
+      s"region=EU must plan exactly the two EU files, got $euFiles")
+    assert(euFiles.map(_.specId).sorted == Seq(0, 1))
+    val euRows = IcebergInterop.readPruned(spark, mj,
+      m => m.get("region").forall(_ == "EU"))
+    assert(euRows.select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 20L) ++ (40L until 50L)))
+
+    // temporal pruning: files from the OLD spec have no d_day key and stay
+    // conservatively kept; new-spec files prune by encoded day value
+    val cut = IcebergInterop.temporalPartitionValue("day", LocalDate.of(2024, 2, 1))
+    val recent = IcebergInterop.planFiles(spark, mj,
+      m => m.get("d_day").forall(_.toInt >= cut))
+    assert(recent.map(_.path).toSet == Set(fEu0, fUs0, fEu1, fUs1),
+      "old-spec files lack the key and must be kept")
+    val strict = IcebergInterop.planFiles(spark, mj,
+      m => m.get("d_day").exists(_.toInt >= cut))
+    assert(strict.map(_.path).toSet == Set(fEu1, fUs1),
+      "exists-shaped predicate keeps only new-spec files past the cut")
+  }
+
+  test("merge-on-read: position-delete manifests apply; equality deletes refuse") {
+    val loc = Files.createTempDirectory("iceberg_mor").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    val f1 = dataFile(loc, "data/b1", 0 until 50)
+    val f2 = dataFile(loc, "data/b2", 50 until 100)
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, entrySchema,
+      Seq(manifestEntry(1, 1L, f1, 50), manifestEntry(1, 1L, f2, 50)))
+
+    // position-delete parquet: file_path spelled with a DIFFERENT scheme
+    // rendering than Spark's _metadata.file_path — normalization must
+    // reconcile them (file:/x vs file:///x is the classic mismatch)
+    val delDir = s"$loc/deletes/d1"
+    Seq((s"file:$f1", 0L), (s"file:$f1", 1L), (s"file:$f1", 2L), (s"file:$f2", 0L))
+      .toDF("file_path", "pos").coalesce(1).write.parquet(delDir)
+    val delFile = Files.list(Paths.get(delDir)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val dm = s"$loc/metadata/dm1.avro"
+    writeAvro(dm, entrySchema, Seq(manifestEntry(1, 2L, delFile, 4, content = 1)))
+    val ml = s"$loc/metadata/snap-2.avro"
+    writeAvro(ml, manifestFileSchema,
+      Seq(manifestFileRow(m1, 0, 1L), manifestFileRow(dm, 1, 2L)))
+    val mj = s"$loc/metadata/v2.metadata.json"
+    Files.write(Paths.get(mj),
+      metadataJson(loc, Seq((2L, ml)), 2L).getBytes("UTF-8"))
+
+    val got = IcebergInterop.read(spark, mj)
+    assert(got.count() == 96L, "4 MoR-deleted rows must not surface")
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L) &&
+      !ids.contains(50L), "deleted positions map to ids 0,1,2 (b1) and 50 (b2)")
+    assert(ids.contains(3L) && ids.contains(51L))
+
+    // equality deletes (content=2) refuse — mis-keying them silently would
+    // be corruption, not interop
+    val dm2 = s"$loc/metadata/dm2.avro"
+    writeAvro(dm2, entrySchema, Seq(manifestEntry(1, 3L, delFile, 4, content = 2)))
+    val ml3 = s"$loc/metadata/snap-3.avro"
+    writeAvro(ml3, manifestFileSchema,
+      Seq(manifestFileRow(m1, 0, 1L), manifestFileRow(dm2, 1, 3L)))
+    val mj3 = s"$loc/metadata/v3.metadata.json"
+    Files.write(Paths.get(mj3),
+      metadataJson(loc, Seq((3L, ml3)), 3L).getBytes("UTF-8"))
+    val e = intercept[RuntimeException](IcebergInterop.read(spark, mj3))
+    assert(e.getMessage.contains("equality-delete"))
   }
 
   test("reads an Iceberg v1 table (single schema, inline manifest list)") {
