@@ -153,6 +153,32 @@ class ManifestSpec extends graft.SparkSpec {
     assert(t2.read().filter(col("id") === 1500L).count() == 0L)
   }
 
+  test("MERGE touching 1 of 20 chunks loads O(1) chunks end-to-end, commit included") {
+    val loc = Files.createTempDirectory("manifests_merge_scoped").toString + "/t"
+    val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT", "v" -> "BIGINT"))
+    for (b <- 0L until 20L)
+      t.append(spark.range(b * 1000, b * 1000 + 1000)
+        .select(col("id"), (col("id") * 2).as("v")).repartition(10))
+    val refs0 = t.meta.currentSnapshot.get.files.manifests.map(_.path).toSet
+    assert(refs0.size == 20)
+
+    // the r12→r13 bench watch item: chunk-scoped CoW must not hand MERGE a
+    // second pass — source key range [1500,1510) refutes 19 of 20 chunk
+    // summaries at discovery, and the commit re-chunks only what it touched
+    val t2 = IceLite.load(spark, loc)
+    t2.merge(spark.range(1500L, 1510L)
+      .select(col("id"), lit(-5L).as("v")), "id")
+    assert(t2.manifestIO.readCount.get <= 3,
+      s"stat-pruned MERGE must load O(1) chunks end-to-end (discovery + " +
+        s"rebuild + commit), got ${t2.manifestIO.readCount.get}")
+    val refs1 = t2.meta.currentSnapshot.get.files.manifests.map(_.path).toSet
+    assert((refs0 intersect refs1).size == 19,
+      s"19 untouched chunks must carry BY REFERENCE, " +
+        s"carried ${(refs0 intersect refs1).size}")
+    assert(t2.read().count() == 20000L)
+    assert(t2.read().filter(col("v") === -5L).count() == 10L)
+  }
+
   test("compaction commit writes exactly one chunk; spill never re-reads refuted parents") {
     val loc = Files.createTempDirectory("manifests_compact_writes").toString + "/t"
     val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT", "v" -> "BIGINT"))
