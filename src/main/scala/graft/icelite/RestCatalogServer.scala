@@ -126,7 +126,13 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
         case ("GET", List("namespaces", ns, "tables", t)) =>
           if (!cat.listTables(ns).contains(t))
             error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
-          else json(ex, 200, loadTableJson(ns, t))
+          else if (Option(ex.getRequestURI.getQuery).exists(_.contains("format=iceberg"))) {
+            val tbl = cat.loadTable(ns, t)
+            if (tbl.meta.currentSnapshotId.isEmpty)
+              error(ex, 409, "CommitFailedException",
+                s"table $ns.$t has no snapshot to export yet")
+            else json(ex, 200, loadIcebergTableJson(tbl))
+          } else json(ex, 200, loadTableJson(ns, t))
 
         case ("DELETE", List("namespaces", ns, "tables", t)) =>
           if (!cat.listTables(ns).contains(t))
@@ -141,6 +147,31 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
       case e: Exception =>
         error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     }
+
+  /** LoadTableResponse in REAL Iceberg format (`?format=iceberg`): the
+    * table is materialized through [[IcebergExport]] (cached per table
+    * version under `_iceberg_export/v<N>` — a repeat load of an unchanged
+    * table serves the existing export) and the response carries the
+    * exported `metadata.json` as metadata-location + inline document, so
+    * ANY external Iceberg REST client can consume IceLite tables — the
+    * reference's Week 4–5 catalog loop (README.md:1035–1088) closed in
+    * both directions (IceLite reads real Iceberg via [[IcebergInterop]];
+    * real readers load IceLite through this route). */
+  private def loadIcebergTableJson(tbl: IceLiteTable): String = {
+    val dest = s"${tbl.location}/_iceberg_export/v${tbl.currentVersion}"
+    val conf = spark.sessionState.newHadoopConf()
+    val mj = new org.apache.hadoop.fs.Path(s"$dest/metadata/v1.metadata.json")
+    val fs = org.apache.hadoop.fs.FileSystem.get(mj.toUri, conf)
+    if (!fs.exists(mj)) IcebergExport.export(tbl, dest)
+    val doc = {
+      val in = fs.open(mj)
+      try M.readTree(in) finally in.close()
+    }
+    val root = M.createObjectNode()
+    root.put("metadata-location", mj.toString)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("metadata", doc)
+    M.writeValueAsString(root)
+  }
 
   /** LoadTableResponse analog: metadata-location + full metadata doc. */
   private def loadTableJson(ns: String, t: String): String = {

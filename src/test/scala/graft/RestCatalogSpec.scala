@@ -81,6 +81,53 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("?format=iceberg serves a REAL Iceberg export over HTTP, readable by the independent reader") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("rest_ice_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "orders", Seq("o_orderkey" -> "BIGINT", "note" -> "STRING"))
+    cat.loadTable("db", "orders")
+      .append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("o_orderkey", "note"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      // the full Week 4–5 loop closed outward: an external Iceberg REST
+      // client GETs the table and receives real-format metadata it can
+      // follow without any IceLite code
+      val r = get(s"$base/namespaces/db/tables/orders?format=iceberg")
+      assert(r.statusCode() == 200)
+      val doc = M.readTree(r.body())
+      val mj = doc.get("metadata-location").asText()
+      assert(mj.endsWith("metadata/v1.metadata.json"))
+      assert(doc.get("metadata").get("format-version").asInt() >= 2)
+      assert(doc.get("metadata").get("schemas").get(0).get("fields")
+        .get(0).get("name").asText() == "o_orderkey")
+      // follow metadata-location with the independent Iceberg-format reader
+      val rows = graft.icelite.IcebergInterop.read(spark, mj)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // unchanged table → the SAME cached export (no re-rewrite per GET)
+      val again = M.readTree(get(
+        s"$base/namespaces/db/tables/orders?format=iceberg").body())
+      assert(again.get("metadata-location").asText() == mj)
+
+      // table evolves → a NEW export under the new version
+      cat.loadTable("db", "orders").append(Seq((4L, "d")).toDF("o_orderkey", "note"))
+      val v2 = M.readTree(get(
+        s"$base/namespaces/db/tables/orders?format=iceberg").body())
+      assert(v2.get("metadata-location").asText() != mj)
+      assert(graft.icelite.IcebergInterop.read(spark,
+        v2.get("metadata-location").asText()).count() == 4L)
+
+      // an empty table has no snapshot to export: typed 409, not a 500
+      cat.createTable("db", "empty", Seq("id" -> "BIGINT"))
+      val empty = get(s"$base/namespaces/db/tables/empty?format=iceberg")
+      assert(empty.statusCode() == 409)
+    } finally srv.stop()
+  }
+
   test("error paths conform to the Iceberg REST spec: 409 on exists, 404 on absent parents, 400 on bad bodies, typed error model") {
     val wh = Files.createTempDirectory("rest_err_wh").toString
     val cat = new Catalog(spark, wh)
