@@ -1677,7 +1677,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val specId = m.specs.map(_.specId).max + 1
       val sfs = fields.map { case (srcName, transform) =>
         val f = sch.fieldByName(srcName)
-        SpecField(f.id, transform, s"${srcName}_$transform")
+        SpecField(f.id, transform, IceLite.specFieldName(srcName, transform))
       }
       (m.copy(defaultSpecId = specId, specs = m.specs :+ PartitionSpec(specId, sfs)),
         s"set partition spec ${fields.mkString(",")}")
@@ -2182,6 +2182,15 @@ object IceLite {
     * the version-file prune's resumable low-water mark. */
   private[icelite] val PruneFloorProp = "metadata.prune-low-water"
 
+  /** Spec-field name for a (source, transform) pair. The name reaches
+    * partition DIRECTORY names and from there flattened data-FILE names;
+    * Spark %-escapes partition VALUES but not keys, so glob
+    * metacharacters in a transform spelling (bucket[4] → "[4]") would
+    * poison every later spark.read of the written files — sanitize the
+    * transform part to path-safe characters (bucket[4] → bucket_4). */
+  private[icelite] def specFieldName(src: String, transform: String): String =
+    s"${src}_${transform.replaceAll("[^A-Za-z0-9_]+", "_").stripSuffix("_")}"
+
   /** One lowered MERGE clause ([[IceLiteTable.mergeClauses]]). Conditions
     * and assignment values are Columns over the joined row: target columns
     * by their own names, source columns prefixed `_s_`. */
@@ -2392,7 +2401,7 @@ object IceLite {
     val sch = TableSchema(0, fields)
     val sfs = partition.map { case (srcName, transform) =>
       val fld = sch.fieldByName(srcName)
-      SpecField(fld.id, transform, s"${srcName}_$transform")
+      SpecField(fld.id, transform, specFieldName(srcName, transform))
     }
     val m = TableMetadata(
       location = location,

@@ -26,24 +26,49 @@ import scala.jdk.CollectionConverters._
   * and thus MATERIALIZED into the exported snapshot, so the output needs
   * no delete manifests and any plain Iceberg reader sees exact rows.
   *
+  * The export is SPEC-PRESERVING where Iceberg semantics allow: a table
+  * whose current partition spec uses identity / year / month / day
+  * transforms exports partitioned — data laid out one file set per
+  * partition tuple (all columns kept in the files, like Spark+Iceberg's
+  * own writer), manifest entries carrying typed partition tuples, and
+  * `partition-specs` declaring the transforms over the exported field
+  * ids — so a real reader prunes partitions exactly as it would on a
+  * native table. Partition values are written in Iceberg's encodings
+  * (temporal transforms and DATE identity as epoch-relative ints).
+  * `bucket[N]` specs fall back to an unpartitioned export: IceLite
+  * buckets by xxhash64 while Iceberg specifies murmur3, so declaring the
+  * transform would make real readers prune WRONG rows — omitting the
+  * spec is valid Iceberg, lying about it is corruption.
+  *
   * Scope (documented): flat primitive schemas (the interop scope),
-  * unpartitioned export spec (partition sources stay as data columns —
-  * valid Iceberg; a spec-preserving export would add the transform spec),
-  * snapshot subset chosen by the caller (each exports as an append).
-  * TIMESTAMP_NS declares the Iceberg V3 `timestamp_ns` type over its
-  * int64-nanos carrier and bumps format-version to 3. */
+  * snapshot subset chosen by the caller (each exports as an append under
+  * the current spec). TIMESTAMP_NS declares the Iceberg V3 `timestamp_ns`
+  * type over its int64-nanos carrier and bumps format-version to 3. */
 object IcebergExport {
 
-  private val entrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      | {"name":"status","type":"int"},
-      | {"name":"snapshot_id","type":"long"},
-      | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |   {"name":"content","type":"int"},
-      |   {"name":"file_path","type":"string"},
-      |   {"name":"file_format","type":"string"},
-      |   {"name":"record_count","type":"long"},
-      |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+  /** manifest_entry schema; data_file grows a typed partition record when
+    * the export spec has fields (absent entirely when unpartitioned, so
+    * unpartitioned exports are byte-identical to the r12 shape). */
+  private def mkEntrySchema(partFields: Seq[(String, String)]): Schema = {
+    val part =
+      if (partFields.isEmpty) ""
+      else {
+        val pf = partFields.map { case (n, t) =>
+          s"""{"name":"$n","type":["null","$t"],"default":null}""" }.mkString(",")
+        s""" {"name":"partition","type":{"type":"record","name":"pt","fields":[$pf]}},
+           |""".stripMargin
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         | {"name":"status","type":"int"},
+         | {"name":"snapshot_id","type":"long"},
+         | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |   {"name":"content","type":"int"},
+         |   {"name":"file_path","type":"string"},
+         |   {"name":"file_format","type":"string"},
+         |$part   {"name":"record_count","type":"long"},
+         |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+  }
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -87,6 +112,69 @@ object IcebergExport {
     FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
   }
 
+  /** One exported partition field: Iceberg-conventional `name` (identity →
+    * source name; temporal → `src_transform`), the avro type its tuple
+    * values declare, the ICEBERG-ENCODED column the data write partitions
+    * by, and the directory-value decoder back into the avro type. */
+  private final case class ExportPartField(
+      name: String, transform: String, sourceId: Int, avroType: String,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      decode: String => AnyRef)
+
+  private val ExportableTemporal = Set("year", "month", "day")
+
+  /** The export partition plan for the table's CURRENT spec, or empty when
+    * any field is outside exportable semantics (bucket[N]: IceLite hashes
+    * xxhash64, Iceberg murmur3 — declaring it would mis-prune real
+    * readers; unpartitioned export is the honest fallback). */
+  private def exportPartFields(m: TableMetadata): Seq[ExportPartField] = {
+    import org.apache.spark.sql.functions._
+    val spec = m.defaultSpec
+    val sch = m.currentSchema
+    val plans = spec.fields.map { sf =>
+      if (!sch.hasId(sf.sourceId)) None
+      else {
+        val src = sch.byId(sf.sourceId)
+        val dt = src.dtype.toUpperCase
+        (sf.transform, dt) match {
+          case ("identity", "STRING" | "VARCHAR") => Some(ExportPartField(
+            src.name, "identity", sf.sourceId, "string", c => c, s => s))
+          case ("identity", "INT" | "INTEGER" | "BIGINT" | "LONG") => Some(ExportPartField(
+            src.name, "identity", sf.sourceId, "long",
+            c => c.cast("long"), s => Long.box(s.toLong)))
+          // Iceberg encodes DATE partition values as epoch days
+          case ("identity", "DATE") => Some(ExportPartField(
+            src.name, "identity", sf.sourceId, "int",
+            c => datediff(c, to_date(lit("1970-01-01"))), s => Int.box(s.toInt)))
+          case (t, "DATE" | "TIMESTAMP" | "TIMESTAMP_NTZ") if ExportableTemporal(t) =>
+            val enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t match {
+              case "year"  => c => (year(c) - lit(1970)).cast("int")
+              case "month" => c => ((year(c) - lit(1970)) * 12 + month(c) - 1).cast("int")
+              case "day"   => c => datediff(c, to_date(lit("1970-01-01")))
+            }
+            Some(ExportPartField(s"${src.name}_$t", t, sf.sourceId, "int",
+              enc, s => Int.box(s.toInt)))
+          case _ => None
+        }
+      }
+    }
+    if (plans.exists(_.isEmpty)) Seq() else plans.flatten
+  }
+
+  /** Undo Spark's partition-directory escaping (`%xx` per escaped char). */
+  private def unescapeDirValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length)
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Export `snapshotIds` (default: just the current snapshot) in ascending
     * order; returns the written `metadata.json` path, directly readable by
     * [[IcebergInterop]] (current read, VERSION AS OF each exported id). */
@@ -106,6 +194,8 @@ object IcebergExport {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = t.spark.conf.getOption(tsKey)
     t.spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val partFields = exportPartFields(m)
+    val entrySchema = mkEntrySchema(partFields.map(pf => pf.name -> pf.avroType))
     val snapNodes = try ids.zipWithIndex.map { case (sid, i) =>
       val snap = m.snapshot(sid)
       // the current snapshot reads through the CURRENT schema (metadata-only
@@ -116,17 +206,55 @@ object IcebergExport {
         else (t.readAsOf(sid),
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
       val dataDir = s"$dest/data/snap-$sid"
-      df.write.parquet(dataDir)
-      val parts = destFs.listStatus(new Path(dataDir))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-      val entries = parts.toSeq.map { st =>
+      if (partFields.isEmpty) df.write.parquet(dataDir)
+      else {
+        // spec-preserving layout: partition the write by TEMP columns
+        // holding the Iceberg-ENCODED transform values, so the data files
+        // keep every source column (like Spark+Iceberg's writer) while
+        // the directory names carry the tuple the manifest entries need
+        val snapSch = m.schema(schemaId)
+        val withTmp = partFields.foldLeft(df) { (d, pf) =>
+          require(snapSch.hasId(pf.sourceId),
+            s"iceberg export: snapshot $sid's schema lacks partition source " +
+              s"field id ${pf.sourceId} ($dest)")
+          d.withColumn(s"_p_${pf.name}",
+            pf.encode(org.apache.spark.sql.functions.col(snapSch.byId(pf.sourceId).name)))
+        }
+        withTmp.write.partitionBy(partFields.map(pf => s"_p_${pf.name}"): _*)
+          .parquet(dataDir)
+      }
+      val it = destFs.listFiles(new Path(dataDir), true)
+      val parts = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) parts += st
+      }
+      val entries = parts.toSeq.sortBy(_.getPath.toString).map { st =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         val rows = try r.getRecordCount finally r.close()
         val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
         dfr.put("content", 0)
         dfr.put("file_path", st.getPath.toString)
         dfr.put("file_format", "PARQUET")
+        if (partFields.nonEmpty) {
+          // tuple parsed back from the hive-style segments the write laid
+          // down (_p_<name>=<encoded>); Spark's escaping undone per value
+          val segs = st.getPath.toString.split('/')
+            .filter(_.contains('=')).map { s =>
+              val k = s.substring(0, s.indexOf('='))
+              val v = s.substring(s.indexOf('=') + 1)
+              k -> v
+            }.toMap
+          val pt = new GenericData.Record(
+            entrySchema.getField("data_file").schema().getField("partition").schema())
+          partFields.foreach { pf =>
+            segs.get(s"_p_${pf.name}").foreach { raw =>
+              if (raw != "__HIVE_DEFAULT_PARTITION__")
+                pt.put(pf.name, pf.decode(unescapeDirValue(raw)))
+            }
+          }
+          dfr.put("partition", pt)
+        }
         dfr.put("record_count", rows)
         dfr.put("file_size_in_bytes", st.getLen)
         val e = new GenericData.Record(entrySchema)
@@ -165,6 +293,10 @@ object IcebergExport {
          | "schema-id": $schemaId, "summary": {"operation": "append"},
          | "manifest-list": "$ml"}""".stripMargin
     }.mkString(",\n    ")
+    val specFieldsJson = partFields.zipWithIndex.map { case (pf, i) =>
+      s"""{"name": "${pf.name}", "transform": "${pf.transform}", """ +
+        s""""source-id": ${pf.sourceId}, "field-id": ${1000 + i}}"""
+    }.mkString(", ")
     val metaJson =
       s"""{
          |  "format-version": $formatVersion,
@@ -176,8 +308,8 @@ object IcebergExport {
          |  "current-schema-id": ${snapNodes.last._2},
          |  "schemas": [${exportedSchemas.map(schemaJson).mkString(", ")}],
          |  "default-spec-id": 0,
-         |  "partition-specs": [{"spec-id": 0, "fields": []}],
-         |  "last-partition-id": 999,
+         |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
+         |  "last-partition-id": ${999 + partFields.size},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
          |  "current-snapshot-id": ${snapNodes.last._1},

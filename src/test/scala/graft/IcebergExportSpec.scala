@@ -39,6 +39,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergInterop.snapshots(mj).map(_._1) == Seq(snap1, snap2))
   }
 
+  test("partitioned table exports spec-preserving: transforms declared, tuples typed, pruning works") {
+    import java.time.LocalDate
+    val loc = Files.createTempDirectory("ice_export_part").toString
+    val t = IceLite.create(spark, s"$loc/src",
+      Seq("id" -> "BIGINT", "region" -> "STRING", "d" -> "DATE"),
+      partition = Seq("region" -> "identity", "d" -> "day"))
+    val d1 = java.sql.Date.valueOf(LocalDate.of(2024, 1, 10))
+    val d2 = java.sql.Date.valueOf(LocalDate.of(2024, 3, 5))
+    t.append(Seq(
+      (1L, "EU", d1), (2L, "EU", d2), (3L, "US", d1), (4L, "US", d2)
+    ).toDF("id", "region", "d"))
+
+    val mj = IcebergExport.export(t, s"$loc/exported")
+    // the spec survives: transforms + source ids declared, not dropped
+    val meta = IcebergInterop.loadMeta(mj)
+    assert(meta.specs(0).map(f => (f.name, f.transform, f.sourceId)) ==
+      Seq(("region", "identity", 2), ("d_day", "day", 3)))
+
+    // manifest tuples carry Iceberg-ENCODED values (day = epoch days)
+    val files = IcebergInterop.planFiles(spark, mj)
+    assert(files.size == 4, s"one file set per partition tuple, got $files")
+    val day1 = IcebergInterop.temporalPartitionValue("day", LocalDate.of(2024, 1, 10))
+    assert(files.map(_.partition).toSet == Set(
+      Map("region" -> "EU", "d_day" -> day1.toString),
+      Map("region" -> "EU", "d_day" ->
+        IcebergInterop.temporalPartitionValue("day", LocalDate.of(2024, 3, 5)).toString),
+      Map("region" -> "US", "d_day" -> day1.toString),
+      Map("region" -> "US", "d_day" ->
+        IcebergInterop.temporalPartitionValue("day", LocalDate.of(2024, 3, 5)).toString)))
+
+    // pruning on the exported table: identity and temporal both bite
+    assert(IcebergInterop.planFiles(spark, mj,
+      m => m.get("region").forall(_ == "EU")).size == 2)
+    assert(IcebergInterop.planFiles(spark, mj,
+      m => m.get("d_day").forall(_.toInt == day1)).size == 2)
+    val pruned = IcebergInterop.readPruned(spark, mj,
+      m => m.get("region").forall(_ == "EU"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // data files stay self-contained: partition sources remain IN the
+    // parquet (Spark+Iceberg's own shape), not dropped into dir names only
+    val oneFile = spark.read.parquet(files.head.path)
+    assert(oneFile.columns.toSet == Set("id", "region", "d"))
+
+    // full fidelity
+    assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
+
+    // a bucket-spec table falls back to an honest UNPARTITIONED export
+    // (xxhash64 != murmur3: declaring bucket would mis-prune real readers)
+    val tb = IceLite.create(spark, s"$loc/src_bucket",
+      Seq("id" -> "BIGINT", "v" -> "BIGINT"),
+      partition = Seq("id" -> "bucket[4]"))
+    tb.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val mjb = IcebergExport.export(tb, s"$loc/exported_bucket")
+    assert(IcebergInterop.loadMeta(mjb).specs(0).isEmpty)
+    assert(IcebergInterop.read(spark, mjb).count() == 2L)
+  }
+
   test("MoR deletes, defaults and renames materialize into clean append-only Iceberg") {
     val loc = Files.createTempDirectory("ice_export_evo").toString
     val t = IceLite.createFrom(spark, s"$loc/src",
