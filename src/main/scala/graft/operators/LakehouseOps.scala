@@ -801,8 +801,8 @@ object LakehouseOps {
     "icelite_orphans",
     (s, dir) => {
       val t = mkTable(s, dir, "orphans")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
       val orphan = new org.apache.hadoop.fs.Path(t.location, "data/orphan-file.parquet")
+      val fs = orphan.getFileSystem(s.sessionState.newHadoopConf())
       val out = fs.create(orphan, true); out.write(42); out.close()
       // explicit threshold: the default 3 h grace period (in-flight-write
       // safety) would keep this just-planted orphan
