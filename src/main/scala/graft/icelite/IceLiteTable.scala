@@ -1108,26 +1108,37 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * (empty when no positions matched — caller cleans the dir).
     *
     * `write.delete.vector.enabled=true` switches the carrier to bitmap
-    * DELETION VECTORS (`.ildv`, [[DvCodec]]) — the V3 representation the
-    * reference describes (README.md:1098–1108): per-data-file RLE bitmaps
-    * written executor-side (positions repartitioned by data file, one
-    * container per non-empty task), O(runs) on disk for the contiguous
-    * ranges predicates actually kill. Readers dispatch on the extension,
-    * so parquet and DV deletes coexist and a table migrates live. */
+    * DELETION VECTORS — the V3 representation the reference describes
+    * (README.md:1098–1108): per-data-file bitmaps written executor-side
+    * (positions repartitioned by data file, one container per non-empty
+    * task), O(runs)/O(compressed bitmap) on disk for the contiguous
+    * ranges predicates actually kill. `write.delete.vector.format`
+    * selects the container: `ildv` ([[DvCodec]], the native RLE form,
+    * default) or `puffin` ([[PuffinDv]], the Iceberg-V3 wire format —
+    * roaring bitmaps in a Puffin file, readable by real V3 readers).
+    * Readers dispatch on the extension, so parquet and both DV carriers
+    * coexist in one snapshot and a table migrates live. */
   private def writePosDeleteFiles(pos: DataFrame,
       m: TableMetadata): (Path, Seq[DeleteFile]) =
     if (m.properties.get("write.delete.vector.enabled").contains("true"))
-      writeDeleteVectors(pos)
+      writeDeleteVectors(pos, dvFormat(m))
     else writeDeleteParquet(pos.sort("file_path", "pos"))
 
-  /** DV write path: per-file sorted positions → RLE blobs, one `.ildv`
-    * container per non-empty task partition. Distributed — positions
-    * never collect to the driver; the driver sees only per-file
-    * (container, file, count) summaries, O(touched files) like the
-    * parquet listing walk. `numParts` pins the container count (the
-    * delete-file rewrite's merge target); DML paths default to the
-    * session shuffle parallelism. */
-  private def writeDeleteVectors(pos: DataFrame,
+  private def dvFormat(m: TableMetadata): String =
+    m.properties.getOrElse("write.delete.vector.format", "ildv") match {
+      case "puffin" => "puffin"
+      case _        => "ildv"
+    }
+
+  /** DV write path: per-file sorted positions → bitmap blobs, one
+    * container per non-empty task partition (`.ildv` RLE or `.puffin`
+    * roaring by `fmt`). Distributed — positions never collect to the
+    * driver; the driver sees only per-file (container, file, count)
+    * summaries, O(touched files) like the parquet listing walk.
+    * `numParts` pins the container count (the delete-file rewrite's
+    * merge target); DML paths default to the session shuffle
+    * parallelism. */
+  private def writeDeleteVectors(pos: DataFrame, fmt: String,
       numParts: Option[Int] = None): (Path, Seq[DeleteFile]) = {
     val delDir = new Path(location, "deletes")
     fs(spark, location).mkdirs(delDir)
@@ -1157,9 +1168,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             val arr = b.result(); java.util.Arrays.sort(arr)
             fp -> arr
           }
-          val p = new Path(outStr, s"dv-${UUID.randomUUID()}${DvCodec.Ext}")
-          val written = DvCodec.write(p, entries, confB.value)
-          written.iterator.map(e => (p.toString, e.filePath, e.count))
+          if (fmt == "puffin") {
+            val p = new Path(outStr, s"dv-${UUID.randomUUID()}${PuffinDv.Ext}")
+            val written = PuffinDv.write(p, entries, confB.value)
+            written.iterator.map(bm => (p.toString, bm.refDataFile, bm.cardinality))
+          } else {
+            val p = new Path(outStr, s"dv-${UUID.randomUUID()}${DvCodec.Ext}")
+            val written = DvCodec.write(p, entries, confB.value)
+            written.iterator.map(e => (p.toString, e.filePath, e.count))
+          }
         }
       }.collect()
     val dels = summaries.groupBy(_._1).toSeq.sortBy(_._1).map { case (dvPath, es) =>
@@ -1258,10 +1275,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * answer from their header index (driver-side, O(index)); parquet
     * deletes from a column-pruned distinct scan. */
   private def referencedDataPaths(dels: Seq[DeleteFile]): Set[String] = {
-    val (dv, pq) = dels.map(_.path).partition(_.endsWith(DvCodec.Ext))
+    val (dv, pq) = dels.map(_.path).partition(IceLite.isDvPath)
     val conf = spark.sessionState.newHadoopConf()
-    val fromDv = dv.flatMap(p =>
-      DvCodec.header(new Path(p), conf).map(e => normPath(e._1)))
+    val fromDv = dv.flatMap { p =>
+      if (p.endsWith(PuffinDv.Ext))
+        PuffinDv.blobs(new Path(p), conf).map(b => normPath(b.refDataFile))
+      else DvCodec.header(new Path(p), conf).map(e => normPath(e._1))
+    }
     val fromPq =
       if (pq.isEmpty) Seq()
       else spark.read.schema("file_path STRING, pos BIGINT")
@@ -1275,7 +1295,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * executor-side (one task per container). */
   private def posDeleteRows(dels: Seq[DeleteFile]): DataFrame = {
     import spark.implicits._
-    val (dv, pq) = dels.map(_.path).partition(_.endsWith(DvCodec.Ext))
+    val (dv, pq) = dels.map(_.path).partition(IceLite.isDvPath)
     val confB = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val pqDf =
@@ -1284,7 +1304,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val dvDf =
       if (dv.isEmpty) None
       else Some(spark.createDataset(dv).repartition(math.max(1, dv.size))
-        .flatMap(p => DvCodec.expand(new Path(p), confB.value))
+        .flatMap { p =>
+          if (p.endsWith(PuffinDv.Ext)) PuffinDv.expand(new Path(p), confB.value)
+          else DvCodec.expand(new Path(p), confB.value)
+        }
         .toDF("file_path", "pos"))
     (pqDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
   }
@@ -1867,7 +1890,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         val (_, files) =
           try {
             if (m.properties.get("write.delete.vector.enabled").contains("true"))
-              writeDeleteVectors(kept, numParts = Some(target))
+              writeDeleteVectors(kept, dvFormat(m), numParts = Some(target))
             else writeDeleteParquet(kept)
           } finally raw.unpersist()
         val sq = posDels.map(_.seq).max
@@ -2181,6 +2204,11 @@ object IceLite {
   /** Internal property: lowest version file not yet confirmed pruned —
     * the version-file prune's resumable low-water mark. */
   private[icelite] val PruneFloorProp = "metadata.prune-low-water"
+
+  /** Is this delete-file path a deletion-vector container (either the
+    * native `.ildv` RLE carrier or the Iceberg-V3 `.puffin` form)? */
+  private[icelite] def isDvPath(p: String): Boolean =
+    p.endsWith(DvCodec.Ext) || p.endsWith(PuffinDv.Ext)
 
   /** Spec-field name for a (source, transform) pair. The name reaches
     * partition DIRECTORY names and from there flattened data-FILE names;

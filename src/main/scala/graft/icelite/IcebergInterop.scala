@@ -30,9 +30,11 @@ import scala.jdk.CollectionConverters._
   * v2's `manifest-list`, flat primitive schemas, partitioned tables
   * (identity + temporal transforms, spec evolution mid-history, manifest
   * partition tuples surfaced for pruning), and merge-on-read POSITION
-  * deletes (content=1 delete manifests over (file_path, pos) parquet).
-  * Equality-delete files (content=2 entries) still raise — a read-only
-  * adapter must refuse rather than resurrect MoR-deleted rows. */
+  * deletes in both carriers — (file_path, pos) parquet and V3 deletion
+  * vectors (Puffin roaring blobs via [[PuffinDv]], manifest-supplied
+  * blob ranges honored). Equality-delete files (content=2 entries) still
+  * raise — a read-only adapter must refuse rather than resurrect
+  * MoR-deleted rows. */
 object IcebergInterop {
   private val M = new ObjectMapper()
 
@@ -151,16 +153,24 @@ object IcebergInterop {
       snaps, specs)
   }
 
+  /** One V3 deletion-vector reference from a delete manifest: the Puffin
+    * container, the data file it deletes from, and the blob range when
+    * the manifest supplies it (offset < 0 ⇒ resolve via the footer). */
+  final case class DvRef(path: String, refDataFile: String,
+      offset: Long, length: Long)
+
   /** Live file inventory of one snapshot: manifest-list (or v1 inline
     * list) → manifests → entries with status ∈ {added=1, existing=0}
     * (status=2 rows are REMOVED files and drop out). Data manifests
     * (content=0) yield [[IceDataFile]]s with their manifest-recorded
     * partition tuple; delete manifests (content=1) yield POSITION-delete
-    * file paths (data_file.content=1); equality-delete entries
-    * (content=2) raise — resurrecting or mis-keying those rows read-only
-    * would be silent corruption. */
+    * parquet paths (data_file.content=1, file_format=PARQUET) or V3
+    * deletion-vector refs (file_format=PUFFIN with
+    * referenced_data_file / content_offset / content_size_in_bytes);
+    * equality-delete entries (content=2) raise — resurrecting or
+    * mis-keying those rows read-only would be silent corruption. */
   private def fileInventory(meta: IceMeta, snap: IceSnapshot,
-      conf: Configuration): (Seq[IceDataFile], Seq[String]) = {
+      conf: Configuration): (Seq[IceDataFile], Seq[String], Seq[DvRef]) = {
     val manifestPaths: Seq[(String, Int, Int)] = snap.manifestList match {
       case Some(ml) =>
         avroRows(ml, conf).map { r =>
@@ -171,18 +181,20 @@ object IcebergInterop {
     }
     val dataFiles = scala.collection.mutable.ArrayBuffer[IceDataFile]()
     val posDeletes = scala.collection.mutable.ArrayBuffer[String]()
+    val dvRefs = scala.collection.mutable.ArrayBuffer[DvRef]()
     manifestPaths.foreach { case (mp, manifestContent, specId) =>
       avroRows(mp, conf).foreach { e =>
         val status = optInt(e, "status", 1)
         if (status != 2) { // 2 = deleted entry: file left the table
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = optInt(df, "content", 0)
-          require(str(df, "file_format").equalsIgnoreCase("parquet"),
-            s"iceberg interop: only parquet files (got ${str(df, "file_format")})")
+          val format = str(df, "file_format")
           content match {
             case 0 =>
               require(manifestContent == 0,
                 s"iceberg interop: data file in a delete manifest: $mp")
+              require(format.equalsIgnoreCase("parquet"),
+                s"iceberg interop: only parquet data files (got $format)")
               val part: Map[String, String] = optField(df, "partition") match {
                 case Some(p: GenericRecord) =>
                   p.getSchema.getFields.asScala.flatMap(f =>
@@ -190,7 +202,18 @@ object IcebergInterop {
                 case _ => Map()
               }
               dataFiles += IceDataFile(str(df, "file_path"), specId, part)
-            case 1 => posDeletes += str(df, "file_path")
+            case 1 if format.equalsIgnoreCase("puffin") =>
+              // V3 deletion vector: one roaring blob inside a Puffin file
+              dvRefs += DvRef(str(df, "file_path"),
+                str(df, "referenced_data_file"),
+                optField(df, "content_offset")
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L),
+                optField(df, "content_size_in_bytes")
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
+            case 1 =>
+              require(format.equalsIgnoreCase("parquet"),
+                s"iceberg interop: unsupported position-delete format $format")
+              posDeletes += str(df, "file_path")
             case other => sys.error(
               s"iceberg interop: equality-delete files (content=$other) are " +
                 "unsupported — a read-only adapter refuses rather than mis-apply them")
@@ -198,7 +221,7 @@ object IcebergInterop {
         }
       }
     }
-    (dataFiles.toSeq, posDeletes.toSeq)
+    (dataFiles.toSeq, posDeletes.toSeq, dvRefs.toSeq)
   }
 
   /** Scheme/authority-stripping normalizer, column form — delete files
@@ -214,7 +237,7 @@ object IcebergInterop {
       prune: Map[String, String] => Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val schema = meta.schemas(snap.schemaId.getOrElse(meta.currentSchemaId))
-    val (files, posDeletes) = fileInventory(meta, snap, conf)
+    val (files, posDeletes, dvRefs) = fileInventory(meta, snap, conf)
     // manifest-level partition pruning: the caller's predicate sees each
     // file's recorded partition tuple (older-spec files surface THEIR
     // tuple — a predicate must treat a missing key as "keep", the same
@@ -230,7 +253,7 @@ object IcebergInterop {
     }
     val base = spark.read.parquet(kept.map(_.path): _*)
     val alive =
-      if (posDeletes.isEmpty) base
+      if (posDeletes.isEmpty && dvRefs.isEmpty) base
       else {
         // merge-on-read: anti-join on normalized (file, pos). The delete
         // side is O(deleted rows) and broadcast when small (AQE); the
@@ -238,8 +261,30 @@ object IcebergInterop {
         // broadcast DeleteIndex + codegen'd probe instead; the read-only
         // adapter deliberately avoids assuming foreign writers sorted
         // their delete files the way IceLite's index relies on.)
-        val dels = spark.read.schema("file_path STRING, pos BIGINT")
-          .parquet(posDeletes: _*)
+        import spark.implicits._
+        val pqDels =
+          if (posDeletes.isEmpty) None
+          else Some(spark.read.schema("file_path STRING, pos BIGINT")
+            .parquet(posDeletes: _*))
+        // V3 deletion vectors: roaring blobs expand EXECUTOR-side into
+        // (file, pos) rows — manifest-supplied blob ranges seek straight
+        // to their blob, rangeless refs resolve through the footer
+        val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+        val dvDels =
+          if (dvRefs.isEmpty) None
+          else Some(spark
+            .createDataset(dvRefs.map(r =>
+              (r.path, Option(r.refDataFile).getOrElse(""), r.offset, r.length)))
+            .repartition(math.max(1, dvRefs.size))
+            .flatMap { case (p, ref, off, len) =>
+              if (off >= 0 && len > 0 && ref.nonEmpty)
+                PuffinDv.runsForBlob(new Path(p), confB.value, off, len)
+                  .grouped(2).flatMap(r => (r(0) until r(0) + r(1)).iterator)
+                  .map(ref -> _)
+              else PuffinDv.expand(new Path(p), confB.value)
+            }
+            .toDF("file_path", "pos"))
+        val dels = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
           .select(normCol(col("file_path")).as("_dfile"), col("pos").as("_dpos"))
           .distinct()
         base

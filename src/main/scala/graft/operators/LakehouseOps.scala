@@ -1129,6 +1129,29 @@ object LakehouseOps {
              FROM orders WHERE o_orderkey % 6 <> 0 ORDER BY o_orderkey"""),
   )
 
+  /** M3c in the INTEROP-GRADE V3 wire format: `write.delete.vector
+    * .format=puffin` carries the same deletion vectors as roaring-bitmap
+    * blobs inside Puffin containers ([[graft.icelite.PuffinDv]] — the
+    * byte format the Iceberg V3 spec publishes and real readers speak),
+    * where `icelite_delete_dv` uses the native RLE carrier. Same
+    * merge-on-read semantics, same carrier-blind oracle. */
+  private val deleteDvPuffin = QueryDef(
+    "icelite_delete_dv_puffin",
+    (s, dir) => {
+      val t = mkTable(s, dir, "deldvpf",
+        props = Map("write.delete.mode" -> "merge-on-read",
+          "write.delete.vector.enabled" -> "true",
+          "write.delete.vector.format" -> "puffin"))
+      t.delete(col("o_orderkey") % 6 === 0)
+      t.update(col("o_orderkey") % 11 === 0, Map("o_orderstatus" -> lit("V")))
+      state(t)
+    },
+    Some(s"""SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'V' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 6 <> 0 ORDER BY o_orderkey"""),
+  )
+
   /** Cross-format interop round trip: the IceLite table EXPORTS as a
     * real-format Apache Iceberg table (metadata.json + avro manifest
     * list + avro manifests over name-addressable parquet,
@@ -1153,7 +1176,7 @@ object LakehouseOps {
 
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain, timestampNsTable, icebergExportRead, deleteDv,
+    autoMaintain, timestampNsTable, icebergExportRead, deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
