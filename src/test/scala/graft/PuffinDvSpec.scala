@@ -124,6 +124,28 @@ class PuffinDvSpec extends SparkSpec {
     assert(tf.read().count() == want.size.toLong - 1)
   }
 
+  test("changelog over puffin DVs reports the same rows as the parquet twin") {
+    def mk(tag: String, props: Map[String, String]): IceLiteTable = {
+      val loc = Files.createTempDirectory(s"pfcl_$tag").toString + "/t"
+      val t = IceLite.createFrom(spark, loc, Seq((0L, 0L)).toDF("id", "v"),
+        properties = Map("write.delete.mode" -> "merge-on-read") ++ props)
+      t.append(spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+        .repartition(4))
+      t
+    }
+    val tp = mk("pq", Map())
+    val tf = mk("pf", Map("write.delete.vector.enabled" -> "true",
+      "write.delete.vector.format" -> "puffin"))
+    for (t <- Seq(tp, tf)) t.delete(col("id") >= 100 && col("id") < 120)
+    def changes(t: IceLiteTable): Set[(String, Long)] = {
+      val snaps = t.meta.snapshots.map(_.id)
+      t.readChangesBetween(snaps(snaps.size - 2), snaps.last)
+        .select(col("_change_type"), col("id")).as[(String, Long)].collect().toSet
+    }
+    assert(changes(tf) == changes(tp))
+    assert(changes(tf).count(_._1 == "delete") == 20)
+  }
+
   test("interop reads a V3 deletion-vector delete manifest (blob range honored)") {
     import java.nio.file.Paths
     import org.apache.avro.Schema
