@@ -29,12 +29,14 @@ import scala.jdk.CollectionConverters._
   * selection (current / VERSION AS OF), v1's inline `manifests` list and
   * v2's `manifest-list`, flat primitive schemas, partitioned tables
   * (identity + temporal transforms, spec evolution mid-history, manifest
-  * partition tuples surfaced for pruning), and merge-on-read POSITION
-  * deletes in both carriers — (file_path, pos) parquet and V3 deletion
-  * vectors (Puffin roaring blobs via [[PuffinDv]], manifest-supplied
-  * blob ranges honored). Equality-delete files (content=2 entries) still
-  * raise — a read-only adapter must refuse rather than resurrect
-  * MoR-deleted rows. */
+  * partition tuples surfaced for pruning), and the FULL merge-on-read
+  * delete surface: position deletes in both carriers — (file_path, pos)
+  * parquet and V3 deletion vectors (Puffin roaring blobs via
+  * [[PuffinDv]], manifest-supplied blob ranges honored) — and EQUALITY
+  * deletes (content=2, `equality_ids` resolved by field id, null-safe
+  * key match, applied only to data files whose sequence number precedes
+  * the delete's — the v2 sequence rule, with entry-level inheritance
+  * from the manifest list). */
 object IcebergInterop {
   private val M = new ObjectMapper()
 
@@ -97,14 +99,18 @@ object IcebergInterop {
     * month / day / bucket[N] / …; `sourceId` the source column's field id. */
   final case class IceSpecField(name: String, transform: String, sourceId: Int)
 
+  /** One schema column: Iceberg field id + name + Spark DDL type. */
+  final case class IceField(id: Int, name: String, dtype: String)
+
   /** One live data file of a snapshot, with the partition tuple its
     * manifest recorded (stringified values; empty for unpartitioned
-    * files) and the spec it was written under. */
+    * files), the spec it was written under, and its data sequence
+    * number (0 when the manifests carry none — pre-v2 shapes). */
   final case class IceDataFile(path: String, specId: Int,
-      partition: Map[String, String])
+      partition: Map[String, String], seq: Long = 0L)
 
   final case class IceMeta(location: String, formatVersion: Int,
-      currentSchemaId: Int, schemas: Map[Int, Seq[(String, String)]],
+      currentSchemaId: Int, schemas: Map[Int, Seq[IceField]],
       currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
       specs: Map[Int, Seq[IceSpecField]])
 
@@ -114,11 +120,12 @@ object IcebergInterop {
     val r = readJson(metadataJson, conf)
     def arr(n: JsonNode, k: String): Seq[JsonNode] =
       Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Seq())
-    def fieldsOf(schemaNode: JsonNode): Seq[(String, String)] =
-      arr(schemaNode, "fields").map(f =>
-        f.get("name").asText() -> sparkType(f.get("type").asText()))
+    def fieldsOf(schemaNode: JsonNode): Seq[IceField] =
+      arr(schemaNode, "fields").map(f => IceField(
+        Option(f.get("id")).map(_.asInt()).getOrElse(0),
+        f.get("name").asText(), sparkType(f.get("type").asText())))
     // v2: schemas[] + current-schema-id; v1: a single "schema"
-    val schemas: Map[Int, Seq[(String, String)]] =
+    val schemas: Map[Int, Seq[IceField]] =
       if (r.has("schemas"))
         arr(r, "schemas").map(s => s.get("schema-id").asInt() -> fieldsOf(s)).toMap
       else Map(0 -> fieldsOf(r.get("schema")))
@@ -159,36 +166,47 @@ object IcebergInterop {
   final case class DvRef(path: String, refDataFile: String,
       offset: Long, length: Long)
 
+  /** One equality-delete file: its key field ids and its data sequence
+    * number — an eq delete at sequence S removes matching rows only from
+    * data files with sequence < S (Iceberg v2 semantics). */
+  final case class EqDeleteRef(path: String, ids: Seq[Int], seq: Long)
+
   /** Live file inventory of one snapshot: manifest-list (or v1 inline
     * list) → manifests → entries with status ∈ {added=1, existing=0}
     * (status=2 rows are REMOVED files and drop out). Data manifests
     * (content=0) yield [[IceDataFile]]s with their manifest-recorded
-    * partition tuple; delete manifests (content=1) yield POSITION-delete
-    * parquet paths (data_file.content=1, file_format=PARQUET) or V3
-    * deletion-vector refs (file_format=PUFFIN with
-    * referenced_data_file / content_offset / content_size_in_bytes);
-    * equality-delete entries (content=2) raise — resurrecting or
-    * mis-keying those rows read-only would be silent corruption. */
-  private def fileInventory(meta: IceMeta, snap: IceSnapshot,
-      conf: Configuration): (Seq[IceDataFile], Seq[String], Seq[DvRef]) = {
-    val manifestPaths: Seq[(String, Int, Int)] = snap.manifestList match {
+    * partition tuple + data sequence (per-entry `sequence_number`,
+    * inheriting the manifest-list row's when the entry leaves it null —
+    * the v2 inheritance rule); delete manifests (content=1/2) yield
+    * POSITION-delete parquet paths, V3 deletion-vector refs
+    * (file_format=PUFFIN with referenced_data_file /
+    * content_offset / content_size_in_bytes), or seq-stamped
+    * EQUALITY-delete refs (content=2 with `equality_ids`). */
+  private def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration)
+      : (Seq[IceDataFile], Seq[String], Seq[DvRef], Seq[EqDeleteRef]) = {
+    val manifestPaths: Seq[(String, Int, Int, Long)] = snap.manifestList match {
       case Some(ml) =>
         avroRows(ml, conf).map { r =>
           (str(r, "manifest_path"), optInt(r, "content", 0),
-            optInt(r, "partition_spec_id", 0))
+            optInt(r, "partition_spec_id", 0),
+            optField(r, "sequence_number")
+              .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
         }
-      case None => snap.manifests.map(p => (p, 0, 0))
+      case None => snap.manifests.map(p => (p, 0, 0, 0L))
     }
     val dataFiles = scala.collection.mutable.ArrayBuffer[IceDataFile]()
     val posDeletes = scala.collection.mutable.ArrayBuffer[String]()
     val dvRefs = scala.collection.mutable.ArrayBuffer[DvRef]()
-    manifestPaths.foreach { case (mp, manifestContent, specId) =>
+    val eqRefs = scala.collection.mutable.ArrayBuffer[EqDeleteRef]()
+    manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq) =>
       avroRows(mp, conf).foreach { e =>
         val status = optInt(e, "status", 1)
         if (status != 2) { // 2 = deleted entry: file left the table
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = optInt(df, "content", 0)
           val format = str(df, "file_format")
+          val seq = optField(e, "sequence_number")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(mlSeq)
           content match {
             case 0 =>
               require(manifestContent == 0,
@@ -201,7 +219,7 @@ object IcebergInterop {
                     Option(p.get(f.name)).map(v => f.name -> v.toString)).toMap
                 case _ => Map()
               }
-              dataFiles += IceDataFile(str(df, "file_path"), specId, part)
+              dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq)
             case 1 if format.equalsIgnoreCase("puffin") =>
               // V3 deletion vector: one roaring blob inside a Puffin file
               dvRefs += DvRef(str(df, "file_path"),
@@ -214,14 +232,22 @@ object IcebergInterop {
               require(format.equalsIgnoreCase("parquet"),
                 s"iceberg interop: unsupported position-delete format $format")
               posDeletes += str(df, "file_path")
+            case 2 =>
+              require(format.equalsIgnoreCase("parquet"),
+                s"iceberg interop: unsupported equality-delete format $format")
+              val ids = optField(df, "equality_ids").map(
+                _.asInstanceOf[java.util.List[AnyRef]].asScala
+                  .map(_.asInstanceOf[Number].intValue).toSeq).getOrElse(Seq())
+              require(ids.nonEmpty,
+                s"iceberg interop: equality delete without equality_ids: $mp")
+              eqRefs += EqDeleteRef(str(df, "file_path"), ids, seq)
             case other => sys.error(
-              s"iceberg interop: equality-delete files (content=$other) are " +
-                "unsupported — a read-only adapter refuses rather than mis-apply them")
+              s"iceberg interop: unknown delete content=$other in $mp")
           }
         }
       }
     }
-    (dataFiles.toSeq, posDeletes.toSeq, dvRefs.toSeq)
+    (dataFiles.toSeq, posDeletes.toSeq, dvRefs.toSeq, eqRefs.toSeq)
   }
 
   /** Scheme/authority-stripping normalizer, column form — delete files
@@ -237,31 +263,35 @@ object IcebergInterop {
       prune: Map[String, String] => Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val schema = meta.schemas(snap.schemaId.getOrElse(meta.currentSchemaId))
-    val (files, posDeletes, dvRefs) = fileInventory(meta, snap, conf)
+    val (files, posDeletes, dvRefs, eqRefs) = fileInventory(meta, snap, conf)
     // manifest-level partition pruning: the caller's predicate sees each
     // file's recorded partition tuple (older-spec files surface THEIR
     // tuple — a predicate must treat a missing key as "keep", the same
     // conservative contract as IceLite's own prune)
     val kept = files.filter(f => prune(f.partition))
     if (kept.isEmpty) {
-      val st = org.apache.spark.sql.types.StructType(schema.map { case (n, t) =>
+      val st = org.apache.spark.sql.types.StructType(schema.map { f =>
         org.apache.spark.sql.types.StructField(
-          n, org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+          f.name, org.apache.spark.sql.types.DataType.fromDDL(f.dtype), nullable = true)
       })
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
     val base = spark.read.parquet(kept.map(_.path): _*)
-    val alive =
-      if (posDeletes.isEmpty && dvRefs.isEmpty) base
+    // merge-on-read, both delete shapes anti-joined against _metadata
+    // columns. The delete sides are O(deleted rows / keys) and broadcast
+    // when small (AQE); the data side never shuffles. (IceLite's OWN
+    // read path uses the broadcast DeleteIndex + codegen'd probe
+    // instead; the read-only adapter deliberately avoids assuming
+    // foreign writers sorted their delete files the way IceLite's index
+    // relies on.)
+    import spark.implicits._
+    val tagged =
+      if (posDeletes.isEmpty && dvRefs.isEmpty && eqRefs.isEmpty) base
+      else base.withColumn("_ifile", normCol(col("_metadata.file_path")))
+    val afterPos =
+      if (posDeletes.isEmpty && dvRefs.isEmpty) tagged
       else {
-        // merge-on-read: anti-join on normalized (file, pos). The delete
-        // side is O(deleted rows) and broadcast when small (AQE); the
-        // data side never shuffles. (IceLite's OWN read path uses the
-        // broadcast DeleteIndex + codegen'd probe instead; the read-only
-        // adapter deliberately avoids assuming foreign writers sorted
-        // their delete files the way IceLite's index relies on.)
-        import spark.implicits._
         val pqDels =
           if (posDeletes.isEmpty) None
           else Some(spark.read.schema("file_path STRING, pos BIGINT")
@@ -287,13 +317,38 @@ object IcebergInterop {
         val dels = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
           .select(normCol(col("file_path")).as("_dfile"), col("pos").as("_dpos"))
           .distinct()
-        base
-          .withColumn("_ifile", normCol(col("_metadata.file_path")))
+        tagged
           .withColumn("_ipos", col("_metadata.row_index"))
           .join(dels, col("_ifile") === col("_dfile") && col("_ipos") === col("_dpos"),
             "left_anti")
+          .drop("_ipos")
       }
-    alive.select(schema.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    // equality deletes (Iceberg v2): a delete at sequence S removes
+    // matching rows from data files with sequence < S only. Each row
+    // learns its file's sequence via a broadcast (path → seq) join, then
+    // one NULL-SAFE anti-join per eq delete file (the spec matches NULL
+    // keys to NULL) — the same staircase shape IceLite's own eq read
+    // path uses. Key columns resolve by field id through the snapshot's
+    // schema.
+    val alive =
+      if (eqRefs.isEmpty) afterPos
+      else {
+        val seqDf = broadcast(kept.map(f => (IceLite.normPath(f.path), f.seq))
+          .toDF("_sfile", "_iseq"))
+        var cur = afterPos.join(seqDf, col("_ifile") === col("_sfile"), "left")
+          .drop("_sfile")
+        eqRefs.sortBy(_.path).foreach { d =>
+          val names = d.ids.map(id => schema.find(_.id == id).getOrElse(sys.error(
+            s"iceberg interop: equality_ids field $id not in snapshot schema")).name)
+          val keys = spark.read.parquet(d.path)
+            .select(names.map(n => col(n).as(s"_k_$n")): _*).distinct()
+          val cond = names.map(n => cur(n) <=> keys(s"_k_$n")).reduce(_ && _) &&
+            cur("_iseq") < lit(d.seq)
+          cur = cur.join(broadcast(keys), cond, "left_anti")
+        }
+        cur.drop("_iseq")
+      }
+    alive.select(schema.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)
   }
 
   private def snapOrEmpty(meta: IceMeta): IceSnapshot =

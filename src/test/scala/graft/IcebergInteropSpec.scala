@@ -7,6 +7,8 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** [[IcebergInterop]] against a fixture REAL-format Iceberg table: v2
@@ -14,7 +16,8 @@ import graft.SparkSpec
   * field names, avro container files with embedded schemas) over real
   * parquet data files. Proves the engine's IceLite metadata design speaks
   * the format it mirrors — current read, VERSION AS OF, the snapshot log,
-  * v1 inline-manifest compatibility, and the delete-manifest refusal. */
+  * v1 inline-manifest compatibility, partitioned specs, and the full
+  * MoR delete surface (position, DV, equality). */
 class IcebergInteropSpec extends SparkSpec {
   import spark.implicits._
 
@@ -289,7 +292,7 @@ class IcebergInteropSpec extends SparkSpec {
       "exists-shaped predicate keeps only new-spec files past the cut")
   }
 
-  test("merge-on-read: position-delete manifests apply; equality deletes refuse") {
+  test("merge-on-read: position-delete manifests apply; malformed content=2 refuses") {
     val loc = Files.createTempDirectory("iceberg_mor").toString
     Files.createDirectories(Paths.get(s"$loc/metadata"))
     val f1 = dataFile(loc, "data/b1", 0 until 50)
@@ -322,8 +325,8 @@ class IcebergInteropSpec extends SparkSpec {
       !ids.contains(50L), "deleted positions map to ids 0,1,2 (b1) and 50 (b2)")
     assert(ids.contains(3L) && ids.contains(51L))
 
-    // equality deletes (content=2) refuse — mis-keying them silently would
-    // be corruption, not interop
+    // a content=2 entry WITHOUT equality_ids is malformed — refuse, don't
+    // guess a key set
     val dm2 = s"$loc/metadata/dm2.avro"
     writeAvro(dm2, entrySchema, Seq(manifestEntry(1, 3L, delFile, 4, content = 2)))
     val ml3 = s"$loc/metadata/snap-3.avro"
@@ -333,7 +336,90 @@ class IcebergInteropSpec extends SparkSpec {
     Files.write(Paths.get(mj3),
       metadataJson(loc, Seq((3L, ml3)), 3L).getBytes("UTF-8"))
     val e = intercept[RuntimeException](IcebergInterop.read(spark, mj3))
-    assert(e.getMessage.contains("equality-delete"))
+    assert(e.getMessage.contains("equality_ids"))
+  }
+
+  test("equality deletes: v2 sequence scoping, null-safe keys, field-id key resolution") {
+    val loc = Files.createTempDirectory("iceberg_eq").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    // manifest-list rows carry sequence_number; entries inherit (the v2
+    // inheritance rule — this fixture's entry schema has no seq field)
+    val mlSeqSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"sequence_number","type":"long"},
+        | {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val eqEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"equality_ids","type":{"type":"array","items":"int"}},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def eqEntry(content: Int, filePath: String, rows: Long, ids: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(eqEntrySchema.getField("data_file").schema())
+      df.put("content", content); df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      df.put("equality_ids", ids.map(Int.box).asJava)
+      df.put("record_count", rows); df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(eqEntrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    def mlSeqRow(path: String, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(mlSeqSchema)
+      r.put("manifest_path", path); r.put("manifest_length", 512L)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("added_snapshot_id", 1L)
+      r
+    }
+    // seq-1 data: ids 0..49 plus one NULL-keyed row; seq-3 data:
+    // RE-INSERTS key "row-3" after the delete
+    def write1(name: String, rows: Seq[(java.lang.Long, String)]): String = {
+      val out = s"$loc/$name"
+      rows.toDF("id", "data").coalesce(1).write.parquet(out)
+      Files.list(Paths.get(out)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    val f1 = write1("data/b1",
+      (0 until 50).map(i => (Long.box(i.toLong), s"row-$i")) :+ (Long.box(1000L), null))
+    val f3 = write1("data/b3", Seq((Long.box(2003L), "row-3")))
+    // the eq delete (seq 2, key = field id 2 "data"): kills "row-3" and
+    // the NULL key in seq-1 data; must NOT touch the seq-3 re-insert
+    val delDir = s"$loc/deletes/eq1"
+    Seq(("row-3"), (null: String)).toDF("data").coalesce(1).write.parquet(delDir)
+    val eqFile = Files.list(Paths.get(delDir)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, eqEntrySchema, Seq(eqEntry(0, f1, 51, Seq())))
+    val m3 = s"$loc/metadata/m3.avro"
+    writeAvro(m3, eqEntrySchema, Seq(eqEntry(0, f3, 1, Seq())))
+    val dm = s"$loc/metadata/dm.avro"
+    writeAvro(dm, eqEntrySchema, Seq(eqEntry(2, eqFile, 2, Seq(2))))
+    val ml = s"$loc/metadata/snap-1.avro"
+    writeAvro(ml, mlSeqSchema,
+      Seq(mlSeqRow(m1, 0, 1L), mlSeqRow(m3, 0, 3L), mlSeqRow(dm, 1, 2L)))
+    val mj = s"$loc/metadata/v2.metadata.json"
+    Files.write(Paths.get(mj),
+      metadataJson(loc, Seq((1L, ml)), 1L).getBytes("UTF-8"))
+
+    val got = IcebergInterop.read(spark, mj)
+    val rows = got.collect().map(r => (r.get(0), r.get(1))).toSet
+    // 52 rows in, minus "row-3"@seq1 and the NULL-keyed row = 50
+    assert(got.count() == 50L, s"got ${got.count()}")
+    assert(!rows.contains((3L, "row-3")), "seq-1 'row-3' must be eq-deleted")
+    assert(!rows.exists(_._1 == 1000L), "NULL key must match NULL (null-safe semantics)")
+    assert(rows.contains((2003L, "row-3")),
+      "the seq-3 re-insert postdates the delete and must survive")
+    assert(rows.contains((4L, "row-4")))
   }
 
   test("reads an Iceberg v1 table (single schema, inline manifest list)") {
