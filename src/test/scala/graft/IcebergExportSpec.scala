@@ -39,6 +39,47 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergInterop.snapshots(mj).map(_._1) == Seq(snap1, snap2))
   }
 
+  test("append-only lineage exports as DELTAS; MoR lineage falls back to full per-snapshot") {
+    val loc = Files.createTempDirectory("ice_export_delta").toString
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    t.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append((100L until 110L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append((110L until 112L).map(i => (i, s"c$i")).toDF("id", "tag"))
+    val s3 = t.meta.currentSnapshotId.get
+
+    val dest = s"$loc/exported"
+    val mj = IcebergExport.export(t, dest, Seq(s1, s2, s3))
+    // delta shape: snapshot 2's data dir holds ONLY the 10 appended rows
+    assert(spark.read.parquet(s"$dest/data/snap-$s2").count() == 10L,
+      "snapshot 2 must export only its delta, not re-rewrite the table")
+    assert(spark.read.parquet(s"$dest/data/snap-$s3").count() == 2L)
+    // fidelity at every exported point (snapshot 3's manifest list chains
+    // the earlier manifests by reference — that's what makes the full
+    // count reachable without snapshot 3 re-exporting 112 rows)
+    assert(IcebergInterop.read(spark, mj).count() == 112L)
+    assert(rows(IcebergInterop.readAsOf(spark, mj, s2)) == rows(t.readAsOf(s2)))
+    assert(rows(IcebergInterop.readAsOf(spark, mj, s1)) == rows(t.readAsOf(s1)))
+    assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
+
+    // a lineage with MoR deletes cannot delta — falls back to full
+    // per-snapshot export, still exact
+    val loc2 = Files.createTempDirectory("ice_export_delta_mor").toString
+    val u = IceLite.createFrom(spark, s"$loc2/src", Seq((0L, "x")).toDF("id", "tag"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    u.append((0L until 50L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val u1 = u.meta.currentSnapshotId.get
+    u.delete(col("id") < 5)
+    u.append((50L until 60L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    val u3 = u.meta.currentSnapshotId.get
+    val mj2 = IcebergExport.export(u, s"$loc2/exported", Seq(u1, u3))
+    assert(spark.read.parquet(s"$loc2/exported/data/snap-$u3").count() == 55L,
+      "non-append lineage must full-export each snapshot")
+    assert(rows(IcebergInterop.read(spark, mj2)) == rows(u.read()))
+    assert(rows(IcebergInterop.readAsOf(spark, mj2, u1)) == rows(u.readAsOf(u1)))
+  }
+
   test("partitioned table exports spec-preserving: transforms declared, tuples typed, pruning works") {
     import java.time.LocalDate
     val loc = Files.createTempDirectory("ice_export_part").toString
