@@ -250,6 +250,18 @@ object IcebergInterop {
     (dataFiles.toSeq, posDeletes.toSeq, dvRefs.toSeq, eqRefs.toSeq)
   }
 
+  /** field-id → column-name map from a parquet file's own footer schema
+    * (id-less fields skipped) — one footer read per delete file, driver-
+    * side metadata planning bounded by the delete-file count. */
+  private def parquetFieldNamesById(path: String, conf: Configuration): Map[Int, String] = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf))
+    val fields =
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toList
+      finally r.close()
+    fields.flatMap(f => Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
+  }
+
   /** Scheme/authority-stripping normalizer, column form — delete files
     * record `file_path` as the writer spelled it while Spark's
     * `_metadata.file_path` renders a full URI; both normalize to the URI
@@ -325,27 +337,48 @@ object IcebergInterop {
       }
     // equality deletes (Iceberg v2): a delete at sequence S removes
     // matching rows from data files with sequence < S only. Each row
-    // learns its file's sequence via a broadcast (path → seq) join, then
-    // one NULL-SAFE anti-join per eq delete file (the spec matches NULL
-    // keys to NULL) — the same staircase shape IceLite's own eq read
-    // path uses. Key columns resolve by field id through the snapshot's
-    // schema.
+    // learns its file's sequence via a broadcast (path → seq) join —
+    // BOTH join sides normalize through the same normCol, so a writer-
+    // spelled scheme variant can never null the join; a null sequence
+    // after the join would silently resurrect deleted rows, so it fails
+    // loudly instead. Then ONE null-safe anti-join per DISTINCT
+    // equality_ids set (the spec matches NULL keys to NULL): keys from
+    // all the set's delete files union, each carrying its delete's
+    // sequence, reduced to max-per-key (row deleted ⟺ ∃ delete with
+    // matching keys and row.seq < delete.seq ⟺ row.seq < max matching
+    // seq) — plan depth stays O(distinct key-sets) however many delete
+    // commits the foreign table accumulated, not O(delete files).
     val alive =
       if (eqRefs.isEmpty) afterPos
       else {
-        val seqDf = broadcast(kept.map(f => (IceLite.normPath(f.path), f.seq))
-          .toDF("_sfile", "_iseq"))
+        val seqDf = broadcast(kept.map(f => (f.path, f.seq)).toDF("_praw", "_iseq")
+          .select(normCol(col("_praw")).as("_sfile"), col("_iseq")))
         var cur = afterPos.join(seqDf, col("_ifile") === col("_sfile"), "left")
           .drop("_sfile")
-        eqRefs.sortBy(_.path).foreach { d =>
-          val names = d.ids.map(id => schema.find(_.id == id).getOrElse(sys.error(
-            s"iceberg interop: equality_ids field $id not in snapshot schema")).name)
-          val keys = spark.read.parquet(d.path)
-            .select(names.map(n => col(n).as(s"_k_$n")): _*).distinct()
-          val cond = names.map(n => cur(n) <=> keys(s"_k_$n")).reduce(_ && _) &&
-            cur("_iseq") < lit(d.seq)
-          cur = cur.join(broadcast(keys), cond, "left_anti")
-        }
+          .withColumn("_iseq", when(col("_iseq").isNull, raise_error(concat(
+            lit("iceberg interop: data file sequence unresolved for "), col("_ifile"))))
+            .otherwise(col("_iseq")))
+        eqRefs.groupBy(_.ids.sorted).toSeq.sortBy(_._1.mkString(","))
+          .foreach { case (ids, refs) =>
+            val names = ids.map(id => schema.find(_.id == id).getOrElse(sys.error(
+              s"iceberg interop: equality_ids field $id not in snapshot schema")).name)
+            val keys = refs.sortBy(_.path).map { d =>
+              // key columns resolve by FIELD ID against the delete file's
+              // OWN parquet schema (Iceberg's resolution rule — the key
+              // survives a source-column rename after the delete was
+              // written); name fallback for id-less writers
+              val byId = parquetFieldNamesById(d.path, conf)
+              spark.read.parquet(d.path)
+                .select(ids.zip(names).map { case (id, n) =>
+                  col(byId.getOrElse(id, n)).as(s"_k_$n") }: _*)
+                .withColumn("_dseq", lit(d.seq))
+            }.reduce(_ unionByName _)
+              .groupBy(names.map(n => col(s"_k_$n")): _*)
+              .agg(max("_dseq").as("_dseq"))
+            val cond = names.map(n => cur(n) <=> keys(s"_k_$n")).reduce(_ && _) &&
+              cur("_iseq") < keys("_dseq")
+            cur = cur.join(broadcast(keys), cond, "left_anti")
+          }
         cur.drop("_iseq")
       }
     alive.select(schema.map(f => col(f.name).cast(f.dtype).as(f.name)): _*)

@@ -108,14 +108,36 @@ object PuffinDv {
     out.toByteArray
   }
 
+  /** Streaming run accumulator: positions/runs arrive in ASCENDING order
+    * (the portable format sorts buckets, container keys, array values and
+    * runs), so runs build directly — allocation is O(runs), never
+    * O(positions), even for dense bitmap containers. Monotonicity is
+    * required, so a corrupt bitmap fails loudly instead of mis-merging. */
+  private final class RunBuilder {
+    private val runs = scala.collection.mutable.ArrayBuilder.make[Long]
+    private var start = 0L; private var len = 0L; private var last = -2L
+    def add(p: Long): Unit = addRun(p, 1L)
+    def addRun(s: Long, l: Long): Unit = {
+      require(s > last, s"roaring positions out of order: $s after $last")
+      if (len > 0 && s == last + 1) len += l
+      else { if (len > 0) { runs += start; runs += len }; start = s; len = l }
+      last = s + l - 1
+    }
+    def result(): Array[Long] = {
+      if (len > 0) { runs += start; runs += len; len = 0 }
+      runs.result()
+    }
+  }
+
   /** Decode a 64-bit portable roaring bitmap into packed [start,len]*
     * runs — handles array, bitmap AND run containers (real writers emit
-    * runs; ours doesn't). */
+    * runs; ours doesn't). Runs build STREAMING per container in the
+    * format's ascending order; the position set is never materialized. */
   private[icelite] def roaringToRuns(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val bucketCount = bb.getLong()
     require(bucketCount >= 0 && bucketCount <= Int.MaxValue, s"bad bucket count $bucketCount")
-    val positions = scala.collection.mutable.ArrayBuilder.make[Long]
+    val out = new RunBuilder
     var b = 0L
     while (b < bucketCount) {
       val hi = (bb.getInt().toLong & 0xFFFFFFFFL) << 32
@@ -152,20 +174,19 @@ object PuffinDv {
           while (r < nRuns) {
             val start = bb.getShort() & 0xFFFF
             val len = (bb.getShort() & 0xFFFF) + 1
-            var v = start
-            while (v < start + len) { positions += (base | v); v += 1 }
+            out.addRun(base | start, len.toLong)
             r += 1
           }
         } else if (cards(i) <= 4096) {
           var j = 0
-          while (j < cards(i)) { positions += (base | (bb.getShort() & 0xFFFF)); j += 1 }
+          while (j < cards(i)) { out.add(base | (bb.getShort() & 0xFFFF)); j += 1 }
         } else {
           var w = 0
           while (w < 1024) {
             var word = bb.getLong()
             val wb = base | (w.toLong << 6)
             while (word != 0) {
-              positions += (wb | java.lang.Long.numberOfTrailingZeros(word))
+              out.add(wb | java.lang.Long.numberOfTrailingZeros(word))
               word &= word - 1
             }
             w += 1
@@ -175,9 +196,7 @@ object PuffinDv {
       }
       b += 1
     }
-    val arr = positions.result()
-    java.util.Arrays.sort(arr)
-    DvCodec.toRuns(arr)
+    out.result()
   }
 
   // ----------------------------------------------------------- blob form
@@ -280,15 +299,17 @@ object PuffinDv {
       in.readFully(len - 12 - payloadSize - 4, m1)
       require(java.util.Arrays.equals(m1, Magic), s"bad Puffin footer magic: $path")
       val root = M.readTree(payload)
-      Option(root.get("blobs")).map(_.elements().asScala.toSeq).getOrElse(Seq()).map { b =>
-        require(b.get("type").asText() == BlobType,
-          s"unsupported Puffin blob type ${b.get("type").asText()}: $path")
-        val props = b.get("properties")
-        BlobMeta(
-          props.get("referenced-data-file").asText(),
-          b.get("offset").asLong(), b.get("length").asLong(),
-          Option(props.get("cardinality")).map(_.asText().toLong).getOrElse(-1L))
-      }
+      // a valid Puffin container may interleave other blob types (stats
+      // sketches, …) with its DVs — read the deletion-vector-v1 blobs and
+      // pass over the rest instead of rejecting the whole file
+      Option(root.get("blobs")).map(_.elements().asScala.toSeq).getOrElse(Seq())
+        .filter(b => b.get("type").asText() == BlobType).map { b =>
+          val props = b.get("properties")
+          BlobMeta(
+            props.get("referenced-data-file").asText(),
+            b.get("offset").asLong(), b.get("length").asLong(),
+            Option(props.get("cardinality")).map(_.asText().toLong).getOrElse(-1L))
+        }
     } finally in.close()
   }
 

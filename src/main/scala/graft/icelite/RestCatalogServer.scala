@@ -158,11 +158,44 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     * both directions (IceLite reads real Iceberg via [[IcebergInterop]];
     * real readers load IceLite through this route). */
   private def loadIcebergTableJson(tbl: IceLiteTable): String = {
-    val dest = s"${tbl.location}/_iceberg_export/v${tbl.currentVersion}"
+    val ver = tbl.currentVersion
+    val dest = s"${tbl.location}/_iceberg_export/v$ver"
     val conf = spark.sessionState.newHadoopConf()
     val mj = new org.apache.hadoop.fs.Path(s"$dest/metadata/v1.metadata.json")
     val fs = org.apache.hadoop.fs.FileSystem.get(mj.toUri, conf)
-    if (!fs.exists(mj)) IcebergExport.export(tbl, dest)
+    if (!fs.exists(mj)) {
+      // two concurrent first loads (multiple stateless instances front one
+      // warehouse) race here: a claim file created with overwrite=false
+      // picks ONE exporter (the same conditional-PUT primitive the table
+      // commit protocol rides); the loser waits for the winner's
+      // metadata.json — written LAST by the export, so its existence
+      // means the export is complete — instead of surfacing a 500
+      val claim = new org.apache.hadoop.fs.Path(dest, ".export-claim")
+      fs.mkdirs(claim.getParent)
+      val won =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (won) IcebergExport.export(tbl, dest)
+      else {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!fs.exists(mj) && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        require(fs.exists(mj), s"concurrent iceberg export of $dest did not complete")
+      }
+    }
+    // GC: exports for table versions older than the retained metadata
+    // history can never be served again (their version files are pruned by
+    // the same window), so sweep them — a hot table otherwise accumulates
+    // one full export per commit, unbounded
+    val keepFrom = ver - tbl.meta.properties
+      .getOrElse("write.metadata.previous-versions-max", "100").toInt
+    val exportRoot = new org.apache.hadoop.fs.Path(s"${tbl.location}/_iceberg_export")
+    if (keepFrom > 0 && fs.exists(exportRoot))
+      fs.listStatus(exportRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt < keepFrom)
+          fs.delete(st.getPath, true)
+      }
     val doc = {
       val in = fs.open(mj)
       try M.readTree(in) finally in.close()

@@ -422,6 +422,104 @@ class IcebergInteropSpec extends SparkSpec {
     assert(rows.contains((4L, "row-4")))
   }
 
+  test("many eq-delete files collapse to one anti-join per key-set; keys resolve by field id") {
+    val loc = Files.createTempDirectory("iceberg_eq_many").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    val mlSeqSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"sequence_number","type":"long"},
+        | {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val eqEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"equality_ids","type":{"type":"array","items":"int"}},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def eqEntry(content: Int, filePath: String, rows: Long, ids: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(eqEntrySchema.getField("data_file").schema())
+      df.put("content", content); df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      df.put("equality_ids", ids.map(Int.box).asJava)
+      df.put("record_count", rows); df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(eqEntrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    def mlSeqRow(path: String, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(mlSeqSchema)
+      r.put("manifest_path", path); r.put("manifest_length", 512L)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("added_snapshot_id", 1L)
+      r
+    }
+    def onePq(dir: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(dir)
+      Files.list(Paths.get(dir)).toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    }
+    // data: seq-1 file with ids 0..99; seq-30 re-insert of key "row-3"
+    val f1 = onePq(s"$loc/data/b1",
+      (0 until 100).map(i => (i.toLong, s"row-$i")).toDF("id", "data"))
+    val f2 = onePq(s"$loc/data/b2", Seq((2003L, "row-3")).toDF("id", "data"))
+    // 23 delete files keyed on field 2 ("data"): "row-0".."row-21" at
+    // seq 2, plus "row-3" AGAIN at seq 60 — the per-key max must kill the
+    // seq-30 re-insert (30 < 60) even though the seq-2 delete predates it.
+    // The delete parquet spells the key column "old_data" and carries
+    // parquet field-id 2: resolution must go by ID, not name (the rename-
+    // after-delete shape Iceberg's field-id rule exists for).
+    val fidMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2L).build()
+    val dataDels = (0 until 23).map { i =>
+      val (key, seq) = if (i == 22) ("row-3", 60L) else (s"row-$i", 2L)
+      val p = onePq(s"$loc/deletes/eq$i",
+        Seq(key).toDF("data").select(col("data").as("old_data", fidMeta)))
+      (p, Seq(2), seq)
+    }
+    // 2 delete files keyed on field 1 ("id"): a second DISTINCT key-set
+    val idDels = (0 until 2).map { i =>
+      val p = onePq(s"$loc/deletes/eqid$i", Seq(Long.box(90L + i)).toDF("id"))
+      (p, Seq(1), 2L)
+    }
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, eqEntrySchema, Seq(eqEntry(0, f1, 100, Seq())))
+    val m2 = s"$loc/metadata/m2.avro"
+    writeAvro(m2, eqEntrySchema, Seq(eqEntry(0, f2, 1, Seq())))
+    val mlRows = scala.collection.mutable.ArrayBuffer(
+      mlSeqRow(m1, 0, 1L), mlSeqRow(m2, 0, 30L))
+    (dataDels ++ idDels).zipWithIndex.foreach { case ((p, ids, seq), i) =>
+      val dm = s"$loc/metadata/dm$i.avro"
+      writeAvro(dm, eqEntrySchema, Seq(eqEntry(2, p, 1, ids)))
+      mlRows += mlSeqRow(dm, 1, seq)
+    }
+    val ml = s"$loc/metadata/snap-1.avro"
+    writeAvro(ml, mlSeqSchema, mlRows.toSeq)
+    val mj = s"$loc/metadata/v2.metadata.json"
+    Files.write(Paths.get(mj),
+      metadataJson(loc, Seq((1L, ml)), 1L).getBytes("UTF-8"))
+
+    val got = IcebergInterop.read(spark, mj)
+    // plan depth: 25 delete files, TWO distinct key-sets → exactly 2
+    // anti-joins (the staircase is bounded by key-sets, not files)
+    val antiJoins = got.queryExecution.optimizedPlan.toString
+      .linesIterator.count(_.contains("LeftAnti"))
+    assert(antiJoins == 2, s"expected 2 anti-joins for 2 key-sets, got $antiJoins")
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(!(0L until 22L).exists(ids), "row-0..row-21 eq-deleted by data key")
+    assert(!ids.contains(90L) && !ids.contains(91L), "ids 90,91 eq-deleted by id key")
+    assert(!ids.contains(2003L),
+      "the seq-30 re-insert of row-3 dies to the seq-60 delete (per-key max)")
+    assert(ids.contains(22L) && ids.contains(89L) && ids.contains(92L))
+    assert(got.count() == 100 + 1 - 22 - 2 - 1) // 76
+  }
+
   test("reads an Iceberg v1 table (single schema, inline manifest list)") {
     val loc = Files.createTempDirectory("iceberg_v1").toString
     Files.createDirectories(Paths.get(s"$loc/metadata"))

@@ -66,6 +66,74 @@ class PuffinDvSpec extends SparkSpec {
     assert(PuffinDv.roaringToRuns(bytes).toSeq == Seq(10L, 5L, 100L, 1L))
   }
 
+  test("dense blobs decode to O(runs) packed form, streaming across container boundaries") {
+    // one contiguous range spanning four 64k containers (bitmap form) —
+    // the decoder must emit ONE [start,len] pair, merging runs across
+    // container and bucket boundaries without materializing positions
+    val dense = (0L until 200000L).toArray
+    val runs = PuffinDv.roaringToRuns(PuffinDv.roaringSerialize(dense))
+    assert(runs.toSeq == Seq(0L, 200000L), s"expected one merged run, got ${runs.length / 2}")
+    // same across a 32-bit bucket boundary (array containers both sides)
+    val edge = Array((1L << 32) - 2, (1L << 32) - 1, 1L << 32, (1L << 32) + 1)
+    assert(PuffinDv.roaringToRuns(PuffinDv.roaringSerialize(edge)).toSeq ==
+      Seq((1L << 32) - 2, 4L))
+    // a corrupt bitmap with OUT-OF-ORDER runs refuses instead of mis-merging
+    val bad = Array[Int](
+      0x01, 0, 0, 0, 0, 0, 0, 0, // u64 bucket count = 1
+      0, 0, 0, 0,                // bucket high = 0
+      0x3B, 0x30, 0, 0,          // cookie 12347, 1 container
+      0x01,                      // run flag
+      0, 0, 0x05, 0,             // key 0, cardinality-1
+      0x02, 0,                   // nRuns = 2
+      0x64, 0, 0x00, 0,          // run (100, 1)
+      0x0A, 0, 0x04, 0           // run (10, 5) — out of order
+    ).map(_.toByte)
+    val e = intercept[IllegalArgumentException](PuffinDv.roaringToRuns(bad))
+    assert(e.getMessage.contains("out of order"))
+  }
+
+  test("a Puffin container carrying foreign blob types still serves its DV blobs") {
+    // real engines put stats sketches (e.g. apache-datasketches-theta-v1)
+    // in the same container as DVs — the reader must take the DV blobs
+    // and pass over the rest, not reject the file
+    val dir = Files.createTempDirectory("puffin_mixed").toString
+    val src = new Path(s"$dir/src${PuffinDv.Ext}")
+    val positions = Array(5L, 6L, 7L, 42L)
+    val metas = PuffinDv.write(src, Seq("fX" -> positions), conf)
+    val fs = org.apache.hadoop.fs.FileSystem.get(src.toUri, conf)
+    val dvBytes = {
+      val in = fs.open(src)
+      val b = new Array[Byte](metas.head.length.toInt)
+      try in.readFully(metas.head.offset, b) finally in.close()
+      b
+    }
+    // hand-assemble: magic, a foreign blob, the DV blob, footer with both
+    val mixed = new Path(s"$dir/mixed${PuffinDv.Ext}")
+    val foreign = "not-a-deletion-vector".getBytes("UTF-8")
+    val out = fs.create(mixed, false)
+    val footerJson = (s"""{"blobs":[""" +
+      s"""{"type":"apache-datasketches-theta-v1","fields":[1],"snapshot-id":0,""" +
+      s""""sequence-number":0,"offset":4,"length":${foreign.length},"properties":{}},""" +
+      s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":0,"sequence-number":0,""" +
+      s""""offset":${4 + foreign.length},"length":${dvBytes.length},""" +
+      s""""properties":{"referenced-data-file":"fX","cardinality":"4"}}]}""").getBytes("UTF-8")
+    try {
+      out.write(Array[Byte](0x50, 0x46, 0x41, 0x31)) // PFA1
+      out.write(foreign)
+      out.write(dvBytes)
+      out.write(Array[Byte](0x50, 0x46, 0x41, 0x31))
+      out.write(footerJson)
+      val tail = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(footerJson.length); tail.putInt(0)
+      out.write(tail.array())
+      out.write(Array[Byte](0x50, 0x46, 0x41, 0x31))
+    } finally out.close()
+    val blobs = PuffinDv.blobs(mixed, conf)
+    assert(blobs.size == 1 && blobs.head.refDataFile == "fX",
+      s"only the DV blob should surface, got $blobs")
+    assert(DvCodec.expandRuns(PuffinDv.runsFor(mixed, conf, "fX")).toSeq == positions.toSeq)
+  }
+
   test("deletion-vector-v1 frame: corrupted payload refuses on CRC") {
     val dir = Files.createTempDirectory("puffin_crc").toString
     val p = new Path(s"$dir/c${PuffinDv.Ext}")

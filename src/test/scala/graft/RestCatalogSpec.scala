@@ -128,6 +128,60 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("?format=iceberg exports are GC'd past the metadata window and survive a concurrent first load") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("rest_gc_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "hot", Seq("id" -> "BIGINT"))
+    // retention window of 2: exports for versions the metadata log no
+    // longer retains must be swept, or a hot table accumulates one full
+    // export per commit forever
+    cat.loadTable("db", "hot")
+      .setProperties(Map("write.metadata.previous-versions-max" -> "2"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      (1 to 4).foreach { i =>
+        cat.loadTable("db", "hot").append(Seq(i.toLong).toDF("id"))
+        val r = M.readTree(get(s"$base/namespaces/db/tables/hot?format=iceberg").body())
+        seen += r.get("metadata-location").asText()
+      }
+      assert(seen.distinct.size == 4, "each version serves its own export")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), spark.sessionState.newHadoopConf())
+      val exportRoot = new org.apache.hadoop.fs.Path(
+        cat.loadTable("db", "hot").location, "_iceberg_export")
+      val live = fs.listStatus(exportRoot).map(_.getPath.getName)
+        .filter(_.startsWith("v")).sorted.toSeq
+      assert(live.size <= 3, s"old exports must be GC'd, found $live")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(seen.head.stripSuffix(
+        "/metadata/v1.metadata.json"))), "the oldest export dir is gone")
+      // the newest export still serves real rows
+      assert(graft.icelite.IcebergInterop.read(spark, seen.last).count() == 4L)
+
+      // concurrent first load: another instance already CLAIMED this
+      // version's export but hasn't finished — this server must WAIT for
+      // the winner's metadata.json and then serve it, not 500
+      val tbl = cat.loadTable("db", "hot")
+      tbl.append(Seq(99L).toDF("id"))
+      val fresh = cat.loadTable("db", "hot")
+      val dest = s"${fresh.location}/_iceberg_export/v${fresh.currentVersion}"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dest))
+      fs.create(new org.apache.hadoop.fs.Path(dest, ".export-claim"), false).close()
+      val winner = new Thread(() => {
+        Thread.sleep(300)
+        graft.icelite.IcebergExport.export(fresh, dest)
+      })
+      winner.start()
+      val r = get(s"$base/namespaces/db/tables/hot?format=iceberg")
+      winner.join()
+      assert(r.statusCode() == 200, s"loser must wait and serve, got ${r.statusCode()}: ${r.body()}")
+      assert(M.readTree(r.body()).get("metadata-location").asText().startsWith(dest))
+    } finally srv.stop()
+  }
+
   test("error paths conform to the Iceberg REST spec: 409 on exists, 404 on absent parents, 400 on bad bodies, typed error model") {
     val wh = Files.createTempDirectory("rest_err_wh").toString
     val cat = new Catalog(spark, wh)
