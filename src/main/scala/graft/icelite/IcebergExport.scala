@@ -35,10 +35,14 @@ import scala.jdk.CollectionConverters._
   * ids — so a real reader prunes partitions exactly as it would on a
   * native table. Partition values are written in Iceberg's encodings
   * (temporal transforms and DATE identity as epoch-relative ints).
-  * `bucket[N]` specs fall back to an unpartitioned export: IceLite
-  * buckets by xxhash64 while Iceberg specifies murmur3, so declaring the
-  * transform would make real readers prune WRONG rows — omitting the
-  * spec is valid Iceberg, lying about it is corruption.
+  * `bucket[N]` specs export spec-preserving too: rows are REASSIGNED to
+  * buckets through the Iceberg-spec murmur3 hash ([[IcebergTransforms]],
+  * spec-vector-validated) — IceLite's own layout hashes xxhash64, and
+  * declaring that layout under Iceberg's transform name would make real
+  * readers prune WRONG rows, so the export re-buckets rather than lie.
+  * Bucket sources outside the spec's hashable types (e.g. the
+  * TIMESTAMP_NS nanos carrier) still fall back to an honest
+  * unpartitioned export.
   *
   * Multi-snapshot exports of an APPEND-ONLY lineage are DELTA exports:
   * each later snapshot rewrites only its appended rows and chains the
@@ -130,11 +134,17 @@ object IcebergExport {
       decode: String => AnyRef)
 
   private val ExportableTemporal = Set("year", "month", "day")
+  private val BucketableTypes = Set("INT", "INTEGER", "BIGINT", "LONG",
+    "STRING", "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ")
 
   /** The export partition plan for the table's CURRENT spec, or empty when
-    * any field is outside exportable semantics (bucket[N]: IceLite hashes
-    * xxhash64, Iceberg murmur3 — declaring it would mis-prune real
-    * readers; unpartitioned export is the honest fallback). */
+    * any field is outside exportable semantics (unpartitioned export is
+    * the honest fallback — a spec a real reader would mis-prune by is
+    * corruption, omitting it is valid Iceberg). `bucket[N]` re-encodes
+    * through the Iceberg-spec murmur3 hash ([[IcebergTransforms]], via
+    * the codegen'd [[graft.functions.IcebergBucket]]): IceLite's own
+    * layout hashes xxhash64, so the export REASSIGNS rows to the buckets
+    * a real reader computes — correct pruning beats layout reuse. */
   private def exportPartFields(m: TableMetadata): Seq[ExportPartField] = {
     import org.apache.spark.sql.functions._
     val spec = m.defaultSpec
@@ -162,6 +172,14 @@ object IcebergExport {
             }
             Some(ExportPartField(s"${src.name}_$t", t, sf.sourceId, "int",
               enc, s => Int.box(s.toInt)))
+          case (t, _) if t.startsWith("bucket[") && t.endsWith("]") &&
+              (BucketableTypes(dt) || dt.startsWith("DECIMAL")) =>
+            val n = t.substring("bucket[".length, t.length - 1).toInt
+            Some(ExportPartField(s"${src.name}_bucket", t, sf.sourceId, "int",
+              c => org.apache.spark.sql.graft.SparkShims.columnOf(
+                graft.functions.IcebergBucket(
+                  org.apache.spark.sql.graft.SparkShims.toExpression(c), n)),
+              s => Int.box(s.toInt)))
           case _ => None
         }
       }

@@ -127,15 +127,52 @@ class IcebergExportSpec extends SparkSpec {
     // full fidelity
     assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
 
-    // a bucket-spec table falls back to an honest UNPARTITIONED export
-    // (xxhash64 != murmur3: declaring bucket would mis-prune real readers)
-    val tb = IceLite.create(spark, s"$loc/src_bucket",
+  }
+
+  test("bucket[N] exports spec-preserving through the Iceberg murmur3 hash") {
+    val loc = Files.createTempDirectory("ice_export_bucket").toString
+    // IceLite lays this table out by xxhash64 buckets; the export must
+    // REASSIGN rows to Iceberg's murmur3 buckets (spec-vector-validated
+    // in IcebergTransformsSpec) or real readers prune wrong rows
+    val t = IceLite.create(spark, s"$loc/src",
       Seq("id" -> "BIGINT", "v" -> "BIGINT"),
       partition = Seq("id" -> "bucket[4]"))
-    tb.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
-    val mjb = IcebergExport.export(tb, s"$loc/exported_bucket")
-    assert(IcebergInterop.loadMeta(mjb).specs(0).isEmpty)
-    assert(IcebergInterop.read(spark, mjb).count() == 2L)
+    val ids = 0L until 40L
+    t.append(ids.map(i => (i, i * 10)).toDF("id", "v"))
+
+    val mj = IcebergExport.export(t, s"$loc/exported")
+    val meta = IcebergInterop.loadMeta(mj)
+    assert(meta.specs(0).map(f => (f.name, f.transform, f.sourceId)) ==
+      Seq(("id_bucket", "bucket[4]", 1)))
+
+    // manifest tuples carry exactly the murmur3 bucket of each file's ids
+    val files = IcebergInterop.planFiles(spark, mj)
+    assert(files.map(_.partition.get("id_bucket")).distinct.size == 4)
+    files.foreach { f =>
+      val b = f.partition("id_bucket").toInt
+      val got = spark.read.parquet(f.path).select("id").as[Long].collect()
+      assert(got.nonEmpty && got.forall(IcebergTransforms.bucketLong(_, 4) == b),
+        s"file ${f.path} holds ids outside its declared bucket $b")
+    }
+    // a real reader's pruning: bucket(lit) selects exactly the matching rows
+    val probe = 17L
+    val pb = IcebergTransforms.bucketLong(probe, 4)
+    val pruned = IcebergInterop.readPruned(spark, mj,
+      m => m.get("id_bucket").forall(_.toInt == pb))
+    val expect = ids.filter(IcebergTransforms.bucketLong(_, 4) == pb)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == expect,
+      "bucket pruning must return the full bucket and nothing else")
+    assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
+
+    // bucket over a source the spec can't hash (TIMESTAMP_NS nanos
+    // carrier) still falls back to an honest unpartitioned export
+    val tn = IceLite.create(spark, s"$loc/src_ns",
+      Seq("ts" -> "TIMESTAMP_NS", "v" -> "BIGINT"),
+      partition = Seq("ts" -> "bucket[4]"))
+    tn.append(Seq((1700000000123456789L, 1L)).toDF("ts", "v"))
+    val mjn = IcebergExport.export(tn, s"$loc/exported_ns")
+    assert(IcebergInterop.loadMeta(mjn).specs(0).isEmpty)
+    assert(IcebergInterop.read(spark, mjn).count() == 1L)
   }
 
   test("MoR deletes, defaults and renames materialize into clean append-only Iceberg") {
