@@ -52,10 +52,11 @@ import scala.jdk.CollectionConverters._
   * change in the range falls back to full per-snapshot re-export
   * (exact, just not incremental).
   *
-  * Scope (documented): flat primitive schemas (the interop scope),
-  * snapshot subset chosen by the caller (each exports as an append under
-  * the current spec). TIMESTAMP_NS declares the Iceberg V3 `timestamp_ns`
-  * type over its int64-nanos carrier and bumps format-version to 3. */
+  * Scope (documented): flat primitive + VARIANT schemas (the interop
+  * scope), snapshot subset chosen by the caller (each exports as an
+  * append under the current spec). TIMESTAMP_NS declares the Iceberg V3
+  * `timestamp_ns` type over its int64-nanos carrier; it and VARIANT
+  * (stored as parquet's VARIANT logical type) bump format-version to 3. */
 object IcebergExport {
 
   /** manifest_entry schema; data_file grows a typed partition record when
@@ -103,6 +104,10 @@ object IcebergExport {
     case "TIMESTAMP_NS"           => "timestamp_ns" // V3 (README.md:1173–1179)
     case "STRING" | "VARCHAR"     => "string"
     case "BINARY"                 => "binary"
+    // Iceberg V3 semi-structured type (README.md:1127–1153); the data
+    // rewrite stores it as parquet's VARIANT logical type (binary
+    // metadata + value), the physical layout V3 readers expect
+    case "VARIANT"                => "variant"
     case d if d.startsWith("DECIMAL") => d.toLowerCase
     case other => sys.error(s"iceberg export: unsupported type $other")
   }
@@ -332,9 +337,12 @@ object IcebergExport {
     }
 
     val exportedSchemas = snapNodes.map(_._2).distinct.sorted
+    // timestamp_ns and variant are Iceberg V3 types — their presence
+    // bumps the exported format-version
+    val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion =
       if (exportedSchemas.exists(id => m.schema(id).fields
-        .exists(_.dtype.equalsIgnoreCase("TIMESTAMP_NS")))) 3 else 2
+        .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2
     val lastColumnId = exportedSchemas
       .flatMap(id => m.schema(id).fields.map(_.id)).max
     def schemaJson(id: Int): String = {

@@ -27,7 +27,7 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented): data manifests with add/existing entries, snapshot
   * selection (current / VERSION AS OF), v1's inline `manifests` list and
-  * v2's `manifest-list`, flat primitive schemas, partitioned tables
+  * v2's `manifest-list`, flat primitive + V3 VARIANT schemas, partitioned tables
   * (identity + temporal transforms, spec evolution mid-history, manifest
   * partition tuples surfaced for pruning), and the FULL merge-on-read
   * delete surface: position deletes in both carriers — (file_path, pos)
@@ -87,6 +87,10 @@ object IcebergInterop {
     case "timestamp_ns"         => "BIGINT"
     case "string" | "uuid"      => "STRING"
     case "binary"               => "BINARY"
+    // V3 semi-structured type: Spark 4 reads parquet's VARIANT logical
+    // type natively, so the column surfaces as a first-class VARIANT
+    // (variant_get/try_variant_get work directly on the foreign table)
+    case "variant"              => "VARIANT"
     case d if d.startsWith("decimal") => d.toUpperCase
     case other => sys.error(s"iceberg interop: unsupported type $other")
   }

@@ -1174,9 +1174,38 @@ object LakehouseOps {
              WHERE o_orderkey % 9 <> 0 ORDER BY o_orderkey"""),
   )
 
+  /** VARIANT across the interop boundary (the last reference-taught
+    * interop type gap, README.md:1127–1153): an IceLite table holding a
+    * V3 VARIANT column — with a MoR delete keyed on a variant path on
+    * top — exports as real-format Iceberg (format-version 3, parquet
+    * VARIANT logical type) and the INDEPENDENT reader surfaces a
+    * first-class variant column whose `variant_get` results the DuckDB
+    * oracle recomputes from the raw JSON. */
+  private val icebergExportVariant = QueryDef(
+    "iceberg_export_variant",
+    (s, dir) => {
+      val t = IceLite.create(s, scratch("icevariant"),
+        Seq("event_id" -> "BIGINT", "payload" -> "VARIANT"),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+      t.append(ev.select(col("event_id"), expr("parse_json(props)").as("payload")))
+      t.delete(expr("variant_get(payload, '$.k', 'long') % 5 = 0"))
+      val mj = graft.icelite.IcebergExport.export(t, scratch("icevariant_dst"))
+      graft.icelite.IcebergInterop.read(s, mj)
+        .select(col("event_id"),
+          expr("variant_get(payload, '$.k', 'long')").as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE event_id < 3000
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 <> 0
+            ORDER BY event_id"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain, timestampNsTable, icebergExportRead, deleteDv, deleteDvPuffin,
+    autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant,
+    deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,

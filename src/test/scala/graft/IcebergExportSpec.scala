@@ -198,6 +198,38 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows(got) == rows(t.read()))
   }
 
+  test("VARIANT crosses the interop boundary: export + independent re-read, path access intact") {
+    val loc = Files.createTempDirectory("ice_export_variant").toString
+    val t = IceLite.create(spark, s"$loc/src",
+      Seq("id" -> "BIGINT", "payload" -> "VARIANT"))
+    t.append(spark.sql(
+      """SELECT id, parse_json(concat('{"k": ', id * 7, ', "tag": "t', id, '"}')) AS payload
+        |FROM range(0, 50) AS r(id)""".stripMargin))
+    // a MoR delete on top: the export must materialize it under variant too
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(expr("variant_get(payload, '$.k', 'long') > 300"))
+
+    val mj = IcebergExport.export(t, s"$loc/exported")
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mj)), "UTF-8")
+    assert(metaText.contains("\"format-version\": 3"),
+      "a variant column requires Iceberg format v3")
+    assert(metaText.contains("\"type\": \"variant\""))
+
+    val got = IcebergInterop.read(spark, mj)
+    assert(got.schema("payload").dataType.typeName == "variant",
+      s"the foreign read must surface a first-class VARIANT, got ${got.schema}")
+    def extract(df: DataFrame): Seq[(Long, Long, String)] = df.select(
+      col("id"),
+      expr("variant_get(payload, '$.k', 'long')").as("k"),
+      expr("variant_get(payload, '$.tag', 'string')").as("tag")
+    ).as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val want = extract(t.read())
+    assert(want.size == 43 && want.forall(_._2 <= 300), "precondition: delete bit")
+    assert(extract(got) == want,
+      "variant_get over the exported table must equal the pre-export table")
+  }
+
   test("TIMESTAMP_NS exports as the V3 timestamp_ns type over its nanos carrier") {
     val loc = Files.createTempDirectory("ice_export_ns").toString
     val t = IceLite.create(spark, s"$loc/src",
