@@ -192,6 +192,20 @@ object IcebergExport {
     if (plans.exists(_.isEmpty)) Seq() else plans.flatten
   }
 
+  /** Iceberg JSON literal for a SIMPLE SQL literal default (`'s'`, `42`,
+    * `4.5`, `true`) — None when the default is any richer expression,
+    * which precludes delta export (the full re-export materializes it). */
+  private[icelite] def defaultJson(f: Field): Option[String] = f.defaultSql.flatMap { d =>
+    val s = d.trim
+    if (s.matches("'[^']*'"))
+      Some("\"" + s.substring(1, s.length - 1).replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\"")
+    else if (s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+")) Some(s)
+    else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
+      Some(s.toLowerCase)
+    else None
+  }
+
   /** Undo Spark's partition-directory escaping (`%xx` per escaped char). */
   private def unescapeDirValue(s: String): String = {
     val sb = new StringBuilder
@@ -227,22 +241,41 @@ object IcebergExport {
     t.spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     val partFields = exportPartFields(m)
     val entrySchema = mkEntrySchema(partFields.map(pf => pf.name -> pf.avroType))
-    // DELTA export: an append-only lineage under one schema exports each
-    // later snapshot as ONLY its appended rows, chaining the parent's
-    // manifests into its manifest list (the fixture-standard v2 shape) —
-    // O(delta) data movement per snapshot instead of O(table) ×
-    // snapshots, which is what makes a multi-snapshot export a usable
-    // migration tool. Any delete file, rewrite, or schema change in the
-    // range falls back to the full re-export per snapshot (still exact,
-    // just not incremental).
+    // DELTA export: an append-only lineage exports each later snapshot as
+    // ONLY its appended rows, chaining the parent's manifests into its
+    // manifest list (the fixture-standard v2 shape) — O(delta) data
+    // movement per snapshot instead of O(table) × snapshots, which is
+    // what makes a multi-snapshot export a usable migration tool.
+    // METADATA-ONLY schema changes in the range (rename, add — with a
+    // literal default or null) chain as additional schema ids: each delta
+    // writes under its snapshot's own schema, per-snapshot schema-id
+    // keeps point-in-time fidelity, and fields added later fill older
+    // chained files through V3 `initial-default` on the read side
+    // ([[IcebergInterop]] resolves columns by field id per write
+    // schema). Any delete file, rewrite, dropped/retyped column, or
+    // non-literal default in the range falls back to full per-snapshot
+    // re-export (still exact, just not incremental).
+    val effSchema = (s: Snapshot) =>
+      if (s.schemaId < 0) m.currentSchemaId else s.schemaId
     val deltaCapable = ids.size > 1 && {
-      val effSchema = (s: Snapshot) =>
-        if (s.schemaId < 0) m.currentSchemaId else s.schemaId
       val range = m.snapshots.filter(s => s.id > ids.head && s.id <= ids.last)
       val exported = ids.map(m.snapshot)
+      val cur = m.currentSchema
+      // each exported schema's fields must survive into the current
+      // schema unchanged-in-type (rename ok — id-mapped): the delta rows
+      // are re-read through the current schema and re-projected back
+      val compatible = exported.map(effSchema).distinct.forall { sid =>
+        m.schema(sid).fields.forall(f =>
+          cur.hasId(f.id) && cur.byId(f.id).dtype.equalsIgnoreCase(f.dtype))
+      }
+      // fields some exported schema lacks must be fillable on read:
+      // no default (null) or a JSON-representable literal default
+      val exportedIdSets = exported.map(s => m.schema(effSchema(s)).fields.map(_.id).toSet)
+      val fillable = cur.fields.forall(f =>
+        exportedIdSets.forall(_.contains(f.id)) ||
+          f.defaultSql.isEmpty || defaultJson(f).isDefined)
       range.forall(s => s.operation == "append") &&
-        (exported ++ range).forall(_.deleteFiles.isEmpty) &&
-        exported.forall(s => effSchema(s) == m.currentSchemaId)
+        (exported ++ range).forall(_.deleteFiles.isEmpty) && compatible && fillable
     }
     // (manifest path, length, snapshot that added it) — delta snapshots
     // carry all previous manifests by reference in their manifest list
@@ -253,8 +286,22 @@ object IcebergExport {
       // DDL like rename/add-default bumps the schema with no new snapshot,
       // so snap.schemaId may predate it); time travel keeps snapshot scope
       val (df, schemaId) =
-        if (deltaCapable && i > 0)
-          (t.readAppendedBetween(ids(i - 1), sid), m.currentSchemaId)
+        if (deltaCapable && i > 0) {
+          // appended rows come back under CURRENT names; re-project to the
+          // snapshot's own schema by field id so the delta files carry the
+          // names the per-snapshot schema-id declares (point fidelity).
+          // The CURRENT snapshot stays on the current schema — a
+          // metadata-only rename after its commit must surface in the
+          // current read, exactly as IceLite's own read does.
+          val effId = if (m.currentSnapshotId.contains(sid)) m.currentSchemaId
+                      else effSchema(snap)
+          val eff = m.schema(effId)
+          val cur = m.currentSchema
+          (t.readAppendedBetween(ids(i - 1), sid)
+            .select(eff.fields.map(f =>
+              org.apache.spark.sql.functions.col(cur.byId(f.id).name).as(f.name)): _*),
+            effId)
+        }
         else if (m.currentSnapshotId.contains(sid)) (t.read(), m.currentSchemaId)
         else (t.readAsOf(sid),
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
@@ -337,18 +384,33 @@ object IcebergExport {
     }
 
     val exportedSchemas = snapNodes.map(_._2).distinct.sorted
-    // timestamp_ns and variant are Iceberg V3 types — their presence
-    // bumps the exported format-version
+    // a delta export whose chained older files predate a defaulted field
+    // carries the fill as V3 `initial-default` (full exports materialize
+    // defaults into the rewritten data instead)
+    val defaultFieldIds: Set[Int] =
+      if (!deltaCapable) Set()
+      else {
+        val exportedIdSets = exportedSchemas.map(id => m.schema(id).fields.map(_.id).toSet)
+        m.currentSchema.fields.filter(f => f.defaultSql.isDefined &&
+          exportedIdSets.exists(!_.contains(f.id))).map(_.id).toSet
+      }
+    // timestamp_ns, variant and initial-default are Iceberg V3 features —
+    // their presence bumps the exported format-version
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion =
-      if (exportedSchemas.exists(id => m.schema(id).fields
+      if (defaultFieldIds.nonEmpty || exportedSchemas.exists(id => m.schema(id).fields
         .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2
     val lastColumnId = exportedSchemas
       .flatMap(id => m.schema(id).fields.map(_.id)).max
     def schemaJson(id: Int): String = {
-      val fs = m.schema(id).fields.map(f =>
+      val fs = m.schema(id).fields.map { f =>
+        val dflt =
+          if (defaultFieldIds(f.id))
+            defaultJson(f).map(j => s""", "initial-default": $j""").getOrElse("")
+          else ""
         s"""{"id": ${f.id}, "name": "${f.name}", "required": false, """ +
-          s""""type": "${icebergType(f.dtype)}"}""").mkString(", ")
+          s""""type": "${icebergType(f.dtype)}"$dflt}"""
+      }.mkString(", ")
       s"""{"type": "struct", "schema-id": $id, "fields": [$fs]}"""
     }
     val snapsJson = snapNodes.map { case (sid, schemaId, ml, ts, seqNo) =>

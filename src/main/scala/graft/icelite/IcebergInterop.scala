@@ -103,15 +103,22 @@ object IcebergInterop {
     * month / day / bucket[N] / …; `sourceId` the source column's field id. */
   final case class IceSpecField(name: String, transform: String, sourceId: Int)
 
-  /** One schema column: Iceberg field id + name + Spark DDL type. */
-  final case class IceField(id: Int, name: String, dtype: String)
+  /** One schema column: Iceberg field id + name + Spark DDL type.
+    * `initialDefault` is the V3 `initial-default` as a SQL literal —
+    * the value readers fill for data files written BEFORE the field
+    * existed (files carrying the field use their stored values). */
+  final case class IceField(id: Int, name: String, dtype: String,
+      initialDefault: Option[String] = None)
 
   /** One live data file of a snapshot, with the partition tuple its
     * manifest recorded (stringified values; empty for unpartitioned
-    * files), the spec it was written under, and its data sequence
-    * number (0 when the manifests carry none — pre-v2 shapes). */
+    * files), the spec it was written under, its data sequence
+    * number (0 when the manifests carry none — pre-v2 shapes), and the
+    * snapshot that ADDED it (-1 when unrecorded) — which resolves the
+    * schema the file was written under for field-id column mapping. */
   final case class IceDataFile(path: String, specId: Int,
-      partition: Map[String, String], seq: Long = 0L)
+      partition: Map[String, String], seq: Long = 0L,
+      addedSnapshotId: Long = -1L)
 
   final case class IceMeta(location: String, formatVersion: Int,
       currentSchemaId: Int, schemas: Map[Int, Seq[IceField]],
@@ -127,7 +134,11 @@ object IcebergInterop {
     def fieldsOf(schemaNode: JsonNode): Seq[IceField] =
       arr(schemaNode, "fields").map(f => IceField(
         Option(f.get("id")).map(_.asInt()).getOrElse(0),
-        f.get("name").asText(), sparkType(f.get("type").asText())))
+        f.get("name").asText(), sparkType(f.get("type").asText()),
+        // V3 initial-default, carried as a SQL literal for the fill
+        Option(f.get("initial-default")).map(n =>
+          if (n.isTextual) "'" + n.asText().replace("'", "''") + "'"
+          else n.asText())))
     // v2: schemas[] + current-schema-id; v1: a single "schema"
     val schemas: Map[Int, Seq[IceField]] =
       if (r.has("schemas"))
@@ -223,7 +234,9 @@ object IcebergInterop {
                     Option(p.get(f.name)).map(v => f.name -> v.toString)).toMap
                 case _ => Map()
               }
-              dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq)
+              dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq,
+                optField(e, "snapshot_id")
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
             case 1 if format.equalsIgnoreCase("puffin") =>
               // V3 deletion vector: one roaring blob inside a Puffin file
               dvRefs += DvRef(str(df, "file_path"),
@@ -293,18 +306,52 @@ object IcebergInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
-    val base = spark.read.parquet(kept.map(_.path): _*)
-    // merge-on-read, both delete shapes anti-joined against _metadata
-    // columns. The delete sides are O(deleted rows / keys) and broadcast
-    // when small (AQE); the data side never shuffles. (IceLite's OWN
-    // read path uses the broadcast DeleteIndex + codegen'd probe
-    // instead; the read-only adapter deliberately avoids assuming
-    // foreign writers sorted their delete files the way IceLite's index
-    // relies on.)
     import spark.implicits._
-    val tagged =
-      if (posDeletes.isEmpty && dvRefs.isEmpty && eqRefs.isEmpty) base
-      else base.withColumn("_ifile", normCol(col("_metadata.file_path")))
+    val needTag = posDeletes.nonEmpty || dvRefs.nonEmpty || eqRefs.nonEmpty
+    // files group by the schema they were WRITTEN under (the adding
+    // snapshot's schema-id); within a group, read-schema columns resolve
+    // by FIELD ID through the write schema — Iceberg's resolution rule,
+    // which keeps renamed columns readable and fills fields added later
+    // with their V3 initial-default (or null). Files whose write schema
+    // is unrecorded (v1 shapes) or equals the read schema take the
+    // name-resolution fast path. One scan per distinct write schema —
+    // O(schemas) plan nodes, each group vectorized and unioned.
+    val readSchemaId = snap.schemaId.getOrElse(meta.currentSchemaId)
+    def writeSchemaIdOf(f: IceDataFile): Option[Int] =
+      meta.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId)
+        .filter(id => meta.schemas.contains(id) && id != readSchemaId)
+    val groups = kept.groupBy(writeSchemaIdOf).toSeq
+      .sortBy(_._1.getOrElse(Int.MaxValue))
+    val tagged = groups.map { case (wsIdOpt, fs) =>
+      val base = spark.read.parquet(fs.map(_.path): _*)
+      val withTags =
+        if (!needTag) base
+        else base
+          .withColumn("_ifile", normCol(col("_metadata.file_path")))
+          .withColumn("_ipos", col("_metadata.row_index"))
+      val tagCols = if (needTag) Seq(col("_ifile"), col("_ipos")) else Seq()
+      wsIdOpt match {
+        case None => // written under the read schema: names match as-is
+          if (groups.size == 1) withTags
+          else withTags.select(tagCols ++ schema.map(f => col(f.name)): _*)
+        case Some(wsId) =>
+          val ws = meta.schemas(wsId)
+          withTags.select(tagCols ++ schema.map { f =>
+            ws.find(_.id == f.id) match {
+              case Some(wf) => col(wf.name).cast(f.dtype).as(f.name)
+              case None => f.initialDefault.map(d => expr(d).cast(f.dtype))
+                .getOrElse(lit(null).cast(f.dtype)).as(f.name)
+            }
+          }: _*)
+      }
+    }.reduce(_ unionByName _)
+    // merge-on-read, both delete shapes anti-joined against the tagged
+    // lineage columns. The delete sides are O(deleted rows / keys) and
+    // broadcast when small (AQE); the data side never shuffles.
+    // (IceLite's OWN read path uses the broadcast DeleteIndex +
+    // codegen'd probe instead; the read-only adapter deliberately avoids
+    // assuming foreign writers sorted their delete files the way
+    // IceLite's index relies on.)
     val afterPos =
       if (posDeletes.isEmpty && dvRefs.isEmpty) tagged
       else {
@@ -334,10 +381,8 @@ object IcebergInterop {
           .select(normCol(col("file_path")).as("_dfile"), col("pos").as("_dpos"))
           .distinct()
         tagged
-          .withColumn("_ipos", col("_metadata.row_index"))
           .join(dels, col("_ifile") === col("_dfile") && col("_ipos") === col("_dpos"),
             "left_anti")
-          .drop("_ipos")
       }
     // equality deletes (Iceberg v2): a delete at sequence S removes
     // matching rows from data files with sequence < S only. Each row

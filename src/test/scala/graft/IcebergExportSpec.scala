@@ -80,6 +80,65 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows(IcebergInterop.readAsOf(spark, mj2, u1)) == rows(u.readAsOf(u1)))
   }
 
+  test("delta export chains through metadata-only schema changes (rename + add-default)") {
+    val loc = Files.createTempDirectory("ice_export_delta_ddl").toString
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    t.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.renameColumn("tag", "label") // metadata-only, no new snapshot
+    t.append((100L until 110L).map(i => (i, s"b$i")).toDF("id", "label"))
+    val s2 = t.meta.currentSnapshotId.get
+    t.addColumn("src", "STRING", defaultSql = Some("'bulk'")) // metadata-only
+    t.append(Seq((110L, "c0", "live"), (111L, "c1", "live"))
+      .toDF("id", "label", "src"))
+    val s3 = t.meta.currentSnapshotId.get
+
+    val dest = s"$loc/exported"
+    val mj = IcebergExport.export(t, dest, Seq(s1, s2, s3))
+    // STILL a delta: later snapshots move only their appended rows even
+    // though a rename and a defaulted add happened mid-range
+    assert(spark.read.parquet(s"$dest/data/snap-$s2").count() == 10L,
+      "rename in range must not force a full re-export")
+    assert(spark.read.parquet(s"$dest/data/snap-$s3").count() == 2L,
+      "add-default in range must not force a full re-export")
+
+    // point-in-time fidelity INCLUDING each point's own schema
+    val asOf1 = IcebergInterop.readAsOf(spark, mj, s1)
+    assert(asOf1.columns.toSeq == Seq("id", "tag"),
+      "VERSION AS OF the pre-rename snapshot shows the old name")
+    assert(rows(asOf1) == rows(t.readAsOf(s1)))
+    val asOf2 = IcebergInterop.readAsOf(spark, mj, s2)
+    assert(asOf2.columns.toSeq == Seq("id", "label"),
+      "the renamed column resolves by field id over pre-rename files")
+    assert(rows(asOf2) == rows(t.readAsOf(s2)))
+
+    // current read: old chained files fill `src` through V3 initial-default
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mj)), "UTF-8")
+    assert(metaText.contains("\"initial-default\": \"bulk\""))
+    assert(metaText.contains("\"format-version\": 3"))
+    val cur = IcebergInterop.read(spark, mj)
+    assert(cur.columns.toSeq == Seq("id", "label", "src"))
+    assert(cur.filter(col("id") < 110L && col("src") === "bulk").count() == 110L,
+      "files predating the defaulted column must fill its initial-default")
+    assert(cur.filter(col("src") === "live").count() == 2L,
+      "files carrying the column keep their stored values")
+    assert(rows(cur) == rows(t.read()))
+
+    // a DROPPED column in range still falls back to full re-export
+    val u = IceLite.createFrom(spark, s"$loc/src2", Seq((0L, "x", 1L)).toDF("id", "tag", "v"))
+    u.append((0L until 20L).map(i => (i, s"a$i", i)).toDF("id", "tag", "v"))
+    val u1 = u.meta.currentSnapshotId.get
+    u.dropColumn("v")
+    u.append((20L until 25L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    val u2 = u.meta.currentSnapshotId.get
+    val mj2 = IcebergExport.export(u, s"$loc/exported2", Seq(u1, u2))
+    assert(spark.read.parquet(s"$loc/exported2/data/snap-$u2").count() == 25L,
+      "drop-column lineage full-exports each snapshot")
+    assert(rows(IcebergInterop.readAsOf(spark, mj2, u1)) == rows(u.readAsOf(u1)))
+    assert(rows(IcebergInterop.read(spark, mj2)) == rows(u.read()))
+  }
+
   test("partitioned table exports spec-preserving: transforms declared, tuples typed, pruning works") {
     import java.time.LocalDate
     val loc = Files.createTempDirectory("ice_export_part").toString
