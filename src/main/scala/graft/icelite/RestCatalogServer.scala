@@ -22,6 +22,8 @@ import scala.jdk.CollectionConverters._
   *  - `POST /v1/namespaces/{ns}/tables`        → create table
   *    (body {"name": "t", "schema": [{"name": "id", "type": "BIGINT"}, …]})
   *  - `GET  /v1/namespaces/{ns}/tables/{t}`    → {"metadata-location", "metadata"}
+  *  - `POST /v1/namespaces/{ns}/tables/{t}`    → commit (metadata swap; see
+  *    [[commitTable]] — races serialize through the version-file claim)
   *  - `DELETE /v1/namespaces/{ns}/tables/{t}`  → drop
   *
   * The metadata payload is the IceLite table-metadata document (MetaJson) —
@@ -123,6 +125,11 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
             }
           }
 
+        case ("POST", List("namespaces", ns, "tables", t)) =>
+          if (!cat.listTables(ns).contains(t))
+            error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+          else commitTable(ex, ns, t)
+
         case ("GET", List("namespaces", ns, "tables", t)) =>
           if (!cat.listTables(ns).contains(t))
             error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
@@ -147,6 +154,72 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
       case e: Exception =>
         error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     }
+
+  /** CommitTableResponse analog — the WRITE path of the catalog (the
+    * Iceberg REST spec's commit-table, in its metadata-swap subset): a
+    * foreign client GETs the table, stages new data files into the
+    * warehouse itself, and POSTs the next metadata document with the
+    * version it built against. Body:
+    * `{"expected-version": N, "metadata": {…}}` (or `"metadata-location"`
+    * pointing at a staged document instead of inlining it).
+    *
+    * The commit rides the SAME claim the native writers use — an atomic
+    * create-if-absent of `v<N+1>.json` — so REST commits, SQL commits and
+    * API commits all serialize through one protocol: of two racing
+    * commits against the same version exactly one lands, the other gets
+    * a typed 409 CommitFailedException and must re-read + rebase, exactly
+    * like Iceberg's REST conflict contract. The document is re-parsed and
+    * re-serialized through [[MetaJson]] (a malformed commit fails as a
+    * 400 before anything is written) and must keep the table's location. */
+  private def commitTable(ex: HttpExchange, ns: String, t: String): Unit = {
+    val body = M.readTree(ex.getRequestBody)
+    if (body == null || body.get("expected-version") == null ||
+        (body.get("metadata") == null && body.get("metadata-location") == null)) {
+      error(ex, 400, "BadRequestException",
+        "missing field: expected-version and metadata (or metadata-location)")
+      return
+    }
+    val tbl = cat.loadTable(ns, t)
+    val expected = body.get("expected-version").asInt()
+    val metaText =
+      if (body.get("metadata") != null) M.writeValueAsString(body.get("metadata"))
+      else tbl.store.readString(
+        new org.apache.hadoop.fs.Path(body.get("metadata-location").asText()))
+    val next =
+      try MetaJson.fromJson(metaText, tbl.manifestIO)
+      catch {
+        case e: Exception =>
+          error(ex, 400, "BadRequestException", s"unparseable metadata: ${e.getMessage}")
+          return
+      }
+    if (next.location != tbl.location) {
+      error(ex, 400, "BadRequestException",
+        s"metadata location ${next.location} does not match table location ${tbl.location}")
+      return
+    }
+    if (expected != tbl.currentVersion) {
+      error(ex, 409, "CommitFailedException",
+        s"expected version $expected but table is at ${tbl.currentVersion}")
+      return
+    }
+    val vNew = expected + 1
+    val stamped = next.copy(metadataLog = next.metadataLog :+
+      MetadataLogEntry(vNew, System.currentTimeMillis(), s"rest commit ($ns.$t)"))
+    val metaDir = new org.apache.hadoop.fs.Path(tbl.location, "metadata")
+    try tbl.store.createExclusive(
+      new org.apache.hadoop.fs.Path(metaDir, s"v$vNew.json"), MetaJson.toJson(stamped))
+    catch {
+      case _: java.io.IOException =>
+        // the atomic claim lost: a racing commit (REST or native) took
+        // this version first — the client re-reads and rebases
+        error(ex, 409, "CommitFailedException",
+          s"version $vNew was claimed by a concurrent commit")
+        return
+    }
+    IceLite.swapHintForward(tbl.store,
+      new org.apache.hadoop.fs.Path(metaDir, IceLite.HINT), vNew)
+    json(ex, 200, loadTableJson(ns, t))
+  }
 
   /** LoadTableResponse in REAL Iceberg format (`?format=iceberg`): the
     * table is materialized through [[IcebergExport]] (cached per table

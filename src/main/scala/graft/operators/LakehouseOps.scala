@@ -550,6 +550,68 @@ object LakehouseOps {
             ORDER BY namespace, table_name"""),
   )
 
+  /** S11 WRITE path: the catalog accepts commits from a foreign HTTP
+    * client (the Iceberg REST spec's commit-table, metadata-swap subset —
+    * the natural completion of the read-only client the reference builds
+    * at README.md:1042–1068). The "external writer" here is plain JSON +
+    * HTTP: it stages a physical-name parquet file into the warehouse,
+    * GETs the current metadata, grafts an append snapshot onto it, and
+    * POSTs with the version it built against; the server lands it through
+    * the SAME version-file claim native writers use. The returned state
+    * is read back by the NATIVE reader — proof the wire commit and the
+    * table protocol are one. */
+  private val restCommit = QueryDef(
+    "icelite_rest_commit",
+    (s, dir) => {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val wh = scratch("restcommit")
+      val cat = new Catalog(s, wh)
+      val src = orders(s, dir).filter(col("o_orderkey") % 7 === 0)
+      cat.createTable("db", "orders_ext",
+        src.schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+      val tbl0 = cat.loadTable("db", "orders_ext")
+      val phys = tbl0.meta.currentSchema.fields
+      val dataDir = s"${tbl0.location}/data/rest-append"
+      src.select(phys.map(f => col(f.name).as(f.physName)): _*)
+        .coalesce(1).write.parquet(dataDir)
+      val fsys = new org.apache.hadoop.fs.Path(dataDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val filePath = fsys.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+        .map(_.getPath.toString).find(_.endsWith(".parquet")).get
+      val nRows = src.count()
+      val srv = new graft.icelite.RestCatalogServer(s, wh)
+      val port = srv.start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val M = new ObjectMapper()
+        def send(req: java.net.http.HttpRequest) =
+          http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        val loaded = M.readTree(send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/v1/namespaces/db/tables/orders_ext"))
+          .GET().build()).body())
+        val meta = loaded.get("metadata")
+          .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        val sn = meta.withArray("snapshots").addObject()
+        sn.put("id", 1L); sn.put("timestampMs", System.currentTimeMillis())
+        sn.put("operation", "append"); sn.put("schemaId", 0)
+        val dfn = sn.putArray("dataFiles").addObject()
+        dfn.put("path", filePath); dfn.put("rows", nRows)
+        dfn.put("schemaId", 0); dfn.put("specId", 0); dfn.putObject("partition")
+        sn.putArray("deleteFiles")
+        meta.put("currentSnapshotId", 1L)
+        val resp = send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/v1/namespaces/db/tables/orders_ext"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"expected-version": 1, "metadata": ${M.writeValueAsString(meta)}}"""))
+          .build())
+        require(resp.statusCode() == 200, s"rest commit failed: ${resp.body()}")
+        state(cat.loadTable("db", "orders_ext"))
+      } finally srv.stop()
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""),
+  )
+
   /** S11+DSv2: the whole pipeline through the SQL catalog — CREATE TABLE /
     * INSERT INTO ... SELECT / aggregate SELECT, plus a VERSION AS OF read,
     * entirely via spark.sql against the mounted `icelite` catalog. */
@@ -1210,7 +1272,7 @@ object LakehouseOps {
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
-    sqlMaintenance, variantTable, restCatalog, incrementalRead,
+    sqlMaintenance, variantTable, restCatalog, restCommit, incrementalRead,
     branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg, tagSchemaRead,
   )
 }

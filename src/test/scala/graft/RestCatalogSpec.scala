@@ -182,6 +182,89 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REST write path: a foreign HTTP client creates, appends and loses a racing commit") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("rest_commit_wh").toString
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      // 1. create over the wire
+      assert(post(s"$base/namespaces", """{"namespace": ["db"]}""").statusCode() == 200)
+      val created = post(s"$base/namespaces/db/tables",
+        """{"name": "ext", "schema": [{"name": "id", "type": "BIGINT"},
+          |{"name": "note", "type": "STRING"}]}""".stripMargin)
+      assert(created.statusCode() == 200)
+      val doc0 = M.readTree(created.body())
+      val location = doc0.get("metadata").get("location").asText()
+      assert(doc0.get("metadata-location").asText().endsWith("v1.json"))
+
+      // 2. the client stages its own data file (physical f<fieldId>
+      //    columns, like any IceLite writer) straight into the warehouse…
+      val dataDir = s"$location/data/ext-append"
+      Seq((7L, "seven"), (8L, "eight")).toDF("f1", "f2")
+        .coalesce(1).write.parquet(dataDir)
+      val filePath = Files.list(java.nio.file.Paths.get(dataDir)).toArray
+        .map(_.toString).find(_.endsWith(".parquet")).get
+
+      // 3. …then POSTs the next metadata document: previous doc + one
+      //    appended snapshot, built with nothing but JSON
+      val meta = M.readTree(get(s"$base/namespaces/db/tables/ext").body())
+        .get("metadata").deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val sn = meta.withArray("snapshots").addObject()
+      sn.put("id", 1L); sn.put("timestampMs", 1700000000000L)
+      sn.put("operation", "append"); sn.put("schemaId", 0)
+      val df = sn.putArray("dataFiles").addObject()
+      df.put("path", filePath); df.put("rows", 2L)
+      df.put("schemaId", 0); df.put("specId", 0)
+      df.putObject("partition")
+      sn.putArray("deleteFiles")
+      meta.put("currentSnapshotId", 1L)
+      val commit = post(s"$base/namespaces/db/tables/ext",
+        s"""{"expected-version": 1, "metadata": ${M.writeValueAsString(meta)}}""")
+      assert(commit.statusCode() == 200, s"commit failed: ${commit.body()}")
+      assert(M.readTree(commit.body()).get("metadata-location").asText().endsWith("v2.json"))
+
+      // a NATIVE reader sees the REST-committed rows (one protocol)
+      val tbl = new Catalog(spark, wh).loadTable("db", "ext")
+      assert(tbl.read().as[(Long, String)].collect().sorted.toSeq ==
+        Seq((7L, "seven"), (8L, "eight")))
+
+      // 4. conflict: a second commit built against the SAME version loses
+      //    with a typed 409 (the version-file claim is the arbiter)
+      val stale = post(s"$base/namespaces/db/tables/ext",
+        s"""{"expected-version": 1, "metadata": ${M.writeValueAsString(meta)}}""")
+      assert(stale.statusCode() == 409, s"stale commit must 409, got ${stale.statusCode()}")
+      assert(M.readTree(stale.body()).get("error").get("type").asText()
+        == "CommitFailedException")
+
+      // malformed commits refuse BEFORE anything is written
+      assert(post(s"$base/namespaces/db/tables/ext",
+        """{"expected-version": 2}""").statusCode() == 400)
+      assert(post(s"$base/namespaces/db/tables/ext",
+        """{"expected-version": 2, "metadata": {"bogus": true}}""").statusCode() == 400)
+      val moved = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      moved.put("location", "/somewhere/else")
+      assert(post(s"$base/namespaces/db/tables/ext",
+        s"""{"expected-version": 2, "metadata": ${M.writeValueAsString(moved)}}""")
+        .statusCode() == 400, "a commit must not relocate the table")
+      assert(tbl.currentVersion == 2, "failed commits must leave no version behind")
+
+      // 5. metadata-location variant: stage the document as a file and
+      //    POST only its path
+      val meta2 = M.readTree(get(s"$base/namespaces/db/tables/ext").body())
+        .get("metadata").deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      meta2.put("currentSnapshotId", 1L) // no-op change, still a commit
+      val staged = s"$location/metadata/staged-rest.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(staged),
+        M.writeValueAsString(meta2).getBytes("UTF-8"))
+      val byLoc = post(s"$base/namespaces/db/tables/ext",
+        s"""{"expected-version": 2, "metadata-location": "$staged"}""")
+      assert(byLoc.statusCode() == 200, s"metadata-location commit failed: ${byLoc.body()}")
+      assert(new Catalog(spark, wh).loadTable("db", "ext").currentVersion == 3)
+    } finally srv.stop()
+  }
+
   test("error paths conform to the Iceberg REST spec: 409 on exists, 404 on absent parents, 400 on bad bodies, typed error model") {
     val wh = Files.createTempDirectory("rest_err_wh").toString
     val cat = new Catalog(spark, wh)
