@@ -651,16 +651,20 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   /** Scan one schema-homogeneous group of files, projecting physical
     * field-id columns to the CURRENT schema: present → rename+cast (handles
     * rename + type widening), absent → default or null (metadata-only adds,
-    * README.md:1159–1166). */
+    * README.md:1159–1166). `nameMapped` groups (ADOPTED foreign Iceberg
+    * files, [[IceLite.adopt]]) store the schema's LOGICAL names instead of
+    * `f<id>` — same projection, addressed through the file schema's names
+    * (pinned at adoption, so later renames still resolve by field id). */
   private def scanGroup(
       m: TableMetadata, files: Seq[DataFile], fileSchemaId: Int, lineage: Boolean,
-      proj: TableSchema): DataFrame = {
+      proj: TableSchema, nameMapped: Boolean = false): DataFrame = {
     val fsch = m.schema(fileSchemaId)
+    val stored = (fl: Field) => if (nameMapped) fl.name else fl.physName
     val physSchema = StructType(fsch.fields.map(fl =>
-      StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true)))
+      StructField(stored(fl), DataType.fromDDL(fl.sparkDdl), nullable = true)))
     val base = spark.read.schema(physSchema).parquet(files.map(_.path): _*)
     val cols = proj.fields.map { fld =>
-      if (fsch.hasId(fld.id)) col(fsch.byId(fld.id).physName).cast(fld.sparkDdl).as(fld.name)
+      if (fsch.hasId(fld.id)) col(stored(fsch.byId(fld.id))).cast(fld.sparkDdl).as(fld.name)
       else fld.defaultSql.map(d => expr(d).cast(fld.sparkDdl))
         .getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
     }
@@ -705,8 +709,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val (eqDels, posDels) = snap.deletes.candidates(files).partition(_.kind == "eq")
     val needLineage = lineage || posDels.nonEmpty
     def scanBySchema(fs: Seq[DataFile]): DataFrame =
-      fs.groupBy(_.schemaId).toSeq.sortBy(_._1)
-        .map { case (sid, fs0) => scanGroup(m, fs0, sid, needLineage, proj) }
+      fs.groupBy(f => (f.schemaId, f.nameMapped)).toSeq.sortBy(_._1)
+        .map { case ((sid, nm), fs0) => scanGroup(m, fs0, sid, needLineage, proj, nm) }
         .reduce(_ unionAll _)
     // equality deletes: an eq delete at sequence S removes matching rows
     // from data files with seq < S only — rows re-inserted AFTER the
@@ -2442,6 +2446,107 @@ object IceLite {
       currentSnapshotId = None,
       snapshots = Seq(),
       metadataLog = Seq(MetadataLogEntry(1, System.currentTimeMillis(), "create table")))
+    val st = new HadoopCommitStore(f)
+    st.createExclusive(new Path(metaDir, "v1.json"), MetaJson.toJson(m))
+    st.replace(new Path(metaDir, HINT), "1")
+    new IceLiteTable(spark, location)
+  }
+
+  /** ADOPT (migrate-in) a real Apache Iceberg table as a live IceLite
+    * table — the reverse of [[IcebergExport]] and the shape of Iceberg's
+    * own `migrate` action: the foreign table's CURRENT data files are
+    * registered in place (zero data movement), its schema becomes the
+    * IceLite schema with FIELD IDS preserved, and the lineage continues
+    * with ordinary IceLite commits (append, MoR delete, compaction —
+    * which rewrites adopted files into native form as a side effect).
+    * Adopted files are [[DataFile.nameMapped]]: they keep their logical
+    * column names and the scan resolves them through the adoption-time
+    * schema by field id, so post-adoption renames stay metadata-only.
+    *
+    * Partition tuples re-encode into IceLite's transform encodings where
+    * the mapping is exact (identity / year / month / day); `bucket[N]`
+    * values hash differently (Iceberg murmur3 vs IceLite xxhash64) and
+    * are dropped from the tuple — those files are conservatively KEPT by
+    * pruning, never mis-pruned.
+    *
+    * Scope (refused loudly otherwise): the current snapshot must carry
+    * no merge-on-read deletes and every live file must be readable under
+    * the current schema's names — compact the source first. `location`
+    * hosts the IceLite metadata; passing the foreign table's own
+    * location gives an in-place migrate (Iceberg's `vN.metadata.json`
+    * and IceLite's `vN.json` + hint do not collide). */
+  def adopt(spark: SparkSession, metadataJson: String, location: String): IceLiteTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ice = IcebergInterop.loadMeta(metadataJson, conf)
+    val snap = ice.currentSnapshotId.flatMap(id => ice.snapshots.find(_.id == id))
+      .getOrElse(sys.error(s"iceberg adopt: no current snapshot in $metadataJson"))
+    val (files, posDels, dvRefs, eqRefs) = IcebergInterop.fileInventory(ice, snap, conf)
+    require(posDels.isEmpty && dvRefs.isEmpty && eqRefs.isEmpty,
+      "iceberg adopt: source has merge-on-read deletes — rewrite/compact them first")
+    val readSchemaId = snap.schemaId.getOrElse(ice.currentSchemaId)
+    files.foreach { f =>
+      val ws = ice.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId)
+      require(ws.forall(_ == readSchemaId),
+        s"iceberg adopt: ${f.path} was written under schema ${ws.getOrElse(-1)}, " +
+          s"current is $readSchemaId — compact the source first")
+    }
+    val fields = ice.schemas(readSchemaId).map(f => Field(f.id, f.name, f.dtype, None))
+    val sch = TableSchema(0, fields)
+    // every spec the live files reference registers (tuples stay
+    // interpretable); the foreign DEFAULT spec continues as the live
+    // spec, so new writes partition natively under the same transforms
+    val specIds = (files.map(_.specId) :+ ice.defaultSpecId).distinct.sorted
+    val specs = specIds.map { sid =>
+      PartitionSpec(sid, ice.specs.getOrElse(sid, Seq()).flatMap { sf =>
+        if (sch.hasId(sf.sourceId))
+          Some(SpecField(sf.sourceId, sf.transform,
+            specFieldName(sch.byId(sf.sourceId).name, sf.transform)))
+        else None
+      })
+    }
+    val numericIdentity = Set("STRING", "VARCHAR", "INT", "INTEGER", "BIGINT", "LONG")
+    def convertTuple(f: IcebergInterop.IceDataFile): Map[String, String] =
+      ice.specs.getOrElse(f.specId, Seq()).flatMap { sf =>
+        if (!sch.hasId(sf.sourceId)) None
+        else f.partition.get(sf.name).flatMap { v =>
+          val tgt = specFieldName(sch.byId(sf.sourceId).name, sf.transform)
+          val srcType = sch.byId(sf.sourceId).dtype.toUpperCase
+          sf.transform match {
+            case "identity" if srcType == "DATE" =>
+              // Iceberg identity(DATE) tuples are epoch days; IceLite's ISO
+              scala.util.Try(java.time.LocalDate.ofEpochDay(v.toLong).toString)
+                .toOption.map(tgt -> _)
+            case "identity" if numericIdentity(srcType) => Some(tgt -> v)
+            case "year" =>
+              scala.util.Try((1970 + v.toInt).toString).toOption.map(tgt -> _)
+            case "month" => scala.util.Try {
+              val m0 = v.toInt
+              f"${1970 + Math.floorDiv(m0, 12)}%04d-${Math.floorMod(m0, 12) + 1}%02d"
+            }.toOption.map(tgt -> _)
+            case "day" => scala.util.Try(
+              java.time.LocalDate.ofEpochDay(v.toLong).toString).toOption.map(tgt -> _)
+            case _ => None // bucket / unknown: conservative keep
+          }
+        }
+      }.toMap
+    val dataFiles = files.map(f => DataFile(f.path, f.records, 0, f.specId,
+      convertTuple(f), Map(), 0, nameMapped = true))
+    val now = System.currentTimeMillis()
+    val m = TableMetadata(
+      location = location,
+      lastFieldId = fields.map(_.id).max,
+      currentSchemaId = 0,
+      schemas = Seq(sch),
+      defaultSpecId = ice.defaultSpecId,
+      specs = specs,
+      properties = Map("adopted.from" -> metadataJson),
+      currentSnapshotId = Some(1L),
+      snapshots = Seq(Snapshot(1L, None, now, "append", dataFiles, Seq(), 0)),
+      metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")))
+    val f = fs(spark, location)
+    val metaDir = new Path(location, "metadata")
+    require(!f.exists(new Path(metaDir, HINT)), s"table exists at $location")
+    f.mkdirs(metaDir)
     val st = new HadoopCommitStore(f)
     st.createExclusive(new Path(metaDir, "v1.json"), MetaJson.toJson(m))
     st.replace(new Path(metaDir, HINT), "1")

@@ -118,12 +118,12 @@ object IcebergInterop {
     * schema the file was written under for field-id column mapping. */
   final case class IceDataFile(path: String, specId: Int,
       partition: Map[String, String], seq: Long = 0L,
-      addedSnapshotId: Long = -1L)
+      addedSnapshotId: Long = -1L, records: Long = 0L)
 
   final case class IceMeta(location: String, formatVersion: Int,
       currentSchemaId: Int, schemas: Map[Int, Seq[IceField]],
       currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
-      specs: Map[Int, Seq[IceSpecField]])
+      specs: Map[Int, Seq[IceSpecField]], defaultSpecId: Int = 0)
 
   /** Parse an Iceberg `metadata.json` (v1 or v2/v3 shapes). */
   def loadMeta(metadataJson: String,
@@ -172,7 +172,8 @@ object IcebergInterop {
       Option(r.get("format-version")).map(_.asInt()).getOrElse(1),
       curSchema, schemas,
       Option(r.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
-      snaps, specs)
+      snaps, specs,
+      Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0))
   }
 
   /** One V3 deletion-vector reference from a delete manifest: the Puffin
@@ -197,7 +198,7 @@ object IcebergInterop {
     * (file_format=PUFFIN with referenced_data_file /
     * content_offset / content_size_in_bytes), or seq-stamped
     * EQUALITY-delete refs (content=2 with `equality_ids`). */
-  private def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration)
+  private[icelite] def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration)
       : (Seq[IceDataFile], Seq[String], Seq[DvRef], Seq[EqDeleteRef]) = {
     val manifestPaths: Seq[(String, Int, Int, Long)] = snap.manifestList match {
       case Some(ml) =>
@@ -236,7 +237,9 @@ object IcebergInterop {
               }
               dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq,
                 optField(e, "snapshot_id")
-                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L),
+                optField(df, "record_count")
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
             case 1 if format.equalsIgnoreCase("puffin") =>
               // V3 deletion vector: one roaring blob inside a Puffin file
               dvRefs += DvRef(str(df, "file_path"),

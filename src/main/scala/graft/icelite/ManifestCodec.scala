@@ -33,7 +33,8 @@ object ManifestCodec {
       | {"name":"seq","type":"long"},
       | {"name":"part","type":{"type":"map","values":"string"}},
       | {"name":"stat","type":{"type":"array","items":{"type":"record","name":"col_stat","fields":[
-      |   {"name":"fid","type":"int"},{"name":"mn","type":"string"},{"name":"mx","type":"string"}]}}}]}"""
+      |   {"name":"fid","type":"int"},{"name":"mn","type":"string"},{"name":"mx","type":"string"}]}}},
+      | {"name":"nm","type":"boolean","default":false}]}"""
       .stripMargin)
 
   private val deleteSchema: Schema = new Schema.Parser().parse(
@@ -84,6 +85,7 @@ object ManifestCodec {
         sr.put("fid", fid); sr.put("mn", cs.min); sr.put("mx", cs.max)
         sr
       }.asJava)
+      r.put("nm", df.nameMapped)
       w.append(r)
     } finally w.close()
   }
@@ -100,7 +102,9 @@ object ManifestCodec {
         g.get("stat").asInstanceOf[java.util.List[GenericRecord]].asScala
           .map(s => s.get("fid").asInstanceOf[Int] ->
             ColumnStats(s.get("mn").toString, s.get("mx").toString)).toMap,
-        g.get("seq").asInstanceOf[Long])
+        g.get("seq").asInstanceOf[Long],
+        // absent in pre-adoption chunks (embedded writer schema): physical
+        Option(g.get("nm")).exists(_ == true))
     }.toList
     finally r.close()
   }

@@ -57,12 +57,19 @@ final case class ColumnStats(min: String, max: String)
 /** `seq` is the data sequence number (Iceberg v2): the commit-ordered
   * stamp deciding which equality deletes apply — an equality delete at
   * sequence S removes matching rows only from data files with seq < S.
-  * 0 = pre-sequence legacy file (every delete applies). */
+  * 0 = pre-sequence legacy file (every delete applies).
+  *
+  * `nameMapped`: the file stores LOGICAL column names instead of
+  * IceLite's physical `f<fieldId>` — the shape of ADOPTED foreign
+  * Iceberg data files ([[IceLite.adopt]], Iceberg's own `migrate`
+  * keeps files in place the same way). The scan resolves such files
+  * through their schema's field names; native writes stay physical. */
 final case class DataFile(
     path: String, rows: Long, schemaId: Int, specId: Int,
     partition: Map[String, String],
     stats: Map[Int, ColumnStats] = Map(),
-    seq: Long = 0)
+    seq: Long = 0,
+    nameMapped: Boolean = false)
 
 /** Delete file, two kinds (Iceberg v2 row-level deletes):
   *  - `kind="pos"`: parquet of (file_path STRING, pos BIGINT) pairs — the
@@ -198,6 +205,7 @@ object MetaJson {
     }
     // non-default only: pre-sequence metadata files stay byte-stable
     if (f.seq != 0) fn.put("seq", f.seq)
+    if (f.nameMapped) fn.put("nm", true)
   }
 
   private def writeDeleteFile(fn: ObjectNode, f: DeleteFile): Unit = {
@@ -380,7 +388,8 @@ object MetaJson {
           e.getKey.toInt -> ColumnStats(
             e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
         .getOrElse(Map()),
-      Option(fn.get("seq")).map(_.asLong()).getOrElse(0L))
+      Option(fn.get("seq")).map(_.asLong()).getOrElse(0L),
+      Option(fn.get("nm")).exists(_.asBoolean()))
   }
 
   /** Pure parse — valid only for metadata with no manifest refs (property

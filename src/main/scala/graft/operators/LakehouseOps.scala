@@ -1264,9 +1264,37 @@ object LakehouseOps {
             ORDER BY event_id"""),
   )
 
+  /** Migrate-IN (the reverse of `iceberg_export_read`, Iceberg's own
+    * `migrate` action): a REAL-format Iceberg table is adopted in place
+    * as a live IceLite table — zero data movement, foreign files
+    * name-mapped by field id — and the lineage continues natively with
+    * a merge-on-read delete over the ADOPTED files plus a fresh append.
+    * The oracle recomputes the final state from raw parquet, so the
+    * whole adopt → mutate → read loop is hash-checked. */
+  private val icebergAdopt = QueryDef(
+    "iceberg_adopt",
+    (s, dir) => {
+      val src = mkTable(s, dir, "adoptsrc")
+      val foreign = scratch("adopt_foreign")
+      val mj = graft.icelite.IcebergExport.export(src, foreign)
+      val t = graft.icelite.IceLite.adopt(s, mj, foreign) // in-place migrate
+      t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+      t.delete(col("o_orderkey") % 11 === 0)
+      t.append(orders(s, dir)
+        .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") < 500))
+      state(t)
+    },
+    Some(s"""SELECT * FROM (
+               SELECT $ordersCols FROM orders WHERE o_orderkey % 11 <> 0
+               UNION ALL
+               SELECT $ordersCols FROM orders
+               WHERE o_orderkey % 11 = 0 AND o_orderkey < 500
+             ) ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
-    autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant,
+    autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant, icebergAdopt,
     deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
