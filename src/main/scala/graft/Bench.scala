@@ -57,7 +57,9 @@ object Bench {
     "curriculum_order", "shard_manifest", "mixing_schedule",
     "dedup_recall_report", "packing_efficiency", "dataset_card", "embedding_drift",
     // round-12: the Iceberg-format export round trip (full-table rewrite op)
-    "iceberg_export_read")
+    "iceberg_export_read",
+    // round-14: variant across the interop boundary, migrate-in, REST commit
+    "iceberg_export_variant", "iceberg_adopt", "icelite_rest_commit")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete
