@@ -285,7 +285,7 @@ object IcebergExport {
       // the current snapshot reads through the CURRENT schema (metadata-only
       // DDL like rename/add-default bumps the schema with no new snapshot,
       // so snap.schemaId may predate it); time travel keeps snapshot scope
-      val (df, schemaId) =
+      val (df0, schemaId) =
         if (deltaCapable && i > 0) {
           // appended rows come back under CURRENT names; re-project to the
           // snapshot's own schema by field id so the delta files carry the
@@ -305,6 +305,16 @@ object IcebergExport {
         else if (m.currentSnapshotId.contains(sid)) (t.read(), m.currentSchemaId)
         else (t.readAsOf(sid),
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
+      // exported parquet carries PARQUET FIELD IDS (the schema's Iceberg
+      // ids as parquet.field.id metadata — Spark's writer emits them):
+      // real Iceberg readers resolve columns by field id, so the files
+      // are first-class citizens, not name-mapping dependents
+      val idSch = m.schema(schemaId)
+      val df = df0.select(idSch.fields.map { f =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", f.id.toLong).build()
+        org.apache.spark.sql.functions.col(f.name).as(f.name, md)
+      }: _*)
       val dataDir = s"$dest/data/snap-$sid"
       if (partFields.isEmpty) df.write.parquet(dataDir)
       else {

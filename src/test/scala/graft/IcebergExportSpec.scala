@@ -37,6 +37,22 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows(IcebergInterop.readAsOf(spark, mj, snap1)) ==
       rows(t.readAsOf(snap1)))
     assert(IcebergInterop.snapshots(mj).map(_._1) == Seq(snap1, snap2))
+
+    // exported parquet carries PARQUET FIELD IDS — real Iceberg readers
+    // resolve by id, not name, so the files must declare their ids
+    val aFile = IcebergInterop.planFiles(spark, mj).head.path
+    val conf = spark.sessionState.newHadoopConf()
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(aFile), conf))
+    val ids =
+      try {
+        import scala.jdk.CollectionConverters._
+        rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+      } finally rdr.close()
+    assert(ids == Map("id" -> Some(1), "v" -> Some(2), "name" -> Some(3)),
+      s"exported parquet must carry the schema's field ids, got $ids")
   }
 
   test("append-only lineage exports as DELTAS; MoR lineage falls back to full per-snapshot") {
