@@ -13,30 +13,63 @@ Mirrors the driver's t2 gate (scripts/check.py) but:
 Usage: python3 scripts/check_sf1.py <sfDir> <verifyOutDir> <jsonOut> [timeoutSec]
 (Run `graft.Verify <sfDir> <verifyOutDir>` first.)
 """
+import gc
 import json, sys, glob, os, hashlib, threading
 import duckdb
 
 sfdir, outdir, jsonout = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 600.0
 
-con = duckdb.connect()
-for f in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(f)[:-8]
-    # Spark-written tables are directories of part files; driver-generated
-    # testdata is single files — handle both
-    src = f"{f}/*.parquet" if os.path.isdir(f) else f
-    con.execute(f"create view {name} as select * from '{src}'")
+
+def fresh_con():
+    """One connection PER ORACLE: at 100x a heavy oracle can exhaust the
+    process (a shared connection accumulates DuckDB caches, and a worker
+    that dies mid-query poisons the connection's internal lock — observed
+    as a MemoryError followed by a permanent wedge). Fresh + capped =
+    each query is isolated and the process stays bounded."""
+    c = duckdb.connect()
+    c.execute("SET threads TO 16")
+    c.execute("SET memory_limit = '48GB'")
+    for f in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(f)[:-8]
+        # Spark-written tables are directories of part files; driver-
+        # generated testdata is single files — handle both
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        c.execute(f"create view {name} as select * from '{src}'")
+    return c
+
+
+con = fresh_con()  # for the (small) spark-output reads
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
+# RESUME: at 100x a single DuckDB native crash (segfault / MemoryError)
+# forty minutes in must not discard the finished queries — results are
+# checkpointed to <jsonout>.partial after EVERY query, and a rerun skips
+# queries the checkpoint already holds green (or terminally errored).
+partial = f"{jsonout}.partial"
+if os.path.exists(partial):
+    try:
+        results = json.load(open(partial))
+        print(f"resuming: {len(results)} queries from {partial}", flush=True)
+    except Exception:
+        results = {}
+
+
+def checkpoint():
+    tmp = partial + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(results, f, indent=1)
+    os.replace(tmp, partial)
 
 
 def run_with_timeout(sql):
     out, err = [], []
+    qcon = fresh_con()
 
     def work():
         try:
-            out.append(con.execute(sql).fetchdf())
+            out.append(qcon.execute(sql).fetchdf())
         except Exception as e:
             err.append(str(e))
 
@@ -44,9 +77,14 @@ def run_with_timeout(sql):
     t.start()
     t.join(timeout)
     if t.is_alive():
-        con.interrupt()
+        qcon.interrupt()
         t.join(30)
         return None, "oracle timeout"
+    try:
+        qcon.close()
+    except Exception:
+        pass
+    gc.collect()
     if err:
         return None, err[0]
     return out[0], None
@@ -75,6 +113,8 @@ for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
+    if name in results:
+        continue  # resumed from checkpoint
     r = {"rows_match": False, "schema_match": False, "hash_match": False,
          "spark_rows": None, "oracle_rows": None, "err": None}
     results[name] = r
@@ -82,15 +122,18 @@ for name in sorted(os.listdir(outdir)):
         got = con.execute(f"select * from '{d}/*.parquet'").fetchdf()
     except Exception as e:
         r["err"] = f"spark output read: {e}"
+        checkpoint()
         continue
     r["spark_rows"] = len(got)
     if name not in oracles:
         r["err"] = "no oracle (rows-only)"
         r["rows_match"] = len(got) > 0
+        checkpoint()
         continue
     exp, err = run_with_timeout(oracles[name])
     if err:
         r["err"] = err
+        checkpoint()
         continue
     r["oracle_rows"] = len(exp)
     got = got[sorted(got.columns)]
@@ -108,9 +151,12 @@ for name in sorted(os.listdir(outdir)):
         r["hash_match"] = ok
     print(name, "OK" if r["hash_match"] or (r["err"] or "").startswith("no oracle")
           else f"FAIL {r['err']}", flush=True)
+    checkpoint()
 
 with open(jsonout, "w") as f:
     json.dump(results, f, indent=1)
+if os.path.exists(partial):
+    os.remove(partial)
 
 n = len(results)
 green = sum(1 for r in results.values()
