@@ -200,7 +200,11 @@ object IcebergExport {
     if (s.matches("'[^']*'"))
       Some("\"" + s.substring(1, s.length - 1).replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\"")
-    else if (s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+")) Some(s)
+    else if (s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+"))
+      // Iceberg's single-value JSON serialization requires DECIMAL values
+      // as JSON strings (bare numbers risk float reparse in real V3
+      // readers); int/long/float/double stay bare numbers
+      Some(if (f.dtype.toUpperCase.startsWith("DECIMAL")) "\"" + s + "\"" else s)
     else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
       Some(s.toLowerCase)
     else None
@@ -315,65 +319,9 @@ object IcebergExport {
           .putLong("parquet.field.id", f.id.toLong).build()
         org.apache.spark.sql.functions.col(f.name).as(f.name, md)
       }: _*)
-      val dataDir = s"$dest/data/snap-$sid"
-      if (partFields.isEmpty) df.write.parquet(dataDir)
-      else {
-        // spec-preserving layout: partition the write by TEMP columns
-        // holding the Iceberg-ENCODED transform values, so the data files
-        // keep every source column (like Spark+Iceberg's writer) while
-        // the directory names carry the tuple the manifest entries need
-        val snapSch = m.schema(schemaId)
-        val withTmp = partFields.foldLeft(df) { (d, pf) =>
-          require(snapSch.hasId(pf.sourceId),
-            s"iceberg export: snapshot $sid's schema lacks partition source " +
-              s"field id ${pf.sourceId} ($dest)")
-          d.withColumn(s"_p_${pf.name}",
-            pf.encode(org.apache.spark.sql.functions.col(snapSch.byId(pf.sourceId).name)))
-        }
-        withTmp.write.partitionBy(partFields.map(pf => s"_p_${pf.name}"): _*)
-          .parquet(dataDir)
-      }
-      val it = destFs.listFiles(new Path(dataDir), true)
-      val parts = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) parts += st
-      }
-      val entries = parts.toSeq.sortBy(_.getPath.toString).map { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        val rows = try r.getRecordCount finally r.close()
-        val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
-        dfr.put("content", 0)
-        dfr.put("file_path", st.getPath.toString)
-        dfr.put("file_format", "PARQUET")
-        if (partFields.nonEmpty) {
-          // tuple parsed back from the hive-style segments the write laid
-          // down (_p_<name>=<encoded>); Spark's escaping undone per value
-          val segs = st.getPath.toString.split('/')
-            .filter(_.contains('=')).map { s =>
-              val k = s.substring(0, s.indexOf('='))
-              val v = s.substring(s.indexOf('=') + 1)
-              k -> v
-            }.toMap
-          val pt = new GenericData.Record(
-            entrySchema.getField("data_file").schema().getField("partition").schema())
-          partFields.foreach { pf =>
-            segs.get(s"_p_${pf.name}").foreach { raw =>
-              if (raw != "__HIVE_DEFAULT_PARTITION__")
-                pt.put(pf.name, pf.decode(unescapeDirValue(raw)))
-            }
-          }
-          dfr.put("partition", pt)
-        }
-        dfr.put("record_count", rows)
-        dfr.put("file_size_in_bytes", st.getLen)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1); e.put("snapshot_id", sid); e.put("data_file", dfr)
-        e
-      }
-      val mfPath = s"$dest/metadata/m-$sid.avro"
-      writeAvro(mfPath, entrySchema, entries, conf)
-      mlAccum += ((mfPath, fileLen(mfPath, conf), sid))
+      val (mfPath, mfLen) = writeSnapshotData(df, sid, dest, entrySchema,
+        partFields, m.schema(schemaId), conf, destFs)
+      mlAccum += ((mfPath, mfLen, sid))
       // full exports: one self-contained manifest per snapshot; delta
       // exports: this snapshot's list = every exported manifest so far
       val mlRows = (if (deltaCapable) mlAccum.toSeq

@@ -50,29 +50,29 @@ object IcebergInterop {
     try M.readTree(in) finally in.close()
   }
 
-  private def avroRows(path: String, conf: Configuration): Seq[GenericRecord] = {
+  private[icelite] def avroRows(path: String, conf: Configuration): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
       ManifestCodec.openSeekable(new Path(path), conf),
       new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.toList finally reader.close()
   }
 
-  private def str(r: GenericRecord, field: String): String =
+  private[icelite] def str(r: GenericRecord, field: String): String =
     Option(r.get(field)).map(_.toString).orNull
 
   /** Schema-safe optional field: avro's GenericRecord.get THROWS on names
     * the writer's schema never had (v1 manifest lists lack `content`,
     * unpartitioned writers omit `partition`, …). */
-  private def optField(r: GenericRecord, field: String): Option[AnyRef] =
+  private[icelite] def optField(r: GenericRecord, field: String): Option[AnyRef] =
     if (r.getSchema.getField(field) != null) Option(r.get(field)) else None
 
-  private def optInt(r: GenericRecord, field: String, dflt: Int): Int =
+  private[icelite] def optInt(r: GenericRecord, field: String, dflt: Int): Int =
     optField(r, field).map(_.asInstanceOf[Number].intValue).getOrElse(dflt)
   private def long(r: GenericRecord, field: String): Long =
     r.get(field).asInstanceOf[Number].longValue
 
   /** Spark DDL type for an Iceberg primitive type string. */
-  private def sparkType(t: String): String = t match {
+  private[icelite] def sparkType(t: String): String = t match {
     case "boolean"              => "BOOLEAN"
     case "int"                  => "INT"
     case "long"                 => "BIGINT"
@@ -200,21 +200,28 @@ object IcebergInterop {
     * EQUALITY-delete refs (content=2 with `equality_ids`). */
   private[icelite] def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration)
       : (Seq[IceDataFile], Seq[String], Seq[DvRef], Seq[EqDeleteRef]) = {
-    val manifestPaths: Seq[(String, Int, Int, Long)] = snap.manifestList match {
+    val manifestPaths: Seq[(String, Int, Int, Long, Long)] = snap.manifestList match {
       case Some(ml) =>
         avroRows(ml, conf).map { r =>
           (str(r, "manifest_path"), optInt(r, "content", 0),
             optInt(r, "partition_spec_id", 0),
             optField(r, "sequence_number")
-              .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+            // the manifest-list row's added_snapshot_id: ADDED entries
+            // written by real Iceberg writers leave the per-entry
+            // snapshot_id null and inherit it from here (same inheritance
+            // rule as sequence_number) — without it write-schema
+            // resolution silently degrades to name matching
+            optField(r, "added_snapshot_id")
+              .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
         }
-      case None => snap.manifests.map(p => (p, 0, 0, 0L))
+      case None => snap.manifests.map(p => (p, 0, 0, 0L, -1L))
     }
     val dataFiles = scala.collection.mutable.ArrayBuffer[IceDataFile]()
     val posDeletes = scala.collection.mutable.ArrayBuffer[String]()
     val dvRefs = scala.collection.mutable.ArrayBuffer[DvRef]()
     val eqRefs = scala.collection.mutable.ArrayBuffer[EqDeleteRef]()
-    manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq) =>
+    manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq, mlAddedSnap) =>
       avroRows(mp, conf).foreach { e =>
         val status = optInt(e, "status", 1)
         if (status != 2) { // 2 = deleted entry: file left the table
@@ -237,7 +244,7 @@ object IcebergInterop {
               }
               dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq,
                 optField(e, "snapshot_id")
-                  .map(_.asInstanceOf[Number].longValue).getOrElse(-1L),
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(mlAddedSnap),
                 optField(df, "record_count")
                   .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
             case 1 if format.equalsIgnoreCase("puffin") =>

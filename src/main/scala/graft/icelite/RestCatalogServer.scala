@@ -181,6 +181,19 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     }
     val tbl = cat.loadTable(ns, t)
     val expected = body.get("expected-version").asInt()
+    // confinement: metadata-location is a client-supplied path on an
+    // unauthenticated endpoint — restrict the read to documents staged
+    // under the warehouse (where a client with staging access writes),
+    // or the server becomes an arbitrary-local-file read oracle
+    if (body.get("metadata-location") != null) {
+      val ml = body.get("metadata-location").asText()
+      val root = IceLite.normPath(warehouse).stripSuffix("/")
+      if (!IceLite.normPath(ml).startsWith(root + "/")) {
+        error(ex, 400, "BadRequestException",
+          s"metadata-location must resolve under the warehouse ($warehouse)")
+        return
+      }
+    }
     val metaText =
       if (body.get("metadata") != null) M.writeValueAsString(body.get("metadata"))
       else tbl.store.readString(
