@@ -61,8 +61,24 @@ final case class DeleteIndex(
     DvCodec.expandRuns(runsFor(dataFile))
 
   private def load(dataFile: String): Array[Long] = {
+    // NATIVE delete writers record file_path exactly as the scan's
+    // `_metadata.file_path` spells it, so the first spelling always hits.
+    // FOREIGN (adopted) delete files may spell the same path differently
+    // (raw `/a/b` vs `file:/a/b` URI forms) — the alternates make the
+    // probe spelling-insensitive. Cost: the parquet probe ORs a few
+    // literals into one pushed predicate (one reader pass either way);
+    // DV containers retry only when the primary spelling finds nothing.
+    // All of this runs once per (executor, data file) — memoized above —
+    // never per row.
+    val keys = {
+      val n = IceLite.normPath(dataFile)
+      Seq(dataFile, n, s"file:$n", s"file://$n").distinct
+    }
     val pred = FilterCompat.get(
-      FilterApi.eq(FilterApi.binaryColumn("file_path"), Binary.fromString(dataFile)))
+      keys.map(k => FilterApi.eq(FilterApi.binaryColumn("file_path"),
+        Binary.fromString(k)): org.apache.parquet.filter2.predicate.FilterPredicate)
+        .reduce(FilterApi.or))
+    val keySet = keys.toSet
     val parts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     deleteFiles.foreach { del =>
       // carrier dispatch: deletion-vector containers (`.ildv` RLE or
@@ -71,9 +87,11 @@ final case class DeleteIndex(
       // read via the pushed file_path predicate and RLE-compress on the
       // way in
       if (del.endsWith(DvCodec.Ext))
-        parts += DvCodec.runsFor(new Path(del), conf.value, dataFile)
+        parts += keys.iterator.map(k => DvCodec.runsFor(new Path(del), conf.value, k))
+          .find(_.nonEmpty).getOrElse(Array.emptyLongArray)
       else if (del.endsWith(PuffinDv.Ext))
-        parts += PuffinDv.runsFor(new Path(del), conf.value, dataFile)
+        parts += keys.iterator.map(k => PuffinDv.runsFor(new Path(del), conf.value, k))
+          .find(_.nonEmpty).getOrElse(Array.emptyLongArray)
       else {
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         val reader = ParquetReader.builder(new GroupReadSupport(), new Path(del))
@@ -83,7 +101,7 @@ final case class DeleteIndex(
           while (g != null) {
             // the record-level filter already guarantees the match; the field
             // check is a free invariant guard on already-filtered rows
-            if (g.getString("file_path", 0) == dataFile) buf += g.getLong("pos", 0)
+            if (keySet.contains(g.getString("file_path", 0))) buf += g.getLong("pos", 0)
             g = reader.read()
           }
         } finally reader.close()

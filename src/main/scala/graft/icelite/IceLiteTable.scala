@@ -420,6 +420,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     case b if b.startsWith("bucket[") =>
       val n = b.stripPrefix("bucket[").stripSuffix("]").toInt
       pmod(xxhash64(src), lit(n)).cast("string")
+    case b if b.startsWith("mbucket[") =>
+      // Iceberg-spec murmur3 bucket (adopted foreign layouts): new native
+      // writes land in the SAME buckets the foreign writer used, so the
+      // adopted tuples and the live ones share one hash semantics
+      val n = b.stripPrefix("mbucket[").stripSuffix("]").toInt
+      org.apache.spark.sql.graft.SparkShims.columnOf(
+        graft.functions.IcebergBucket(
+          org.apache.spark.sql.graft.SparkShims.toExpression(src), n)).cast("string")
     case other => sys.error(s"unknown transform $other")
   }
 
@@ -2480,36 +2488,36 @@ object IceLite {
     val ice = IcebergInterop.loadMeta(metadataJson, conf)
     val snap = ice.currentSnapshotId.flatMap(id => ice.snapshots.find(_.id == id))
       .getOrElse(sys.error(s"iceberg adopt: no current snapshot in $metadataJson"))
-    val (files, posDels, dvRefs, eqRefs) = IcebergInterop.fileInventory(ice, snap, conf)
-    require(posDels.isEmpty && dvRefs.isEmpty && eqRefs.isEmpty,
-      "iceberg adopt: source has merge-on-read deletes — rewrite/compact them first")
     val readSchemaId = snap.schemaId.getOrElse(ice.currentSchemaId)
-    files.foreach { f =>
-      val ws = ice.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId)
-      require(ws.forall(_ == readSchemaId),
-        s"iceberg adopt: ${f.path} was written under schema ${ws.getOrElse(-1)}, " +
-          s"current is $readSchemaId — compact the source first")
-    }
     val fields = ice.schemas(readSchemaId).map(f => Field(f.id, f.name, f.dtype, None))
     val sch = TableSchema(0, fields)
+    // foreign `bucket[N]` tuples were hashed with the Iceberg-spec murmur3;
+    // IceLite's own `bucket[N]` hashes xxhash64 — the adopted spec lifts to
+    // `mbucket[N]` (murmur3 semantics, [[graft.functions.IcebergBucket]]),
+    // so the tuples stay TRUE and new native writes land in the same
+    // buckets the foreign layout used
+    def liftTransform(tr: String): String =
+      if (tr.startsWith("bucket[")) "m" + tr else tr
     // every spec the live files reference registers (tuples stay
     // interpretable); the foreign DEFAULT spec continues as the live
     // spec, so new writes partition natively under the same transforms
-    val specIds = (files.map(_.specId) :+ ice.defaultSpecId).distinct.sorted
-    val specs = specIds.map { sid =>
-      PartitionSpec(sid, ice.specs.getOrElse(sid, Seq()).flatMap { sf =>
-        if (sch.hasId(sf.sourceId))
-          Some(SpecField(sf.sourceId, sf.transform,
-            specFieldName(sch.byId(sf.sourceId).name, sf.transform)))
-        else None
-      })
+    def mkSpecs(fileSpecIds: Seq[Int]): Seq[PartitionSpec] = {
+      val specIds = (fileSpecIds :+ ice.defaultSpecId).distinct.sorted
+      specIds.map { sid =>
+        PartitionSpec(sid, ice.specs.getOrElse(sid, Seq()).flatMap { sf =>
+          if (sch.hasId(sf.sourceId))
+            Some(SpecField(sf.sourceId, liftTransform(sf.transform),
+              specFieldName(sch.byId(sf.sourceId).name, liftTransform(sf.transform))))
+          else None
+        })
+      }
     }
     val numericIdentity = Set("STRING", "VARCHAR", "INT", "INTEGER", "BIGINT", "LONG")
     def convertTuple(f: IcebergInterop.IceDataFile): Map[String, String] =
       ice.specs.getOrElse(f.specId, Seq()).flatMap { sf =>
         if (!sch.hasId(sf.sourceId)) None
         else f.partition.get(sf.name).flatMap { v =>
-          val tgt = specFieldName(sch.byId(sf.sourceId).name, sf.transform)
+          val tgt = specFieldName(sch.byId(sf.sourceId).name, liftTransform(sf.transform))
           val srcType = sch.byId(sf.sourceId).dtype.toUpperCase
           sf.transform match {
             case "identity" if srcType == "DATE" =>
@@ -2525,12 +2533,127 @@ object IceLite {
             }.toOption.map(tgt -> _)
             case "day" => scala.util.Try(
               java.time.LocalDate.ofEpochDay(v.toLong).toString).toOption.map(tgt -> _)
-            case _ => None // bucket / unknown: conservative keep
+            case b if b.startsWith("bucket[") =>
+              // Iceberg murmur3 bucket ordinal, preserved verbatim under
+              // the lifted mbucket transform — exact, never a mis-prune
+              Some(tgt -> v)
+            case _ => None // unknown transform: conservative keep
           }
         }
       }.toMap
-    val dataFiles = files.map(f => DataFile(f.path, f.records, 0, f.specId,
-      convertTuple(f), Map(), 0, nameMapped = true))
+    def parquetRows(p: String): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+      try r.getRecordCount finally r.close()
+    }
+    // foreign MERGE-ON-READ deletes carry into the native delete index
+    // (adopt used to refuse them):
+    //  - position-delete parquet IS the native shape ((file_path, pos)
+    //    columns per the Iceberg spec) — registered in place;
+    //  - V3 Puffin deletion vectors are a native carrier ([[PuffinDv]]) —
+    //    registered in place;
+    //  - equality deletes store LOGICAL key columns; the native read
+    //    resolves keys by physical `f<id>` names, so the tiny key files
+    //    (O(deleted keys) by contract) rewrite at adoption — the only
+    //    data the migrate moves.
+    val f = fs(spark, location)
+    // the occupied-location check runs BEFORE the eq-delete rewrite below
+    // writes anything under the target
+    require(!f.exists(new Path(new Path(location, "metadata"), HINT)),
+      s"table exists at $location")
+    def adoptDeletes(posDels: Seq[String],
+        dvRefs: Seq[IcebergInterop.DvRef],
+        eqRefs: Seq[IcebergInterop.EqDeleteRef]): Seq[DeleteFile] = {
+      val posD = posDels.distinct.sorted.map(p =>
+        DeleteFile(p, parquetRows(p), kind = "pos"))
+      val dvD = dvRefs.groupBy(_.path).toSeq.sortBy(_._1).map { case (p, refs) =>
+        require(p.endsWith(PuffinDv.Ext),
+          s"iceberg adopt: unsupported deletion-vector container $p")
+        val paths = refs.map(r => normPath(r.refDataFile))
+        DeleteFile(p, 0L, kind = "pos",
+          pathLo = Some(paths.min), pathHi = Some(paths.max))
+      }
+      val eqD = eqRefs.sortBy(_.path).map { ref =>
+        val keyFields = ref.ids.map { id =>
+          require(sch.hasId(id),
+            s"iceberg adopt: equality_ids field $id not in the adopted schema")
+          sch.byId(id)
+        }
+        val byId = IcebergInterop.parquetFieldNamesById(ref.path, conf)
+        val phys = spark.read.parquet(ref.path).select(keyFields.map(kf =>
+          col(byId.getOrElse(kf.id, kf.name)).cast(kf.sparkDdl).as(kf.physName)): _*)
+        val out = new Path(location, s"deletes/adopted-eq-${UUID.randomUUID()}")
+        f.mkdirs(out.getParent)
+        phys.coalesce(1).write.parquet(out.toString)
+        val part = { // the single written parquet part
+          val it = f.listFiles(out, true)
+          var found: Option[Path] = None
+          while (it.hasNext && found.isEmpty) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+              found = Some(st.getPath)
+          }
+          found.getOrElse(sys.error(s"iceberg adopt: empty eq-delete rewrite $out"))
+        }
+        DeleteFile(part.toString, parquetRows(part.toString), kind = "eq",
+          eqFieldIds = ref.ids, seq = ref.seq)
+      }
+      posD ++ dvD ++ eqD
+    }
+    // inventory + schema-resolvability per snapshot, side-effect-free (the
+    // eq-delete rewrite only runs for snapshots that are actually kept)
+    def rawSnapshot(s: IcebergInterop.IceSnapshot, strict: Boolean)
+        : Option[(Seq[DataFile], Seq[String],
+            Seq[IcebergInterop.DvRef], Seq[IcebergInterop.EqDeleteRef])] = {
+      val parsed =
+        try Some(IcebergInterop.fileInventory(ice, s, conf))
+        catch { case e: Exception => if (strict) throw e else None }
+      parsed.flatMap { case (files, posDels, dvRefs, eqRefs) =>
+        val resolvable = files.forall { df =>
+          val ws = ice.snapshots.find(_.id == df.addedSnapshotId).flatMap(_.schemaId)
+          val ok = ws.forall(_ == readSchemaId)
+          require(ok || !strict,
+            s"iceberg adopt: ${df.path} was written under schema ${ws.getOrElse(-1)}, " +
+              s"current is $readSchemaId — compact the source first")
+          ok
+        }
+        if (!resolvable) None
+        else Some((files.map(df => DataFile(df.path, df.records, 0, df.specId,
+          convertTuple(df), Map(), df.seq, nameMapped = true)),
+          posDels, dvRefs, eqRefs))
+      }
+    }
+    val headRaw = rawSnapshot(snap, strict = true).get
+    def headAdopted = (snap, headRaw._1,
+      adoptDeletes(headRaw._2, headRaw._3, headRaw._4))
+    // HISTORY: an append-only foreign lineage registers each snapshot, so
+    // `VERSION AS OF <foreign id>` keeps serving pre-adoption points (time
+    // travel is the tutorial's centerpiece). Requires ids monotone in time
+    // order (IceLite range semantics assume id order = time order; real
+    // Iceberg's random ids usually fail this and fall back to head-only),
+    // every historical file resolvable under the adopted schema, and no
+    // delete files before the head (deletes break append-only history).
+    val adopted: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
+      val ordered = ice.snapshots.sortBy(_.timestampMs)
+      val monotone = ordered.map(_.id) == ordered.map(_.id).sorted &&
+        ordered.map(_.id).distinct.size == ordered.size
+      if (ordered.size > 1 && monotone && ordered.last.id == snap.id &&
+          ordered.forall(_.operation == "append")) {
+        val rest = ordered.init.map(s => s -> rawSnapshot(s, strict = false))
+        val cleanHistory = rest.forall { case (_, r) =>
+          r.exists(t => t._2.isEmpty && t._3.isEmpty && t._4.isEmpty) }
+        if (cleanHistory)
+          rest.map { case (s, r) => (s, r.get._1, Seq.empty[DeleteFile]) } :+
+            headAdopted
+        else Seq(headAdopted)
+      } else Seq(headAdopted)
+    }
+    val allFiles = adopted.flatMap(_._2)
+    val specs = mkSpecs(allFiles.map(_.specId))
+    val snapshots = adopted.zipWithIndex.map { case ((s, dfs, dels), i) =>
+      Snapshot(s.id, if (i == 0) None else Some(adopted(i - 1)._1.id),
+        s.timestampMs, "append", dfs, dels, 0)
+    }
     val now = System.currentTimeMillis()
     val m = TableMetadata(
       location = location,
@@ -2540,12 +2663,10 @@ object IceLite {
       defaultSpecId = ice.defaultSpecId,
       specs = specs,
       properties = Map("adopted.from" -> metadataJson),
-      currentSnapshotId = Some(1L),
-      snapshots = Seq(Snapshot(1L, None, now, "append", dataFiles, Seq(), 0)),
+      currentSnapshotId = Some(snap.id),
+      snapshots = snapshots,
       metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")))
-    val f = fs(spark, location)
     val metaDir = new Path(location, "metadata")
-    require(!f.exists(new Path(metaDir, HINT)), s"table exists at $location")
     f.mkdirs(metaDir)
     val st = new HadoopCommitStore(f)
     st.createExclusive(new Path(metaDir, "v1.json"), MetaJson.toJson(m))

@@ -177,10 +177,13 @@ object IcebergExport {
             }
             Some(ExportPartField(s"${src.name}_$t", t, sf.sourceId, "int",
               enc, s => Int.box(s.toInt)))
-          case (t, _) if t.startsWith("bucket[") && t.endsWith("]") &&
-              (BucketableTypes(dt) || dt.startsWith("DECIMAL")) =>
-            val n = t.substring("bucket[".length, t.length - 1).toInt
-            Some(ExportPartField(s"${src.name}_bucket", t, sf.sourceId, "int",
+          // mbucket[N] (adopted murmur3 layout) exports as plain bucket[N]:
+          // the re-encode below IS the murmur3 hash, so adopted rows keep
+          // their original bucket assignment on the way out
+          case (t, _) if (t.startsWith("bucket[") || t.startsWith("mbucket[")) &&
+              t.endsWith("]") && (BucketableTypes(dt) || dt.startsWith("DECIMAL")) =>
+            val n = t.substring(t.indexOf('[') + 1, t.length - 1).toInt
+            Some(ExportPartField(s"${src.name}_bucket", s"bucket[$n]", sf.sourceId, "int",
               c => org.apache.spark.sql.graft.SparkShims.columnOf(
                 graft.functions.IcebergBucket(
                   org.apache.spark.sql.graft.SparkShims.toExpression(c), n)),
@@ -200,11 +203,20 @@ object IcebergExport {
     if (s.matches("'[^']*'"))
       Some("\"" + s.substring(1, s.length - 1).replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\"")
-    else if (s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+"))
+    else if (s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+")) {
       // Iceberg's single-value JSON serialization requires DECIMAL values
-      // as JSON strings (bare numbers risk float reparse in real V3
-      // readers); int/long/float/double stay bare numbers
-      Some(if (f.dtype.toUpperCase.startsWith("DECIMAL")) "\"" + s + "\"" else s)
+      // as JSON strings, rescaled to the declared scale (strict readers
+      // validate scale equality); int/long/float/double stay bare numbers
+      val dt = f.dtype.toUpperCase
+      if (dt.startsWith("DECIMAL")) {
+        val scale = "DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
+          .findFirstMatchIn(dt).map(_.group(1).toInt).getOrElse(0)
+        // a literal that doesn't fit the declared scale is not expressible
+        // as a spec-valid single value → full export materializes it
+        scala.util.Try(BigDecimal(s).setScale(scale)).toOption
+          .map(v => "\"" + v.toString + "\"")
+      } else Some(s)
+    }
     else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
       Some(s.toLowerCase)
     else None
@@ -224,13 +236,192 @@ object IcebergExport {
     sb.toString
   }
 
+  /** Write one snapshot's data files + manifest: parquet under
+    * `dest/data/snap-<sid>` (partitioned by TEMP `_p_<name>` columns holding
+    * the Iceberg-ENCODED transform values when the spec is exportable, so the
+    * files keep every source column while the directory names carry the tuple
+    * the manifest entries need), then one avro manifest of ADDED entries.
+    * Returns `(manifestPath, manifestLength)`. */
+  private def writeSnapshotData(
+      df: org.apache.spark.sql.DataFrame, sid: Long, dest: String,
+      entrySchema: Schema, partFields: Seq[ExportPartField],
+      snapSch: TableSchema, conf: Configuration,
+      destFs: FileSystem): (String, Long) = {
+    val dataDir = s"$dest/data/snap-$sid"
+    if (partFields.isEmpty) df.write.parquet(dataDir)
+    else {
+      val withTmp = partFields.foldLeft(df) { (d, pf) =>
+        require(snapSch.hasId(pf.sourceId),
+          s"iceberg export: snapshot $sid's schema lacks partition source " +
+            s"field id ${pf.sourceId} ($dest)")
+        d.withColumn(s"_p_${pf.name}",
+          pf.encode(org.apache.spark.sql.functions.col(snapSch.byId(pf.sourceId).name)))
+      }
+      withTmp.write.partitionBy(partFields.map(pf => s"_p_${pf.name}"): _*)
+        .parquet(dataDir)
+    }
+    val it = destFs.listFiles(new Path(dataDir), true)
+    val parts = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) parts += st
+    }
+    val entries = parts.toSeq.sortBy(_.getPath.toString).map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      val rows = try r.getRecordCount finally r.close()
+      val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+      dfr.put("content", 0)
+      dfr.put("file_path", st.getPath.toString)
+      dfr.put("file_format", "PARQUET")
+      if (partFields.nonEmpty) {
+        // tuple parsed back from the hive-style segments the write laid
+        // down (_p_<name>=<encoded>); Spark's escaping undone per value
+        val segs = st.getPath.toString.split('/')
+          .filter(_.contains('=')).map { s =>
+            val k = s.substring(0, s.indexOf('='))
+            val v = s.substring(s.indexOf('=') + 1)
+            k -> v
+          }.toMap
+        val pt = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        partFields.foreach { pf =>
+          segs.get(s"_p_${pf.name}").foreach { raw =>
+            if (raw != "__HIVE_DEFAULT_PARTITION__")
+              pt.put(pf.name, pf.decode(unescapeDirValue(raw)))
+          }
+        }
+        dfr.put("partition", pt)
+      }
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", st.getLen)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", sid); e.put("data_file", dfr)
+      e
+    }
+    val mfPath = s"$dest/metadata/m-$sid.avro"
+    writeAvro(mfPath, entrySchema, entries, conf)
+    (mfPath, fileLen(mfPath, conf))
+  }
+
+  /** A previous export this one extends: carried-forward schemas/snapshots
+    * (verbatim JSON nodes — their manifest lists and data stay in the base
+    * dir by reference) plus the counters the continuation resumes from. */
+  private final case class BaseExport(
+      uuid: String, formatVersion: Int, lastSeq: Long, lastColumnId: Int,
+      lastSnapshotId: Long, lastUpdatedMs: Long,
+      schemaIds: Set[Int], schemaIdSets: Seq[Set[Int]],
+      schemasJson: Seq[String], snapsJson: Seq[String],
+      specFields: Seq[(String, String, Int)],
+      headManifests: Seq[(String, Long, Long)])
+
+  private def parseBase(baseMj: String, conf: Configuration): BaseExport = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = FileSystem.get(new Path(baseMj).toUri, conf)
+    val in = fs.open(new Path(baseMj))
+    val r = try M.readTree(in) finally in.close()
+    def arr(k: String) = r.get(k).elements().asScala.toSeq
+    val headId = r.get("current-snapshot-id").asLong()
+    val headMl = arr("snapshots")
+      .find(_.get("snapshot-id").asLong() == headId)
+      .getOrElse(sys.error(s"base export $baseMj: head snapshot missing"))
+      .get("manifest-list").asText()
+    val manifests = readAvro(headMl, conf).map { g =>
+      (g.get("manifest_path").toString,
+        g.get("manifest_length").asInstanceOf[Long],
+        g.get("added_snapshot_id").asInstanceOf[Long])
+    }
+    BaseExport(
+      uuid = r.get("table-uuid").asText(),
+      formatVersion = r.get("format-version").asInt(),
+      lastSeq = r.get("last-sequence-number").asLong(),
+      lastColumnId = r.get("last-column-id").asInt(),
+      lastSnapshotId = headId,
+      lastUpdatedMs = r.get("last-updated-ms").asLong(),
+      schemaIds = arr("schemas").map(_.get("schema-id").asInt()).toSet,
+      schemaIdSets = arr("schemas").map(s => s.get("fields").elements().asScala
+        .map(_.get("id").asInt()).toSet),
+      schemasJson = arr("schemas").map(M.writeValueAsString),
+      snapsJson = arr("snapshots").map(M.writeValueAsString),
+      specFields = r.get("partition-specs").get(0).get("fields")
+        .elements().asScala.toSeq.map(f => (f.get("name").asText(),
+          f.get("transform").asText(), f.get("source-id").asInt())),
+      headManifests = manifests)
+  }
+
+  private def readAvro(path: String, conf: Configuration): Seq[GenericRecord] = {
+    val fs = FileSystem.get(new Path(path).toUri, conf)
+    val tmp = java.io.File.createTempFile("ice-ml", ".avro")
+    try {
+      tmp.delete()
+      fs.copyToLocalFile(false, new Path(path),
+        new Path(tmp.getAbsolutePath), true)
+      val rdr = new org.apache.avro.file.DataFileReader[GenericRecord](
+        tmp, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try rdr.iterator().asScala.toVector finally rdr.close()
+    } finally tmp.delete()
+  }
+
+  /** Extend the export at `baseMj` with only the snapshots committed AFTER
+    * its head: O(appended rows) data movement — the new dir holds just the
+    * delta files + its own metadata, referencing the base's manifests in
+    * place. Returns None (caller full-exports) unless the lineage chains:
+    * base head still known to the table, every later snapshot a pure
+    * append (parent-walk, so an expired delete in between can't hide),
+    * schemas id-compatible, defaults fillable, partition spec unchanged. */
+  def exportChained(t: IceLiteTable, dest: String, baseMj: String): Option[String] = {
+    val m = t.meta
+    val conf = t.spark.sessionState.newHadoopConf()
+    val base =
+      try parseBase(baseMj, conf)
+      catch { case _: Exception => return None }
+    if (!m.snapshots.exists(_.id == base.lastSnapshotId)) return None
+    val headId = m.currentSnapshotId.getOrElse(return None)
+    if (headId <= base.lastSnapshotId) return None
+    // parent-walk from head back to the base head: every hop must be a
+    // RETAINED pure append — a gap means history was expired in between
+    // and its effect (a delete, a rewrite) may be baked into the head
+    val chain = scala.collection.mutable.ArrayBuffer[Snapshot]()
+    var cur = m.snapshots.find(_.id == headId)
+    var ok = true
+    while (ok && cur.exists(_.id != base.lastSnapshotId)) {
+      val s = cur.get
+      if (s.operation != "append" || s.deleteFiles.nonEmpty) ok = false
+      else {
+        chain += s
+        cur = s.parentId.flatMap(p => m.snapshots.find(_.id == p))
+        if (cur.isEmpty) ok = false
+      }
+    }
+    if (!ok || cur.isEmpty) return None
+    val newIds = chain.map(_.id).toSeq.sorted
+    val effSchema = (s: Snapshot) =>
+      if (s.schemaId < 0) m.currentSchemaId else s.schemaId
+    val curSch = m.currentSchema
+    val compatible = newIds.map(id => effSchema(m.snapshot(id))).distinct
+      .forall(sid => m.schema(sid).fields.forall(f =>
+        curSch.hasId(f.id) && curSch.byId(f.id).dtype.equalsIgnoreCase(f.dtype)))
+    val newIdSets = newIds.map(id =>
+      m.schema(effSchema(m.snapshot(id))).fields.map(_.id).toSet)
+    val fillable = curSch.fields.forall(f =>
+      (base.schemaIdSets ++ newIdSets).forall(_.contains(f.id)) ||
+        f.defaultSql.isEmpty || defaultJson(f).isDefined)
+    val specMatches = exportPartFields(m)
+      .map(pf => (pf.name, pf.transform, pf.sourceId)) == base.specFields
+    if (!compatible || !fillable || !specMatches) return None
+    Some(doExport(t, dest, newIds, Some(base)))
+  }
+
   /** Export `snapshotIds` (default: just the current snapshot) in ascending
     * order; returns the written `metadata.json` path, directly readable by
     * [[IcebergInterop]] (current read, VERSION AS OF each exported id). */
-  def export(t: IceLiteTable, dest: String, snapshotIds: Seq[Long] = Seq()): String = {
+  def export(t: IceLiteTable, dest: String, snapshotIds: Seq[Long] = Seq()): String =
+    doExport(t, dest,
+      if (snapshotIds.nonEmpty) snapshotIds.sorted
+      else t.meta.currentSnapshotId.toSeq, None)
+
+  private def doExport(t: IceLiteTable, dest: String, ids: Seq[Long],
+      base: Option[BaseExport]): String = {
     val m = t.meta
-    val ids = (if (snapshotIds.nonEmpty) snapshotIds.sorted
-               else m.currentSnapshotId.toSeq)
     require(ids.nonEmpty, "iceberg export: empty table (no snapshot)")
     val conf = t.spark.sessionState.newHadoopConf()
     val destFs = FileSystem.get(new Path(dest).toUri, conf)
@@ -261,7 +452,7 @@ object IcebergExport {
     // re-export (still exact, just not incremental).
     val effSchema = (s: Snapshot) =>
       if (s.schemaId < 0) m.currentSchemaId else s.schemaId
-    val deltaCapable = ids.size > 1 && {
+    val deltaCapable = base.nonEmpty || (ids.size > 1 && {
       val range = m.snapshots.filter(s => s.id > ids.head && s.id <= ids.last)
       val exported = ids.map(m.snapshot)
       val cur = m.currentSchema
@@ -280,17 +471,21 @@ object IcebergExport {
           f.defaultSql.isEmpty || defaultJson(f).isDefined)
       range.forall(s => s.operation == "append") &&
         (exported ++ range).forall(_.deleteFiles.isEmpty) && compatible && fillable
-    }
+    })
     // (manifest path, length, snapshot that added it) — delta snapshots
     // carry all previous manifests by reference in their manifest list
+    // (a chained export seeds with the BASE export's head manifests, so
+    // the base's data is referenced in place, never re-moved)
     val mlAccum = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    base.foreach(b => mlAccum ++= b.headManifests)
+    val seqBase = base.map(_.lastSeq).getOrElse(0L)
     val snapNodes = try ids.zipWithIndex.map { case (sid, i) =>
       val snap = m.snapshot(sid)
       // the current snapshot reads through the CURRENT schema (metadata-only
       // DDL like rename/add-default bumps the schema with no new snapshot,
       // so snap.schemaId may predate it); time travel keeps snapshot scope
       val (df0, schemaId) =
-        if (deltaCapable && i > 0) {
+        if (deltaCapable && (i > 0 || base.nonEmpty)) {
           // appended rows come back under CURRENT names; re-project to the
           // snapshot's own schema by field id so the delta files carry the
           // names the per-snapshot schema-id declares (point fidelity).
@@ -301,7 +496,8 @@ object IcebergExport {
                       else effSchema(snap)
           val eff = m.schema(effId)
           val cur = m.currentSchema
-          (t.readAppendedBetween(ids(i - 1), sid)
+          val prevSid = if (i > 0) ids(i - 1) else base.get.lastSnapshotId
+          (t.readAppendedBetween(prevSid, sid)
             .select(eff.fields.map(f =>
               org.apache.spark.sql.functions.col(cur.byId(f.id).name).as(f.name)): _*),
             effId)
@@ -335,31 +531,39 @@ object IcebergExport {
       }
       val mlPath = s"$dest/metadata/snap-$sid.avro"
       writeAvro(mlPath, manifestFileSchema, mlRows, conf)
-      (sid, schemaId, mlPath, snap.timestampMs, i + 1)
+      (sid, schemaId, mlPath, snap.timestampMs, seqBase + i + 1)
     } finally prevTs match {
       case Some(v) => t.spark.conf.set(tsKey, v)
       case None    => t.spark.conf.unset(tsKey)
     }
 
     val exportedSchemas = snapNodes.map(_._2).distinct.sorted
+    // schemas the base export already declares are carried VERBATIM (their
+    // files resolve through them unchanged); only genuinely new ids are
+    // generated here
+    val newSchemas = exportedSchemas
+      .filterNot(id => base.exists(_.schemaIds.contains(id)))
     // a delta export whose chained older files predate a defaulted field
     // carries the fill as V3 `initial-default` (full exports materialize
-    // defaults into the rewritten data instead)
+    // defaults into the rewritten data instead); for a chained export the
+    // BASE schemas' files predate the field too and need the same fill
     val defaultFieldIds: Set[Int] =
       if (!deltaCapable) Set()
       else {
-        val exportedIdSets = exportedSchemas.map(id => m.schema(id).fields.map(_.id).toSet)
+        val exportedIdSets = exportedSchemas.map(id =>
+          m.schema(id).fields.map(_.id).toSet) ++
+          base.map(_.schemaIdSets).getOrElse(Seq())
         m.currentSchema.fields.filter(f => f.defaultSql.isDefined &&
           exportedIdSets.exists(!_.contains(f.id))).map(_.id).toSet
       }
     // timestamp_ns, variant and initial-default are Iceberg V3 features —
     // their presence bumps the exported format-version
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
-    val formatVersion =
+    val formatVersion = math.max(base.map(_.formatVersion).getOrElse(2),
       if (defaultFieldIds.nonEmpty || exportedSchemas.exists(id => m.schema(id).fields
-        .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2
-    val lastColumnId = exportedSchemas
-      .flatMap(id => m.schema(id).fields.map(_.id)).max
+        .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2)
+    val lastColumnId = math.max(base.map(_.lastColumnId).getOrElse(0),
+      exportedSchemas.flatMap(id => m.schema(id).fields.map(_.id)).max)
     def schemaJson(id: Int): String = {
       val fs = m.schema(id).fields.map { f =>
         val dflt =
@@ -371,25 +575,30 @@ object IcebergExport {
       }.mkString(", ")
       s"""{"type": "struct", "schema-id": $id, "fields": [$fs]}"""
     }
-    val snapsJson = snapNodes.map { case (sid, schemaId, ml, ts, seqNo) =>
-      s"""{"snapshot-id": $sid, "timestamp-ms": $ts, "sequence-number": $seqNo,
-         | "schema-id": $schemaId, "summary": {"operation": "append"},
-         | "manifest-list": "$ml"}""".stripMargin
-    }.mkString(",\n    ")
+    val snapsJson = (base.map(_.snapsJson).getOrElse(Seq()) ++
+      snapNodes.map { case (sid, schemaId, ml, ts, seqNo) =>
+        s"""{"snapshot-id": $sid, "timestamp-ms": $ts, "sequence-number": $seqNo,
+           | "schema-id": $schemaId, "summary": {"operation": "append"},
+           | "manifest-list": "$ml"}""".stripMargin
+      }).mkString(",\n    ")
     val specFieldsJson = partFields.zipWithIndex.map { case (pf, i) =>
       s"""{"name": "${pf.name}", "transform": "${pf.transform}", """ +
         s""""source-id": ${pf.sourceId}, "field-id": ${1000 + i}}"""
     }.mkString(", ")
+    val allSchemasJson = (base.map(_.schemasJson).getOrElse(Seq()) ++
+      newSchemas.map(schemaJson)).mkString(", ")
     val metaJson =
       s"""{
          |  "format-version": $formatVersion,
-         |  "table-uuid": "${java.util.UUID.randomUUID()}",
+         |  "table-uuid": "${base.map(_.uuid)
+                .getOrElse(java.util.UUID.randomUUID().toString)}",
          |  "location": "$dest",
-         |  "last-sequence-number": ${snapNodes.size},
-         |  "last-updated-ms": ${snapNodes.map(_._4).max},
+         |  "last-sequence-number": ${seqBase + snapNodes.size},
+         |  "last-updated-ms": ${(snapNodes.map(_._4) ++
+                base.map(_.lastUpdatedMs)).max},
          |  "last-column-id": $lastColumnId,
          |  "current-schema-id": ${snapNodes.last._2},
-         |  "schemas": [${exportedSchemas.map(schemaJson).mkString(", ")}],
+         |  "schemas": [$allSchemasJson],
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
          |  "last-partition-id": ${999 + partFields.size},

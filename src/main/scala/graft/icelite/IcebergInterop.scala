@@ -280,7 +280,7 @@ object IcebergInterop {
   /** field-id → column-name map from a parquet file's own footer schema
     * (id-less fields skipped) — one footer read per delete file, driver-
     * side metadata planning bounded by the delete-file count. */
-  private def parquetFieldNamesById(path: String, conf: Configuration): Map[Int, String] = {
+  private[icelite] def parquetFieldNamesById(path: String, conf: Configuration): Map[Int, String] = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf))
     val fields =

@@ -187,8 +187,24 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     // or the server becomes an arbitrary-local-file read oracle
     if (body.get("metadata-location") != null) {
       val ml = body.get("metadata-location").asText()
-      val root = IceLite.normPath(warehouse).stripSuffix("/")
-      if (!IceLite.normPath(ml).startsWith(root + "/")) {
+      // normalize through java.nio (URI.getPath preserves `..` segments,
+      // so a prefix check alone is traversal-bypassable) and compare
+      // scheme+authority too — a different host/bucket with a matching
+      // path must not pass
+      def auth(u: java.net.URI) =
+        (Option(u.getScheme).getOrElse("file"), Option(u.getAuthority).getOrElse(""))
+      val confined =
+        try {
+          val rootUri = new java.net.URI(warehouse)
+          val mlUri = new java.net.URI(ml)
+          val rootPath = java.nio.file.Paths.get(
+            Option(rootUri.getPath).getOrElse(warehouse)).normalize()
+          val mlPath = java.nio.file.Paths.get(
+            Option(mlUri.getPath).getOrElse(ml)).normalize()
+          auth(rootUri) == auth(mlUri) && mlPath.startsWith(rootPath) &&
+            mlPath != rootPath
+        } catch { case _: java.net.URISyntaxException => false }
+      if (!confined) {
         error(ex, 400, "BadRequestException",
           s"metadata-location must resolve under the warehouse ($warehouse)")
         return
@@ -261,7 +277,37 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
       val won =
         try { fs.create(claim, false).close(); true }
         catch { case _: java.io.IOException => false }
-      if (won) IcebergExport.export(tbl, dest)
+      if (won) {
+        // delta-aware: chain off the newest completed prior export when
+        // the lineage since it is pure appends — the new version's export
+        // then moves ONLY the appended rows (the base's data is referenced
+        // in place). A 100 TB hot table must not pay a full-table rewrite
+        // per append commit. Rewrites/deletes/spec changes fall back to a
+        // full export, which restarts the chain.
+        val exportRoot0 = new org.apache.hadoop.fs.Path(
+          s"${tbl.location}/_iceberg_export")
+        val prior =
+          if (!fs.exists(exportRoot0)) None
+          else fs.listStatus(exportRoot0).map(_.getPath.getName)
+            .filter(n => n.length > 1 && n.startsWith("v") &&
+              n.drop(1).forall(_.isDigit) && n.drop(1).toInt < ver)
+            .map(_.drop(1).toInt).sorted.reverse
+            .map(v => s"$exportRoot0/v$v")
+            .find(d => fs.exists(new org.apache.hadoop.fs.Path(
+              s"$d/metadata/v1.metadata.json")))
+        val chained = prior.flatMap(p =>
+          IcebergExport.exportChained(tbl, dest, s"$p/metadata/v1.metadata.json")
+            .map(_ => p))
+        chained match {
+          case Some(baseDir) =>
+            // record the chain edge: GC must keep a base alive while any
+            // retained export references its manifests/data
+            val out = fs.create(new org.apache.hadoop.fs.Path(dest, ".base"), true)
+            try out.write(new org.apache.hadoop.fs.Path(baseDir).getName
+              .getBytes("UTF-8")) finally out.close()
+          case None => IcebergExport.export(tbl, dest)
+        }
+      }
       else {
         val deadline = System.currentTimeMillis() + 30000
         while (!fs.exists(mj) && System.currentTimeMillis() < deadline) Thread.sleep(50)
@@ -270,18 +316,37 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     }
     // GC: exports for table versions older than the retained metadata
     // history can never be served again (their version files are pruned by
-    // the same window), so sweep them — a hot table otherwise accumulates
-    // one full export per commit, unbounded
+    // the same window), so sweep them — EXCEPT dirs that retained exports
+    // chain off (`.base` edges): a chained export references its base's
+    // manifests and data in place, so the base must outlive it. Chained
+    // exports keep storage bounded anyway — each adds only delta files.
     val keepFrom = ver - tbl.meta.properties
       .getOrElse("write.metadata.previous-versions-max", "100").toInt
     val exportRoot = new org.apache.hadoop.fs.Path(s"${tbl.location}/_iceberg_export")
-    if (keepFrom > 0 && fs.exists(exportRoot))
-      fs.listStatus(exportRoot).foreach { st =>
-        val n = st.getPath.getName
-        if (n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt < keepFrom)
-          fs.delete(st.getPath, true)
+    if (keepFrom > 0 && fs.exists(exportRoot)) {
+      val dirs = fs.listStatus(exportRoot).map(_.getPath.getName)
+        .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      def baseOf(n: String): Option[String] = {
+        val p = new org.apache.hadoop.fs.Path(exportRoot, s"$n/.base")
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+          finally in.close()
+        }
       }
+      // transitive closure of chain bases reachable from RETAINED exports
+      val keep = scala.collection.mutable.Set[String]()
+      dirs.filter(_.drop(1).toInt >= keepFrom).foreach { n =>
+        var cur = Option(n)
+        while (cur.isDefined && keep.add(cur.get)) cur = baseOf(cur.get)
+      }
+      dirs.foreach { n =>
+        if (n.drop(1).toInt < keepFrom && !keep.contains(n))
+          fs.delete(new org.apache.hadoop.fs.Path(exportRoot, n), true)
+      }
+    }
     val doc = {
       val in = fs.open(mj)
       try M.readTree(in) finally in.close()

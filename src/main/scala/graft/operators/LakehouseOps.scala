@@ -1292,9 +1292,205 @@ object LakehouseOps {
              ) ORDER BY o_orderkey"""),
   )
 
+  /** Adopt HISTORY (time travel across the migrate-in boundary): an
+    * append-only foreign lineage registers each foreign snapshot as an
+    * IceLite snapshot, so `VERSION AS OF` a PRE-adoption snapshot id
+    * keeps serving — the tutorial's time-travel centerpiece
+    * (README.md:1000–1015) surviving a table migration. The returned
+    * frame is the MID-lineage point; the head and first point are
+    * require-checked in place. */
+  private val icebergAdoptHistory = QueryDef(
+    "iceberg_adopt_history",
+    (s, dir) => {
+      val slice = (lo: Long, hi: Long) =>
+        orders(s, dir).filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      val src = IceLite.createFrom(s, scratch("adopthist_src"), orders(s, dir))
+      src.append(slice(0L, 2000L))
+      val s1 = src.meta.currentSnapshotId.get
+      src.append(slice(2000L, 4000L))
+      val s2 = src.meta.currentSnapshotId.get
+      src.append(slice(4000L, Long.MaxValue))
+      val s3 = src.meta.currentSnapshotId.get
+      val foreign = scratch("adopthist_foreign")
+      val mj = graft.icelite.IcebergExport.export(src, foreign, Seq(s1, s2, s3))
+      val t = graft.icelite.IceLite.adopt(s, mj, foreign)
+      require(t.meta.snapshots.map(_.id) == Seq(s1, s2, s3),
+        "history adoption must register every foreign snapshot")
+      require(t.readAsOf(s1).count() == slice(0L, 2000L).count(),
+        "VERSION AS OF the first pre-adoption snapshot must serve")
+      require(t.read().count() == orders(s, dir).count(),
+        "the adopted head must serve the full table")
+      stateOf(t.readAsOf(s2))
+    },
+    Some(s"""SELECT $ordersCols FROM orders
+             WHERE o_orderkey < 4000 ORDER BY o_orderkey"""),
+  )
+
+  /** Adopt a foreign table WITH live merge-on-read position deletes: the
+    * foreign (file_path, pos) delete parquet registers IN PLACE in the
+    * native delete index (no refusal, no rewrite — it is the native
+    * shape), the lineage continues with a native append, and DuckDB
+    * recomputes the expected survivors from raw parquet. */
+  private val icebergAdoptMor = QueryDef(
+    "iceberg_adopt_mor",
+    (s, dir) => {
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val loc = scratch("adoptmor")
+      val fsys = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$loc/metadata"))
+      // one data parquet in o_orderkey order (positions are then ranks)
+      val src = orders(s, dir).filter(col("o_orderkey") < 3000)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      src.write.parquet(s"$loc/data/b1")
+      val dataFile = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$loc/data/b1"))
+        .map(_.getPath.toString).find(_.endsWith(".parquet")).get
+      val nRows = src.count()
+      // the foreign MoR delete: positions 0..9 (the 10 smallest keys)
+      import s.implicits._
+      (0L until 10L).map(p => (dataFile, p)).toDF("file_path", "pos")
+        .coalesce(1).write.parquet(s"$loc/deletes/d1")
+      val delFile = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$loc/deletes/d1"))
+        .map(_.getPath.toString).find(_.endsWith(".parquet")).get
+      val entrySchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          | {"name":"status","type":"int"},
+          | {"name":"snapshot_id","type":"long"},
+          | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |   {"name":"content","type":"int"},
+          |   {"name":"file_path","type":"string"},
+          |   {"name":"file_format","type":"string"},
+          |   {"name":"record_count","type":"long"},
+          |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      val mlSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          | {"name":"manifest_path","type":"string"},
+          | {"name":"manifest_length","type":"long"},
+          | {"name":"partition_spec_id","type":"int"},
+          | {"name":"content","type":"int"},
+          | {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, new java.io.File(path))
+        try rs.foreach(w.append) finally w.close()
+      }
+      def entry(content: Int, p: String, n: Long): GenericRecord = {
+        val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+        df.put("content", content); df.put("file_path", p)
+        df.put("file_format", "PARQUET"); df.put("record_count", n)
+        df.put("file_size_in_bytes", 1024L)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+        e
+      }
+      def mlRow(p: String, content: Int): GenericRecord = {
+        val r = new GenericData.Record(mlSchema)
+        r.put("manifest_path", p); r.put("manifest_length", 512L)
+        r.put("partition_spec_id", 0); r.put("content", content)
+        r.put("added_snapshot_id", 1L)
+        r
+      }
+      writeAvro(s"$loc/metadata/m1.avro", entrySchema, Seq(entry(0, dataFile, nRows)))
+      writeAvro(s"$loc/metadata/dm1.avro", entrySchema, Seq(entry(1, delFile, 10)))
+      writeAvro(s"$loc/metadata/snap-1.avro", mlSchema,
+        Seq(mlRow(s"$loc/metadata/m1.avro", 0), mlRow(s"$loc/metadata/dm1.avro", 1)))
+      val schemaJson = src.schema.fields.zipWithIndex.map { case (f, i) =>
+        val t = f.dataType.typeName match {
+          case "long" => "long"; case "double" => "double"; case "date" => "date"
+          case "integer" => "int"
+          case "timestamp_ntz" => "timestamp" // iceberg: without zone
+          case "timestamp" => "timestamptz"
+          case _ => "string"
+        }
+        s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, "type": "$t"}"""
+      }.mkString(", ")
+      val mj = s"$loc/metadata/v1.metadata.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(mj),
+        s"""{
+           |  "format-version": 2, "location": "$loc",
+           |  "last-column-id": ${src.schema.size},
+           |  "current-schema-id": 0,
+           |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$schemaJson]}],
+           |  "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+           |  "current-snapshot-id": 1,
+           |  "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000001,
+           |    "summary": {"operation": "append"},
+           |    "manifest-list": "$loc/metadata/snap-1.avro"}]
+           |}""".stripMargin.getBytes("UTF-8"))
+      val t = graft.icelite.IceLite.adopt(s, mj, s"$loc/adopted")
+      require(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+        "the foreign position delete must carry into the native index")
+      // the lineage continues natively over the carried deletes
+      t.append(orders(s, dir)
+        .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 3500))
+      stateOf(t.read())
+    },
+    Some(s"""SELECT * FROM (
+               SELECT $ordersCols FROM orders WHERE o_orderkey < 3000
+               AND o_orderkey NOT IN (
+                 SELECT o_orderkey FROM orders WHERE o_orderkey < 3000
+                 ORDER BY o_orderkey LIMIT 10)
+               UNION ALL
+               SELECT $ordersCols FROM orders
+               WHERE o_orderkey >= 3000 AND o_orderkey < 3500
+             ) ORDER BY o_orderkey"""),
+  )
+
+  /** Delta-aware REST export cache: after an append-only commit, the next
+    * `?format=iceberg` load CHAINS off the previous version's cached
+    * export — only the appended rows move (require-checked on the data
+    * dir), which is what keeps a 100 TB hot table from paying a
+    * full-table rewrite per append. The final chained export is read by
+    * the independent Iceberg reader and hash-checked by DuckDB. */
+  private val restDeltaExport = QueryDef(
+    "icelite_rest_delta",
+    (s, dir) => {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val wh = scratch("restdelta")
+      val cat = new Catalog(s, wh)
+      val srcA = orders(s, dir).filter(col("o_orderkey") < 4000)
+      val srcB = orders(s, dir).filter(col("o_orderkey") >= 4000)
+      cat.createTable("db", "orders_hot",
+        srcA.schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+      cat.loadTable("db", "orders_hot").append(srcA)
+      val srv = new graft.icelite.RestCatalogServer(s, wh)
+      val port = srv.start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val M = new ObjectMapper()
+        def load(): String = M.readTree(http.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/v1/namespaces/db/tables/orders_hot?format=iceberg"))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .get("metadata-location").asText()
+        load() // full export of version 1
+        val t1 = cat.loadTable("db", "orders_hot")
+        t1.append(srcB)
+        val sid = t1.meta.currentSnapshotId.get
+        val mj2 = load() // must CHAIN: only srcB's rows move
+        val dir2 = mj2.stripSuffix("/metadata/v1.metadata.json")
+        val fsys = new org.apache.hadoop.fs.Path(dir2)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        require(fsys.exists(new org.apache.hadoop.fs.Path(dir2, ".base")),
+          "an append-only commit's export must chain off the previous one")
+        val snapDirs = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/data"))
+          .map(_.getPath.getName).toSeq
+        require(snapDirs == Seq(s"snap-$sid"),
+          s"a chained export's data dir holds ONLY the delta, got $snapDirs")
+        stateOf(graft.icelite.IcebergInterop.read(s, mj2))
+      } finally srv.stop()
+    },
+    Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant, icebergAdopt,
+    icebergAdoptHistory, icebergAdoptMor, restDeltaExport,
     deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,

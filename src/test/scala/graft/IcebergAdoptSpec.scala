@@ -68,7 +68,7 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(rows(IcebergInterop.read(spark, mj2)) == rows(t.read()))
   }
 
-  test("adopt a PARTITIONED foreign table: tuples re-encode, bucket drops conservatively") {
+  test("adopt a PARTITIONED foreign table: tuples re-encode; murmur3 bucket tuples preserved and pruning-true") {
     import java.time.LocalDate
     val loc = Files.createTempDirectory("ice_adopt_part").toString
     val src = IceLite.create(spark, s"$loc/src",
@@ -98,20 +98,234 @@ class IcebergAdoptSpec extends SparkSpec {
       newFile.forall(_.partition == Map("region_identity" -> "EU", "d_day" -> "2024-01-10")))
     assert(t.read().count() == 5L)
 
-    // bucket-partitioned foreign table: the tuple can't re-encode
-    // (murmur3 vs xxhash64) — it drops, files stay conservatively kept
+    // bucket-partitioned foreign table: the murmur3 tuples are PRESERVED
+    // under the lifted mbucket[N] transform (IceLite's own bucket[N] is
+    // xxhash64 — a different hash, so the spec must say which one rules)
     val srcB = IceLite.create(spark, s"$loc/src_b",
       Seq("id" -> "BIGINT", "v" -> "BIGINT"), partition = Seq("id" -> "bucket[4]"))
     srcB.append((0L until 20L).map(i => (i, i)).toDF("id", "v"))
     val mjB = IcebergExport.export(srcB, s"$loc/foreign_b")
     val tb = IceLite.adopt(spark, mjB, s"$loc/adopted_b")
-    assert(tb.meta.currentSnapshot.get.dataFiles.forall(_.partition.isEmpty),
-      "unconvertible bucket tuples must drop, not lie")
+    assert(tb.meta.defaultSpec.fields.map(_.transform) == Seq("mbucket[4]"),
+      s"adopted bucket spec lifts to murmur3, got ${tb.meta.defaultSpec.fields}")
+    def mbucketOf(id: Long): String =
+      IcebergTransforms.bucketLong(id, 4).toString
+    val adoptedFiles = tb.meta.currentSnapshot.get.dataFiles
+    assert(adoptedFiles.forall(_.partition.keySet == Set("id_mbucket_4")),
+      s"murmur3 bucket tuples must be preserved, got ${adoptedFiles.map(_.partition)}")
     assert(tb.read().count() == 20L)
     assert(rows(tb.read()) == rows(srcB.read()))
+
+    // the preserved tuples PRUNE correctly: a one-bucket read lists only
+    // that bucket's files and reads only their records
+    val want3 = (0L until 20L).filter(i => mbucketOf(i) == "3")
+    @volatile var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) records += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got3 =
+      try {
+        val r = tb.read(prune = p => p.get("id_mbucket_4").forall(_ == "3"))
+          .select("id").as[Long].collect().sorted.toSeq
+        var last = -1L; var spins = 0
+        while (records != last && spins < 50) { last = records; Thread.sleep(100); spins += 1 }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got3 == want3, "bucket-pruned read stays exact")
+    assert(records > 0 && records < 20,
+      s"a one-bucket read must NOT scan all 20 rows (read $records)")
+
+    // a native append lands in the SAME murmur3 buckets — one hash
+    // semantics across adopted and native files
+    tb.append(Seq((100L, 100L)).toDF("id", "v"))
+    val newB = tb.meta.currentSnapshot.get.dataFiles.filter(!_.nameMapped)
+    assert(newB.nonEmpty && newB.forall(
+      _.partition == Map("id_mbucket_4" -> mbucketOf(100L))),
+      s"native append must bucket by murmur3, got ${newB.map(_.partition)}")
+    // …and the table exports back out as spec-true bucket[4]
+    val mjB2 = IcebergExport.export(tb, s"$loc/re_export_b")
+    val metaB2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mjB2)), "UTF-8")
+    assert(metaB2.contains("\"transform\": \"bucket[4]\""),
+      "mbucket re-exports as the Iceberg bucket transform")
+    assert(rows(IcebergInterop.read(spark, mjB2)) == rows(tb.read()))
   }
 
-  test("adoption refuses MoR-delete sources and occupied locations") {
+  test("adoption registers append-only foreign HISTORY: VERSION AS OF pre-adoption snapshots") {
+    val loc = Files.createTempDirectory("ice_adopt_hist").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    src.append((0L until 30L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val s1 = src.meta.currentSnapshotId.get
+    src.append((30L until 50L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    val s2 = src.meta.currentSnapshotId.get
+    src.append((50L until 55L).map(i => (i, s"c$i")).toDF("id", "tag"))
+    val s3 = src.meta.currentSnapshotId.get
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(s1, s2, s3))
+
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.map(_.id) == Seq(s1, s2, s3),
+      "every foreign snapshot registers as an IceLite snapshot")
+    assert(t.meta.snapshots.map(_.parentId) ==
+      Seq(None, Some(s1), Some(s2)), "the parent chain is continuous")
+    // time travel to BOTH pre-adoption points hash-checks against the
+    // foreign reader's own time travel
+    assert(rows(t.readAsOf(s1)) == rows(IcebergInterop.readAsOf(spark, mj, s1)))
+    assert(rows(t.readAsOf(s2)) == rows(IcebergInterop.readAsOf(spark, mj, s2)))
+    assert(t.readAsOf(s1).count() == 30L)
+    assert(t.readAsOf(s2).count() == 50L)
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)))
+
+    // the lineage continues: a native append becomes a 4th snapshot whose
+    // parent is the adopted head, and old points keep serving
+    t.append(Seq((55L, "d0")).toDF("id", "tag"))
+    assert(t.meta.snapshots.size == 4)
+    assert(t.meta.snapshots.last.parentId.contains(s3))
+    assert(t.readAsOf(s1).count() == 30L)
+    assert(t.read().count() == 56L)
+  }
+
+  test("adoption carries foreign equality deletes (rewritten to physical keys) and Puffin DVs (in place)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val loc = Files.createTempDirectory("ice_adopt_mor2").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$loc/metadata"))
+    def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path))
+      try rs.foreach(w.append) finally w.close()
+    }
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"sequence_number","type":"long"},
+        | {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val eqEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"equality_ids","type":{"type":"array","items":"int"}},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val dvEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r3","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"referenced_data_file","type":"string"},
+        |   {"name":"content_offset","type":"long"},
+        |   {"name":"content_size_in_bytes","type":"long"},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def eqEntry(content: Int, p: String, n: Long, ids: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(eqEntrySchema.getField("data_file").schema())
+      df.put("content", content); df.put("file_path", p)
+      df.put("file_format", "PARQUET")
+      df.put("equality_ids", ids.map(Int.box).asJava)
+      df.put("record_count", n); df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(eqEntrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    def mlRow(p: String, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", p); r.put("manifest_length", 512L)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("added_snapshot_id", 1L)
+      r
+    }
+    def write1(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(s"$loc/$name")
+      Files.list(java.nio.file.Paths.get(s"$loc/$name")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    // data: ids 0..9 at seq 1; a seq-3 re-insert of the eq-deleted key
+    val f1 = write1("data/b1", (0L until 10L).map(i => (i, s"row-$i")).toDF("id", "data"))
+    val f3 = write1("data/b3", Seq((203L, "row-3")).toDF("id", "data"))
+    // eq delete (seq 2, key field 2 "data" = "row-3"): kills seq-1 id 3 only
+    val eqFile = write1("deletes/eq1", Seq("row-3").toDF("data"))
+    // Puffin DV: position 0 of f1 (id 0) is dead
+    val conf = spark.sessionState.newHadoopConf()
+    val dvPath = s"$loc/deletes/dv1${PuffinDv.Ext}"
+    val blob = PuffinDv.write(new org.apache.hadoop.fs.Path(dvPath),
+      Seq((f1, Array(0L))), conf).head
+    def dvEntry(p: String): GenericRecord = {
+      val df = new GenericData.Record(dvEntrySchema.getField("data_file").schema())
+      df.put("content", 1); df.put("file_path", p)
+      df.put("file_format", "PUFFIN")
+      df.put("referenced_data_file", f1)
+      df.put("content_offset", blob.offset)
+      df.put("content_size_in_bytes", blob.length)
+      df.put("record_count", blob.cardinality); df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(dvEntrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    writeAvro(s"$loc/metadata/m1.avro", eqEntrySchema, Seq(eqEntry(0, f1, 10, Seq())))
+    writeAvro(s"$loc/metadata/m3.avro", eqEntrySchema, Seq(eqEntry(0, f3, 1, Seq())))
+    writeAvro(s"$loc/metadata/dm_eq.avro", eqEntrySchema,
+      Seq(eqEntry(2, eqFile, 1, Seq(2))))
+    writeAvro(s"$loc/metadata/dm_dv.avro", dvEntrySchema, Seq(dvEntry(dvPath)))
+    writeAvro(s"$loc/metadata/snap-1.avro", mlSchema, Seq(
+      mlRow(s"$loc/metadata/m1.avro", 0, 1L),
+      mlRow(s"$loc/metadata/m3.avro", 0, 3L),
+      mlRow(s"$loc/metadata/dm_eq.avro", 1, 2L),
+      mlRow(s"$loc/metadata/dm_dv.avro", 1, 2L)))
+    val mj = s"$loc/metadata/v1.metadata.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mj),
+      s"""{
+         |  "format-version": 2, "location": "$loc", "last-column-id": 2,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "required": false, "type": "long"},
+         |    {"id": 2, "name": "data", "required": false, "type": "string"}]}],
+         |  "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": 1,
+         |  "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000001,
+         |    "sequence-number": 3,
+         |    "summary": {"operation": "append"}, "manifest-list": "$loc/metadata/snap-1.avro"}]
+         |}""".stripMargin.getBytes("UTF-8"))
+
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    // survivors: 1,2,4..9 (id 0 DV-dead, id 3 eq-dead at seq 1) + the
+    // seq-3 re-insert (postdates the seq-2 delete)
+    val want = Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 203L)
+    assert(t.read().select("id").as[Long].collect().toSet == want,
+      "adopted MoR semantics must match Iceberg's (DV + seq-scoped eq)")
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)),
+      "post-adopt reads must hash-equal the foreign reader")
+    val dels = t.meta.currentSnapshot.get.deleteFiles
+    val eqDel = dels.filter(_.kind == "eq")
+    assert(eqDel.size == 1 && eqDel.head.eqFieldIds == Seq(2) &&
+      eqDel.head.seq == 2L, s"eq delete must carry ids+seq, got $dels")
+    assert(eqDel.head.path.startsWith(s"$loc/adopted") ||
+      eqDel.head.path.startsWith(s"file:$loc/adopted"),
+      "eq keys rewrite under the adopted table (logical → physical names)")
+    assert(spark.read.parquet(eqDel.head.path).columns.toSeq == Seq("f2"),
+      "rewritten eq keys use physical f<id> columns")
+    val dvDel = dels.filter(d => d.kind == "pos" && d.path.endsWith(PuffinDv.Ext))
+    assert(dvDel.size == 1 && dvDel.head.path == dvPath,
+      "the Puffin DV registers in place — it is a native carrier")
+    // the lineage continues: a new append's rows postdate the eq delete
+    t.append(Seq((3L, "row-3")).toDF("id", "data"))
+    assert(t.read().select("id").as[Long].collect().toSet == (want + 3L),
+      "a re-inserted key after adoption must survive the carried eq delete")
+  }
+
+  test("adoption carries foreign MoR position deletes; occupied locations refuse") {
     val loc = Files.createTempDirectory("ice_adopt_refuse").toString
     // a foreign table WITH a live position-delete manifest (hand-built,
     // the IcebergInteropSpec fixture shape)
@@ -150,13 +364,14 @@ class IcebergAdoptSpec extends SparkSpec {
       e
     }
     Files.createDirectories(java.nio.file.Paths.get(s"$loc/metadata"))
-    Seq((1L, "a")).toDF("id", "data").coalesce(1).write.parquet(s"$loc/data/b1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "data")
+      .coalesce(1).write.parquet(s"$loc/data/b1")
     val dataFile = Files.list(java.nio.file.Paths.get(s"$loc/data/b1")).toArray
       .map(_.toString).find(_.endsWith(".parquet")).get
     Seq((dataFile, 0L)).toDF("file_path", "pos").coalesce(1).write.parquet(s"$loc/deletes/d1")
     val delFile = Files.list(java.nio.file.Paths.get(s"$loc/deletes/d1")).toArray
       .map(_.toString).find(_.endsWith(".parquet")).get
-    writeAvro(s"$loc/metadata/m1.avro", entrySchema, Seq(entry(0, dataFile, 1)))
+    writeAvro(s"$loc/metadata/m1.avro", entrySchema, Seq(entry(0, dataFile, 3)))
     writeAvro(s"$loc/metadata/dm1.avro", entrySchema, Seq(entry(1, delFile, 1)))
     def mlRow(p: String, content: Int): GenericRecord = {
       val r = new GenericData.Record(mlSchema)
@@ -180,9 +395,21 @@ class IcebergAdoptSpec extends SparkSpec {
          |  "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000001,
          |    "summary": {"operation": "append"}, "manifest-list": "$loc/metadata/snap-1.avro"}]
          |}""".stripMargin.getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException](
-      IceLite.adopt(spark, mj, s"$loc/adopted"))
-    assert(e.getMessage.contains("merge-on-read"))
+    // the foreign MoR delete carries into the native delete index — the
+    // position-delete parquet registers IN PLACE ((file_path, pos) is the
+    // native shape too) and post-adopt reads hash-equal the foreign reader
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+      "the foreign position delete must register in the native index")
+    assert(t.meta.currentSnapshot.get.deleteFiles.forall(_.path == delFile),
+      "the delete parquet registers in place, not copied")
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)),
+      "post-adopt reads must hash-equal the foreign reader")
+    assert(t.read().as[(Long, String)].collect().sorted.toSeq ==
+      Seq((2L, "b"), (3L, "c")), "pos 0 of the data file is dead")
+    // the lineage continues natively over the carried deletes
+    t.append(Seq((4L, "d")).toDF("id", "data"))
+    assert(t.read().count() == 3L)
 
     // occupied location refuses
     val ok = IceLite.createFrom(spark, s"$loc/occupied", Seq((1L, "x")).toDF("id", "data"))

@@ -155,6 +155,40 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows(IcebergInterop.read(spark, mj2)) == rows(u.read()))
   }
 
+  test("DECIMAL initial-default exports as a scale-true JSON string (V3 single-value)") {
+    val loc = Files.createTempDirectory("ice_export_dec_default").toString
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    t.append((0L until 40L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val s1 = t.meta.currentSnapshotId.get
+    // metadata-only add with a default whose literal scale (1) is NOT the
+    // declared scale (2): the single-value spec wants the declared scale
+    t.addColumn("price", "DECIMAL(10,2)", defaultSql = Some("4.5"))
+    t.append(Seq((40L, "b0", "7.25"), (41L, "b1", "7.75")).toDF("id", "tag", "price")
+      .select(col("id"), col("tag"), col("price").cast("decimal(10,2)")))
+    val s2 = t.meta.currentSnapshotId.get
+
+    val dest = s"$loc/exported"
+    val mj = IcebergExport.export(t, dest, Seq(s1, s2))
+    // still a delta: the defaulted add must not force a full re-export
+    assert(spark.read.parquet(s"$dest/data/snap-$s2").count() == 2L)
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mj)), "UTF-8")
+    // Iceberg single-value JSON: DECIMAL is a STRING, rescaled to the
+    // field's declared scale — never a bare number a reader might float-parse
+    assert(metaText.contains("\"initial-default\": \"4.50\""),
+      s"DECIMAL default must serialize as a scale-true JSON string; got: " +
+        metaText.linesIterator.filter(_.contains("initial-default")).mkString)
+    assert(metaText.contains("\"format-version\": 3"))
+
+    val cur = IcebergInterop.read(spark, mj)
+    assert(cur.schema("price").dataType.sql == "DECIMAL(10,2)")
+    assert(cur.filter(col("id") < 40L)
+      .select("price").distinct().collect().map(_.getDecimal(0).toPlainString)
+      .toSeq == Seq("4.50"),
+      "chained pre-default files must fill the rescaled decimal default")
+    assert(rows(cur) == rows(t.read()))
+  }
+
   test("partitioned table exports spec-preserving: transforms declared, tuples typed, pruning works") {
     import java.time.LocalDate
     val loc = Files.createTempDirectory("ice_export_part").toString

@@ -159,6 +159,93 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("data file in a delete manifest"))
   }
 
+  test("null per-entry snapshot_id inherits the manifest list's added_snapshot_id for write-schema resolution") {
+    val loc = Files.createTempDirectory("iceberg_inherit").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    // real Iceberg writers leave ADDED entries' snapshot_id NULL — the
+    // reader must inherit it from the manifest-list row, or write-schema
+    // resolution (rename readability by field id) silently degrades
+    val nullableEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":["null","long"],"default":null},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def nullSnapEntry(filePath: String, rows: Long): GenericRecord = {
+      val df = new GenericData.Record(
+        nullableEntrySchema.getField("data_file").schema())
+      df.put("content", 0); df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", rows); df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(nullableEntrySchema)
+      e.put("status", 1); e.put("snapshot_id", null); e.put("data_file", df)
+      e
+    }
+    // snapshot 1 writes f1 under schema 0 (column named "data"); schema 1
+    // renames it to "label" (same field id 2); snapshot 2 adds f2 under it
+    val f1 = dataFile(loc, "data/b1", 0 until 30)
+    val f2old = dataFile(loc, "data/b2", 30 until 40)
+    val f2dir = s"$loc/data/b2r"
+    spark.read.parquet(f2old).withColumnRenamed("data", "label")
+      .coalesce(1).write.parquet(f2dir)
+    val f2 = Files.list(Paths.get(f2dir)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, nullableEntrySchema, Seq(nullSnapEntry(f1, 30)))
+    val m2 = s"$loc/metadata/m2.avro"
+    writeAvro(m2, nullableEntrySchema, Seq(nullSnapEntry(f2, 10)))
+    val ml2 = s"$loc/metadata/snap-2.avro"
+    writeAvro(ml2, manifestFileSchema,
+      Seq(manifestFileRow(m1, 0, 1L), manifestFileRow(m2, 0, 2L)))
+    val mj = s"$loc/metadata/v2.metadata.json"
+    Files.write(Paths.get(mj),
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-666666666666",
+         |  "location": "$loc",
+         |  "last-sequence-number": 2,
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 2,
+         |  "current-schema-id": 1,
+         |  "schemas": [
+         |    {"type": "struct", "schema-id": 0, "fields": [
+         |      {"id": 1, "name": "id", "required": false, "type": "long"},
+         |      {"id": 2, "name": "data", "required": false, "type": "string"}]},
+         |    {"type": "struct", "schema-id": 1, "fields": [
+         |      {"id": 1, "name": "id", "required": false, "type": "long"},
+         |      {"id": 2, "name": "label", "required": false, "type": "string"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "last-partition-id": 999,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "current-snapshot-id": 2,
+         |  "snapshots": [
+         |    {"snapshot-id": 1, "timestamp-ms": 1700000000000,
+         |     "sequence-number": 1, "schema-id": 0,
+         |     "summary": {"operation": "append"}, "manifest-list": "$ml2"},
+         |    {"snapshot-id": 2, "timestamp-ms": 1700000000001,
+         |     "sequence-number": 2, "schema-id": 1,
+         |     "summary": {"operation": "append"}, "manifest-list": "$ml2"}]
+         |}""".stripMargin.getBytes("UTF-8"))
+
+    val cur = IcebergInterop.read(spark, mj)
+    assert(cur.columns.toSeq == Seq("id", "label"),
+      "the current read surfaces the renamed schema")
+    assert(cur.count() == 40L)
+    // the proof: f1's rows (ids 0-29) are only readable under "label" if
+    // the reader resolved f1's write schema (0, column "data") through the
+    // INHERITED snapshot id — name resolution would miss or error
+    assert(cur.filter(col("id") < 30L && col("label").startsWith("row-"))
+      .count() == 30L,
+      "pre-rename file must resolve its renamed column by field id via inherited snapshot_id")
+    assert(cur.agg(sum("id")).head.getLong(0) == (0L until 40L).sum)
+  }
+
   // ---- partitioned fixtures -------------------------------------------
 
   /** manifest_entry schema whose data_file carries a partition record —

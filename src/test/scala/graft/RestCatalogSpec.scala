@@ -5,6 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions.{col, sum}
 import graft.icelite.{Catalog, RestCatalogServer}
 
 /** The HTTP REST catalog front (README.md:1042–1068 analog): list/create
@@ -128,6 +129,69 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("?format=iceberg chains append-only commits: a new version's export moves only the appended rows") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("rest_chain_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "big", Seq("id" -> "BIGINT", "note" -> "STRING"))
+    cat.loadTable("db", "big")
+      .append((0L until 20000L).map(i => (i, s"note-$i")).toDF("id", "note"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), spark.sessionState.newHadoopConf())
+      def dataBytes(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+        if (!fs.exists(p)) 0L
+        else fs.getContentSummary(p).getLength
+      }
+      val mj1 = M.readTree(get(s"$base/namespaces/db/tables/big?format=iceberg")
+        .body()).get("metadata-location").asText()
+      val dir1 = mj1.stripSuffix("/metadata/v1.metadata.json")
+      val fullBytes = dataBytes(dir1)
+
+      // an append commit: the NEXT export must move only the 3 new rows
+      val t1 = cat.loadTable("db", "big")
+      t1.append(Seq((20000L, "x"), (20001L, "y"), (20002L, "z")).toDF("id", "note"))
+      val s2 = t1.meta.currentSnapshotId.get
+      val mj2 = M.readTree(get(s"$base/namespaces/db/tables/big?format=iceberg")
+        .body()).get("metadata-location").asText()
+      val dir2 = mj2.stripSuffix("/metadata/v1.metadata.json")
+      assert(dir2 != dir1)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir2, ".base")),
+        "the append export must CHAIN off the previous one")
+      val snapDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/data"))
+        .map(_.getPath.getName).toSeq
+      assert(snapDirs == Seq(s"snap-$s2"),
+        s"a chained export's data dir holds ONLY the new snapshot, got $snapDirs")
+      assert(spark.read.parquet(s"$dir2/data/snap-$s2").count() == 3L,
+        "only the appended rows move")
+      assert(dataBytes(dir2) < fullBytes / 10,
+        s"chained export bytes (${dataBytes(dir2)}) must be a small delta " +
+          s"of the full export ($fullBytes)")
+      // ...and the chained export reads complete + time-travels to the base
+      val got = graft.icelite.IcebergInterop.read(spark, mj2)
+      assert(got.count() == 20003L)
+      assert(got.agg(sum("id")).head.getLong(0) == (0L until 20003L).map(BigInt(_)).sum.toLong)
+      val snaps = graft.icelite.IcebergInterop.snapshots(mj2).map(_._1)
+      assert(snaps.size == 2, "the chain carries the base snapshot's lineage")
+      assert(graft.icelite.IcebergInterop.readAsOf(spark, mj2, snaps.head)
+        .count() == 20000L, "VERSION AS OF the base snapshot still serves")
+
+      // a rewrite (CoW delete) breaks the chain: next export is FULL again
+      val t2 = cat.loadTable("db", "big")
+      t2.delete(col("id") === 500L)
+      val mj3 = M.readTree(get(s"$base/namespaces/db/tables/big?format=iceberg")
+        .body()).get("metadata-location").asText()
+      val dir3 = mj3.stripSuffix("/metadata/v1.metadata.json")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir3, ".base")),
+        "a rewrite must fall back to a full export")
+      assert(graft.icelite.IcebergInterop.read(spark, mj3).count() == 20002L)
+    } finally srv.stop()
+  }
+
   test("?format=iceberg exports are GC'd past the metadata window and survive a concurrent first load") {
     import spark.implicits._
     val wh = Files.createTempDirectory("rest_gc_wh").toString
@@ -153,13 +217,35 @@ class RestCatalogSpec extends SparkSpec {
         new java.net.URI(wh), spark.sessionState.newHadoopConf())
       val exportRoot = new org.apache.hadoop.fs.Path(
         cat.loadTable("db", "hot").location, "_iceberg_export")
+      // append-only commits CHAIN: the retained head references the whole
+      // chain's data in place, so GC must keep the chain's bases alive even
+      // past the window (storage stays bounded — each link is delta-sized)
+      val liveChained = fs.listStatus(exportRoot).map(_.getPath.getName)
+        .filter(_.startsWith("v")).sorted.toSeq
+      assert(graft.icelite.IcebergInterop.read(spark, seen.last).count() == 4L,
+        "the newest (chained) export serves the full table")
+
+      // a rewrite breaks the chain; once NO retained export references the
+      // old chain, one GC pass sweeps all of it
+      cat.loadTable("db", "hot").delete(col("id") === 1L) // CoW rewrite
+      seen += M.readTree(get(
+        s"$base/namespaces/db/tables/hot?format=iceberg").body())
+        .get("metadata-location").asText()
+      (5 to 6).foreach { i =>
+        cat.loadTable("db", "hot").append(Seq(i.toLong).toDF("id"))
+        seen += M.readTree(get(
+          s"$base/namespaces/db/tables/hot?format=iceberg").body())
+          .get("metadata-location").asText()
+      }
       val live = fs.listStatus(exportRoot).map(_.getPath.getName)
         .filter(_.startsWith("v")).sorted.toSeq
-      assert(live.size <= 3, s"old exports must be GC'd, found $live")
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(seen.head.stripSuffix(
-        "/metadata/v1.metadata.json"))), "the oldest export dir is gone")
-      // the newest export still serves real rows
-      assert(graft.icelite.IcebergInterop.read(spark, seen.last).count() == 4L)
+      assert(live.size <= 3, s"the dereferenced old chain must be GC'd, found $live")
+      liveChained.take(4).foreach { n =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(exportRoot, n)),
+          s"old chain dir $n must be gone once nothing retained references it")
+      }
+      assert(graft.icelite.IcebergInterop.read(spark, seen.last).count() == 5L,
+        "the post-rewrite chain serves the current table")
 
       // concurrent first load: another instance already CLAIMED this
       // version's export but hasn't finished — this server must WAIT for
@@ -262,6 +348,25 @@ class RestCatalogSpec extends SparkSpec {
         s"""{"expected-version": 2, "metadata-location": "$staged"}""")
       assert(byLoc.statusCode() == 200, s"metadata-location commit failed: ${byLoc.body()}")
       assert(new Catalog(spark, wh).loadTable("db", "ext").currentVersion == 3)
+
+      // 6. confinement: a client-supplied metadata-location must not read
+      //    files outside the warehouse — dot-segment traversal that passes
+      //    a naive prefix check is rejected after normalization, as is a
+      //    same-path URI on a different scheme/authority
+      for (evil <- Seq(
+          s"$wh/../../../../etc/passwd",
+          s"$location/metadata/../../../../../../../etc/passwd",
+          "/etc/passwd",
+          s"file://evil-host$staged",
+          s"http://evil$staged",
+          wh)) {
+        val r = post(s"$base/namespaces/db/tables/ext",
+          s"""{"expected-version": 3, "metadata-location": "$evil"}""")
+        assert(r.statusCode() == 400,
+          s"traversal/out-of-warehouse path must 400, got ${r.statusCode()} for $evil")
+      }
+      assert(new Catalog(spark, wh).loadTable("db", "ext").currentVersion == 3,
+        "rejected commits must leave no version behind")
     } finally srv.stop()
   }
 
