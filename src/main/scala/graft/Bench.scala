@@ -59,7 +59,9 @@ object Bench {
     // round-12: the Iceberg-format export round trip (full-table rewrite op)
     "iceberg_export_read",
     // round-14: variant across the interop boundary, migrate-in, REST commit
-    "iceberg_export_variant", "iceberg_adopt", "icelite_rest_commit")
+    "iceberg_export_variant", "iceberg_adopt", "icelite_rest_commit",
+    // round-16: adopt history/MoR, delta-aware REST export chain
+    "iceberg_adopt_history", "iceberg_adopt_mor", "icelite_rest_delta")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete
