@@ -295,18 +295,21 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
             .map(v => s"$exportRoot0/v$v")
             .find(d => fs.exists(new org.apache.hadoop.fs.Path(
               s"$d/metadata/v1.metadata.json")))
-        val chained = prior.flatMap(p =>
-          IcebergExport.exportChained(tbl, dest, s"$p/metadata/v1.metadata.json")
-            .map(_ => p))
-        chained match {
-          case Some(baseDir) =>
-            // record the chain edge: GC must keep a base alive while any
-            // retained export references its manifests/data
-            val out = fs.create(new org.apache.hadoop.fs.Path(dest, ".base"), true)
-            try out.write(new org.apache.hadoop.fs.Path(baseDir).getName
-              .getBytes("UTF-8")) finally out.close()
-          case None => IcebergExport.export(tbl, dest)
+        val basePath = new org.apache.hadoop.fs.Path(dest, ".base")
+        val chained = prior.exists { p =>
+          // record the chain edge BEFORE moving data: a concurrent
+          // request's GC pass must see the base as referenced while this
+          // export is still copying against it (the edge is removed again
+          // if the lineage turns out not to chain)
+          val out = fs.create(basePath, true)
+          try out.write(new org.apache.hadoop.fs.Path(p).getName
+            .getBytes("UTF-8")) finally out.close()
+          val ok = IcebergExport
+            .exportChained(tbl, dest, s"$p/metadata/v1.metadata.json").isDefined
+          if (!ok) fs.delete(basePath, false)
+          ok
         }
+        if (!chained) IcebergExport.export(tbl, dest)
       }
       else {
         val deadline = System.currentTimeMillis() + 30000
