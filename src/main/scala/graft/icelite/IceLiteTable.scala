@@ -2601,12 +2601,17 @@ object IceLite {
       posD ++ dvD ++ eqD
     }
     // inventory + schema-resolvability per snapshot, side-effect-free (the
-    // eq-delete rewrite only runs for snapshots that are actually kept)
+    // eq-delete rewrite only runs for snapshots that are actually kept).
+    // One shared manifest cache across the whole history walk: snapshot
+    // k's manifest list references manifests 1..k in the delta shape, so
+    // an uncached walk would re-parse each manifest O(snapshots) times
+    val manifestCache = scala.collection.mutable.Map[String,
+      Seq[org.apache.avro.generic.GenericRecord]]()
     def rawSnapshot(s: IcebergInterop.IceSnapshot, strict: Boolean)
         : Option[(Seq[DataFile], Seq[String],
             Seq[IcebergInterop.DvRef], Seq[IcebergInterop.EqDeleteRef])] = {
       val parsed =
-        try Some(IcebergInterop.fileInventory(ice, s, conf))
+        try Some(IcebergInterop.fileInventory(ice, s, conf, manifestCache))
         catch { case e: Exception => if (strict) throw e else None }
       parsed.flatMap { case (files, posDels, dvRefs, eqRefs) =>
         val resolvable = files.forall { df =>

@@ -198,11 +198,19 @@ object IcebergInterop {
     * (file_format=PUFFIN with referenced_data_file /
     * content_offset / content_size_in_bytes), or seq-stamped
     * EQUALITY-delete refs (content=2 with `equality_ids`). */
-  private[icelite] def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration)
+  private[icelite] def fileInventory(meta: IceMeta, snap: IceSnapshot, conf: Configuration,
+      manifestCache: scala.collection.mutable.Map[String, Seq[GenericRecord]] = null)
       : (Seq[IceDataFile], Seq[String], Seq[DvRef], Seq[EqDeleteRef]) = {
+    // callers walking MANY snapshots of one lineage (history adoption)
+    // pass a shared cache: in the delta-export shape snapshot k's manifest
+    // list references manifests 1..k, so an uncached walk re-parses each
+    // manifest O(snapshots) times — O(n^2) avro reads on a long history
+    def rows(p: String): Seq[GenericRecord] =
+      if (manifestCache == null) avroRows(p, conf)
+      else manifestCache.getOrElseUpdate(p, avroRows(p, conf))
     val manifestPaths: Seq[(String, Int, Int, Long, Long)] = snap.manifestList match {
       case Some(ml) =>
-        avroRows(ml, conf).map { r =>
+        rows(ml).map { r =>
           (str(r, "manifest_path"), optInt(r, "content", 0),
             optInt(r, "partition_spec_id", 0),
             optField(r, "sequence_number")
@@ -222,7 +230,7 @@ object IcebergInterop {
     val dvRefs = scala.collection.mutable.ArrayBuffer[DvRef]()
     val eqRefs = scala.collection.mutable.ArrayBuffer[EqDeleteRef]()
     manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq, mlAddedSnap) =>
-      avroRows(mp, conf).foreach { e =>
+      rows(mp).foreach { e =>
         val status = optInt(e, "status", 1)
         if (status != 2) { // 2 = deleted entry: file left the table
           val df = e.get("data_file").asInstanceOf[GenericRecord]
