@@ -2473,16 +2473,33 @@ object IceLite {
     *
     * Partition tuples re-encode into IceLite's transform encodings where
     * the mapping is exact (identity / year / month / day); `bucket[N]`
-    * values hash differently (Iceberg murmur3 vs IceLite xxhash64) and
-    * are dropped from the tuple — those files are conservatively KEPT by
-    * pruning, never mis-pruned.
+    * values hash differently (Iceberg murmur3 vs IceLite xxhash64), so
+    * the spec LIFTS to `mbucket[N]` — the Iceberg-spec murmur3 transform
+    * ([[graft.functions.IcebergBucket]]) — and the foreign tuples stay
+    * TRUE: pruning is exact, native appends land in the same buckets,
+    * and export re-emits spec-true `bucket[N]`.
     *
-    * Scope (refused loudly otherwise): the current snapshot must carry
-    * no merge-on-read deletes and every live file must be readable under
-    * the current schema's names — compact the source first. `location`
-    * hosts the IceLite metadata; passing the foreign table's own
-    * location gives an in-place migrate (Iceberg's `vN.metadata.json`
-    * and IceLite's `vN.json` + hint do not collide). */
+    * Foreign MERGE-ON-READ deletes CARRY IN (reference deletion-vector
+    * promise, /root/reference/README.md:1096–1121): position-delete
+    * parquet and Puffin DVs register in place (native carriers);
+    * equality deletes rewrite their small key files to physical `f<id>`
+    * names with data sequence preserved (the v2 seq-scoping rule holds
+    * across the boundary).
+    *
+    * Append-only foreign HISTORY adopts too (time travel is the
+    * tutorial's centerpiece, README.md:1000–1015): every foreign
+    * snapshot registers parent-chained, so `VERSION AS OF` a
+    * pre-adoption id keeps serving. Requires foreign snapshot ids
+    * monotone in time order (real Iceberg's random ids usually aren't —
+    * head-only fallback) and all historical files resolvable under the
+    * adopted schema.
+    *
+    * Scope (refused loudly otherwise): every live file must be readable
+    * under the current schema's names — compact the source first.
+    * `location` hosts the IceLite metadata; passing the foreign table's
+    * own location gives an in-place migrate (Iceberg's
+    * `vN.metadata.json` and IceLite's `vN.json` + hint do not
+    * collide). */
   def adopt(spark: SparkSession, metadataJson: String, location: String): IceLiteTable = {
     val conf = spark.sessionState.newHadoopConf()
     val ice = IcebergInterop.loadMeta(metadataJson, conf)

@@ -50,7 +50,14 @@ import scala.jdk.CollectionConverters._
   * movement per snapshot, the property that makes exporting a long
   * lineage a usable migration tool. Any delete file, rewrite, or schema
   * change in the range falls back to full per-snapshot re-export
-  * (exact, just not incremental).
+  * (exact, just not incremental). [[exportChained]] extends the same
+  * property ACROSS exports: a new export continues a previous one's
+  * lineage in a fresh directory, referencing the base's manifests in
+  * place — the REST catalog's `?format=iceberg` cache uses it so a hot
+  * table's append commits never pay a full-table rewrite (the serving
+  * analog of the reference's "efficient metadata" promise,
+  * /root/reference/README.md:520–529, over its REST catalog loop,
+  * README.md:1033–1088).
   *
   * Scope (documented): flat primitive + VARIANT schemas (the interop
   * scope), snapshot subset chosen by the caller (each exports as an
