@@ -317,6 +317,7 @@ object IcebergExport {
       uuid: String, formatVersion: Int, lastSeq: Long, lastColumnId: Int,
       lastSnapshotId: Long, lastUpdatedMs: Long,
       schemaIds: Set[Int], schemaIdSets: Seq[Set[Int]],
+      schemaIdTypes: Seq[Map[Int, String]],
       schemasJson: Seq[String], snapsJson: Seq[String],
       specFields: Seq[(String, String, Int)],
       headManifests: Seq[(String, Long, Long)])
@@ -347,6 +348,8 @@ object IcebergExport {
       schemaIds = arr("schemas").map(_.get("schema-id").asInt()).toSet,
       schemaIdSets = arr("schemas").map(s => s.get("fields").elements().asScala
         .map(_.get("id").asInt()).toSet),
+      schemaIdTypes = arr("schemas").map(s => s.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("type").asText()).toMap),
       schemasJson = arr("schemas").map(M.writeValueAsString),
       snapsJson = arr("snapshots").map(M.writeValueAsString),
       specFields = r.get("partition-specs").get(0).get("fields")
@@ -383,7 +386,8 @@ object IcebergExport {
       catch { case _: Exception => return None }
     if (!m.snapshots.exists(_.id == base.lastSnapshotId)) return None
     val headId = m.currentSnapshotId.getOrElse(return None)
-    if (headId <= base.lastSnapshotId) return None
+    if (headId == base.lastSnapshotId) return metadataOnlyChain(t, dest, base)
+    if (headId < base.lastSnapshotId) return None
     // parent-walk from head back to the base head: every hop must be a
     // RETAINED pure append — a gap means history was expired in between
     // and its effect (a delete, a rewrite) may be baked into the head
@@ -416,6 +420,85 @@ object IcebergExport {
       .map(pf => (pf.name, pf.transform, pf.sourceId)) == base.specFields
     if (!compatible || !fillable || !specMatches) return None
     Some(doExport(t, dest, newIds, Some(base)))
+  }
+
+  /** Chain a METADATA-ONLY version bump (rename, add-with-default,
+    * property change — same snapshot head, new table version): the new
+    * export is one metadata.json referencing the base's manifests and
+    * data untouched, with the head snapshot re-pointed at the CURRENT
+    * schema (field-id resolution surfaces the rename over the old files,
+    * V3 `initial-default` fills added columns). Zero data movement — a
+    * rename on a 100 TB table must not rewrite 100 TB. */
+  private def metadataOnlyChain(t: IceLiteTable, dest: String,
+      base: BaseExport): Option[String] = {
+    val m = t.meta
+    val cur = m.currentSchema
+    val specMatches = exportPartFields(m)
+      .map(pf => (pf.name, pf.transform, pf.sourceId)) == base.specFields
+    // shared field ids must keep their Iceberg type (the read casts by
+    // field id — a retype would silently coerce); dropped ids are fine
+    val typesStable = base.schemaIdTypes.forall(_.forall { case (id, tp) =>
+      !cur.hasId(id) || icebergType(cur.byId(id).dtype) == tp })
+    val fillable = cur.fields.forall(f =>
+      base.schemaIdSets.forall(_.contains(f.id)) ||
+        f.defaultSql.isEmpty || defaultJson(f).isDefined)
+    if (!specMatches || !typesStable || !fillable) return None
+    val defaultFieldIds: Set[Int] = cur.fields.filter(f =>
+      f.defaultSql.isDefined &&
+        base.schemaIdSets.exists(!_.contains(f.id))).map(_.id).toSet
+    val curSchemaJson =
+      if (base.schemaIds.contains(m.currentSchemaId)) None
+      else {
+        val fs = cur.fields.map { f =>
+          val dflt =
+            if (defaultFieldIds(f.id))
+              defaultJson(f).map(j => s""", "initial-default": $j""").getOrElse("")
+            else ""
+          s"""{"id": ${f.id}, "name": "${f.name}", "required": false, """ +
+            s""""type": "${icebergType(f.dtype)}"$dflt}"""
+        }.mkString(", ")
+        Some(s"""{"type": "struct", "schema-id": ${m.currentSchemaId}, "fields": [$fs]}""")
+      }
+    val v3Types = Set("TIMESTAMP_NS", "VARIANT")
+    val formatVersion = math.max(base.formatVersion,
+      if (defaultFieldIds.nonEmpty ||
+        cur.fields.exists(f => v3Types(f.dtype.toUpperCase))) 3 else 2)
+    // snapshots carry over VERBATIM — each keeps its own schema-id (the
+    // write-schema proxy per-file resolution depends on). The rename
+    // surfaces through `current-schema-id`: Iceberg's current read
+    // projects the TABLE's current schema, not the head snapshot's.
+    val snapsJson = base.snapsJson
+    val specFieldsJson = exportPartFields(m).zipWithIndex.map { case (pf, i) =>
+      s"""{"name": "${pf.name}", "transform": "${pf.transform}", """ +
+        s""""source-id": ${pf.sourceId}, "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+    val metaJson =
+      s"""{
+         |  "format-version": $formatVersion,
+         |  "table-uuid": "${base.uuid}",
+         |  "location": "$dest",
+         |  "last-sequence-number": ${base.lastSeq},
+         |  "last-updated-ms": ${base.lastUpdatedMs},
+         |  "last-column-id": ${math.max(base.lastColumnId,
+              cur.fields.map(_.id).max)},
+         |  "current-schema-id": ${m.currentSchemaId},
+         |  "schemas": [${(base.schemasJson ++ curSchemaJson).mkString(", ")}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
+         |  "last-partition-id": ${999 + base.specFields.size},
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "current-snapshot-id": ${base.lastSnapshotId},
+         |  "snapshots": [
+         |    ${snapsJson.mkString(",\n    ")}]
+         |}""".stripMargin
+    val conf = t.spark.sessionState.newHadoopConf()
+    val destFs = FileSystem.get(new Path(dest).toUri, conf)
+    destFs.mkdirs(new Path(dest, "metadata"))
+    val mjPath = s"$dest/metadata/v1.metadata.json"
+    val out = destFs.create(new Path(mjPath), false)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+    Some(mjPath)
   }
 
   /** Export `snapshotIds` (default: just the current snapshot) in ascending

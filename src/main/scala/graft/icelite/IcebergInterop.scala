@@ -307,9 +307,16 @@ object IcebergInterop {
       "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
 
   private def scan(spark: SparkSession, meta: IceMeta, snap: IceSnapshot,
-      prune: Map[String, String] => Boolean): DataFrame = {
+      prune: Map[String, String] => Boolean,
+      current: Boolean = false): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val schema = meta.schemas(snap.schemaId.getOrElse(meta.currentSchemaId))
+    // Iceberg semantics: the CURRENT read projects the table's CURRENT
+    // schema even when the head snapshot was committed under an older one
+    // (a rename after the last commit is metadata-only and must surface
+    // immediately); the snapshot's own schema-id scopes TIME TRAVEL only.
+    val schema = meta.schemas(
+      if (current) meta.currentSchemaId
+      else snap.schemaId.getOrElse(meta.currentSchemaId))
     val (files, posDeletes, dvRefs, eqRefs) = fileInventory(meta, snap, conf)
     // manifest-level partition pruning: the caller's predicate sees each
     // file's recorded partition tuple (older-spec files surface THEIR
@@ -334,7 +341,9 @@ object IcebergInterop {
     // is unrecorded (v1 shapes) or equals the read schema take the
     // name-resolution fast path. One scan per distinct write schema —
     // O(schemas) plan nodes, each group vectorized and unioned.
-    val readSchemaId = snap.schemaId.getOrElse(meta.currentSchemaId)
+    val readSchemaId =
+      if (current) meta.currentSchemaId
+      else snap.schemaId.getOrElse(meta.currentSchemaId)
     def writeSchemaIdOf(f: IceDataFile): Option[Int] =
       meta.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId)
         .filter(id => meta.schemas.contains(id) && id != readSchemaId)
@@ -466,7 +475,7 @@ object IcebergInterop {
   def readPruned(spark: SparkSession, metadataJson: String,
       prune: Map[String, String] => Boolean): DataFrame = {
     val meta = loadMeta(metadataJson, spark.sessionState.newHadoopConf())
-    scan(spark, meta, snapOrEmpty(meta), prune)
+    scan(spark, meta, snapOrEmpty(meta), prune, current = true)
   }
 
   /** The file-level plan a pruned read would scan — the observable the

@@ -180,6 +180,25 @@ class RestCatalogSpec extends SparkSpec {
       assert(graft.icelite.IcebergInterop.readAsOf(spark, mj2, snaps.head)
         .count() == 20000L, "VERSION AS OF the base snapshot still serves")
 
+      // a METADATA-ONLY DDL (rename — version bump, same snapshot head)
+      // chains as one metadata.json: ZERO data moves, the head re-points
+      // at the renamed schema, field-id resolution covers the old files
+      cat.loadTable("db", "big").renameColumn("note", "memo")
+      val mjR = M.readTree(get(s"$base/namespaces/db/tables/big?format=iceberg")
+        .body()).get("metadata-location").asText()
+      val dirR = mjR.stripSuffix("/metadata/v1.metadata.json")
+      assert(dirR != dir2)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dirR, ".base")),
+        "a metadata-only bump must chain, not re-export")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirR/data")),
+        "a rename on a 20k-row table must move ZERO data (nor would it on 100 TB)")
+      val gotR = graft.icelite.IcebergInterop.read(spark, mjR)
+      assert(gotR.columns.toSeq == Seq("id", "memo"),
+        "the chained metadata surfaces the renamed column")
+      assert(gotR.count() == 20003L)
+      assert(gotR.agg(sum("id")).head.getLong(0) ==
+        (0L until 20003L).map(BigInt(_)).sum.toLong)
+
       // a rewrite (CoW delete) breaks the chain: next export is FULL again
       val t2 = cat.loadTable("db", "big")
       t2.delete(col("id") === 500L)
