@@ -66,10 +66,10 @@ final case class DeleteIndex(
     // FOREIGN (adopted) delete files may spell the same path differently
     // (raw `/a/b` vs `file:/a/b` URI forms) — the alternates make the
     // probe spelling-insensitive. Cost: the parquet probe ORs a few
-    // literals into one pushed predicate (one reader pass either way);
-    // DV containers retry only when the primary spelling finds nothing.
-    // All of this runs once per (executor, data file) — memoized above —
-    // never per row.
+    // literals into one pushed predicate, and DV containers match the
+    // whole key set in ONE header parse — one reader pass per carrier
+    // either way. All of this runs once per (executor, data file) —
+    // memoized above — never per row.
     val keys = {
       val n = IceLite.normPath(dataFile)
       Seq(dataFile, n, s"file:$n", s"file://$n").distinct
@@ -87,11 +87,9 @@ final case class DeleteIndex(
       // read via the pushed file_path predicate and RLE-compress on the
       // way in
       if (del.endsWith(DvCodec.Ext))
-        parts += keys.iterator.map(k => DvCodec.runsFor(new Path(del), conf.value, k))
-          .find(_.nonEmpty).getOrElse(Array.emptyLongArray)
+        parts += DvCodec.runsForAny(new Path(del), conf.value, keySet)
       else if (del.endsWith(PuffinDv.Ext))
-        parts += keys.iterator.map(k => PuffinDv.runsFor(new Path(del), conf.value, k))
-          .find(_.nonEmpty).getOrElse(Array.emptyLongArray)
+        parts += PuffinDv.runsForAny(new Path(del), conf.value, keySet)
       else {
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         val reader = ParquetReader.builder(new GroupReadSupport(), new Path(del))

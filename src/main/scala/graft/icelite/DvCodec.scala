@@ -160,7 +160,14 @@ object DvCodec {
   /** Packed [start,len]* runs recorded for `dataFile` (empty when none):
     * header parse + one seek to the file's own blob — O(runs) memory, the
     * scan path probes them directly via [[runContains]]. */
-  def runsFor(path: Path, conf: Configuration, dataFile: String): Array[Long] = {
+  def runsFor(path: Path, conf: Configuration, dataFile: String): Array[Long] =
+    runsForAny(path, conf, Set(dataFile))
+
+  /** [[runsFor]] matching ANY of `keys` — the same data file under
+    * different path spellings (raw vs `file:` URI forms). ONE header
+    * parse for the whole key set; the common no-match probe pays one
+    * parse, not one per spelling. */
+  def runsForAny(path: Path, conf: Configuration, keys: Set[String]): Array[Long] = {
     val fs = FileSystem.get(path.toUri, conf)
     val in = fs.open(path)
     try {
@@ -175,7 +182,7 @@ object DvCodec {
       var i = 0
       while (i < n) {
         val fp = din.readUTF(); val cnt = din.readLong(); val nRuns = din.readInt()
-        if (fp == dataFile && targetRuns < 0) targetRuns = nRuns
+        if (keys.contains(fp) && targetRuns < 0) targetRuns = nRuns
         else if (targetRuns < 0) runsBefore += nRuns
         i += 1; val _ = cnt
       }

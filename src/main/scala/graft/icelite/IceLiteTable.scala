@@ -788,21 +788,29 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * values — the pruning happens on the driver against metadata, so a
     * pruned read never even lists the excluded files). */
   def read(prune: Map[String, String] => Boolean = _ => true,
-      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame = {
-    val m = meta
+      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame =
+    readAt(meta, prune, statFilters)
+
+  /** [[read]] against a CALLER-PINNED metadata — multi-step consumers
+    * (the Iceberg export, which writes a manifest FROM the same state it
+    * reads data from) pin one versionedMeta and pass it through, so a
+    * commit landing mid-operation cannot split what they see. */
+  private[icelite] def readAt(m: TableMetadata,
+      prune: Map[String, String] => Boolean = _ => true,
+      statFilters: Seq[Stats.StatFilter] = Seq()): DataFrame =
     m.currentSnapshot match {
       case Some(s) => scanSnapshot(m, s, lineage = false, prune, statFilters)
       case None    => scanSnapshot(m, Snapshot(0, None, 0, "empty", Seq(), Seq()),
         lineage = false, prune, statFilters)
     }
-  }
 
   /** Time travel: VERSION AS OF (README.md:1007). */
-  def readAsOf(snapshotId: Long): DataFrame = {
-    val m = meta
+  def readAsOf(snapshotId: Long): DataFrame = readAsOfAt(meta, snapshotId)
+
+  /** [[readAsOf]] against a caller-pinned metadata — see [[readAt]]. */
+  private[icelite] def readAsOfAt(m: TableMetadata, snapshotId: Long): DataFrame =
     scanSnapshot(m, m.snapshot(snapshotId), lineage = false, _ => true,
       snapshotSchema = true)
-  }
 
   /** Time travel: TIMESTAMP AS OF (README.md:1010) — latest snapshot ≤ ts. */
   def readAsOfTimestamp(ms: Long): DataFrame = {
@@ -823,10 +831,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * reads a day of data. Positional deletes recorded by `toSnapshot`
     * still apply (a row appended then MoR-deleted within the range does
     * not surface). */
-  def readAppendedBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+  def readAppendedBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame =
+    readAppendedBetweenAt(meta, fromSnapshotId, toSnapshotId)
+
+  /** [[readAppendedBetween]] against a caller-pinned metadata — see
+    * [[readAt]]. */
+  private[icelite] def readAppendedBetweenAt(m: TableMetadata,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     require(fromSnapshotId <= toSnapshotId,
       s"from $fromSnapshotId must be <= to $toSnapshotId")
-    val m = meta
     val from = m.snapshot(fromSnapshotId)
     val to = m.snapshot(toSnapshotId)
     val before = from.dataFiles.map(f => normPath(f.path)).toSet
@@ -2624,6 +2637,11 @@ object IceLite {
     // an uncached walk would re-parse each manifest O(snapshots) times
     val manifestCache = scala.collection.mutable.Map[String,
       Seq[org.apache.avro.generic.GenericRecord]]()
+    // id → write-schema, built once: the resolvability check runs per
+    // (snapshot, file) across the whole walk — a linear snapshots.find
+    // there is O(snapshots² × files) on a long lineage
+    val writeSchemaById: Map[Long, Option[Int]] =
+      ice.snapshots.map(s => s.id -> s.schemaId).toMap
     def rawSnapshot(s: IcebergInterop.IceSnapshot, strict: Boolean)
         : Option[(Seq[DataFile], Seq[String],
             Seq[IcebergInterop.DvRef], Seq[IcebergInterop.EqDeleteRef])] = {
@@ -2632,7 +2650,7 @@ object IceLite {
         catch { case e: Exception => if (strict) throw e else None }
       parsed.flatMap { case (files, posDels, dvRefs, eqRefs) =>
         val resolvable = files.forall { df =>
-          val ws = ice.snapshots.find(_.id == df.addedSnapshotId).flatMap(_.schemaId)
+          val ws = writeSchemaById.getOrElse(df.addedSnapshotId, None)
           val ok = ws.forall(_ == readSchemaId)
           require(ok || !strict,
             s"iceberg adopt: ${df.path} was written under schema ${ws.getOrElse(-1)}, " +

@@ -219,9 +219,12 @@ object IcebergExport {
         val scale = "DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
           .findFirstMatchIn(dt).map(_.group(1).toInt).getOrElse(0)
         // a literal that doesn't fit the declared scale is not expressible
-        // as a spec-valid single value → full export materializes it
+        // as a spec-valid single value → full export materializes it.
+        // toPlainString: BigDecimal.toString switches to scientific
+        // notation below 1e-7, which spec-strict plain-decimal parsers
+        // reject
         scala.util.Try(BigDecimal(s).setScale(scale)).toOption
-          .map(v => "\"" + v.toString + "\"")
+          .map(v => "\"" + v.bigDecimal.toPlainString + "\"")
       } else Some(s)
     }
     else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
@@ -333,7 +336,7 @@ object IcebergExport {
       .find(_.get("snapshot-id").asLong() == headId)
       .getOrElse(sys.error(s"base export $baseMj: head snapshot missing"))
       .get("manifest-list").asText()
-    val manifests = readAvro(headMl, conf).map { g =>
+    val manifests = IcebergInterop.avroRows(headMl, conf).map { g =>
       (g.get("manifest_path").toString,
         g.get("manifest_length").asInstanceOf[Long],
         g.get("added_snapshot_id").asInstanceOf[Long])
@@ -358,19 +361,6 @@ object IcebergExport {
       headManifests = manifests)
   }
 
-  private def readAvro(path: String, conf: Configuration): Seq[GenericRecord] = {
-    val fs = FileSystem.get(new Path(path).toUri, conf)
-    val tmp = java.io.File.createTempFile("ice-ml", ".avro")
-    try {
-      tmp.delete()
-      fs.copyToLocalFile(false, new Path(path),
-        new Path(tmp.getAbsolutePath), true)
-      val rdr = new org.apache.avro.file.DataFileReader[GenericRecord](
-        tmp, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-      try rdr.iterator().asScala.toVector finally rdr.close()
-    } finally tmp.delete()
-  }
-
   /** Extend the export at `baseMj` with only the snapshots committed AFTER
     * its head: O(appended rows) data movement — the new dir holds just the
     * delta files + its own metadata, referencing the base's manifests in
@@ -378,15 +368,20 @@ object IcebergExport {
     * base head still known to the table, every later snapshot a pure
     * append (parent-walk, so an expired delete in between can't hide),
     * schemas id-compatible, defaults fillable, partition spec unchanged. */
-  def exportChained(t: IceLiteTable, dest: String, baseMj: String): Option[String] = {
-    val m = t.meta
+  def exportChained(t: IceLiteTable, dest: String, baseMj: String,
+      pinned: Option[TableMetadata] = None): Option[String] = {
+    // pin ONE metadata for the whole export: the chain check, the data
+    // read, and the written manifest must all describe the same table
+    // version — a commit landing mid-export must not leak newer state
+    // into a cache entry keyed by the older version
+    val m = pinned.getOrElse(t.meta)
     val conf = t.spark.sessionState.newHadoopConf()
     val base =
       try parseBase(baseMj, conf)
       catch { case _: Exception => return None }
     if (!m.snapshots.exists(_.id == base.lastSnapshotId)) return None
     val headId = m.currentSnapshotId.getOrElse(return None)
-    if (headId == base.lastSnapshotId) return metadataOnlyChain(t, dest, base)
+    if (headId == base.lastSnapshotId) return metadataOnlyChain(t, m, dest, base)
     if (headId < base.lastSnapshotId) return None
     // parent-walk from head back to the base head: every hop must be a
     // RETAINED pure append — a gap means history was expired in between
@@ -419,7 +414,7 @@ object IcebergExport {
     val specMatches = exportPartFields(m)
       .map(pf => (pf.name, pf.transform, pf.sourceId)) == base.specFields
     if (!compatible || !fillable || !specMatches) return None
-    Some(doExport(t, dest, newIds, Some(base)))
+    Some(doExport(t, m, dest, newIds, Some(base)))
   }
 
   /** Chain a METADATA-ONLY version bump (rename, add-with-default,
@@ -429,9 +424,8 @@ object IcebergExport {
     * schema (field-id resolution surfaces the rename over the old files,
     * V3 `initial-default` fills added columns). Zero data movement — a
     * rename on a 100 TB table must not rewrite 100 TB. */
-  private def metadataOnlyChain(t: IceLiteTable, dest: String,
+  private def metadataOnlyChain(t: IceLiteTable, m: TableMetadata, dest: String,
       base: BaseExport): Option[String] = {
-    val m = t.meta
     val cur = m.currentSchema
     val specMatches = exportPartFields(m)
       .map(pf => (pf.name, pf.transform, pf.sourceId)) == base.specFields
@@ -504,14 +498,16 @@ object IcebergExport {
   /** Export `snapshotIds` (default: just the current snapshot) in ascending
     * order; returns the written `metadata.json` path, directly readable by
     * [[IcebergInterop]] (current read, VERSION AS OF each exported id). */
-  def export(t: IceLiteTable, dest: String, snapshotIds: Seq[Long] = Seq()): String =
-    doExport(t, dest,
+  def export(t: IceLiteTable, dest: String, snapshotIds: Seq[Long] = Seq(),
+      pinned: Option[TableMetadata] = None): String = {
+    val m = pinned.getOrElse(t.meta)
+    doExport(t, m, dest,
       if (snapshotIds.nonEmpty) snapshotIds.sorted
-      else t.meta.currentSnapshotId.toSeq, None)
+      else m.currentSnapshotId.toSeq, None)
+  }
 
-  private def doExport(t: IceLiteTable, dest: String, ids: Seq[Long],
-      base: Option[BaseExport]): String = {
-    val m = t.meta
+  private def doExport(t: IceLiteTable, m: TableMetadata, dest: String,
+      ids: Seq[Long], base: Option[BaseExport]): String = {
     require(ids.nonEmpty, "iceberg export: empty table (no snapshot)")
     val conf = t.spark.sessionState.newHadoopConf()
     val destFs = FileSystem.get(new Path(dest).toUri, conf)
@@ -587,13 +583,13 @@ object IcebergExport {
           val eff = m.schema(effId)
           val cur = m.currentSchema
           val prevSid = if (i > 0) ids(i - 1) else base.get.lastSnapshotId
-          (t.readAppendedBetween(prevSid, sid)
+          (t.readAppendedBetweenAt(m, prevSid, sid)
             .select(eff.fields.map(f =>
               org.apache.spark.sql.functions.col(cur.byId(f.id).name).as(f.name)): _*),
             effId)
         }
-        else if (m.currentSnapshotId.contains(sid)) (t.read(), m.currentSchemaId)
-        else (t.readAsOf(sid),
+        else if (m.currentSnapshotId.contains(sid)) (t.readAt(m), m.currentSchemaId)
+        else (t.readAsOfAt(m, sid),
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
       // exported parquet carries PARQUET FIELD IDS (the schema's Iceberg
       // ids as parquet.field.id metadata — Spark's writer emits them):

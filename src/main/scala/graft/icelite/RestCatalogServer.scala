@@ -191,19 +191,26 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
       // so a prefix check alone is traversal-bypassable) and compare
       // scheme+authority too — a different host/bucket with a matching
       // path must not pass
-      def auth(u: java.net.URI) =
-        (Option(u.getScheme).getOrElse("file"), Option(u.getAuthority).getOrElse(""))
-      val confined =
-        try {
-          val rootUri = new java.net.URI(warehouse)
-          val mlUri = new java.net.URI(ml)
-          val rootPath = java.nio.file.Paths.get(
-            Option(rootUri.getPath).getOrElse(warehouse)).normalize()
-          val mlPath = java.nio.file.Paths.get(
-            Option(mlUri.getPath).getOrElse(ml)).normalize()
-          auth(rootUri) == auth(mlUri) && mlPath.startsWith(rootPath) &&
-            mlPath != rootPath
-        } catch { case _: java.net.URISyntaxException => false }
+      // (scheme, authority, normalized path) — URI-parse when legal, raw
+      // filesystem path otherwise (paths with spaces are URI-illegal but
+      // filesystem-legal; they must still commit). None = unparseable
+      // under both readings → reject.
+      def parts(s: String): Option[(String, String, java.nio.file.Path)] =
+        (try {
+          val u = new java.net.URI(s)
+          Option(u.getPath).filter(_.nonEmpty).map(p =>
+            (Option(u.getScheme).getOrElse("file"),
+              Option(u.getAuthority).getOrElse(""),
+              java.nio.file.Paths.get(p).normalize()))
+        } catch { case _: java.net.URISyntaxException => None })
+          .orElse(
+            try Some(("file", "", java.nio.file.Paths.get(s).normalize()))
+            catch { case _: java.nio.file.InvalidPathException => None })
+      val confined = (parts(warehouse), parts(ml)) match {
+        case (Some((rs, ra, rp)), Some((ms, ma, mp))) =>
+          rs == ms && ra == ma && mp.startsWith(rp) && mp != rp
+        case _ => false
+      }
       if (!confined) {
         error(ex, 400, "BadRequestException",
           s"metadata-location must resolve under the warehouse ($warehouse)")
@@ -260,7 +267,11 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     * both directions (IceLite reads real Iceberg via [[IcebergInterop]];
     * real readers load IceLite through this route). */
   private def loadIcebergTableJson(tbl: IceLiteTable): String = {
-    val ver = tbl.currentVersion
+    // pin (version, metadata) as ONE consistent unit: the export below is
+    // cached under `v$ver`, so a commit landing between reading the
+    // version and exporting must not leak the NEWER table state into the
+    // older version's cache entry (it would serve wrong data forever)
+    val (ver, pinnedMeta) = tbl.versionedMeta
     val dest = s"${tbl.location}/_iceberg_export/v$ver"
     val conf = spark.sessionState.newHadoopConf()
     val mj = new org.apache.hadoop.fs.Path(s"$dest/metadata/v1.metadata.json")
@@ -304,12 +315,12 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
           val out = fs.create(basePath, true)
           try out.write(new org.apache.hadoop.fs.Path(p).getName
             .getBytes("UTF-8")) finally out.close()
-          val ok = IcebergExport
-            .exportChained(tbl, dest, s"$p/metadata/v1.metadata.json").isDefined
+          val ok = IcebergExport.exportChained(tbl, dest,
+            s"$p/metadata/v1.metadata.json", Some(pinnedMeta)).isDefined
           if (!ok) fs.delete(basePath, false)
           ok
         }
-        if (!chained) IcebergExport.export(tbl, dest)
+        if (!chained) IcebergExport.export(tbl, dest, pinned = Some(pinnedMeta))
       }
       else {
         val deadline = System.currentTimeMillis() + 30000
@@ -323,7 +334,7 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     // chain off (`.base` edges): a chained export references its base's
     // manifests and data in place, so the base must outlive it. Chained
     // exports keep storage bounded anyway — each adds only delta files.
-    val keepFrom = ver - tbl.meta.properties
+    val keepFrom = ver - pinnedMeta.properties
       .getOrElse("write.metadata.previous-versions-max", "100").toInt
     val exportRoot = new org.apache.hadoop.fs.Path(s"${tbl.location}/_iceberg_export")
     if (keepFrom > 0 && fs.exists(exportRoot)) {

@@ -44,6 +44,11 @@ class DeletionVectorSpec extends SparkSpec {
     assert(DvCodec.positionsFor(p, conf, "fA").toSeq == a.toSeq)
     assert(DvCodec.positionsFor(p, conf, "missing").isEmpty)
     assert(DvCodec.expand(p, conf).size == 106)
+    // spelling-insensitive probe: ONE header parse matches any key in the
+    // set (the DeleteIndex path for adopted foreign spellings)
+    assert(DvCodec.runsForAny(p, conf, Set("file:fB", "fB")).toSeq
+      == Seq(1L, 1L, 5L, 3L, 99L, 1L))
+    assert(DvCodec.runsForAny(p, conf, Set("nope", "missing")).isEmpty)
   }
 
   test("DV codec hardening: modified-UTF-8 paths seek exactly; expand decouples from the handle; runs probe") {

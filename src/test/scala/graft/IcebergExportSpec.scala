@@ -189,6 +189,44 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows(cur) == rows(t.read()))
   }
 
+  test("small-magnitude DECIMAL default emits a plain string, never scientific notation") {
+    val loc = Files.createTempDirectory("ice_export_dec_sci").toString
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    val s1 = t.meta.currentSnapshotId.get
+    // BigDecimal("0.00000001").toString is "1E-8" (scientific below 1e-7);
+    // the Iceberg single-value spec wants a plain decimal string
+    t.addColumn("eps", "DECIMAL(12,8)", defaultSql = Some("0.00000001"))
+    t.append(Seq((10L, "b0", "0.50000000")).toDF("id", "tag", "eps")
+      .select(col("id"), col("tag"), col("eps").cast("decimal(12,8)")))
+    val s2 = t.meta.currentSnapshotId.get
+    val mj = IcebergExport.export(t, s"$loc/exported", Seq(s1, s2))
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mj)), "UTF-8")
+    assert(metaText.contains("\"initial-default\": \"0.00000001\""),
+      s"small decimal default must stay plain; got: " +
+        metaText.linesIterator.filter(_.contains("initial-default")).mkString)
+    assert(!metaText.contains("1E-8"))
+    assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
+  }
+
+  test("export against a pinned metadata ignores commits landing after the pin") {
+    val loc = Files.createTempDirectory("ice_export_pinned").toString
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    // pin one (version, metadata); a racing commit then moves the table on
+    val (_, pm) = t.versionedMeta
+    t.append(Seq((10L, "late"), (11L, "later")).toDF("id", "tag"))
+    val mj = IcebergExport.export(t, s"$loc/exported", pinned = Some(pm))
+    // the export must describe the PINNED state — the REST cache keys
+    // exports by table version, so leaked newer rows would be served as
+    // the older version forever
+    assert(IcebergInterop.read(spark, mj).count() == 10L,
+      "a commit landing after the pin leaked into the export")
+    assert(rows(IcebergInterop.read(spark, mj)) ==
+      rows(t.readAsOf(pm.currentSnapshotId.get)))
+  }
+
   test("partitioned table exports spec-preserving: transforms declared, tuples typed, pruning works") {
     import java.time.LocalDate
     val loc = Files.createTempDirectory("ice_export_part").toString

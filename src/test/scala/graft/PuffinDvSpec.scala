@@ -45,6 +45,10 @@ class PuffinDvSpec extends SparkSpec {
     assert(DvCodec.expandRuns(PuffinDv.runsFor(p, conf, "fB")).toSeq == dense.toSeq)
     assert(DvCodec.expandRuns(PuffinDv.runsFor(p, conf, "fA")).toSeq == sparse.toSeq)
     assert(PuffinDv.runsFor(p, conf, "missing").isEmpty)
+    // spelling-insensitive probe: ONE footer parse matches any key in the set
+    assert(DvCodec.expandRuns(
+      PuffinDv.runsForAny(p, conf, Set("file:fA", "fA"))).toSeq == sparse.toSeq)
+    assert(PuffinDv.runsForAny(p, conf, Set("nope", "missing")).isEmpty)
     assert(PuffinDv.expand(p, conf).size == 5008)
   }
 

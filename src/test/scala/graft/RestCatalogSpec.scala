@@ -389,6 +389,39 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("confinement tolerates URI-illegal but filesystem-legal warehouse paths (spaces)") {
+    // "/wh with space/…" is not a parseable java.net.URI — the check must
+    // fall back to raw-path normalization, NOT reject every commit (which
+    // would make the register endpoint unusable for that warehouse), and
+    // traversal must still be caught under the fallback reading
+    val wh = Files.createTempDirectory("rest wh space").toString
+    assert(wh.contains(" "), "fixture must exercise a URI-illegal path")
+    val cat = new Catalog(spark, wh)
+    cat.createTable("db", "t1", Seq("id" -> "BIGINT"))
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      val loaded = M.readTree(get(s"$base/namespaces/db/tables/t1").body())
+      val location = loaded.get("metadata").get("location").asText()
+      val meta2 = loaded.get("metadata")
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val staged = s"$location/metadata/staged-space.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(staged),
+        M.writeValueAsString(meta2).getBytes("UTF-8"))
+      val ok = post(s"$base/namespaces/db/tables/t1",
+        s"""{"expected-version": 1, "metadata-location": "$staged"}""")
+      assert(ok.statusCode() == 200,
+        s"staged commit under a space-path warehouse must work: ${ok.body()}")
+      for (evil <- Seq(s"$wh/../../../../etc/passwd", "/etc/passwd")) {
+        val r = post(s"$base/namespaces/db/tables/t1",
+          s"""{"expected-version": 2, "metadata-location": "$evil"}""")
+        assert(r.statusCode() == 400,
+          s"traversal must 400 under the fallback reading, got ${r.statusCode()} for $evil")
+      }
+    } finally srv.stop()
+  }
+
   test("error paths conform to the Iceberg REST spec: 409 on exists, 404 on absent parents, 400 on bad bodies, typed error model") {
     val wh = Files.createTempDirectory("rest_err_wh").toString
     val cat = new Catalog(spark, wh)
