@@ -115,15 +115,48 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         next.copy(properties =
           next.properties + (IceLite.PruneFloorProp -> pruneFloor.get.toString))
       else next
+    // Iceberg V3 row lineage: every data file entering the table gets a
+    // disjoint id block [firstRowId, firstRowId + rows) assigned HERE —
+    // one central point, BEFORE the spill below, so assignments land in
+    // the chunk files. New files always arrive in the head snapshot's
+    // inline tail (append/CoW/compaction/adopt all build tails; carried
+    // manifests pass by reference with their ids already set), so only
+    // the tail is examined. nextRowId is monotone for the table's life.
+    val withRowIds = assignRowIds(withFloor.copy(metadataLog = boundedLog))
     // spill crossed-threshold inline tails into side manifest chunks
     // FIRST, so the version file carries refs + summaries, never the bulk
     // entries (chunks from an attempt that then collides are orphans the
     // grace-period sweep reclaims)
-    val withLog = manifestIO.spill(withFloor.copy(metadataLog = boundedLog))
+    val withLog = manifestIO.spill(withRowIds)
     // create-if-absent: the conflict check
     store.createExclusive(new Path(location, s"metadata/v$v.json"), MetaJson.toJson(withLog))
     IceLite.swapHintForward(store, new Path(location, s"metadata/$HINT"), v)
     pruneOldVersionFiles(v, withLog)
+  }
+
+  /** Assign V3 row-id blocks to every unassigned inline-tail file, in
+    * (snapshot, tail) order — deterministic for a deterministic write.
+    * All snapshots are covered (not just the head) so WAP branch commits
+    * assign at staging time; one physical file carried through several
+    * tails gets ONE id block (path-keyed dedup). A commit with nothing
+    * to assign returns `m` unchanged, so metadata-only version files
+    * stay byte-stable. Files carried inside already-spilled PRE-lineage
+    * chunks keep `firstRowId = None` (chunks are immutable); their rows
+    * read as null `_row_id` until a rewrite materializes them. */
+  private def assignRowIds(m: TableMetadata): TableMetadata = {
+    if (!m.snapshots.exists(_.files.tail.exists(_.firstRowId.isEmpty))) return m
+    var ctr = m.nextRowId
+    val assigned = scala.collection.mutable.Map[String, Long]()
+    val snaps = m.snapshots.map { s =>
+      if (!s.files.tail.exists(_.firstRowId.isEmpty)) s
+      else s.withListing(FileListing(s.files.manifests,
+        s.files.tail.map { f =>
+          if (f.firstRowId.isDefined) f
+          else f.copy(firstRowId = Some(assigned.getOrElseUpdate(
+            normPath(f.path), { val id = ctr; ctr += f.rows; id })))
+        }, manifestIO))
+    }
+    m.copy(snapshots = snaps, nextRowId = ctr)
   }
 
   /** Iceberg's `write.metadata.delete-after-commit.enabled` +
@@ -438,9 +471,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * distributed job — the driver never opens a footer, so commit metadata
     * cost is O(files/parallelism), not O(files) serial. */
   private def writeFiles(df: DataFrame, m: TableMetadata, schemaId: Int, spec: PartitionSpec,
-      targetFiles: Option[Int] = None): Seq[DataFile] = {
+      targetFiles: Option[Int] = None,
+      // extra columns written into the parquet UNDER THEIR OWN NAMES,
+      // alongside the schema's physical columns — the V3 materialized
+      // lineage carrier (rewrites pass _row_id/_last_updated_sequence_
+      // number through; plain writes pass nothing)
+      extraPhysCols: Seq[String] = Seq()): Seq[DataFile] = {
     val sch = m.schema(schemaId)
-    val phys = df.select(sch.fields.map(f => col(f.name).cast(f.sparkDdl).as(f.physName)): _*)
+    val phys = df.select(sch.fields.map(f =>
+      col(f.name).cast(f.sparkDdl).as(f.physName)) ++
+      extraPhysCols.map(c => col(c).cast("bigint").as(c)): _*)
     val stagingDir = new Path(location, s"staging-${UUID.randomUUID()}")
     val f = fs(spark, location)
     val partCols = spec.fields.map(sf => "_p_" + sf.name)
@@ -665,11 +705,21 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * (pinned at adoption, so later renames still resolve by field id). */
   private def scanGroup(
       m: TableMetadata, files: Seq[DataFile], fileSchemaId: Int, lineage: Boolean,
-      proj: TableSchema, nameMapped: Boolean = false): DataFrame = {
+      proj: TableSchema, nameMapped: Boolean = false,
+      rowLineage: Boolean = false): DataFrame = {
     val fsch = m.schema(fileSchemaId)
     val stored = (fl: Field) => if (nameMapped) fl.name else fl.physName
+    // V3 row lineage: rewritten files carry materialized `_row_id` /
+    // `_last_updated_sequence_number` parquet columns; reading them on
+    // files that lack them yields nulls, which the inheritance rule in
+    // readRowLineage fills (firstRowId + pos / the file's seq)
+    val matFields =
+      if (rowLineage) Seq(
+        StructField(IceLite.RowIdCol, DataType.fromDDL("bigint"), nullable = true),
+        StructField(IceLite.LastUpdatedCol, DataType.fromDDL("bigint"), nullable = true))
+      else Seq()
     val physSchema = StructType(fsch.fields.map(fl =>
-      StructField(stored(fl), DataType.fromDDL(fl.sparkDdl), nullable = true)))
+      StructField(stored(fl), DataType.fromDDL(fl.sparkDdl), nullable = true)) ++ matFields)
     val base = spark.read.schema(physSchema).parquet(files.map(_.path): _*)
     val cols = proj.fields.map { fld =>
       if (fsch.hasId(fld.id)) col(stored(fsch.byId(fld.id))).cast(fld.sparkDdl).as(fld.name)
@@ -681,7 +731,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))
       else Seq()
-    base.select(lin ++ cols: _*)
+    val mat = matFields.map(f => col(f.name))
+    base.select(lin ++ mat ++ cols: _*)
   }
 
   private def scanSnapshot(m: TableMetadata, snap: Snapshot, lineage: Boolean,
@@ -689,7 +740,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       statFilters: Seq[Stats.StatFilter] = Seq(),
       // time travel projects through the SNAPSHOT's schema (Iceberg's
       // snapshot-scoped-schema semantics); live reads use the current one
-      snapshotSchema: Boolean = false): DataFrame = {
+      snapshotSchema: Boolean = false,
+      // surface materialized V3 lineage parquet columns (readRowLineage)
+      rowLineage: Boolean = false): DataFrame = {
     val proj =
       if (snapshotSchema && snap.schemaId >= 0) m.schema(snap.schemaId)
       else m.currentSchema
@@ -708,8 +761,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val lin = if (lineage)
         StructType(Seq(StructField("_file", DataType.fromDDL("string")),
           StructField("_pos", DataType.fromDDL("bigint")))) else StructType(Seq())
+      val mat = if (rowLineage)
+        StructType(Seq(StructField(IceLite.RowIdCol, DataType.fromDDL("bigint")),
+          StructField(IceLite.LastUpdatedCol, DataType.fromDDL("bigint"))))
+        else StructType(Seq())
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(lin ++ empty))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(lin ++ mat ++ empty))
     }
     // delete-manifest pruning: chunks whose summaries cannot apply to the
     // planned files (all-eq at or below every planned seq, or a pos path
@@ -718,7 +776,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val needLineage = lineage || posDels.nonEmpty
     def scanBySchema(fs: Seq[DataFile]): DataFrame =
       fs.groupBy(f => (f.schemaId, f.nameMapped)).toSeq.sortBy(_._1)
-        .map { case ((sid, nm), fs0) => scanGroup(m, fs0, sid, needLineage, proj, nm) }
+        .map { case ((sid, nm), fs0) =>
+          scanGroup(m, fs0, sid, needLineage, proj, nm, rowLineage) }
         .reduce(_ unionAll _)
     // equality deletes: an eq delete at sequence S removes matching rows
     // from data files with seq < S only — rows re-inserted AFTER the
@@ -804,6 +863,66 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         lineage = false, prune, statFilters)
     }
 
+  /** Iceberg V3 row lineage: the current snapshot plus `_row_id` (a
+    * stable per-row identity assigned as a disjoint block per data file
+    * at commit, preserved by MoR deletes for free — the file is untouched
+    * — and by materializing rewrites) and `_last_updated_sequence_number`
+    * (the data sequence of the commit that last produced the row). The
+    * V3 inheritance rule: a MATERIALIZED parquet value wins; a null
+    * materialized value, or a file never rewritten, inherits
+    * `firstRowId + row position` / the file's own sequence. Files
+    * written before lineage tracking surface null `_row_id`.
+    *
+    * Scale shape: the per-file constants ride a broadcast hash join on
+    * the scan's `_metadata.file_path` — O(data files) driver metadata,
+    * the 100 TB data side neither shuffles nor leaves whole-stage
+    * codegen. */
+  def readRowLineage(): DataFrame = {
+    val m = meta
+    m.currentSnapshot match {
+      case None =>
+        val outCols = m.currentSchema.fields.map(f => col(f.name)) ++
+          Seq(col(IceLite.RowIdCol), col(IceLite.LastUpdatedCol))
+        scanSnapshot(m, Snapshot(0, None, 0, "empty", Seq(), Seq()),
+          lineage = true, _ => true, rowLineage = true).select(outCols: _*)
+      case Some(snap) => readRowLineageAt(m, snap)
+    }
+  }
+
+  /** [[readRowLineage]] against a pinned (metadata, snapshot) — also the
+    * SOURCE for materializing rewrites (compaction reads this and writes
+    * the two lineage columns into its output parquet verbatim) and for
+    * the lineage-bearing Iceberg export ([[IcebergExport]]). */
+  private[icelite] def readRowLineageAt(m: TableMetadata, snap: Snapshot,
+      statFilters: Seq[Stats.StatFilter] = Seq(),
+      // keep `_file`/`_pos` too (MoR update needs them for its deletes)
+      keepFilePos: Boolean = false,
+      // project through the snapshot's own schema (time-travel exports)
+      snapshotSchema: Boolean = false): DataFrame = {
+    val proj =
+      if (snapshotSchema && snap.schemaId >= 0) m.schema(snap.schemaId)
+      else m.currentSchema
+    val outCols = proj.fields.map(f => col(f.name)) ++
+      Seq(col(IceLite.RowIdCol), col(IceLite.LastUpdatedCol)) ++
+      (if (keepFilePos) Seq(col("_file"), col("_pos")) else Seq())
+    val df = scanSnapshot(m, snap, lineage = true, _ => true, statFilters,
+      snapshotSchema = snapshotSchema, rowLineage = true)
+    // all spellings of each path (raw vs file: URI forms), so the
+    // probe is spelling-insensitive like the delete index
+    val lookup = spark.createDataFrame(snap.dataFiles.flatMap { f =>
+      val n = IceLite.normPath(f.path)
+      Seq(f.path, n, s"file:$n", s"file://$n").distinct
+        .map(s => (s, f.firstRowId.getOrElse(-1L), f.seq))
+    }).toDF("_lin_path", "_lin_frid", "_lin_seq")
+    df.join(broadcast(lookup), df("_file") === col("_lin_path"), "left")
+      .withColumn(IceLite.RowIdCol,
+        coalesce(col(IceLite.RowIdCol),
+          when(col("_lin_frid") >= 0, col("_lin_frid") + col("_pos"))))
+      .withColumn(IceLite.LastUpdatedCol,
+        coalesce(col(IceLite.LastUpdatedCol), col("_lin_seq")))
+      .select(outCols: _*)
+  }
+
   /** Time travel: VERSION AS OF (README.md:1007). */
   def readAsOf(snapshotId: Long): DataFrame = readAsOfAt(meta, snapshotId)
 
@@ -837,7 +956,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   /** [[readAppendedBetween]] against a caller-pinned metadata — see
     * [[readAt]]. */
   private[icelite] def readAppendedBetweenAt(m: TableMetadata,
-      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+      fromSnapshotId: Long, toSnapshotId: Long,
+      rowLineage: Boolean = false): DataFrame = {
     require(fromSnapshotId <= toSnapshotId,
       s"from $fromSnapshotId must be <= to $toSnapshotId")
     val from = m.snapshot(fromSnapshotId)
@@ -858,7 +978,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         prev = cur
       }
     val added = to.dataFiles.filterNot(f => before.contains(normPath(f.path)))
-    scanSnapshot(m, to.copy(dataFiles = added), lineage = false, _ => true)
+    if (rowLineage) readRowLineageAt(m, to.copy(dataFiles = added))
+    else scanSnapshot(m, to.copy(dataFiles = added), lineage = false, _ => true)
   }
 
   /** CDC changelog read (Iceberg's `create_changelog_view`): the row-level
@@ -1015,8 +1136,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def updateMor(m: TableMetadata, cond: Column,
       assignments: Map[String, Column]): Unit = {
     val snap = m.currentSnapshot.getOrElse(return)
-    val df = scanSnapshot(m, snap, lineage = true, _ => true,
-      IceLite.statFiltersFromCondition(cond))
+    // V3 row lineage: the re-appended updated copies keep their `_row_id`
+    // (materialized) and null `_last_updated_sequence_number` so the
+    // inheritance rule stamps them with the update commit's sequence
+    val df = readRowLineageAt(m, snap,
+      IceLite.statFiltersFromCondition(cond), keepFilePos = true)
     val matched = df.filter(cond).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1029,8 +1153,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         assignments.get(fld.name)
           .map(a => convertTo(a, fld, resolvedType(matched, a)).as(fld.name))
           .getOrElse(col(fld.name))
-      }: _*)
-      val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
+      } ++ Seq(col(IceLite.RowIdCol),
+        lit(null).cast("bigint").as(IceLite.LastUpdatedCol)): _*)
+      val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec,
+        extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+        .map(_.copy(materializedLineage = true))
       val touchedPaths = referencedDataPaths(dels)
       val scannedDeletes = snap.deleteFiles.map(d => normPath(d.path)).toSet
       val scannedDelRefs = snap.deletes.manifests.map(_.path).toSet
@@ -1077,14 +1204,22 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // table here would undo the chunk-scoped CoW on a 10M-file table
     val hit = snap.files.candidates(m, _ => true, filters)
       .filter(f => touched.contains(normPath(f.path)))
-    val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
+    // V3 row lineage: carried AND updated rows keep their `_row_id` (the
+    // row's identity survives an update — that's what lineage is for);
+    // updated rows null their `_last_updated_sequence_number` so the
+    // inheritance rule re-stamps them with THIS commit's sequence
+    val hitDf = readRowLineageAt(m, snap.copy(dataFiles = hit))
     val rewritten = hitDf.select(m.currentSchema.fields.map { fld =>
       assignments.get(fld.name)
         .map(a => when(cond, convertTo(a, fld, resolvedType(hitDf, a)))
           .otherwise(col(fld.name)).as(fld.name))
         .getOrElse(col(fld.name))
-    }: _*)
-    val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec)
+    } ++ Seq(col(IceLite.RowIdCol),
+      when(coalesce(cond, lit(false)), lit(null))
+        .otherwise(col(IceLite.LastUpdatedCol)).as(IceLite.LastUpdatedCol)): _*)
+    val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec,
+      extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+      .map(_.copy(materializedLineage = true))
     commitCowRewrite(v, m, snap, touched, newFiles,
       IceLite.statFiltersFromCondition(cond), "update", s"update rewrote ${hit.size} files")
   }
@@ -1110,13 +1245,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // pruned candidates, not snap.dataFiles — see updateCow
     val hit = snap.files.candidates(m, _ => true, filters)
       .filter(f => touched.contains(normPath(f.path)))
-    val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
+    // V3 row lineage: the surviving (carried) rows keep their ids —
+    // materialized into the rewritten files
+    val hitDf = readRowLineageAt(m, snap.copy(dataFiles = hit))
     // SQL DELETE removes only rows where cond is TRUE; a NULL condition
     // (three-valued logic) KEEPS the row, so the kept-rows filter must be
     // NOT(coalesce(cond, false)) — a bare !cond maps NULL→NULL and would
     // silently drop NULL-condition rows from the rewritten files.
     val newFiles = writeFiles(
-      hitDf.filter(!coalesce(cond, lit(false))), m, m.currentSchemaId, m.defaultSpec)
+      hitDf.filter(!coalesce(cond, lit(false))), m, m.currentSchemaId, m.defaultSpec,
+      extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+      .map(_.copy(materializedLineage = true))
     commitCowRewrite(v, m, snap, touched, newFiles,
       IceLite.statFiltersFromCondition(cond), "delete", s"delete (cow) rewrote ${hit.size} files")
   }
@@ -1568,7 +1707,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             val hit = (if (notMatchedBySource.nonEmpty) snap.dataFiles
                        else snap.files.candidates(m, _ => true, keyRange))
               .filter(f => touched.contains(normPath(f.path)))
-            val hitDf = scanSnapshot(m, snap.copy(dataFiles = hit), lineage = false, _ => true)
+            // V3 row lineage rides the rewrite: kept rows keep both
+            // columns, updated rows keep `_row_id` (the row's identity
+            // survives its update) and re-stamp `_last_updated_sequence_
+            // number` via null-inheritance, inserts start fresh
+            val hitDf = readRowLineageAt(m, snap.copy(dataFiles = hit))
             val joined = hitDf.join(srcPrefixed, col(targetKey) === sKey, "left_outer")
             val matchedFlag = sKey.isNotNull // equi-join: non-null iff matched
             // first-match-wins clause index per row; matched clauses count
@@ -1597,14 +1740,31 @@ class IceLiteTable(val spark: SparkSession, val location: String,
                   .map(a => when(col("_act") === i,
                     convertTo(a, f, resolvedType(kept, a))).otherwise(els)).getOrElse(els)
               }.as(f.name)
-            }: _*)
+            } ++ Seq(col(IceLite.RowIdCol),
+              when(col("_act") === -1, col(IceLite.LastUpdatedCol))
+                .otherwise(lit(null)).as(IceLite.LastUpdatedCol)): _*)
             // source rows matching NO target row anywhere → insert candidates
             val srcNoMatch = srcPrefixed.join(
               tgtKeys.select(col(targetKey).as("_tk")), sKey === col("_tk"), "left_anti")
+            // `aligned` plus the two lineage columns (null when the frame
+            // lacks them — inserts inherit fresh ids from the file block);
+            // ONE select: a post-select withColumn cannot reference the
+            // attributes the select already cut
+            def alignedLin(df: DataFrame): DataFrame = {
+              val has = df.columns.contains(IceLite.RowIdCol)
+              def linCol(c: String) =
+                (if (has) col(c) else lit(null).cast("bigint")).as(c)
+              df.select(sch.fields.map(f =>
+                convertTo(col(f.name), f,
+                  scala.util.Try(df.schema(f.name).dataType).toOption).as(f.name)) ++
+                Seq(linCol(IceLite.RowIdCol), linCol(IceLite.LastUpdatedCol)): _*)
+            }
             val outRows = insertRows(srcNoMatch)
-              .map(ins => aligned(mergedTouched).unionByName(aligned(ins)))
-              .getOrElse(aligned(mergedTouched))
-            val newFiles = writeFiles(outRows, m, m.currentSchemaId, m.defaultSpec)
+              .map(ins => alignedLin(mergedTouched).unionByName(alignedLin(ins)))
+              .getOrElse(alignedLin(mergedTouched))
+            val newFiles = writeFiles(outRows, m, m.currentSchemaId, m.defaultSpec,
+              extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+              .map(_.copy(materializedLineage = true))
             commitCowRewrite(v, m, snap, touched, newFiles, keyRange, "merge",
               s"merge rewrote ${hit.size} files", withBatch)
           } finally tgtKeys.unpersist()
@@ -1844,9 +2004,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // with a declared sort order, writeFiles range-clusters into `target`
     // files itself — repartitioning here too would just add a second
     // shuffle (and destroy the range clustering)
-    val df0 = scanSnapshot(m, snap, lineage = false, _ => true)
+    // V3 row lineage: a compaction CARRIES rows, so their ids must
+    // survive — the source read computes each row's id/last-updated and
+    // the rewrite MATERIALIZES both as parquet columns (never-assigned
+    // rows carry null and pick up fresh ids from the new file's block)
+    val df0 = readRowLineageAt(m, snap)
     val df = if (m.properties.contains("write.sort-order")) df0 else df0.repartition(target)
-    val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec, targetFiles = Some(target))
+    val newFiles = writeFiles(df, m, m.currentSchemaId, m.defaultSpec,
+      targetFiles = Some(target),
+      extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+      .map(_.copy(materializedLineage = true))
     commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
       s"compact ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
@@ -1944,7 +2111,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     Seq(c1, c2).foreach(m.currentSchema.fieldByName)
     require(!m.properties.contains("write.sort-order"),
       "table declares a linear sort order; drop it before z-ordering (the clusterings conflict)")
-    val df0 = scanSnapshot(m, snap, lineage = false, _ => true)
+    // row-lineage-carrying read: the z-order rewrite materializes ids
+    val df0 = readRowLineageAt(m, snap)
     // 64 equal-frequency buckets per column (6 bits): robust to skew,
     // unlike equal-width bucketing; small enough that the comparison chain
     // stays comfortably inside one codegen'd method
@@ -1975,7 +2143,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       .repartitionByRange(target, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-    val newFiles = writeFiles(clustered, m, m.currentSchemaId, m.defaultSpec)
+    val newFiles = writeFiles(clustered, m, m.currentSchemaId, m.defaultSpec,
+      extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
+      .map(_.copy(materializedLineage = true))
     commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
       s"z-order rewrite on ($c1, $c2): ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
@@ -2218,13 +2388,20 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     import spark.implicits._
     meta.currentSnapshot.map(_.dataFiles).getOrElse(Seq())
       .map(f => (f.path, f.rows, f.schemaId, f.specId,
-        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")))
-      .toDF("path", "rows", "schema_id", "spec_id", "partition")
+        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        f.firstRowId, f.materializedLineage))
+      .toDF("path", "rows", "schema_id", "spec_id", "partition",
+        "first_row_id", "materialized_lineage")
   }
 }
 
 object IceLite {
   private[icelite] val HINT = "version-hint.text"
+  /** Iceberg V3 row-lineage column names (the spec's reserved metadata
+    * columns) — surfaced by [[IceLiteTable.readRowLineage]] and written
+    * as MATERIALIZED parquet columns by row-carrying rewrites. */
+  val RowIdCol = "_row_id"
+  val LastUpdatedCol = "_last_updated_sequence_number"
 
   /** Internal property: lowest version file not yet confirmed pruned —
     * the version-file prune's resumable low-water mark. */
@@ -2659,7 +2836,11 @@ object IceLite {
         }
         if (!resolvable) None
         else Some((files.map(df => DataFile(df.path, df.records, 0, df.specId,
-          convertTuple(df), Map(), df.seq, nameMapped = true)),
+          convertTuple(df), Map(), df.seq, nameMapped = true,
+          // V3 row lineage crosses the migrate-in boundary: an explicit
+          // foreign first_row_id keeps serving (inheritance is positional,
+          // and adoption never rewrites the file)
+          firstRowId = df.firstRowId)),
           posDels, dvRefs, eqRefs))
       }
     }
@@ -2705,7 +2886,13 @@ object IceLite {
       properties = Map("adopted.from" -> metadataJson),
       currentSnapshotId = Some(snap.id),
       snapshots = snapshots,
-      metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")))
+      metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")),
+      // V3 row lineage: resume the foreign id counter (never below the
+      // end of any adopted file's explicit block, so native appends can
+      // never collide with migrated ids even on a sparse foreign counter)
+      nextRowId = math.max(ice.nextRowId,
+        snapshots.flatMap(_.dataFiles).flatMap(df =>
+          df.firstRowId.map(_ + df.rows)).maxOption.getOrElse(0L)))
     val metaDir = new Path(location, "metadata")
     f.mkdirs(metaDir)
     val st = new HadoopCommitStore(f)

@@ -66,6 +66,13 @@ import scala.jdk.CollectionConverters._
   * (stored as parquet's VARIANT logical type) bump format-version to 3. */
 object IcebergExport {
 
+  /** Iceberg V3 reserved field ids for the row-lineage metadata columns
+    * — materialized `_row_id` / `_last_updated_sequence_number` columns
+    * in data files carry these parquet field ids so spec-aware readers
+    * resolve them without name mapping. */
+  private[icelite] val RowIdFieldId = 2147483540L
+  private[icelite] val LastUpdatedFieldId = 2147483539L
+
   /** manifest_entry schema; data_file grows a typed partition record when
     * the export spec has fields (absent entirely when unpartitioned, so
     * unpartitioned exports are byte-identical to the r12 shape). */
@@ -565,6 +572,13 @@ object IcebergExport {
     val mlAccum = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     base.foreach(b => mlAccum ++= b.headManifests)
     val seqBase = base.map(_.lastSeq).getOrElse(0L)
+    // V3 row lineage crosses the boundary: a lineage-bearing table
+    // (nextRowId > 0) exports each row's (_row_id, _last_updated_
+    // sequence_number) MATERIALIZED into the exported parquet under the
+    // spec's reserved field ids — the export is a rewrite, so positional
+    // inheritance cannot carry the ids; materialization does. Rows never
+    // assigned an id (pre-lineage files) export null and stay null.
+    val lineage = m.nextRowId > 0
     val snapNodes = try ids.zipWithIndex.map { case (sid, i) =>
       val snap = m.snapshot(sid)
       // the current snapshot reads through the CURRENT schema (metadata-only
@@ -583,24 +597,39 @@ object IcebergExport {
           val eff = m.schema(effId)
           val cur = m.currentSchema
           val prevSid = if (i > 0) ids(i - 1) else base.get.lastSnapshotId
-          (t.readAppendedBetweenAt(m, prevSid, sid)
+          val linCols =
+            if (!lineage) Seq()
+            else Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol)
+              .map(org.apache.spark.sql.functions.col)
+          (t.readAppendedBetweenAt(m, prevSid, sid, rowLineage = lineage)
             .select(eff.fields.map(f =>
-              org.apache.spark.sql.functions.col(cur.byId(f.id).name).as(f.name)): _*),
+              org.apache.spark.sql.functions.col(cur.byId(f.id).name).as(f.name)) ++
+              linCols: _*),
             effId)
         }
-        else if (m.currentSnapshotId.contains(sid)) (t.readAt(m), m.currentSchemaId)
-        else (t.readAsOfAt(m, sid),
+        else if (m.currentSnapshotId.contains(sid))
+          (if (lineage) t.readRowLineageAt(m, snap) else t.readAt(m),
+            m.currentSchemaId)
+        else (
+          if (lineage) t.readRowLineageAt(m, snap, snapshotSchema = true)
+          else t.readAsOfAt(m, sid),
           if (snap.schemaId < 0) m.currentSchemaId else snap.schemaId)
       // exported parquet carries PARQUET FIELD IDS (the schema's Iceberg
       // ids as parquet.field.id metadata — Spark's writer emits them):
       // real Iceberg readers resolve columns by field id, so the files
       // are first-class citizens, not name-mapping dependents
       val idSch = m.schema(schemaId)
-      val df = df0.select(idSch.fields.map { f =>
+      def fieldIdCol(name: String, id: Long) = {
         val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", f.id.toLong).build()
-        org.apache.spark.sql.functions.col(f.name).as(f.name, md)
-      }: _*)
+          .putLong("parquet.field.id", id).build()
+        org.apache.spark.sql.functions.col(name).as(name, md)
+      }
+      val matLineage =
+        if (!lineage) Seq()
+        else Seq(fieldIdCol(IceLite.RowIdCol, RowIdFieldId),
+          fieldIdCol(IceLite.LastUpdatedCol, LastUpdatedFieldId))
+      val df = df0.select(idSch.fields.map(f =>
+        fieldIdCol(f.name, f.id.toLong)) ++ matLineage: _*)
       val (mfPath, mfLen) = writeSnapshotData(df, sid, dest, entrySchema,
         partFields, m.schema(schemaId), conf, destFs)
       mlAccum += ((mfPath, mfLen, sid))
@@ -642,12 +671,13 @@ object IcebergExport {
         m.currentSchema.fields.filter(f => f.defaultSql.isDefined &&
           exportedIdSets.exists(!_.contains(f.id))).map(_.id).toSet
       }
-    // timestamp_ns, variant and initial-default are Iceberg V3 features —
-    // their presence bumps the exported format-version
+    // timestamp_ns, variant, initial-default and row lineage are Iceberg
+    // V3 features — their presence bumps the exported format-version
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion = math.max(base.map(_.formatVersion).getOrElse(2),
-      if (defaultFieldIds.nonEmpty || exportedSchemas.exists(id => m.schema(id).fields
-        .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2)
+      if (lineage || defaultFieldIds.nonEmpty ||
+        exportedSchemas.exists(id => m.schema(id).fields
+          .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2)
     val lastColumnId = math.max(base.map(_.lastColumnId).getOrElse(0),
       exportedSchemas.flatMap(id => m.schema(id).fields.map(_.id)).max)
     def schemaJson(id: Int): String = {
@@ -689,7 +719,8 @@ object IcebergExport {
          |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
          |  "last-partition-id": ${999 + partFields.size},
          |  "default-sort-order-id": 0,
-         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "sort-orders": [{"order-id": 0, "fields": []}],${
+              if (lineage) s"""\n  "next-row-id": ${m.nextRowId},""" else ""}
          |  "current-snapshot-id": ${snapNodes.last._1},
          |  "snapshots": [
          |    $snapsJson]

@@ -118,12 +118,18 @@ object IcebergInterop {
     * schema the file was written under for field-id column mapping. */
   final case class IceDataFile(path: String, specId: Int,
       partition: Map[String, String], seq: Long = 0L,
-      addedSnapshotId: Long = -1L, records: Long = 0L)
+      addedSnapshotId: Long = -1L, records: Long = 0L,
+      // V3 row lineage: the file's explicit `first_row_id` when the
+      // manifest records one (None otherwise — including the inherited-
+      // from-manifest shape, which this reader does not reconstruct)
+      firstRowId: Option[Long] = None)
 
   final case class IceMeta(location: String, formatVersion: Int,
       currentSchemaId: Int, schemas: Map[Int, Seq[IceField]],
       currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
-      specs: Map[Int, Seq[IceSpecField]], defaultSpecId: Int = 0)
+      specs: Map[Int, Seq[IceSpecField]], defaultSpecId: Int = 0,
+      // V3 row lineage: the table's `next-row-id` (0 = no lineage)
+      nextRowId: Long = 0L)
 
   /** Parse an Iceberg `metadata.json` (v1 or v2/v3 shapes). */
   def loadMeta(metadataJson: String,
@@ -173,7 +179,8 @@ object IcebergInterop {
       curSchema, schemas,
       Option(r.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
       snaps, specs,
-      Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+      Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0),
+      Option(r.get("next-row-id")).map(_.asLong()).getOrElse(0L))
   }
 
   /** One V3 deletion-vector reference from a delete manifest: the Puffin
@@ -254,7 +261,9 @@ object IcebergInterop {
                 optField(e, "snapshot_id")
                   .map(_.asInstanceOf[Number].longValue).getOrElse(mlAddedSnap),
                 optField(df, "record_count")
-                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+                optField(df, "first_row_id")
+                  .map(_.asInstanceOf[Number].longValue))
             case 1 if format.equalsIgnoreCase("puffin") =>
               // V3 deletion vector: one roaring blob inside a Puffin file
               dvRefs += DvRef(str(df, "file_path"),

@@ -34,7 +34,9 @@ object ManifestCodec {
       | {"name":"part","type":{"type":"map","values":"string"}},
       | {"name":"stat","type":{"type":"array","items":{"type":"record","name":"col_stat","fields":[
       |   {"name":"fid","type":"int"},{"name":"mn","type":"string"},{"name":"mx","type":"string"}]}}},
-      | {"name":"nm","type":"boolean","default":false}]}"""
+      | {"name":"nm","type":"boolean","default":false},
+      | {"name":"frid","type":"long","default":-1},
+      | {"name":"mlin","type":"boolean","default":false}]}"""
       .stripMargin)
 
   private val deleteSchema: Schema = new Schema.Parser().parse(
@@ -86,6 +88,8 @@ object ManifestCodec {
         sr
       }.asJava)
       r.put("nm", df.nameMapped)
+      r.put("frid", df.firstRowId.getOrElse(-1L))
+      r.put("mlin", df.materializedLineage)
       w.append(r)
     } finally w.close()
   }
@@ -104,7 +108,10 @@ object ManifestCodec {
             ColumnStats(s.get("mn").toString, s.get("mx").toString)).toMap,
         g.get("seq").asInstanceOf[Long],
         // absent in pre-adoption chunks (embedded writer schema): physical
-        Option(g.get("nm")).exists(_ == true))
+        Option(g.get("nm")).exists(_ == true),
+        // absent in pre-lineage chunks; -1 = written without an id block
+        Option(g.get("frid")).map(_.asInstanceOf[Long]).filter(_ >= 0),
+        Option(g.get("mlin")).exists(_ == true))
     }.toList
     finally r.close()
   }

@@ -69,7 +69,16 @@ final case class DataFile(
     partition: Map[String, String],
     stats: Map[Int, ColumnStats] = Map(),
     seq: Long = 0,
-    nameMapped: Boolean = false)
+    nameMapped: Boolean = false,
+    // Iceberg V3 row lineage: this file's rows own ids
+    // [firstRowId, firstRowId + rows) unless a materialized `_row_id`
+    // column overrides per row (rewritten files carry their rows' ORIGINAL
+    // ids that way). None = written before lineage was tracked.
+    firstRowId: Option[Long] = None,
+    // the file's parquet carries materialized `_row_id` /
+    // `_last_updated_sequence_number` columns (null entries fall back to
+    // firstRowId + pos / the file's seq, per the V3 inheritance rule)
+    materializedLineage: Boolean = false)
 
 /** Delete file, two kinds (Iceberg v2 row-level deletes):
   *  - `kind="pos"`: parquet of (file_path STRING, pos BIGINT) pairs — the
@@ -174,7 +183,11 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     metadataLog: Seq[MetadataLogEntry],
-    refs: Map[String, Ref] = Map()) {
+    refs: Map[String, Ref] = Map(),
+    // Iceberg V3 row lineage: first unassigned row id. Monotone across the
+    // table's whole life (rollback keeps it — ids are never reused), so
+    // every committed data file gets a disjoint [firstRowId, +rows) block.
+    nextRowId: Long = 0) {
 
   def currentSchema: TableSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schema(id: Int): TableSchema = schemas.find(_.schemaId == id).get
@@ -206,6 +219,8 @@ object MetaJson {
     // non-default only: pre-sequence metadata files stay byte-stable
     if (f.seq != 0) fn.put("seq", f.seq)
     if (f.nameMapped) fn.put("nm", true)
+    f.firstRowId.foreach(v => fn.put("frid", v))
+    if (f.materializedLineage) fn.put("mlin", true)
   }
 
   private def writeDeleteFile(fn: ObjectNode, f: DeleteFile): Unit = {
@@ -341,6 +356,8 @@ object MetaJson {
         rn.put("snapshotId", ref.snapshotId); rn.put("type", ref.refType)
       }
     }
+    // non-default only: pre-lineage metadata files stay byte-stable
+    if (m.nextRowId != 0) root.put("nextRowId", m.nextRowId)
     val log = root.putArray("metadataLog")
     m.metadataLog.foreach { e =>
       val n = log.addObject()
@@ -389,7 +406,9 @@ object MetaJson {
             e.getValue.get("min").asText(), e.getValue.get("max").asText())).toMap)
         .getOrElse(Map()),
       Option(fn.get("seq")).map(_.asLong()).getOrElse(0L),
-      Option(fn.get("nm")).exists(_.asBoolean()))
+      Option(fn.get("nm")).exists(_.asBoolean()),
+      Option(fn.get("frid")).map(_.asLong()),
+      Option(fn.get("mlin")).exists(_.asBoolean()))
   }
 
   /** Pure parse — valid only for metadata with no manifest refs (property
@@ -477,6 +496,7 @@ object MetaJson {
         o.properties().asScala.map(e => e.getKey -> Ref(
           e.getValue.get("snapshotId").asLong(), e.getValue.get("type").asText())).toMap)
         .getOrElse(Map()),
+      nextRowId = Option(r.get("nextRowId")).map(_.asLong()).getOrElse(0L),
     )
   }
 }

@@ -365,6 +365,42 @@ object LakehouseOps {
     Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
   )
 
+  /** V3 extension — ROW LINEAGE (the V3 spec's row-identity feature,
+    * alongside the deletion vectors the tutorial teaches at
+    * README.md:1098–1121): every appended file owns a disjoint `_row_id`
+    * block; a MoR delete leaves survivor ids untouched (files unrewritten)
+    * and a CoW update PRESERVES ids (materialized into the rewritten
+    * parquet) while re-stamping `_last_updated_sequence_number` to the
+    * update commit's sequence. Deterministic against DuckDB: one sorted
+    * single-file append ⇒ id = rank(o_orderkey) − 1; sequences are
+    * 1 (append) and 2 (the update — position deletes apply to the exact
+    * rows they name regardless of seq, so the MoR delete consumes no
+    * data sequence). */
+  private val rowLineage = QueryDef(
+    "icelite_row_lineage",
+    (s, dir) => {
+      val t = IceLite.createFrom(s, scratch("rowlin"), orders(s, dir),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      t.append(orders(s, dir).repartition(1).sortWithinPartitions("o_orderkey"))
+      t.delete(col("o_orderkey") % 7 === 0)
+      t.update(col("o_orderkey") % 10 === 3, Map("o_totalprice" -> lit(999.0)))
+      t.readRowLineage()
+        .select(col("o_orderkey"),
+          col(graft.icelite.IceLite.RowIdCol).as("row_id"),
+          col(graft.icelite.IceLite.LastUpdatedCol).as("last_upd"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ranked AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+              FROM orders)
+            SELECT o_orderkey, row_id,
+                   CAST(CASE WHEN o_orderkey % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS last_upd,
+                   CASE WHEN o_orderkey % 10 = 3 THEN 999.0 ELSE o_totalprice END AS o_totalprice
+            FROM ranked WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""),
+  )
+
   /** M15 compaction (README.md:1022): 16 small files → 2; content identical. */
   private val compaction = QueryDef(
     "icelite_compaction",
@@ -1498,5 +1534,6 @@ object LakehouseOps {
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, restCommit, incrementalRead,
     branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg, tagSchemaRead,
+    rowLineage,
   )
 }

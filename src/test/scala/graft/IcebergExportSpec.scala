@@ -51,7 +51,10 @@ class IcebergExportSpec extends SparkSpec {
         rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
           .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
       } finally rdr.close()
-    assert(ids == Map("id" -> Some(1), "v" -> Some(2), "name" -> Some(3)),
+    assert(ids == Map("id" -> Some(1), "v" -> Some(2), "name" -> Some(3),
+      // V3 row lineage: materialized columns under the spec's RESERVED ids
+      IceLite.RowIdCol -> Some(IcebergExport.RowIdFieldId.toInt),
+      IceLite.LastUpdatedCol -> Some(IcebergExport.LastUpdatedFieldId.toInt)),
       s"exported parquet must carry the schema's field ids, got $ids")
   }
 
@@ -267,9 +270,11 @@ class IcebergExportSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
 
     // data files stay self-contained: partition sources remain IN the
-    // parquet (Spark+Iceberg's own shape), not dropped into dir names only
+    // parquet (Spark+Iceberg's own shape), not dropped into dir names
+    // only — plus the V3 materialized row-lineage columns
     val oneFile = spark.read.parquet(files.head.path)
-    assert(oneFile.columns.toSet == Set("id", "region", "d"))
+    assert(oneFile.columns.toSet ==
+      Set("id", "region", "d", IceLite.RowIdCol, IceLite.LastUpdatedCol))
 
     // full fidelity
     assert(rows(IcebergInterop.read(spark, mj)) == rows(t.read()))
