@@ -905,6 +905,19 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val outCols = proj.fields.map(f => col(f.name)) ++
       Seq(col(IceLite.RowIdCol), col(IceLite.LastUpdatedCol)) ++
       (if (keepFilePos) Seq(col("_file"), col("_pos")) else Seq())
+    // lineage-less snapshot (pre-lineage table, REST-only writer): every
+    // id is null by definition — skip the broadcast lookup AND the
+    // materialized-column scan entirely; the m.nextRowId > 0 short-circuit
+    // means the listing is only forced on genuinely lineage-less tables
+    if (m.nextRowId == 0 && !snap.dataFiles.exists(f =>
+        f.firstRowId.isDefined || f.materializedLineage)) {
+      val df = scanSnapshot(m, snap, lineage = keepFilePos, _ => true,
+        statFilters, snapshotSchema = snapshotSchema)
+      return df.select(proj.fields.map(f => col(f.name)) ++
+        Seq(lit(null).cast("bigint").as(IceLite.RowIdCol),
+          lit(null).cast("bigint").as(IceLite.LastUpdatedCol)) ++
+        (if (keepFilePos) Seq(col("_file"), col("_pos")) else Seq()): _*)
+    }
     val df = scanSnapshot(m, snap, lineage = true, _ => true, statFilters,
       snapshotSchema = snapshotSchema, rowLineage = true)
     // all spellings of each path (raw vs file: URI forms), so the
@@ -1637,10 +1650,20 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val srcPrefixed = source.select(source.columns.map(c => col(c).as(s"_s_$c")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sKey = col(s"_s_$sourceKey")
-    def aligned(df: DataFrame): DataFrame =
+    // `lin = true` appends the two V3 lineage columns (null when the
+    // frame lacks them — inserts inherit fresh ids from the file block)
+    def aligned(df: DataFrame, lin: Boolean = false): DataFrame = {
+      val has = df.columns.contains(IceLite.RowIdCol)
+      def linCol(c: String) =
+        (if (has) col(c) else lit(null).cast("bigint")).as(c)
+      val linCols =
+        if (lin) Seq(linCol(IceLite.RowIdCol), linCol(IceLite.LastUpdatedCol))
+        else Seq()
       df.select(sch.fields.map(f =>
         convertTo(col(f.name), f,
-          scala.util.Try(df.schema(f.name).dataType).toOption).as(f.name)): _*)
+          scala.util.Try(df.schema(f.name).dataType).toOption).as(f.name)) ++
+        linCols: _*)
+    }
     // first applicable insert clause per unmatched source row (none → no insert)
     def insertRows(candidates: DataFrame): Option[DataFrame] =
       if (notMatched.isEmpty) None
@@ -1671,7 +1694,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         sys.error(s"MERGE: duplicate source rows on key $sourceKey")
       m.currentSnapshot match {
         case None => // empty target: only insert clauses can fire
-          val rows = insertRows(srcPrefixed).map(aligned)
+          val rows = insertRows(srcPrefixed).map(aligned(_))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(sch.fields.map(f => StructField(f.name, DataType.fromDDL(f.sparkDdl))))))
@@ -1746,22 +1769,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             // source rows matching NO target row anywhere → insert candidates
             val srcNoMatch = srcPrefixed.join(
               tgtKeys.select(col(targetKey).as("_tk")), sKey === col("_tk"), "left_anti")
-            // `aligned` plus the two lineage columns (null when the frame
-            // lacks them — inserts inherit fresh ids from the file block);
-            // ONE select: a post-select withColumn cannot reference the
-            // attributes the select already cut
-            def alignedLin(df: DataFrame): DataFrame = {
-              val has = df.columns.contains(IceLite.RowIdCol)
-              def linCol(c: String) =
-                (if (has) col(c) else lit(null).cast("bigint")).as(c)
-              df.select(sch.fields.map(f =>
-                convertTo(col(f.name), f,
-                  scala.util.Try(df.schema(f.name).dataType).toOption).as(f.name)) ++
-                Seq(linCol(IceLite.RowIdCol), linCol(IceLite.LastUpdatedCol)): _*)
-            }
             val outRows = insertRows(srcNoMatch)
-              .map(ins => alignedLin(mergedTouched).unionByName(alignedLin(ins)))
-              .getOrElse(alignedLin(mergedTouched))
+              .map(ins => aligned(mergedTouched, lin = true)
+                .unionByName(aligned(ins, lin = true)))
+              .getOrElse(aligned(mergedTouched, lin = true))
             val newFiles = writeFiles(outRows, m, m.currentSchemaId, m.defaultSpec,
               extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
               .map(_.copy(materializedLineage = true))

@@ -94,7 +94,8 @@ object IcebergExport {
          |   {"name":"file_path","type":"string"},
          |   {"name":"file_format","type":"string"},
          |$part   {"name":"record_count","type":"long"},
-         |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+         |   {"name":"file_size_in_bytes","type":"long"},
+         |   {"name":"first_row_id","type":["null","long"],"default":null}]}}]}""".stripMargin)
   }
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
@@ -263,7 +264,13 @@ object IcebergExport {
       df: org.apache.spark.sql.DataFrame, sid: Long, dest: String,
       entrySchema: Schema, partFields: Seq[ExportPartField],
       snapSch: TableSchema, conf: Configuration,
-      destFs: FileSystem): (String, Long) = {
+      destFs: FileSystem,
+      // V3 row lineage: when set, every exported data file is assigned a
+      // fresh disjoint `first_row_id` block from this counter (the spec
+      // requires v3 writers to assign one per added file; materialized
+      // `_row_id` values still win per row — the blocks serve rows whose
+      // materialized id is null)
+      rowIdCtr: Option[java.util.concurrent.atomic.AtomicLong] = None): (String, Long) = {
     val dataDir = s"$dest/data/snap-$sid"
     if (partFields.isEmpty) df.write.parquet(dataDir)
     else {
@@ -311,6 +318,7 @@ object IcebergExport {
       }
       dfr.put("record_count", rows)
       dfr.put("file_size_in_bytes", st.getLen)
+      rowIdCtr.foreach(c => dfr.put("first_row_id", c.getAndAdd(rows)))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("snapshot_id", sid); e.put("data_file", dfr)
       e
@@ -330,7 +338,9 @@ object IcebergExport {
       schemaIdTypes: Seq[Map[Int, String]],
       schemasJson: Seq[String], snapsJson: Seq[String],
       specFields: Seq[(String, String, Int)],
-      headManifests: Seq[(String, Long, Long)])
+      headManifests: Seq[(String, Long, Long)],
+      // V3 row lineage: the base export's next-row-id (0 = lineage-less)
+      nextRowId: Long)
 
   private def parseBase(baseMj: String, conf: Configuration): BaseExport = {
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -365,7 +375,8 @@ object IcebergExport {
       specFields = r.get("partition-specs").get(0).get("fields")
         .elements().asScala.toSeq.map(f => (f.get("name").asText(),
           f.get("transform").asText(), f.get("source-id").asInt())),
-      headManifests = manifests)
+      headManifests = manifests,
+      nextRowId = Option(r.get("next-row-id")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Extend the export at `baseMj` with only the snapshots committed AFTER
@@ -387,6 +398,12 @@ object IcebergExport {
       try parseBase(baseMj, conf)
       catch { case _: Exception => return None }
     if (!m.snapshots.exists(_.id == base.lastSnapshotId)) return None
+    // a lineage-bearing table cannot chain off a LINEAGE-LESS base: the
+    // base's parquet (referenced in place) has no materialized ids and
+    // its manifests no first_row_id, so every base row would read null
+    // _row_id through the chain while the source table has real ids —
+    // fall back to a full export, which materializes everything
+    if (m.nextRowId > 0 && base.nextRowId == 0) return None
     val headId = m.currentSnapshotId.getOrElse(return None)
     if (headId == base.lastSnapshotId) return metadataOnlyChain(t, m, dest, base)
     if (headId < base.lastSnapshotId) return None
@@ -462,7 +479,7 @@ object IcebergExport {
       }
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion = math.max(base.formatVersion,
-      if (defaultFieldIds.nonEmpty ||
+      if (m.nextRowId > 0 || defaultFieldIds.nonEmpty ||
         cur.fields.exists(f => v3Types(f.dtype.toUpperCase))) 3 else 2)
     // snapshots carry over VERBATIM — each keeps its own schema-id (the
     // write-schema proxy per-file resolution depends on). The rename
@@ -488,7 +505,12 @@ object IcebergExport {
          |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
          |  "last-partition-id": ${999 + base.specFields.size},
          |  "default-sort-order-id": 0,
-         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "sort-orders": [{"order-id": 0, "fields": []}],${
+              // carry the lineage counter through a metadata-only chain —
+              // dropping it would let a later adopt re-mint colliding ids
+              if (math.max(base.nextRowId, m.nextRowId) > 0)
+                s"""\n  "next-row-id": ${math.max(base.nextRowId, m.nextRowId)},"""
+              else ""}
          |  "current-snapshot-id": ${base.lastSnapshotId},
          |  "snapshots": [
          |    ${snapsJson.mkString(",\n    ")}]
@@ -579,6 +601,13 @@ object IcebergExport {
     // inheritance cannot carry the ids; materialization does. Rows never
     // assigned an id (pre-lineage files) export null and stay null.
     val lineage = m.nextRowId > 0
+    // fresh id blocks for the exported (rewritten) files, continuing past
+    // both the table's own counter and a chained base's — disjoint from
+    // every materialized id by construction
+    val rowIdCtr =
+      if (!lineage) None
+      else Some(new java.util.concurrent.atomic.AtomicLong(
+        math.max(m.nextRowId, base.map(_.nextRowId).getOrElse(0L))))
     val snapNodes = try ids.zipWithIndex.map { case (sid, i) =>
       val snap = m.snapshot(sid)
       // the current snapshot reads through the CURRENT schema (metadata-only
@@ -630,8 +659,9 @@ object IcebergExport {
           fieldIdCol(IceLite.LastUpdatedCol, LastUpdatedFieldId))
       val df = df0.select(idSch.fields.map(f =>
         fieldIdCol(f.name, f.id.toLong)) ++ matLineage: _*)
+      val snapFirstRowId = rowIdCtr.map(_.get())
       val (mfPath, mfLen) = writeSnapshotData(df, sid, dest, entrySchema,
-        partFields, m.schema(schemaId), conf, destFs)
+        partFields, m.schema(schemaId), conf, destFs, rowIdCtr)
       mlAccum += ((mfPath, mfLen, sid))
       // full exports: one self-contained manifest per snapshot; delta
       // exports: this snapshot's list = every exported manifest so far
@@ -646,7 +676,7 @@ object IcebergExport {
       }
       val mlPath = s"$dest/metadata/snap-$sid.avro"
       writeAvro(mlPath, manifestFileSchema, mlRows, conf)
-      (sid, schemaId, mlPath, snap.timestampMs, seqBase + i + 1)
+      (sid, schemaId, mlPath, snap.timestampMs, seqBase + i + 1, snapFirstRowId)
     } finally prevTs match {
       case Some(v) => t.spark.conf.set(tsKey, v)
       case None    => t.spark.conf.unset(tsKey)
@@ -692,9 +722,10 @@ object IcebergExport {
       s"""{"type": "struct", "schema-id": $id, "fields": [$fs]}"""
     }
     val snapsJson = (base.map(_.snapsJson).getOrElse(Seq()) ++
-      snapNodes.map { case (sid, schemaId, ml, ts, seqNo) =>
+      snapNodes.map { case (sid, schemaId, ml, ts, seqNo, firstRowId) =>
+        val fr = firstRowId.map(v => s""" "first-row-id": $v,""").getOrElse("")
         s"""{"snapshot-id": $sid, "timestamp-ms": $ts, "sequence-number": $seqNo,
-           | "schema-id": $schemaId, "summary": {"operation": "append"},
+           | "schema-id": $schemaId,$fr "summary": {"operation": "append"},
            | "manifest-list": "$ml"}""".stripMargin
       }).mkString(",\n    ")
     val specFieldsJson = partFields.zipWithIndex.map { case (pf, i) =>
@@ -720,7 +751,10 @@ object IcebergExport {
          |  "last-partition-id": ${999 + partFields.size},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],${
-              if (lineage) s"""\n  "next-row-id": ${m.nextRowId},""" else ""}
+              // end of the blocks just assigned: the exported table's own
+              // counter, past every materialized id and every new block
+              rowIdCtr.map(c => s"""\n  "next-row-id": ${c.get()},""")
+                .getOrElse("")}
          |  "current-snapshot-id": ${snapNodes.last._1},
          |  "snapshots": [
          |    $snapsJson]

@@ -215,7 +215,8 @@ object IcebergInterop {
     def rows(p: String): Seq[GenericRecord] =
       if (manifestCache == null) avroRows(p, conf)
       else manifestCache.getOrElseUpdate(p, avroRows(p, conf))
-    val manifestPaths: Seq[(String, Int, Int, Long, Long)] = snap.manifestList match {
+    val manifestPaths: Seq[(String, Int, Int, Long, Long, Option[Long])] =
+      snap.manifestList match {
       case Some(ml) =>
         rows(ml).map { r =>
           (str(r, "manifest_path"), optInt(r, "content", 0),
@@ -228,15 +229,26 @@ object IcebergInterop {
             // rule as sequence_number) — without it write-schema
             // resolution silently degrades to name matching
             optField(r, "added_snapshot_id")
-              .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(-1L),
+            // V3 row lineage: the manifest's first_row_id — data entries
+            // with null first_row_id inherit sequentially from it (the
+            // shape real v3 writers produce)
+            optField(r, "first_row_id")
+              .map(_.asInstanceOf[Number].longValue))
         }
-      case None => snap.manifests.map(p => (p, 0, 0, 0L, -1L))
+      case None => snap.manifests.map(p => (p, 0, 0, 0L, -1L, None))
     }
     val dataFiles = scala.collection.mutable.ArrayBuffer[IceDataFile]()
     val posDeletes = scala.collection.mutable.ArrayBuffer[String]()
     val dvRefs = scala.collection.mutable.ArrayBuffer[DvRef]()
     val eqRefs = scala.collection.mutable.ArrayBuffer[EqDeleteRef]()
-    manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq, mlAddedSnap) =>
+    manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq, mlAddedSnap,
+        mlFirstRowId) =>
+      // V3 inheritance: a running offset from the manifest's first_row_id,
+      // advanced by every data entry's record_count in entry order —
+      // entries with an explicit first_row_id keep it (and still advance
+      // the offset, per the spec's assignment rule)
+      var rowIdOffset = mlFirstRowId
       rows(mp).foreach { e =>
         val status = optInt(e, "status", 1)
         if (status != 2) { // 2 = deleted entry: file left the table
@@ -257,13 +269,17 @@ object IcebergInterop {
                     Option(p.get(f.name)).map(v => f.name -> v.toString)).toMap
                 case _ => Map()
               }
+              val records = optField(df, "record_count")
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+              val explicitFrid = optField(df, "first_row_id")
+                .map(_.asInstanceOf[Number].longValue)
+              val frid = explicitFrid.orElse(rowIdOffset)
+              rowIdOffset = rowIdOffset.map(_ => explicitFrid
+                .getOrElse(rowIdOffset.get) + records)
               dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq,
                 optField(e, "snapshot_id")
                   .map(_.asInstanceOf[Number].longValue).getOrElse(mlAddedSnap),
-                optField(df, "record_count")
-                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-                optField(df, "first_row_id")
-                  .map(_.asInstanceOf[Number].longValue))
+                records, frid)
             case 1 if format.equalsIgnoreCase("puffin") =>
               // V3 deletion vector: one roaring blob inside a Puffin file
               dvRefs += DvRef(str(df, "file_path"),

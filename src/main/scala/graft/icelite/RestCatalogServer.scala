@@ -239,8 +239,15 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
       return
     }
     val vNew = expected + 1
-    val stamped = next.copy(metadataLog = next.metadataLog :+
-      MetadataLogEntry(vNew, System.currentTimeMillis(), s"rest commit ($ns.$t)"))
+    // V3 row lineage: the id counter is MONOTONE for the table's life. A
+    // client document that omits the field (any pre-lineage client) or
+    // regresses it must not make a later native commit re-mint id blocks
+    // that collide with live rows — clamp to the current table counter.
+    val curNextRowId = tbl.meta.nextRowId
+    val stamped = next.copy(
+      nextRowId = math.max(next.nextRowId, curNextRowId),
+      metadataLog = next.metadataLog :+
+        MetadataLogEntry(vNew, System.currentTimeMillis(), s"rest commit ($ns.$t)"))
     val metaDir = new org.apache.hadoop.fs.Path(tbl.location, "metadata")
     try tbl.store.createExclusive(
       new org.apache.hadoop.fs.Path(metaDir, s"v$vNew.json"), MetaJson.toJson(stamped))

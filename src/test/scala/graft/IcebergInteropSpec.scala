@@ -633,4 +633,46 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.filter(col("data") === "row-7").count() == 1L)
     assert(IcebergInterop.snapshots(mj) == Seq((1L, 1700000000001L, "append")))
   }
+
+  test("v3 manifest-inherited first_row_id reconstructs row ids through adoption") {
+    // the shape real v3 writers produce: per-entry first_row_id is NULL,
+    // inherited from the manifest-list row's first_row_id plus the
+    // cumulative record counts of preceding data entries
+    val loc = Files.createTempDirectory("iceberg_v3_rowlin").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    val f1 = dataFile(loc, "data/b1", 0 until 50)
+    val f2 = dataFile(loc, "data/b2", 50 until 100)
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, entrySchema, Seq(
+      manifestEntry(1, 1L, f1, 50), manifestEntry(1, 1L, f2, 50)))
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"added_snapshot_id","type":"long"},
+        | {"name":"first_row_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    val mlRow = new GenericData.Record(mlSchema)
+    mlRow.put("manifest_path", m1); mlRow.put("manifest_length", 512L)
+    mlRow.put("partition_spec_id", 0); mlRow.put("content", 0)
+    mlRow.put("added_snapshot_id", 1L); mlRow.put("first_row_id", 100L)
+    val ml = s"$loc/metadata/ml1.avro"
+    writeAvro(ml, mlSchema, Seq(mlRow))
+    val mj = s"$loc/metadata/v3.metadata.json"
+    Files.write(Paths.get(mj), metadataJson(loc, Seq((1L, ml)), 1L)
+      .replace("\"format-version\": 2",
+        "\"format-version\": 3,\n  \"next-row-id\": 200")
+      .getBytes("UTF-8"))
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    // f1 inherits block [100,150), f2 [150,200); counter resumes at 200
+    assert(t.meta.nextRowId == 200L)
+    val ids = t.readRowLineage()
+      .select(col("id"), col(IceLite.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.size == 100)
+    (0L until 100L).foreach(i => assert(ids(i) == 100L + i,
+      s"row $i must inherit id ${100 + i} from the manifest block, got ${ids(i)}"))
+  }
 }

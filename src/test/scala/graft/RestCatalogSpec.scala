@@ -389,6 +389,39 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REST commit cannot regress the row-id counter (pre-lineage client docs clamp)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("rest_rowlin_wh").toString
+    val cat = new Catalog(spark, wh)
+    val tbl = cat.createTable("db", "t1", Seq("id" -> "BIGINT"))
+    tbl.append((0L until 10L).map(i => Tuple1(i)).toDF("id").coalesce(1))
+    val before = tbl.meta.nextRowId
+    assert(before == 10L)
+    val srv = new RestCatalogServer(spark, wh)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/v1"
+    try {
+      // a pre-lineage client round-trips metadata WITHOUT nextRowId (it
+      // rebuilds the doc rather than echoing unknown fields)
+      val meta = M.readTree(get(s"$base/namespaces/db/tables/t1").body())
+        .get("metadata").deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      meta.remove("nextRowId")
+      val commit = post(s"$base/namespaces/db/tables/t1",
+        s"""{"expected-version": ${tbl.currentVersion}, "metadata": ${M.writeValueAsString(meta)}}""")
+      assert(commit.statusCode() == 200, s"commit failed: ${commit.body()}")
+      val after = new Catalog(spark, wh).loadTable("db", "t1")
+      assert(after.meta.nextRowId == before,
+        "the monotone id counter must survive a client doc that omits it")
+      // and the next native append draws NON-colliding ids
+      after.append(Seq(Tuple1(100L)).toDF("id"))
+      val rl = after.readRowLineage()
+        .select(col("id"), col(graft.icelite.IceLite.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rl(100L) >= before, s"fresh id must clear the old blocks, got ${rl(100L)}")
+      assert(rl.values.toSeq.distinct.size == rl.size, "row ids must stay unique")
+    } finally srv.stop()
+  }
+
   test("confinement tolerates URI-illegal but filesystem-legal warehouse paths (spaces)") {
     // "/wh with space/…" is not a parseable java.net.URI — the check must
     // fall back to raw-path normalization, NOT reject every commit (which

@@ -150,8 +150,14 @@ class RowLineageSpec extends SparkSpec {
     val mj = IcebergExport.export(t, s"$loc/exported")
     val metaText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(mj)), "UTF-8")
-    assert(metaText.contains("\"next-row-id\": " + t.meta.nextRowId),
-      "lineage-bearing export must carry next-row-id")
+    // the export assigns fresh blocks to its (rewritten) files, so its
+    // next-row-id is the END of those blocks — at or past the source's
+    val exportedNext = "\"next-row-id\": (\\d+)".r
+      .findFirstMatchIn(metaText).map(_.group(1).toLong)
+    assert(exportedNext.exists(_ >= t.meta.nextRowId),
+      s"lineage-bearing export must carry next-row-id, got $exportedNext")
+    assert(metaText.contains("\"first-row-id\""),
+      "v3 snapshots must declare their first-row-id")
     assert(metaText.contains("\"format-version\": 3"))
     // the materialized lineage columns are metadata, not data: the
     // foreign read surfaces only the schema's columns
@@ -160,7 +166,8 @@ class RowLineageSpec extends SparkSpec {
     val a = IceLite.adopt(spark, mj, s"$loc/adopted")
     assert(lineage(a) == expected,
       "adopted rows must keep their (_row_id, _last_updated) verbatim")
-    assert(a.meta.nextRowId == t.meta.nextRowId)
+    assert(a.meta.nextRowId >= t.meta.nextRowId,
+      "the adopted counter resumes at or past the source's")
     a.append(Seq((100L, "z", 0)).toDF("id", "v", "n"))
     val la = lineage(a)
     assert(la(100L)._1 >= t.meta.nextRowId,
