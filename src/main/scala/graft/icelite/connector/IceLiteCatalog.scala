@@ -58,6 +58,11 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
     cat.listTables(ns1(namespace)).map(t => Identifier.of(namespace, t)).toArray
 
   private def load(ident: Identifier): IceLiteTable = {
+    // a non-single-level namespace here is an unresolved multi-part
+    // identifier (icelite.db.t.typo, icelite.db.missing.files): signal
+    // NOT FOUND so Spark's resolver reports TABLE_OR_VIEW_NOT_FOUND (or
+    // tries other resolutions) instead of aborting on a require error
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val loc = cat.tableLocation(ns1(ident.namespace()), ident.name())
     val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(loc, "metadata/version-hint.text")))
@@ -119,6 +124,37 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = load(ident)
+    // validate EVERY change up front — each change commits its own
+    // metadata version, so a mid-statement failure would otherwise leave
+    // the ALTER half-applied (x added, y's bad type aborts the statement)
+    val sch = t.meta.currentSchema
+    val names = scala.collection.mutable.Set(sch.fields.map(_.name): _*)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested add unsupported")
+        require(!names(add.fieldNames().head),
+          s"column ${add.fieldNames().head} exists")
+        org.apache.spark.sql.types.DataType.fromDDL(add.dataType().sql)
+        names += add.fieldNames().head
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "nested rename unsupported")
+        require(names(ren.fieldNames().head),
+          s"no column ${ren.fieldNames().head}")
+        require(!names(ren.newName()), s"column ${ren.newName()} exists")
+        names -= ren.fieldNames().head; names += ren.newName()
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "nested type change unsupported")
+        require(names(upd.fieldNames().head),
+          s"no column ${upd.fieldNames().head}")
+        org.apache.spark.sql.types.DataType.fromDDL(upd.newDataType().sql)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested drop unsupported")
+        require(names(del.fieldNames().head),
+          s"no column ${del.fieldNames().head}")
+        names -= del.fieldNames().head
+      case _: TableChange.SetProperty => ()
+      case other => throw new UnsupportedOperationException(s"table change $other")
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "nested add unsupported")

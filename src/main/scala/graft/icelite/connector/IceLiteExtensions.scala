@@ -140,7 +140,14 @@ object IceLiteDmlRule extends Rule[LogicalPlan] {
     }
     require(!noSub.exists(_.isInstanceOf[SubqueryExpression]),
       s"this subquery shape is unsupported in IceLite DML conditions: ${e.sql}")
-    expr(noSub.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql)
+    // re-bind attributes by NAME (they resolve against the table's own
+    // scan) and wrap the tree directly — NOT a .sql text round-trip,
+    // which would render a materialized IN-set of up to 10^6 literals
+    // into a multi-megabyte string and feed it back through the parser
+    SparkShims.columnOf(noSub.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {

@@ -23,6 +23,16 @@ import org.apache.spark.sql.types.{DataType, DataTypes, StructField, StructType}
   * one-row LocalScan summary (metadata-scale — no distributed result). */
 object IceLiteProcedures {
 
+  /** 'db.table' → (db, table), with a clear error instead of the bare
+    * MatchError a dot-less ref would otherwise throw from destructuring. */
+  private def splitRef(ref: String): (String, String) = {
+    val i = ref.indexOf('.')
+    require(i > 0 && i < ref.length - 1,
+      s"table argument must be 'db.table', got '$ref'")
+    (ref.substring(0, i), ref.substring(i + 1))
+  }
+
+
   val Names: Seq[String] = Seq(
     "rollback_to_snapshot", "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
     "create_branch", "create_tag", "fast_forward", "drop_ref", "rewrite_zorder",
@@ -89,7 +99,7 @@ object IceLiteProcedures {
           ProcedureParameter.in("target_files", DataTypes.LongType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val Array(ns, tn) = input.getUTF8String(0).toString.split("\\.", 2)
+          val (ns, tn) = splitRef(input.getUTF8String(0).toString)
           val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
           require(cols.length == 2, s"rewrite_zorder takes exactly 2 columns, got ${cols.length}")
           val target = input.getLong(2)
@@ -119,7 +129,7 @@ object IceLiteProcedures {
           ProcedureParameter.in("view_name", DataTypes.StringType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val Array(ns, tn) = input.getUTF8String(0).toString.split("\\.", 2)
+          val (ns, tn) = splitRef(input.getUTF8String(0).toString)
           val from = input.getLong(1)
           val to = input.getLong(2)
           val view = input.getUTF8String(3).toString
@@ -155,7 +165,7 @@ object IceLiteProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val tableRef = input.getUTF8String(0).toString
           val arg = input.getUTF8String(1).toString
-          val Array(ns, tn) = tableRef.split("\\.", 2)
+          val (ns, tn) = splitRef(tableRef)
           val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
           val values = body(t, arg)
           val schema = StructType(out.map { case (n, dt) => StructField(n, dt, nullable = false) })
@@ -184,7 +194,7 @@ object IceLiteProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val tableRef = input.getUTF8String(0).toString
           val arg = input.getLong(1)
-          val Array(ns, tn) = tableRef.split("\\.", 2)
+          val (ns, tn) = splitRef(tableRef)
           val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
           val values = body(t, arg)
           val schema = StructType(out.map { case (n, dt) => StructField(n, dt, nullable = false) })

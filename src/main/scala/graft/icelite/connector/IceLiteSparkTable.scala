@@ -36,9 +36,26 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
 
   override def name(): String = tbl.location
 
-  override def schema(): StructType = StructType(
-    tbl.meta.currentSchema.fields.map(f =>
+  override def schema(): StructType = {
+    // time travel projects the SNAPSHOT's schema (the engine's
+    // snapshot-scoped-schema semantics, IceLiteTable.readAsOf) — the
+    // relation must advertise the SAME columns or post-evolution
+    // VERSION/TIMESTAMP AS OF reads fail analysis on the schema mismatch
+    val m = tbl.meta
+    val sch = asOf match {
+      case None => m.currentSchema
+      case Some(sel) =>
+        val snap = sel match {
+          case Left(id) => m.snapshot(id)
+          case Right(ts) => m.snapshots.filter(_.timestampMs <= ts)
+            .maxByOption(_.id)
+            .getOrElse(sys.error(s"no snapshot at or before $ts"))
+        }
+        if (snap.schemaId >= 0) m.schema(snap.schemaId) else m.currentSchema
+    }
+    StructType(sch.fields.map(f =>
       StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)))
+  }
 
   override def properties(): util.Map[String, String] = tbl.meta.properties.asJava
 
@@ -85,8 +102,11 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
         filters // everything is also a residual — correctness never depends on us
       }
       override def pushedFilters(): Array[Filter] = pushed
+      // keep an EMPTY required schema too: count(*) prunes to zero
+      // columns, and honoring that spares the V1 row bridge from
+      // deserializing every column of a wide table just to count rows
       override def pruneColumns(requiredSchema: StructType): Unit =
-        if (requiredSchema.fields.nonEmpty) required = requiredSchema
+        required = requiredSchema
 
       /** Pushed comparison filters double as manifest stat-pruners: the
         * file list shrinks on the driver before Spark lists anything. */
@@ -112,9 +132,9 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
             case _    => baseDf // time-travel reads skip stat pruning (rare path)
           }
           val filtered = pushed.flatMap(toColumn).foldLeft(statPruned)(_ filter _)
+          // empty required = zero-column projection (count-style scans)
           val projected =
-            if (required.fields.isEmpty) filtered
-            else filtered.select(required.fields.map(f => col(f.name)).toSeq: _*)
+            filtered.select(required.fields.map(f => col(f.name)).toSeq: _*)
           new IceLiteV1Relation(context, required, projected).asInstanceOf[T]
         }
       }

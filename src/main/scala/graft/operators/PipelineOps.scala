@@ -54,6 +54,14 @@ object PipelineOps {
   }
 
   /** Gram text from one exploded element of [[wordNgramParts]]. */
+  /** The pipeline quality-score SQL over (nw, stop, letters) — ONE
+    * definition shared by the batch pipelines and the streaming funnel
+    * ([[graft.streaming.StreamingIngest]] claims parity with
+    * `pretraining_pipeline`; a threshold change here must reach both). */
+  private[graft] val QualityScoreSql: String =
+    """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
+       - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4"""
+
   private[graft] def gramOf(p: Column, n: Int): Column =
     concat_ws(" ", (0 until n).map(i => p.getField(i.toString)): _*)
 
@@ -824,9 +832,7 @@ object PipelineOps {
           "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
           "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
         .selectExpr("doc_id", "source", "text", "nw",
-          """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
-             - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
-             AS score""")
+          s"$QualityScoreSql AS score")
         .withColumn("q", (col("score") >= 400L).cast("long"))
       val deduped = scored.withColumn("keep_id",
           min(when(col("q") === 1L, col("doc_id"))).over(Window.partitionBy("text")))

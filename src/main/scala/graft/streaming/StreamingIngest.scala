@@ -83,7 +83,10 @@ object StreamingIngest {
             val next = SessionState(
               prev.nEvents + batch.size,
               prev.totalValue + batch.map(_._2).sum,
-              prev.startMs,
+              // a LATE-but-above-watermark event can precede the session's
+              // recorded start — the emitted start must cover every event
+              // the aggregates include
+              math.min(prev.startMs, batch.map(_._1).min),
               math.max(prev.lastMs, batch.map(_._1).max))
             state.update(next)
             state.setTimeoutTimestamp(next.lastMs + gapMs)
@@ -142,7 +145,9 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { table.appendIfNewBatch(batchId, batch); () }
+        batch.persist()
+        try { if (!batch.isEmpty) { table.appendIfNewBatch(batchId, batch); () } }
+        finally { batch.unpersist(); () }
       }
 
   /** Streaming UPSERT into IceLite: each micro-batch MERGEs on `key`
@@ -160,21 +165,31 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // a micro-batch can carry several events per key: MERGE requires
-        // unique source keys, so pre-collapse to the LATEST event per key
-        // by `seqCol` (event time / CDC sequence number). One max-struct
-        // aggregation — deterministic, no window shuffle.
-        if (!batch.isEmpty) {
-          val payload = batch.columns.filter(_ != key)
-          val ordered = seqCol +: payload.filterNot(_ == seqCol)
-          val collapsed = batch
-            .groupBy(col(key))
-            .agg(max(struct(ordered.map(col): _*)).as("_last"))
-            .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
-          table.mergeIfNewBatch(batchId, collapsed, key)
-          ()
-        }
+        // persist: isEmpty + the write are two actions — without it the
+        // micro-batch lineage executes twice per trigger
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            table.mergeIfNewBatch(batchId,
+              collapseLatestPerKey(batch, key, seqCol), key)
+            ()
+          }
+        } finally { batch.unpersist(); () }
       }
+
+  /** A micro-batch can carry several events per key: MERGE/upsert require
+    * unique source keys, so pre-collapse to the LATEST event per key by
+    * `seqCol` (event time / CDC sequence number). One max-struct
+    * aggregation — deterministic, no window shuffle. */
+  private def collapseLatestPerKey(batch: DataFrame, key: String,
+      seqCol: String): DataFrame = {
+    val payload = batch.columns.filter(_ != key)
+    val ordered = seqCol +: payload.filterNot(_ == seqCol)
+    batch
+      .groupBy(col(key))
+      .agg(max(struct(ordered.map(col): _*)).as("_last"))
+      .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
+  }
 
   /** Streaming curation funnel — the continuous version of
     * `curation_incremental`: a crawl stream is curated against STANDING
@@ -213,9 +228,7 @@ object StreamingIngest {
         "CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS stop",
         "CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters")
       .selectExpr("ts", "doc_id", "source", "text", "fp", "nw",
-        """500 + 2 * (CASE WHEN nw > 0 THEN (stop * 1000) div nw ELSE 0 END)
-           - abs((CASE WHEN nw > 0 THEN (letters * 1000) div nw ELSE 0 END) - 4000) div 4
-           AS score""")
+        s"${graft.operators.PipelineOps.QualityScoreSql} AS score")
       .filter(col("score") >= 400L)
     val fresh = gated
       .join(existingFp.select(col("fp"), lit(1L).as("_hit")), Seq("fp"), "left")
@@ -228,7 +241,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // persist: the gate/join/dedup lineage feeds FOUR actions per
+        // trigger (isEmpty, the gram broadcast build, out.isEmpty, the
+        // write) — without it each re-executes the whole micro-batch plan
+        batch.persist()
+        try if (!batch.isEmpty) {
           val grams = batch.select(col("doc_id"),
             explode(graft.operators.PipelineOps.wordNgramParts(col("text"), 4)).as("p"))
             .select(col("doc_id"), graft.operators.PipelineOps.gramOf(col("p"), 4).as("g"))
@@ -241,7 +258,7 @@ object StreamingIngest {
           // skip fully-contaminated batches: batch ids only dedup replays
           // of batches that WROTE, so no empty snapshots pile up
           if (!out.isEmpty) { table.appendIfNewBatch(batchId, out); () }
-        }
+        } finally { batch.unpersist(); () }
       }
   }
 
@@ -261,15 +278,13 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val payload = batch.columns.filter(_ != key)
-          val ordered = seqCol +: payload.filterNot(_ == seqCol)
-          val collapsed = batch
-            .groupBy(col(key))
-            .agg(max(struct(ordered.map(col): _*)).as("_last"))
-            .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
-          table.upsertEqIfNewBatch(batchId, collapsed, Seq(key))
-          ()
-        }
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            table.upsertEqIfNewBatch(batchId,
+              collapseLatestPerKey(batch, key, seqCol), Seq(key))
+            ()
+          }
+        } finally { batch.unpersist(); () }
       }
 }

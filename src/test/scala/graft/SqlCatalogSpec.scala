@@ -333,4 +333,79 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW NAMESPACES IN ilsql").collect()
       .map(_.getString(0)).contains("db5"))
   }
+
+  test("time travel across schema evolution serves the snapshot's own schema") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db6")
+    spark.sql("CREATE TABLE ilsql.db6.evo (a BIGINT)")
+    spark.sql("INSERT INTO ilsql.db6.evo VALUES (1), (2)")
+    spark.sql("ALTER TABLE ilsql.db6.evo ADD COLUMN b STRING")
+    spark.sql("ALTER TABLE ilsql.db6.evo RENAME COLUMN a TO a2")
+    spark.sql("INSERT INTO ilsql.db6.evo VALUES (3, 'x')")
+    // the pre-evolution snapshot must read under ITS schema — the
+    // relation used to advertise the CURRENT (a2, b) columns while the
+    // scan returned (a), failing analysis on the mismatch
+    val old = spark.sql("SELECT * FROM ilsql.db6.evo VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("a"),
+      s"snapshot-scoped schema expected, got ${old.columns.toSeq}")
+    assert(old.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM ilsql.db6.evo VERSION AS OF 1")
+      .head.getLong(0) == 2L)
+    // current read serves the evolved schema
+    assert(spark.sql("SELECT * FROM ilsql.db6.evo").columns.toSeq == Seq("a2", "b"))
+  }
+
+  test("unknown 4-part identifiers surface NOT FOUND, not a namespace error") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db7")
+    spark.sql("CREATE TABLE ilsql.db7.t (id BIGINT)")
+    // .typo is not a metadata-table kind and .missing doesn't exist —
+    // both must resolve to TABLE_OR_VIEW_NOT_FOUND (Spark only treats
+    // NoSuchTableException as "try other resolutions / report not found")
+    for (bad <- Seq("ilsql.db7.t.typo", "ilsql.db7.missing.files")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT * FROM $bad").collect()
+      }
+      assert(e.getCondition != null &&
+        e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        s"$bad must be NOT FOUND, got ${e.getCondition}: ${e.getMessage.take(120)}")
+    }
+  }
+
+  test("a multi-change ALTER validates up front — a bad change applies nothing") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db8")
+    spark.sql("CREATE TABLE ilsql.db8.t (id BIGINT, v STRING)")
+    val cat = new graft.icelite.connector.IceLiteCatalog()
+    cat.initialize("ilsql_direct",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db8"), "t")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    def underlying = cat.loadTable(ident)
+      .asInstanceOf[graft.icelite.connector.IceLiteSparkTable].underlying
+    val before = underlying.currentVersion
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("x"), org.apache.spark.sql.types.LongType),
+        TableChange.addColumn(Array("v"), org.apache.spark.sql.types.LongType))
+    }
+    val t = underlying
+    assert(t.currentVersion == before,
+      "a failed multi-change ALTER must leave no half-applied commit")
+    assert(!t.meta.currentSchema.fields.exists(_.name == "x"),
+      "the first change must not survive the statement's failure")
+  }
+
+  test("procedures reject a dot-less table argument with a clear message") {
+    initCatalog()
+    val e = intercept[Exception] {
+      spark.sql("CALL ilsql.system.expire_snapshots('nodot', 0)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("db.table")),
+      s"expected a 'db.table' format hint, got: ${e.getMessage}")
+  }
 }

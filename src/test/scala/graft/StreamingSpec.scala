@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize lowers the session start when a late-but-earlier event joins") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamingIngest.sessionize(
+      mem.toDF.toDF("user_id", "ts", "value"), gapMs = 60000)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((7L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late but ABOVE the watermark (10:00:00 − 60s): accepted into the
+      // session — the emitted start must cover it, not the first-seen ts
+      mem.addData((7L, ts("2024-01-01 09:59:30"), 2.0))
+      q.processAllAvailable()
+      mem.addData((8L, ts("2024-01-01 11:00:00"), 0.1)) // push watermark
+      q.processAllAvailable()
+      mem.addData((8L, ts("2024-01-01 11:00:01"), 0.1)) // drain timeouts
+      q.processAllAvailable()
+      val row = spark.table("sessions_late").collect()
+        .find(_.getLong(0) == 7L).getOrElse(sys.error("session 7 not closed"))
+      assert(row.getLong(1) == 2L, s"both events must count: $row")
+      assert(row.getLong(3) == ts("2024-01-01 09:59:30").getTime,
+        s"session start must cover the late-but-earlier event: $row")
+      assert(row.getLong(4) == ts("2024-01-01 10:00:00").getTime)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
