@@ -532,6 +532,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) staged += st.getPath.toString
     }
+    // PATH order, not OS listing order: part file names encode the writing
+    // partition (part-00000 < part-00001 …), so sorting makes the file
+    // sequence — and therefore V3 row-id BLOCK assignment (tail order at
+    // commit) — deterministic for a deterministic write
+    val stagedSorted = staged.sorted
     val dataDir = new Path(location, "data")
     f.mkdirs(dataDir)
     val stagingPrefix = stagingDir.toString
@@ -546,12 +551,12 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // commit (the 100 TB case) runs O(files/64) per executor instead of
     // O(files) serial on the driver
     val out =
-      if (staged.size <= 16)
-        staged.toSeq.map(p =>
+      if (stagedSorted.size <= 16)
+        stagedSorted.toSeq.map(p =>
           IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
       else
         spark.sparkContext
-          .parallelize(staged.toSeq, math.min(staged.size, 64))
+          .parallelize(stagedSorted.toSeq, math.min(stagedSorted.size, 64))
           .map(p =>
             IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
           .collect().toSeq

@@ -371,8 +371,11 @@ object LakehouseOps {
     * block; a MoR delete leaves survivor ids untouched (files unrewritten)
     * and a CoW update PRESERVES ids (materialized into the rewritten
     * parquet) while re-stamping `_last_updated_sequence_number` to the
-    * update commit's sequence. Deterministic against DuckDB: one sorted
-    * single-file append ⇒ id = rank(o_orderkey) − 1; sequences are
+    * update commit's sequence. Deterministic against DuckDB: a
+    * range-partitioned sorted append ⇒ id = rank(o_orderkey) − 1
+    * regardless of where the sampled range boundaries fall (blocks are
+    * assigned in file-path order = range order, so the rows before file
+    * k are exactly the ranks before its first row); sequences are
     * 1 (append) and 2 (the update — position deletes apply to the exact
     * rows they name regardless of seq, so the MoR delete consumes no
     * data sequence). */
@@ -381,7 +384,9 @@ object LakehouseOps {
     (s, dir) => {
       val t = IceLite.createFrom(s, scratch("rowlin"), orders(s, dir),
         properties = Map("write.delete.mode" -> "merge-on-read"))
-      t.append(orders(s, dir).repartition(1).sortWithinPartitions("o_orderkey"))
+      t.append(orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
       t.delete(col("o_orderkey") % 7 === 0)
       t.update(col("o_orderkey") % 10 === 3, Map("o_totalprice" -> lit(999.0)))
       t.readRowLineage()
