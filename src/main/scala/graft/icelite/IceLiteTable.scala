@@ -535,8 +535,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // PATH order, not OS listing order: part file names encode the writing
     // partition (part-00000 < part-00001 …), so sorting makes the file
     // sequence — and therefore V3 row-id BLOCK assignment (tail order at
-    // commit) — deterministic for a deterministic write
-    val stagedSorted = staged.sorted
+    // commit) — deterministic for a deterministic write. NUMERIC part
+    // index, not lexicographic: past 99,999 parts "part-100000" sorts
+    // before "part-99999" as a string, which would silently reshuffle
+    // block order on a >100k-file single write (100 TB at 1 GB/file).
+    val stagedSorted = staged.sortBy(IceLite.stagedOrderKey)
     val dataDir = new Path(location, "data")
     f.mkdirs(dataDir)
     val stagingPrefix = stagingDir.toString
@@ -2423,6 +2426,19 @@ object IceLite {
     * the version-file prune's resumable low-water mark. */
   private[icelite] val PruneFloorProp = "metadata.prune-low-water"
 
+  private val PartNumRe = """part-(\d+)""".r
+
+  /** Sort key for staged part files: (parent dir, parsed part number,
+    * file name). Spark part indices are numeric — "part-100000" must
+    * order AFTER "part-99999", which plain string order gets wrong. Files
+    * without a parsable part index sort after all numbered ones, by name. */
+  private[icelite] def stagedOrderKey(p: String): (String, Long, String) = {
+    val slash = p.lastIndexOf('/')
+    val (dir, name) = if (slash >= 0) (p.substring(0, slash), p.substring(slash + 1)) else ("", p)
+    val idx = PartNumRe.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(Long.MaxValue)
+    (dir, idx, name)
+  }
+
   /** Is this delete-file path a deletion-vector container (either the
     * native `.ildv` RLE carrier or the Iceberg-V3 `.puffin` form)? */
   private[icelite] def isDvPath(p: String): Boolean =
@@ -2784,6 +2800,12 @@ object IceLite {
     // writes anything under the target
     require(!f.exists(new Path(new Path(location, "metadata"), HINT)),
       s"table exists at $location")
+    // one rewrite per distinct foreign eq-delete file across the WHOLE
+    // history walk — manifest lists carry deletes forward by reference,
+    // so the same eq file is live in many snapshots; rewriting it once
+    // keeps adoption cost O(distinct delete files), not O(snapshots)
+    val eqRewriteCache =
+      scala.collection.mutable.Map[(String, Seq[Int], Long), DeleteFile]()
     def adoptDeletes(posDels: Seq[String],
         dvRefs: Seq[IcebergInterop.DvRef],
         eqRefs: Seq[IcebergInterop.EqDeleteRef]): Seq[DeleteFile] = {

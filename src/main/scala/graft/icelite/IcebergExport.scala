@@ -599,7 +599,13 @@ object IcebergExport {
     // sequence_number) MATERIALIZED into the exported parquet under the
     // spec's reserved field ids — the export is a rewrite, so positional
     // inheritance cannot carry the ids; materialization does. Rows never
-    // assigned an id (pre-lineage files) export null and stay null.
+    // assigned an id (pre-lineage files) export a null materialized
+    // _row_id and — because every exported file is assigned a
+    // first_row_id block — pick up FRESH inherited ids
+    // (first_row_id + pos) in any spec-conformant reader, exactly as
+    // compact() assigns fresh ids to pre-lineage rows it rewrites. The
+    // source table keeps reading null for those rows until its own next
+    // rewrite; the export is a new lineage epoch for them by design.
     val lineage = m.nextRowId > 0
     // fresh id blocks for the exported (rewritten) files, continuing past
     // both the table's own counter and a chained base's — disjoint from

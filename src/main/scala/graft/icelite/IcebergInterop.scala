@@ -96,7 +96,12 @@ object IcebergInterop {
   }
 
   final case class IceSnapshot(id: Long, timestampMs: Long, operation: String,
-      manifestList: Option[String], manifests: Seq[String], schemaId: Option[Int])
+      manifestList: Option[String], manifests: Seq[String], schemaId: Option[Int],
+      // v2+ commit-order sequence number (None on v1 shapes) — the
+      // authoritative history order; real writers mint RANDOM snapshot
+      // ids, so id order says nothing about time order
+      sequenceNumber: Option[Long] = None,
+      parentId: Option[Long] = None)
 
   /** One partition-spec field: `name` is the partition field name the
     * manifest's partition tuples use; `transform` ∈ identity / year /
@@ -171,7 +176,9 @@ object IcebergInterop {
           .map(_.asText()).getOrElse("append"),
         Option(s.get("manifest-list")).map(_.asText()),
         arr(s, "manifests").map(_.asText()), // v1 inline manifest paths
-        Option(s.get("schema-id")).map(_.asInt()))
+        Option(s.get("schema-id")).map(_.asInt()),
+        Option(s.get("sequence-number")).map(_.asLong()),
+        Option(s.get("parent-snapshot-id")).map(_.asLong()))
     }
     IceMeta(
       Option(r.get("location")).map(_.asText()).getOrElse(""),
@@ -244,10 +251,13 @@ object IcebergInterop {
     val eqRefs = scala.collection.mutable.ArrayBuffer[EqDeleteRef]()
     manifestPaths.foreach { case (mp, manifestContent, specId, mlSeq, mlAddedSnap,
         mlFirstRowId) =>
-      // V3 inheritance: a running offset from the manifest's first_row_id,
-      // advanced by every data entry's record_count in entry order —
-      // entries with an explicit first_row_id keep it (and still advance
-      // the offset, per the spec's assignment rule)
+      // V3 inheritance: a running offset from the manifest's first_row_id.
+      // Per the spec, ONLY entries with a null first_row_id consume from
+      // the manifest's inherited block — entries carrying an explicit
+      // first_row_id (existing/carried files) keep their value and do NOT
+      // advance the offset. A merged manifest shaped [null, explicit,
+      // null] must give the trailing null entry
+      // first_row_id + preceding-NULL record counts.
       var rowIdOffset = mlFirstRowId
       rows(mp).foreach { e =>
         val status = optInt(e, "status", 1)
@@ -274,8 +284,8 @@ object IcebergInterop {
               val explicitFrid = optField(df, "first_row_id")
                 .map(_.asInstanceOf[Number].longValue)
               val frid = explicitFrid.orElse(rowIdOffset)
-              rowIdOffset = rowIdOffset.map(_ => explicitFrid
-                .getOrElse(rowIdOffset.get) + records)
+              if (explicitFrid.isEmpty)
+                rowIdOffset = rowIdOffset.map(_ + records)
               dataFiles += IceDataFile(str(df, "file_path"), specId, part, seq,
                 optField(e, "snapshot_id")
                   .map(_.asInstanceOf[Number].longValue).getOrElse(mlAddedSnap),

@@ -194,8 +194,23 @@ final case class TableMetadata(
   def spec(id: Int): PartitionSpec = specs.find(_.specId == id).get
   def defaultSpec: PartitionSpec = spec(defaultSpecId)
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(i => snapshots.find(_.id == i))
+  /** Snapshot by id — also resolves FOREIGN snapshot ids of an adopted
+    * Iceberg table: adoption remaps random foreign ids to a dense
+    * monotone sequence (IceLite range semantics assume id order = time
+    * order) and records `adopted.foreign-snapshot.<foreignId> -> nativeId`
+    * in table properties, so `VERSION AS OF <foreign id>` keeps serving
+    * every pre-adoption point. Native ids win on collision. */
   def snapshot(id: Long): Snapshot =
-    snapshots.find(_.id == id).getOrElse(sys.error(s"no snapshot $id"))
+    snapshots.find(_.id == id)
+      .orElse(properties.get(s"${TableMetadata.ForeignSnapshotProp}$id")
+        .flatMap(nid => nid.toLongOption.flatMap(n => snapshots.find(_.id == n))))
+      .getOrElse(sys.error(s"no snapshot $id"))
+}
+
+object TableMetadata {
+  /** Property-key prefix recording an adopted table's foreign→native
+    * snapshot-id remap: `adopted.foreign-snapshot.<foreignId> = <nativeId>`. */
+  val ForeignSnapshotProp = "adopted.foreign-snapshot."
 }
 
 /** Hand-rolled Jackson serde — explicit tree building, no reflection, so the

@@ -187,31 +187,7 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     // or the server becomes an arbitrary-local-file read oracle
     if (body.get("metadata-location") != null) {
       val ml = body.get("metadata-location").asText()
-      // normalize through java.nio (URI.getPath preserves `..` segments,
-      // so a prefix check alone is traversal-bypassable) and compare
-      // scheme+authority too — a different host/bucket with a matching
-      // path must not pass
-      // (scheme, authority, normalized path) — URI-parse when legal, raw
-      // filesystem path otherwise (paths with spaces are URI-illegal but
-      // filesystem-legal; they must still commit). None = unparseable
-      // under both readings → reject.
-      def parts(s: String): Option[(String, String, java.nio.file.Path)] =
-        (try {
-          val u = new java.net.URI(s)
-          Option(u.getPath).filter(_.nonEmpty).map(p =>
-            (Option(u.getScheme).getOrElse("file"),
-              Option(u.getAuthority).getOrElse(""),
-              java.nio.file.Paths.get(p).normalize()))
-        } catch { case _: java.net.URISyntaxException => None })
-          .orElse(
-            try Some(("file", "", java.nio.file.Paths.get(s).normalize()))
-            catch { case _: java.nio.file.InvalidPathException => None })
-      val confined = (parts(warehouse), parts(ml)) match {
-        case (Some((rs, ra, rp)), Some((ms, ma, mp))) =>
-          rs == ms && ra == ma && mp.startsWith(rp) && mp != rp
-        case _ => false
-      }
-      if (!confined) {
+      if (!RestCatalogServer.confinedUnder(warehouse, ml)) {
         error(ex, 400, "BadRequestException",
           s"metadata-location must resolve under the warehouse ($warehouse)")
         return
@@ -405,5 +381,41 @@ class RestCatalogServer(spark: SparkSession, warehouse: String) {
     val e = root.putObject("error")
     e.put("message", msg); e.put("type", errType); e.put("code", code)
     json(ex, code, M.writeValueAsString(root))
+  }
+}
+
+object RestCatalogServer {
+  /** Is `ml` a path STRICTLY under `warehouse`? Normalizes through
+    * java.nio (URI.getPath preserves `..` segments, so a prefix check
+    * alone is traversal-bypassable) and compares scheme+authority too —
+    * a different host/bucket with a matching path must not pass.
+    *
+    * Each side becomes (scheme, authority, normalized path) — URI-parsed
+    * when legal, raw filesystem path otherwise (paths with spaces are
+    * URI-illegal but filesystem-legal; they must still commit).
+    * Unparseable under both readings → not confined. */
+  private[icelite] def confinedUnder(warehouse: String, ml: String): Boolean = {
+    def parts(s: String): Option[(String, String, java.nio.file.Path)] =
+      (try {
+        val u = new java.net.URI(s)
+        val rawPath = Option(u.getPath).getOrElse("")
+        // a warehouse like "s3://bucket" parses with an EMPTY path —
+        // keep the scheme/authority and treat the path as the root,
+        // rather than discarding the parse and mislabeling it as a
+        // local filesystem path (which would reject every staged
+        // commit under it: scheme/authority could never match)
+        if (u.getScheme == null && rawPath.isEmpty) None
+        else Some((Option(u.getScheme).getOrElse("file"),
+          Option(u.getAuthority).getOrElse(""),
+          java.nio.file.Paths.get(if (rawPath.isEmpty) "/" else rawPath).normalize()))
+      } catch { case _: java.net.URISyntaxException => None })
+        .orElse(
+          try Some(("file", "", java.nio.file.Paths.get(s).normalize()))
+          catch { case _: java.nio.file.InvalidPathException => None })
+    (parts(warehouse), parts(ml)) match {
+      case (Some((rs, ra, rp)), Some((ms, ma, mp))) =>
+        rs == ms && ra == ma && mp.startsWith(rp) && mp != rp
+      case _ => false
+    }
   }
 }

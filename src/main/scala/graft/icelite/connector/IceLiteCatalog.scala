@@ -127,31 +127,58 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
     // validate EVERY change up front — each change commits its own
     // metadata version, so a mid-statement failure would otherwise leave
     // the ALTER half-applied (x added, y's bad type aborts the statement)
-    val sch = t.meta.currentSchema
-    val names = scala.collection.mutable.Set(sch.fields.map(_.name): _*)
+    val m0 = t.meta
+    val sch = m0.currentSchema
+    // track name -> (field id if pre-existing, current dtype) so the
+    // validation pass can mirror the APPLY-stage guards too — existence
+    // alone is not enough: a multi-change ALTER like (ADD COLUMN x,
+    // ALTER COLUMN v TYPE INT narrowing) would pass an existence-only
+    // check, half-apply, and abort mid-statement
+    val cols = scala.collection.mutable.LinkedHashMap(
+      sch.fields.map(f => f.name -> (Option(f.id), f.dtype)): _*)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "nested add unsupported")
-        require(!names(add.fieldNames().head),
+        require(!cols.contains(add.fieldNames().head),
           s"column ${add.fieldNames().head} exists")
         org.apache.spark.sql.types.DataType.fromDDL(add.dataType().sql)
-        names += add.fieldNames().head
+        cols += add.fieldNames().head -> (None, add.dataType().sql)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested rename unsupported")
-        require(names(ren.fieldNames().head),
+        require(cols.contains(ren.fieldNames().head),
           s"no column ${ren.fieldNames().head}")
-        require(!names(ren.newName()), s"column ${ren.newName()} exists")
-        names -= ren.fieldNames().head; names += ren.newName()
+        require(!cols.contains(ren.newName()), s"column ${ren.newName()} exists")
+        val entry = cols.remove(ren.fieldNames().head).get
+        cols += ren.newName() -> entry
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1, "nested type change unsupported")
-        require(names(upd.fieldNames().head),
-          s"no column ${upd.fieldNames().head}")
+        val nm = upd.fieldNames().head
+        require(cols.contains(nm), s"no column $nm")
         org.apache.spark.sql.types.DataType.fromDDL(upd.newDataType().sql)
+        val (fid, cur) = cols(nm)
+        require(graft.icelite.IceLite.isWidening(cur, upd.newDataType().sql),
+          s"cannot narrow $cur to ${upd.newDataType().sql}")
+        cols(nm) = (fid, upd.newDataType().sql)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested drop unsupported")
-        require(names(del.fieldNames().head),
-          s"no column ${del.fieldNames().head}")
-        names -= del.fieldNames().head
+        val nm = del.fieldNames().head
+        require(cols.contains(nm), s"no column $nm")
+        require(cols.size > 1, s"cannot drop the only column $nm")
+        // mirror dropColumn's apply-stage guards (partition source,
+        // sort order, retained equality deletes) — only pre-existing
+        // fields carry an id; a column added earlier in this statement
+        // can always be dropped
+        cols(nm)._1.foreach { fid =>
+          require(!m0.specs.exists(_.fields.exists(_.sourceId == fid)),
+            s"$nm is a partition source column; evolve the partition spec first")
+          require(!m0.snapshots.exists(_.deletes.eqFieldIdSet.contains(fid)),
+            s"$nm keys an equality delete in a retained snapshot; " +
+              "compact, then expire those snapshots first")
+        }
+        require(!m0.properties.get("write.sort-order").exists(
+          _.split(",").map(_.trim).contains(nm)),
+          s"$nm is in the declared sort order; clear it first")
+        cols -= nm
       case _: TableChange.SetProperty => ()
       case other => throw new UnsupportedOperationException(s"table change $other")
     }

@@ -675,4 +675,76 @@ class IcebergInteropSpec extends SparkSpec {
     (0L until 100L).foreach(i => assert(ids(i) == 100L + i,
       s"row $i must inherit id ${100 + i} from the manifest block, got ${ids(i)}"))
   }
+
+  test("v3 mixed explicit/null first_row_id: only null entries consume the block") {
+    // a merged manifest shaped [null, explicit, null]: per the V3 spec,
+    // entries carrying an explicit first_row_id (existing/carried files)
+    // keep it and do NOT advance the manifest's inherited offset — the
+    // trailing null entry must get first_row_id + preceding-NULL record
+    // counts, not explicit + record_count
+    val loc = Files.createTempDirectory("iceberg_v3_mixed").toString
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    val f1 = dataFile(loc, "data/b1", 0 until 50)
+    val f2 = dataFile(loc, "data/b2", 50 until 100)
+    val f3 = dataFile(loc, "data/b3", 100 until 150)
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r2x","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"},
+        |   {"name":"first_row_id","type":["null","long"],"default":null}]}}]}"""
+        .stripMargin)
+    def entry(path: String, frid: Option[Long]): GenericRecord = {
+      val df = new GenericData.Record(schema.getField("data_file").schema())
+      df.put("content", 0); df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 50L); df.put("file_size_in_bytes", 1024L)
+      frid.foreach(v => df.put("first_row_id", v))
+      val e = new GenericData.Record(schema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    val m1 = s"$loc/metadata/m1.avro"
+    writeAvro(m1, schema,
+      Seq(entry(f1, None), entry(f2, Some(500L)), entry(f3, None)))
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"added_snapshot_id","type":"long"},
+        | {"name":"first_row_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    val mlRow = new GenericData.Record(mlSchema)
+    mlRow.put("manifest_path", m1); mlRow.put("manifest_length", 512L)
+    mlRow.put("partition_spec_id", 0); mlRow.put("content", 0)
+    mlRow.put("added_snapshot_id", 1L); mlRow.put("first_row_id", 100L)
+    val ml = s"$loc/metadata/ml1.avro"
+    writeAvro(ml, mlSchema, Seq(mlRow))
+    val mj = s"$loc/metadata/v3.metadata.json"
+    Files.write(Paths.get(mj), metadataJson(loc, Seq((1L, ml)), 1L)
+      .replace("\"format-version\": 2",
+        "\"format-version\": 3,\n  \"next-row-id\": 1000")
+      .getBytes("UTF-8"))
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.nextRowId == 1000L)
+    val ids = t.readRowLineage()
+      .select(col("id"), col(IceLite.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.size == 150)
+    // f1 (null) consumes [100,150); f2 keeps its explicit 500 block and
+    // does NOT advance the offset; f3 (null) consumes [150,200)
+    (0L until 50L).foreach(i => assert(ids(i) == 100L + i,
+      s"f1 row $i: expected ${100 + i}, got ${ids(i)}"))
+    (50L until 100L).foreach(i => assert(ids(i) == 500L + (i - 50),
+      s"f2 row $i: expected ${500 + (i - 50)}, got ${ids(i)}"))
+    (100L until 150L).foreach(i => assert(ids(i) == 150L + (i - 100),
+      s"f3 row $i: expected ${150 + (i - 100)}, got ${ids(i)}"))
+  }
 }

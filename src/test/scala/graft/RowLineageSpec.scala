@@ -175,6 +175,52 @@ class RowLineageSpec extends SparkSpec {
     expected.foreach { case (id, lin) => assert(la(id) == lin) }
   }
 
+  test("pre-lineage rows export with FRESH inherited ids; the source keeps reading null") {
+    val loc = scratch("prelin")
+    val t = IceLite.createFrom(spark, loc, Seq((0L, "x")).toDF("id", "v"))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((10L until 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    // forge an OLD-WRITER state: strip the second file's id block while
+    // the counter stays at 10 — the shape a pre-lineage metadata version
+    // (or a REST-only writer's commit) leaves behind: lineage is ON
+    // (nextRowId > 0) but one live file owns no block
+    val (v, m) = t.versionedMeta
+    val snaps = m.snapshots.map { s =>
+      s.withListing(FileListing(s.files.manifests,
+        s.files.tail.map(f =>
+          if (f.firstRowId.exists(_ >= 10L)) f.copy(firstRowId = None) else f),
+        t.manifestIO))
+    }
+    val forged = m.copy(snapshots = snaps, nextRowId = 10L)
+    t.store.createExclusive(
+      new org.apache.hadoop.fs.Path(loc, s"metadata/v${v + 1}.json"),
+      MetaJson.toJson(forged))
+    IceLite.swapHintForward(t.store,
+      new org.apache.hadoop.fs.Path(loc, s"metadata/${IceLite.HINT}"), v + 1)
+    val t2 = IceLite.load(spark, loc)
+    val srcLin = t2.readRowLineage().select(col("id"), col(IceLite.RowIdCol))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    (0L until 10L).foreach(i => assert(srcLin(i).contains(i)))
+    (10L until 20L).foreach(i => assert(srcLin(i).isEmpty,
+      s"pre-lineage row $i must read null _row_id in the source"))
+    // the export is a REWRITE: every exported file gets a first_row_id
+    // block, so never-assigned rows pick up fresh INHERITED ids in any
+    // spec-conformant reader (same as compact() rewriting them) — the
+    // export is a new lineage epoch for those rows, while lineaged rows
+    // keep their materialized ids verbatim
+    val mj = IcebergExport.export(t2, s"$loc/exported")
+    val a = IceLite.adopt(spark, mj, s"$loc/adopted")
+    val al = lineage(a)
+    assert(al.size == 20)
+    (0L until 10L).foreach(i => assert(al(i)._1 == i,
+      s"lineaged row $i keeps its materialized id across export/adopt"))
+    val fresh = (10L until 20L).map(al(_)._1)
+    assert(fresh.toSet.size == 10, "fresh inherited ids are distinct")
+    assert(fresh.forall(_ >= 10L),
+      s"fresh ids must be disjoint from the source's assigned blocks, got $fresh")
+  }
+
   test("lineage round-trips the metadata serde (JSON tail + avro chunks)") {
     val loc = scratch("serde")
     val t = IceLite.createFrom(spark, loc, Seq((0L, "x")).toDF("id", "v"))

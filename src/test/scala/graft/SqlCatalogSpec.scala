@@ -398,6 +398,46 @@ class SqlCatalogSpec extends SparkSpec {
       "the first change must not survive the statement's failure")
   }
 
+  test("ALTER validation mirrors apply-stage guards: narrowing and guarded drops apply nothing") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.db8b")
+    spark.sql(
+      "CREATE TABLE ilsql.db8b.t (id BIGINT, v BIGINT) PARTITIONED BY (id)")
+    val cat = new graft.icelite.connector.IceLiteCatalog()
+    cat.initialize("ilsql_direct2",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db8b"), "t")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def underlying = cat.loadTable(ident)
+      .asInstanceOf[graft.icelite.connector.IceLiteSparkTable].underlying
+    val before = underlying.currentVersion
+    // a NARROWING type change ordered after an add: the up-front pass must
+    // reject it before the add commits its own version
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("x"), LongType),
+        TableChange.updateColumnType(Array("v"), IntegerType))
+    }
+    assert(underlying.currentVersion == before,
+      "a narrowing ALTER must commit nothing")
+    assert(!underlying.meta.currentSchema.fields.exists(_.name == "x"))
+    // a drop of a PARTITION-SOURCE column ordered after an add
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("y"), LongType),
+        TableChange.deleteColumn(Array("id"), java.lang.Boolean.FALSE))
+    }
+    assert(underlying.currentVersion == before,
+      "a guarded drop must commit nothing")
+    assert(!underlying.meta.currentSchema.fields.exists(_.name == "y"))
+    // the same changes split into legal statements still work
+    cat.alterTable(ident, TableChange.addColumn(Array("x"), LongType))
+    assert(underlying.meta.currentSchema.fields.exists(_.name == "x"))
+  }
+
   test("procedures reject a dot-less table argument with a clear message") {
     initCatalog()
     val e = intercept[Exception] {
