@@ -2806,11 +2806,15 @@ object IceLite {
     // keeps adoption cost O(distinct delete files), not O(snapshots)
     val eqRewriteCache =
       scala.collection.mutable.Map[(String, Seq[Int], Long), DeleteFile]()
+    // pos-delete row counts: one footer read per distinct file, not per
+    // (snapshot, file) — manifest lists carry deletes forward, so the
+    // same file recurs across the walk
+    val rowsCache = scala.collection.mutable.Map[String, Long]()
     def adoptDeletes(posDels: Seq[String],
         dvRefs: Seq[IcebergInterop.DvRef],
         eqRefs: Seq[IcebergInterop.EqDeleteRef]): Seq[DeleteFile] = {
       val posD = posDels.distinct.sorted.map(p =>
-        DeleteFile(p, parquetRows(p), kind = "pos"))
+        DeleteFile(p, rowsCache.getOrElseUpdate(p, parquetRows(p)), kind = "pos"))
       val dvD = dvRefs.groupBy(_.path).toSeq.sortBy(_._1).map { case (p, refs) =>
         require(p.endsWith(PuffinDv.Ext),
           s"iceberg adopt: unsupported deletion-vector container $p")
@@ -2819,6 +2823,7 @@ object IceLite {
           pathLo = Some(paths.min), pathHi = Some(paths.max))
       }
       val eqD = eqRefs.sortBy(_.path).map { ref =>
+        eqRewriteCache.getOrElseUpdate((ref.path, ref.ids, ref.seq), {
         val keyFields = ref.ids.map { id =>
           require(sch.hasId(id),
             s"iceberg adopt: equality_ids field $id not in the adopted schema")
@@ -2842,6 +2847,7 @@ object IceLite {
         }
         DeleteFile(part.toString, parquetRows(part.toString), kind = "eq",
           eqFieldIds = ref.ids, seq = ref.seq)
+        })
       }
       posD ++ dvD ++ eqD
     }
@@ -2885,34 +2891,49 @@ object IceLite {
     val headRaw = rawSnapshot(snap, strict = true).get
     def headAdopted = (snap, headRaw._1,
       adoptDeletes(headRaw._2, headRaw._3, headRaw._4))
-    // HISTORY: an append-only foreign lineage registers each snapshot, so
-    // `VERSION AS OF <foreign id>` keeps serving pre-adoption points (time
-    // travel is the tutorial's centerpiece). Requires ids monotone in time
-    // order (IceLite range semantics assume id order = time order; real
-    // Iceberg's random ids usually fail this and fall back to head-only),
-    // every historical file resolvable under the adopted schema, and no
-    // delete files before the head (deletes break append-only history).
+    // HISTORY: real Iceberg writers mint RANDOM snapshot ids, and real
+    // histories contain compactions / overwrites / MoR deletes — so the
+    // walk must not require monotone ids or pure appends. Every foreign
+    // snapshot registers its COMPLETE file + delete set (IceLite
+    // snapshots store full file lists, so replace/overwrite/delete
+    // points are representable as-is, and each one's deletes carry via
+    // adoptDeletes with the per-file eq-rewrite cached across the walk).
+    // Foreign ids are remapped below to a dense monotone 1..N in COMMIT
+    // order (sequence-number, then timestamp — id order means nothing),
+    // because IceLite's range semantics assume id order = time order;
+    // the foreign id is recorded per snapshot in table properties, so
+    // `VERSION AS OF <foreign id>` serves every pre-adoption point.
+    // Falls back to head-only when a historical snapshot fails to parse
+    // or resolve under the adopted schema (schema-evolved lineages:
+    // compact the source first), or when the current snapshot is not
+    // the commit-order tip (a rolled-back foreign head would otherwise
+    // adopt "future" snapshots above it).
     val adopted: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
-      val ordered = ice.snapshots.sortBy(_.timestampMs)
-      val monotone = ordered.map(_.id) == ordered.map(_.id).sorted &&
-        ordered.map(_.id).distinct.size == ordered.size
-      if (ordered.size > 1 && monotone && ordered.last.id == snap.id &&
-          ordered.forall(_.operation == "append")) {
+      val ordered = ice.snapshots.sortBy(s =>
+        (s.sequenceNumber.getOrElse(Long.MinValue), s.timestampMs, s.id))
+      if (ordered.size > 1 && ordered.last.id == snap.id) {
         val rest = ordered.init.map(s => s -> rawSnapshot(s, strict = false))
-        val cleanHistory = rest.forall { case (_, r) =>
-          r.exists(t => t._2.isEmpty && t._3.isEmpty && t._4.isEmpty) }
-        if (cleanHistory)
-          rest.map { case (s, r) => (s, r.get._1, Seq.empty[DeleteFile]) } :+
+        if (rest.forall(_._2.isDefined))
+          rest.map { case (s, r) =>
+            (s, r.get._1, adoptDeletes(r.get._2, r.get._3, r.get._4)) } :+
             headAdopted
         else Seq(headAdopted)
       } else Seq(headAdopted)
     }
     val allFiles = adopted.flatMap(_._2)
     val specs = mkSpecs(allFiles.map(_.specId))
+    // dense monotone native ids 1..N in commit order; the foreign
+    // operation labels (append/replace/overwrite/delete) are native
+    // labels too, so e.g. the changelog keeps skipping pure "replace"
+    // (compaction) points. Foreign branch structure is linearized —
+    // each snapshot's FILE SET is exact, so time travel to any foreign
+    // id is exact; only fabricated parent edges differ from the source.
     val snapshots = adopted.zipWithIndex.map { case ((s, dfs, dels), i) =>
-      Snapshot(s.id, if (i == 0) None else Some(adopted(i - 1)._1.id),
-        s.timestampMs, "append", dfs, dels, 0)
+      Snapshot((i + 1).toLong, if (i == 0) None else Some(i.toLong),
+        s.timestampMs, s.operation, dfs, dels, 0)
     }
+    val foreignIdProps = adopted.zipWithIndex.map { case ((s, _, _), i) =>
+      s"${TableMetadata.ForeignSnapshotProp}${s.id}" -> (i + 1).toString }.toMap
     val now = System.currentTimeMillis()
     val m = TableMetadata(
       location = location,
@@ -2921,8 +2942,8 @@ object IceLite {
       schemas = Seq(sch),
       defaultSpecId = ice.defaultSpecId,
       specs = specs,
-      properties = Map("adopted.from" -> metadataJson),
-      currentSnapshotId = Some(snap.id),
+      properties = Map("adopted.from" -> metadataJson) ++ foreignIdProps,
+      currentSnapshotId = Some(snapshots.last.id),
       snapshots = snapshots,
       metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")),
       // V3 row lineage: resume the foreign id counter (never below the

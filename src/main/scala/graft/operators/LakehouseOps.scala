@@ -1333,12 +1333,16 @@ object LakehouseOps {
              ) ORDER BY o_orderkey"""),
   )
 
-  /** Adopt HISTORY (time travel across the migrate-in boundary): an
-    * append-only foreign lineage registers each foreign snapshot as an
-    * IceLite snapshot, so `VERSION AS OF` a PRE-adoption snapshot id
-    * keeps serving — the tutorial's time-travel centerpiece
-    * (README.md:1000–1015) surviving a table migration. The returned
-    * frame is the MID-lineage point; the head and first point are
+  /** Adopt HISTORY (time travel across the migrate-in boundary): every
+    * foreign snapshot registers as an IceLite snapshot, so `VERSION AS
+    * OF` a PRE-adoption snapshot id keeps serving — the tutorial's
+    * time-travel centerpiece (README.md:1000–1015) surviving a table
+    * migration. Real Iceberg writers mint RANDOM snapshot ids, so the
+    * exported ids are rewritten to a non-monotone random-looking set
+    * before adopting: the query proves the order-preserving id remap
+    * (dense native ids + foreign-id lookup via table properties), not
+    * just the monotone-id happy path. The returned frame is the
+    * MID-lineage point BY ITS FOREIGN ID; head and first point are
     * require-checked in place. */
   private val icebergAdoptHistory = QueryDef(
     "iceberg_adopt_history",
@@ -1354,14 +1358,32 @@ object LakehouseOps {
       val s3 = src.meta.currentSnapshotId.get
       val foreign = scratch("adopthist_foreign")
       val mj = graft.icelite.IcebergExport.export(src, foreign, Seq(s1, s2, s3))
+      // randomize the exported snapshot ids (non-monotone, like real
+      // writers') — only `"snapshot-id": N,` nodes and the current
+      // pointer; sequence-numbers keep the true commit order
+      val rand = Map(s1 -> 7720249459238351L, s2 -> 112233445566L,
+        s3 -> 9007111254740993L)
+      val mp = java.nio.file.Paths.get(mj)
+      val edited = rand.foldLeft(
+        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")) {
+        case (acc, (o, n)) =>
+          acc.replace(s""""snapshot-id": $o,""", s""""snapshot-id": $n,""")
+            .replace(s""""current-snapshot-id": $o""",
+              s""""current-snapshot-id": $n""")
+      }
+      java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+      // the raw byte rewrite invalidates the Hadoop local-FS checksum
+      // sidecar the export wrote — drop it or the next read fails CRC
+      java.nio.file.Files.deleteIfExists(
+        mp.resolveSibling("." + mp.getFileName + ".crc"))
       val t = graft.icelite.IceLite.adopt(s, mj, foreign)
-      require(t.meta.snapshots.map(_.id) == Seq(s1, s2, s3),
-        "history adoption must register every foreign snapshot")
-      require(t.readAsOf(s1).count() == slice(0L, 2000L).count(),
-        "VERSION AS OF the first pre-adoption snapshot must serve")
+      require(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L),
+        "random foreign ids must remap to a dense monotone native sequence")
+      require(t.readAsOf(rand(s1)).count() == slice(0L, 2000L).count(),
+        "VERSION AS OF the first foreign id must serve")
       require(t.read().count() == orders(s, dir).count(),
         "the adopted head must serve the full table")
-      stateOf(t.readAsOf(s2))
+      stateOf(t.readAsOf(rand(s2)))
     },
     Some(s"""SELECT $ordersCols FROM orders
              WHERE o_orderkey < 4000 ORDER BY o_orderkey"""),

@@ -419,4 +419,137 @@ class IcebergAdoptSpec extends SparkSpec {
       IceLite.adopt(spark, mj2, s"$loc/occupied"))
     assert(e2.getMessage.contains("table exists"))
   }
+
+  test("REAL lineage adoption: random ids + MoR delete + mid-history compaction, every point time-travels") {
+    // the shape a production Iceberg writer leaves behind: RANDOM
+    // (non-monotone) snapshot ids, commit order carried only by
+    // sequence-number, a merge-on-read position delete mid-history, a
+    // compaction ("replace") that rewrites the live set, then a
+    // post-compaction append. Adoption must register EVERY point with a
+    // dense native id remap and serve `VERSION AS OF <foreign id>`
+    // hash-identical to the foreign reader at each point.
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val loc = Files.createTempDirectory("ice_adopt_real").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$loc/metadata"))
+    def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path))
+      try rs.foreach(w.append) finally w.close()
+    }
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        | {"name":"status","type":"int"},
+        | {"name":"snapshot_id","type":"long"},
+        | {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |   {"name":"content","type":"int"},
+        |   {"name":"file_path","type":"string"},
+        |   {"name":"file_format","type":"string"},
+        |   {"name":"record_count","type":"long"},
+        |   {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        | {"name":"manifest_path","type":"string"},
+        | {"name":"manifest_length","type":"long"},
+        | {"name":"partition_spec_id","type":"int"},
+        | {"name":"content","type":"int"},
+        | {"name":"sequence_number","type":"long"},
+        | {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    def entry(content: Int, p: String, n: Long): GenericRecord = {
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", content); df.put("file_path", p)
+      df.put("file_format", "PARQUET"); df.put("record_count", n)
+      df.put("file_size_in_bytes", 1024L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", df)
+      e
+    }
+    def mlRow(p: String, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", p); r.put("manifest_length", 512L)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("added_snapshot_id", 1L)
+      r
+    }
+    def write1(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(s"$loc/$name")
+      Files.list(java.nio.file.Paths.get(s"$loc/$name")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    def rowsDf(r: Range) =
+      r.map(i => (i.toLong, s"row-$i")).toDF("id", "data")
+        .repartition(1).sortWithinPartitions("id")
+    val f1 = write1("data/b1", rowsDf(0 until 50))
+    val f2 = write1("data/b2", rowsDf(50 until 100))
+    // MoR delete: positions 0..4 of f1 (ids 0..4 — f1 is id-ordered)
+    val d1 = write1("deletes/d1",
+      (0L until 5L).map(p => (f1, p)).toDF("file_path", "pos"))
+    // compaction output: the live set after the delete, rewritten
+    val f3 = write1("data/b3", rowsDf(5 until 100))
+    val f4 = write1("data/b4", rowsDf(100 until 120))
+    val meta = s"$loc/metadata"
+    writeAvro(s"$meta/m1.avro", entrySchema, Seq(entry(0, f1, 50)))
+    writeAvro(s"$meta/m2.avro", entrySchema, Seq(entry(0, f2, 50)))
+    writeAvro(s"$meta/dm1.avro", entrySchema, Seq(entry(1, d1, 5)))
+    writeAvro(s"$meta/m3.avro", entrySchema, Seq(entry(0, f3, 95)))
+    writeAvro(s"$meta/m4.avro", entrySchema, Seq(entry(0, f4, 20)))
+    writeAvro(s"$meta/ml-a.avro", mlSchema, Seq(mlRow(s"$meta/m1.avro", 0, 1)))
+    writeAvro(s"$meta/ml-b.avro", mlSchema, Seq(
+      mlRow(s"$meta/m1.avro", 0, 1), mlRow(s"$meta/m2.avro", 0, 2)))
+    writeAvro(s"$meta/ml-c.avro", mlSchema, Seq(
+      mlRow(s"$meta/m1.avro", 0, 1), mlRow(s"$meta/m2.avro", 0, 2),
+      mlRow(s"$meta/dm1.avro", 1, 3)))
+    writeAvro(s"$meta/ml-d.avro", mlSchema, Seq(mlRow(s"$meta/m3.avro", 0, 4)))
+    writeAvro(s"$meta/ml-e.avro", mlSchema, Seq(
+      mlRow(s"$meta/m3.avro", 0, 4), mlRow(s"$meta/m4.avro", 0, 5)))
+    // random non-monotone ids: commit order A,B,C,D,E is carried ONLY by
+    // sequence-number (and timestamps) — id order is meaningless
+    val (idA, idB, idC, idD, idE) =
+      (7720249459238351L, 112233445566L, 9007111254740993L,
+        31415926535897L, 271828182845904L)
+    def snapJson(id: Long, seq: Long, ts: Long, op: String, ml: String) =
+      s"""{"snapshot-id": $id, "timestamp-ms": $ts, "sequence-number": $seq,
+         | "summary": {"operation": "$op"}, "manifest-list": "$ml"}""".stripMargin
+    val mj = s"$meta/v1.metadata.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mj),
+      s"""{
+         |  "format-version": 2, "location": "$loc", "last-column-id": 2,
+         |  "last-sequence-number": 5,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "id", "required": false, "type": "long"},
+         |    {"id": 2, "name": "data", "required": false, "type": "string"}]}],
+         |  "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "current-snapshot-id": $idE,
+         |  "snapshots": [
+         |    ${snapJson(idA, 1, 1700000000001L, "append", s"$meta/ml-a.avro")},
+         |    ${snapJson(idB, 2, 1700000000002L, "append", s"$meta/ml-b.avro")},
+         |    ${snapJson(idC, 3, 1700000000003L, "delete", s"$meta/ml-c.avro")},
+         |    ${snapJson(idD, 4, 1700000000004L, "replace", s"$meta/ml-d.avro")},
+         |    ${snapJson(idE, 5, 1700000000005L, "append", s"$meta/ml-e.avro")}]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    // dense monotone native ids in commit order, operations preserved
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(t.meta.snapshots.map(_.operation) ==
+      Seq("append", "append", "delete", "replace", "append"))
+    assert(t.meta.currentSnapshotId.contains(5L))
+    // VERSION AS OF every FOREIGN id hash-matches the foreign reader
+    for (fid <- Seq(idA, idB, idC, idD, idE))
+      assert(rows(t.readAsOf(fid)) == rows(IcebergInterop.readAsOf(spark, mj, fid)),
+        s"foreign id $fid must time-travel hash-identical to the foreign reader")
+    assert(t.readAsOf(idA).count() == 50)
+    assert(t.readAsOf(idB).count() == 100)
+    assert(t.readAsOf(idC).count() == 95, "the MoR delete point serves survivors")
+    assert(t.readAsOf(idD).count() == 95, "the compaction point is a no-op logically")
+    assert(t.read().count() == 115)
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)))
+    // the lineage continues natively past the remap
+    t.append(Seq((200L, "z")).toDF("id", "data"))
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(t.meta.snapshots.last.parentId.contains(5L))
+    assert(t.read().count() == 116)
+    assert(t.readAsOf(idC).count() == 95, "foreign points keep serving after native commits")
+  }
 }
