@@ -1028,8 +1028,16 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * Caveat (shared with set-based CDC generally): rows fully identical
     * across ALL columns collapse in the anti-join diff, so multiplicity
     * changes of exact duplicates under CoW are not individually reported.
-    */
-  def readChangesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    *
+    * `rowLineage = true` (Iceberg V3): every change row also carries
+    * (`_row_id`, `_last_updated_sequence_number`), so an UPDATE's
+    * delete+insert pair shares a stable `_row_id` — consumers pair
+    * updates by row identity instead of delete+insert value heuristics.
+    * The anti-join diff then cancels on identity too, so exact-duplicate
+    * rows (distinct `_row_id`s) no longer collapse — the caveat above
+    * disappears in lineage mode. */
+  def readChangesBetween(fromSnapshotId: Long, toSnapshotId: Long,
+      rowLineage: Boolean = false): DataFrame = {
     require(fromSnapshotId <= toSnapshotId,
       s"from $fromSnapshotId must be <= to $toSnapshotId")
     val m = meta
@@ -1043,13 +1051,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val parts = steps.flatMap { cur =>
       val out =
         if (cur.operation == "replace") Seq() // compaction/z-order: no logical change
-        else stepChanges(m, base, cur, names)
+        else stepChanges(m, base, cur, names, rowLineage)
       base = cur
       out
     }
     if (parts.isEmpty) {
       val st = StructType(m.currentSchema.fields.map(f =>
         StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)) ++
+        (if (rowLineage)
+          Seq(StructField(IceLite.RowIdCol, DataType.fromDDL("bigint")),
+            StructField(IceLite.LastUpdatedCol, DataType.fromDDL("bigint")))
+         else Seq()) ++
         Seq(StructField("_change_type", DataType.fromDDL("string")),
           StructField("_commit_version", DataType.fromDDL("bigint"))))
       spark.createDataFrame(
@@ -1059,21 +1071,31 @@ class IceLiteTable(val spark: SparkSession, val location: String,
 
   /** One changelog step: net changes prev → cur (see readChangesBetween). */
   private def stepChanges(m: TableMetadata, prev: Snapshot, cur: Snapshot,
-      names: Seq[String]): Seq[DataFrame] = {
+      names: Seq[String], rowLineage: Boolean = false): Seq[DataFrame] = {
     val prevSet = prev.dataFiles.map(f => normPath(f.path)).toSet
     val curSet = cur.dataFiles.map(f => normPath(f.path)).toSet
     val added = cur.dataFiles.filterNot(f => prevSet(normPath(f.path)))
     val removed = prev.dataFiles.filterNot(f => curSet(normPath(f.path)))
+    // lineage mode: diff and stamp over the V3 identity columns too
+    val outCols =
+      if (rowLineage) names ++ Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol)
+      else names
+    def scan(sn: Snapshot): DataFrame =
+      if (rowLineage) readRowLineageAt(m, sn)
+      else scanSnapshot(m, sn, lineage = false, _ => true)
     val addedDf = if (added.isEmpty) None
-      else Some(scanSnapshot(m, cur.copy(dataFiles = added), lineage = false, _ => true))
+      else Some(scan(cur.copy(dataFiles = added)))
     val removedDf = if (removed.isEmpty) None
-      else Some(scanSnapshot(m, prev.copy(dataFiles = removed), lineage = false, _ => true))
+      else Some(scan(prev.copy(dataFiles = removed)))
     val (ins, del) = (addedDf, removedDf) match {
       case (Some(a), Some(r)) =>
         // CoW rewrite: carried rows appear on both sides — cancel them with
-        // null-safe full-row anti-joins, scoped to this step's files only
+        // null-safe full-row anti-joins, scoped to this step's files only.
+        // In lineage mode identity+stamp join the condition, so an
+        // updated row (same _row_id, new _last_updated) survives both
+        // sides while carried rows (identical throughout) cancel.
         def diff(l: DataFrame, rt: DataFrame) =
-          l.join(rt, names.map(n => l(n) <=> rt(n)).reduce(_ && _), "left_anti")
+          l.join(rt, outCols.map(n => l(n) <=> rt(n)).reduce(_ && _), "left_anti")
         (Some(diff(a, r)), Some(diff(r, a)))
       case _ => (addedDf, removedDf)
     }
@@ -1086,8 +1108,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val morDel =
       if (newPosDel.isEmpty || common.isEmpty) None
       else {
-        val visPrev = scanSnapshot(m, prev.copy(dataFiles = common),
-          lineage = true, _ => true)
+        val visPrev =
+          if (rowLineage) readRowLineageAt(m, prev.copy(dataFiles = common),
+            keepFilePos = true)
+          else scanSnapshot(m, prev.copy(dataFiles = common),
+            lineage = true, _ => true)
         val bc = spark.sparkContext.broadcast(
           DeleteIndex.build(newPosDel.map(_.path), spark))
         Some(visPrev.filter(!org.apache.spark.sql.graft.SparkShims.columnOf(
@@ -1112,13 +1137,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           .distinct()
         // null-safe: mirrors antiJoinEqKeys — the changelog reports the
         // same NULL-keyed rows as deleted that the read path drops
-        val visible = scanSnapshot(m, prev.copy(dataFiles = appl), lineage = false, _ => true)
+        val visible = scan(prev.copy(dataFiles = appl))
         val cond = fields.map(f => visible(f.name) <=> col(s"_k_${f.name}")).reduce(_ && _)
         Some(visible.join(broadcast(keys), cond, "left_semi"))
       }
     }
     def stamp(df: DataFrame, kind: String): DataFrame =
-      df.select(names.map(col): _*)
+      df.select(outCols.map(col): _*)
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(cur.id))
     (del.toSeq ++ morDel.toSeq ++ eqDel).map(stamp(_, "delete")) ++

@@ -1045,6 +1045,45 @@ object LakehouseOps {
              ORDER BY _commit_version, _change_type, o_orderkey"""),
   )
 
+  /** Changelog in V3 row-lineage mode: change rows carry (`_row_id`,
+    * `_last_updated_sequence_number`), so an UPDATE's delete+insert pair
+    * shares one stable `_row_id` — consumers pair updates by row identity
+    * instead of value heuristics. The oracle reconstructs ids by rank
+    * (blocks are assigned in sorted-write path order, like
+    * `icelite_row_lineage`): the delete side keeps the append's stamp
+    * (seq 1), the insert side carries the update's (seq 2). */
+  private val changelogLineage = QueryDef(
+    "icelite_changelog_lineage",
+    (s, dir) => {
+      val t = IceLite.createFrom(s, scratch("cdclin"), orders(s, dir))
+      t.append(orders(s, dir).filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))                                // v1
+      t.update(col("o_orderkey") % 10 === 3,
+        Map("o_totalprice" -> lit(777.0)))                                  // v2 CoW
+      t.readChangesBetween(1, t.meta.currentSnapshot.get.id, rowLineage = true)
+        .select(col("o_orderkey"),
+          col(graft.icelite.IceLite.RowIdCol).as("row_id"),
+          col(graft.icelite.IceLite.LastUpdatedCol).as("last_upd"),
+          col("o_totalprice"), col("_change_type"), col("_commit_version"))
+        .orderBy("o_orderkey", "_change_type")
+    },
+    Some("""WITH ranked AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+              FROM orders WHERE o_orderkey < 4000)
+            SELECT * FROM (
+              SELECT o_orderkey, row_id, CAST(1 AS BIGINT) AS last_upd,
+                     o_totalprice, 'delete' AS _change_type,
+                     CAST(2 AS BIGINT) AS _commit_version
+              FROM ranked WHERE o_orderkey % 10 = 3
+              UNION ALL
+              SELECT o_orderkey, row_id, CAST(2 AS BIGINT), 777.0, 'insert',
+                     CAST(2 AS BIGINT)
+              FROM ranked WHERE o_orderkey % 10 = 3)
+            ORDER BY o_orderkey, _change_type"""),
+  )
+
   /** Incremental view maintenance from the CDC changelog — the consumer
     * side of `icelite_changelog`: a per-status aggregate (count + exact
     * cents) is maintained by FOLDING signed deltas (+row for insert, −row
@@ -1560,7 +1599,8 @@ object LakehouseOps {
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, restCommit, incrementalRead,
-    branchWap, sortedWrite, zorderWrite, changelog, cdcApplyAgg, tagSchemaRead,
+    branchWap, sortedWrite, zorderWrite, changelog, changelogLineage,
+    cdcApplyAgg, tagSchemaRead,
     rowLineage,
   )
 }

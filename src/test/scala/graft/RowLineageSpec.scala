@@ -221,6 +221,42 @@ class RowLineageSpec extends SparkSpec {
       s"fresh ids must be disjoint from the source's assigned blocks, got $fresh")
   }
 
+  test("changelog lineage mode: an update's delete+insert pair shares its _row_id") {
+    val loc = scratch("cdc")
+    val t = IceLite.createFrom(spark, loc, Seq((0L, "x", 0)).toDF("id", "v", "n"))
+    t.append((0L until 10L).map(i => (i, s"a$i", 0)).toDF("id", "v", "n")
+      .coalesce(1))                                            // v1
+    t.update(col("id") === 7L, Map("n" -> lit(1)))             // v2 CoW
+    val ch = t.readChangesBetween(1, t.meta.currentSnapshot.get.id,
+      rowLineage = true)
+    assert(ch.columns.toSeq.takeRight(4) == Seq(IceLite.RowIdCol,
+      IceLite.LastUpdatedCol, "_change_type", "_commit_version"))
+    val rows = ch.select(col("id"), col(IceLite.RowIdCol),
+      col(IceLite.LastUpdatedCol), col("n"), col("_change_type")).collect()
+    assert(rows.length == 2,
+      s"only the updated row surfaces (carried rows cancel on identity), got ${rows.toSeq}")
+    val del = rows.find(_.getString(4) == "delete").get
+    val ins = rows.find(_.getString(4) == "insert").get
+    assert(del.getLong(0) == 7L && ins.getLong(0) == 7L)
+    assert(del.getLong(1) == ins.getLong(1),
+      "the update's delete+insert pair shares one stable _row_id")
+    assert(ins.getLong(2) > del.getLong(2),
+      "the insert side carries the update commit's stamp")
+    assert(del.getInt(3) == 0 && ins.getInt(3) == 1)
+    // a MoR delete step surfaces the dead row's identity too
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    val v2 = t.meta.currentSnapshot.get.id
+    t.delete(col("id") === 3L)
+    val morCh = t.readChangesBetween(v2, t.meta.currentSnapshot.get.id,
+      rowLineage = true)
+      .select(col("id"), col(IceLite.RowIdCol), col("_change_type")).collect()
+    assert(morCh.length == 1 && morCh.head.getLong(0) == 3L &&
+      morCh.head.getString(2) == "delete")
+    // the append assigned ids 0..9 in input order; CoW preserved them
+    assert(morCh.head.getLong(1) == 3L,
+      "the MoR-deleted row reports its stable _row_id")
+  }
+
   test("lineage round-trips the metadata serde (JSON tail + avro chunks)") {
     val loc = scratch("serde")
     val t = IceLite.createFrom(spark, loc, Seq((0L, "x")).toDF("id", "v"))
