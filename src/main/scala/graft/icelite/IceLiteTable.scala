@@ -1944,7 +1944,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   def setSortOrder(cols: Seq[String]): Unit =
     commitWithRetry { m =>
       cols.foreach(m.currentSchema.fieldByName) // validate against live schema
-      (m.copy(properties = m.properties + ("write.sort-order" -> cols.mkString(","))),
+      // a linear order supersedes any standing z-order hint (the
+      // clusterings conflict — compactZOrder refuses the reverse)
+      (m.copy(properties = m.properties - "write.zorder-by" +
+        ("write.sort-order" -> cols.mkString(","))),
         s"set sort order ${cols.mkString(",")}")
     }
 
@@ -2190,7 +2193,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val newFiles = writeFiles(clustered, m, m.currentSchemaId, m.defaultSpec,
       extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
       .map(_.copy(materializedLineage = true))
-    commitFrom(v, newSnapshot(m, "replace", newFiles, Seq()),
+    // stamp the clustering hint: the Iceberg sort-order spec cannot
+    // express a space-filling curve, so the z-order columns persist as a
+    // table property — durable across reloads and carried by export/adopt
+    commitFrom(v, newSnapshot(m, "replace", newFiles, Seq())
+      .copy(properties = m.properties + ("write.zorder-by" -> s"$c1,$c2")),
       s"z-order rewrite on ($c1, $c2): ${snap.dataFiles.size} -> ${newFiles.size} files")
   }
 
@@ -2959,6 +2966,22 @@ object IceLite {
     }
     val foreignIdProps = adopted.zipWithIndex.map { case ((s, _, _), i) =>
       s"${TableMetadata.ForeignSnapshotProp}${s.id}" -> (i + 1).toString }.toMap
+    // clustering hints cross the boundary: the foreign DEFAULT sort order
+    // (identity/asc only — interop drops anything it can't express)
+    // becomes the declared write.sort-order, so native writes keep
+    // clustering and file min/max pruning keeps serving; a foreign
+    // z-order hint travels as the same table property export emits
+    val sortProp =
+      if (ice.sortOrderFieldIds.nonEmpty && ice.sortOrderFieldIds.forall(sch.hasId))
+        Map("write.sort-order" ->
+          ice.sortOrderFieldIds.map(id => sch.byId(id).name).mkString(","))
+      else Map.empty[String, String]
+    val zorderProp =
+      if (sortProp.nonEmpty) Map.empty[String, String] // clusterings conflict
+      else ice.properties.get("write.zorder-by")
+        .filter(csv => csv.split(",").map(_.trim)
+          .forall(c => sch.fields.exists(_.name == c)))
+        .map("write.zorder-by" -> _).toMap
     val now = System.currentTimeMillis()
     val m = TableMetadata(
       location = location,
@@ -2967,7 +2990,8 @@ object IceLite {
       schemas = Seq(sch),
       defaultSpecId = ice.defaultSpecId,
       specs = specs,
-      properties = Map("adopted.from" -> metadataJson) ++ foreignIdProps,
+      properties = Map("adopted.from" -> metadataJson) ++ foreignIdProps ++
+        sortProp ++ zorderProp,
       currentSnapshotId = Some(snapshots.last.id),
       snapshots = snapshots,
       metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")),

@@ -139,6 +139,43 @@ object IcebergExport {
     try rows.foreach(w.append) finally w.close()
   }
 
+  /** Iceberg `sort-orders` for the table's declared `write.sort-order`:
+    * order 0 (unsorted) plus, when declared and fully resolvable in the
+    * current schema, order 1 with identity/asc/nulls-first fields — the
+    * clustering hint a foreign engine needs to keep exploiting the
+    * sorted layout (file min/max pruning on the sort key). Returns
+    * (default-sort-order-id, sort-orders JSON array). */
+  private def sortOrdersJson(m: TableMetadata): (Int, String) = {
+    val empty = (0, """[{"order-id": 0, "fields": []}]""")
+    m.properties.get("write.sort-order") match {
+      case Some(csv) =>
+        val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sch = m.currentSchema
+        if (cols.nonEmpty && cols.forall(c => sch.fields.exists(_.name == c))) {
+          val fs = cols.map(c =>
+            s"""{"transform": "identity", "source-id": ${sch.fieldByName(c).id}, """ +
+              s""""direction": "asc", "null-order": "nulls-first"}""").mkString(", ")
+          (1, s"""[{"order-id": 0, "fields": []}, {"order-id": 1, "fields": [$fs]}]""")
+        } else empty
+      case None => empty
+    }
+  }
+
+  /** Table properties worth crossing the boundary: the z-order hint
+    * (`write.zorder-by`) — the Iceberg sort-order spec cannot express a
+    * space-filling curve, so the hint travels as a table property, the
+    * same channel engines use for their own clustering metadata. Returns
+    * a ready-to-splice `"properties": {...},` fragment or "". */
+  private def tablePropsJson(m: TableMetadata): String = {
+    val keep = m.properties.filter { case (k, _) => k == "write.zorder-by" }
+    if (keep.isEmpty) ""
+    else {
+      val kv = keep.toSeq.sorted
+        .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+      s"""\n  "properties": {$kv},"""
+    }
+  }
+
   private def fileLen(path: String, conf: Configuration): Long = {
     val p = new Path(path)
     FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
@@ -504,8 +541,8 @@ object IcebergExport {
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
          |  "last-partition-id": ${999 + base.specFields.size},
-         |  "default-sort-order-id": 0,
-         |  "sort-orders": [{"order-id": 0, "fields": []}],${
+         |  "default-sort-order-id": ${sortOrdersJson(m)._1},
+         |  "sort-orders": ${sortOrdersJson(m)._2},${tablePropsJson(m)}${
               // carry the lineage counter through a metadata-only chain —
               // dropping it would let a later adopt re-mint colliding ids
               if (math.max(base.nextRowId, m.nextRowId) > 0)
@@ -755,8 +792,8 @@ object IcebergExport {
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id": 0, "fields": [$specFieldsJson]}],
          |  "last-partition-id": ${999 + partFields.size},
-         |  "default-sort-order-id": 0,
-         |  "sort-orders": [{"order-id": 0, "fields": []}],${
+         |  "default-sort-order-id": ${sortOrdersJson(m)._1},
+         |  "sort-orders": ${sortOrdersJson(m)._2},${tablePropsJson(m)}${
               // end of the blocks just assigned: the exported table's own
               // counter, past every materialized id and every new block
               rowIdCtr.map(c => s"""\n  "next-row-id": ${c.get()},""")

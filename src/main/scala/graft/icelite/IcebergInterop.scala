@@ -134,7 +134,12 @@ object IcebergInterop {
       currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
       specs: Map[Int, Seq[IceSpecField]], defaultSpecId: Int = 0,
       // V3 row lineage: the table's `next-row-id` (0 = no lineage)
-      nextRowId: Long = 0L)
+      nextRowId: Long = 0L,
+      // the DEFAULT sort order's source field ids, in order — only when
+      // every field is identity/asc (a partial or transformed order
+      // would mislead adopters, so it is dropped conservatively)
+      sortOrderFieldIds: Seq[Int] = Seq(),
+      properties: Map[String, String] = Map())
 
   /** Parse an Iceberg `metadata.json` (v1 or v2/v3 shapes). */
   def loadMeta(metadataJson: String,
@@ -180,6 +185,23 @@ object IcebergInterop {
         Option(s.get("sequence-number")).map(_.asLong()),
         Option(s.get("parent-snapshot-id")).map(_.asLong()))
     }
+    // default sort order: adoptable only when EVERY field is identity/asc
+    val sortIds: Seq[Int] = {
+      val defId = Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0)
+      if (defId == 0) Seq()
+      else arr(r, "sort-orders").find(o =>
+        Option(o.get("order-id")).exists(_.asInt() == defId)).toSeq.flatMap { o =>
+        val fs = arr(o, "fields")
+        val allIdentityAsc = fs.nonEmpty && fs.forall(f =>
+          Option(f.get("transform")).exists(_.asText() == "identity") &&
+            Option(f.get("direction")).forall(_.asText().equalsIgnoreCase("asc")))
+        if (allIdentityAsc) fs.map(_.get("source-id").asInt()) else Seq()
+      }
+    }
+    val props: Map[String, String] =
+      Option(r.get("properties")).map(p =>
+        p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map())
     IceMeta(
       Option(r.get("location")).map(_.asText()).getOrElse(""),
       Option(r.get("format-version")).map(_.asInt()).getOrElse(1),
@@ -187,7 +209,8 @@ object IcebergInterop {
       Option(r.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
       snaps, specs,
       Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0),
-      Option(r.get("next-row-id")).map(_.asLong()).getOrElse(0L))
+      Option(r.get("next-row-id")).map(_.asLong()).getOrElse(0L),
+      sortIds, props)
   }
 
   /** One V3 deletion-vector reference from a delete manifest: the Puffin

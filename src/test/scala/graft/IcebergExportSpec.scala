@@ -399,4 +399,48 @@ class IcebergExportSpec extends SparkSpec {
     assert(got.select("ts").collect().map(_.getLong(0)).sorted.toSeq == nanos.sorted,
       "nanosecond precision must survive the round trip losslessly")
   }
+
+  test("sort orders cross the export/adopt boundary and re-export identically") {
+    val loc = Files.createTempDirectory("ice_export_sort").toString
+    def txt(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val t = IceLite.createFrom(spark, s"$loc/src",
+      Seq((1L, "a")).toDF("id", "v"))
+    t.setSortOrder(Seq("id"))
+    t.append((0L until 40L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val mj = IcebergExport.export(t, s"$loc/exported")
+    val m1 = txt(mj)
+    assert(m1.contains("\"default-sort-order-id\": 1"),
+      "a declared sort order must export as the default sort order")
+    assert(m1.contains("\"order-id\": 1") && m1.contains("\"transform\": \"identity\"")
+      && m1.contains("\"source-id\": 1") && m1.contains("\"direction\": \"asc\""),
+      s"the real sort order fields must be emitted, got: $m1")
+    // interop parses it; adopt declares it; re-export emits the same order
+    assert(IcebergInterop.loadMeta(mj).sortOrderFieldIds == Seq(1))
+    val a = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(a.meta.properties.get("write.sort-order").contains("id"),
+      "the foreign sort order must survive adoption as the declared order")
+    val m2 = txt(IcebergExport.export(a, s"$loc/re_exported"))
+    assert(m2.contains("\"default-sort-order-id\": 1") &&
+      m2.contains("\"source-id\": 1"),
+      "an adopted sorted table re-exports the same order")
+    assert(rows(a.read()) == rows(t.read()))
+
+    // z-order: the spec's sort orders can't express a curve — the hint
+    // travels as a table property and survives the round trip
+    val tz = IceLite.createFrom(spark, s"$loc/zsrc",
+      Seq((1L, 1L, "a")).toDF("x", "y", "v"))
+    tz.append((0L until 64L).map(i => (i, 63 - i, s"r$i")).toDF("x", "y", "v"))
+    tz.compactZOrder(2, "x", "y")
+    assert(tz.meta.properties.get("write.zorder-by").contains("x,y"),
+      "z-order stamps its clustering hint as a property")
+    val mjz = IcebergExport.export(tz, s"$loc/zexported")
+    assert(txt(mjz).contains("\"write.zorder-by\": \"x,y\""),
+      "the z-order hint must export as a table property")
+    val az = IceLite.adopt(spark, mjz, s"$loc/zadopted")
+    assert(az.meta.properties.get("write.zorder-by").contains("x,y"))
+    assert(txt(IcebergExport.export(az, s"$loc/zre")).contains(
+      "\"write.zorder-by\": \"x,y\""))
+    assert(rows(az.read()) == rows(tz.read()))
+  }
 }
