@@ -698,7 +698,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     df.select(sch.fields.map { fld =>
       if (df.columns.contains(fld.name))
         convertTo(col(fld.name), fld, Some(df.schema(fld.name).dataType)).as(fld.name)
-      else fld.defaultSql.map(d => expr(d).cast(fld.sparkDdl)).getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
+      // omitted column: writers materialize the V3 write-default
+      // (falling back to the add-time initial-default, per spec)
+      else fld.writeFill.map(d => expr(d).cast(fld.sparkDdl)).getOrElse(lit(null).cast(fld.sparkDdl)).as(fld.name)
     }: _*)
   }
 
@@ -1705,7 +1707,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
           when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els) }
         val withAct = candidates.withColumn("_act", iAct).filter(col("_act") >= 0)
         Some(withAct.select(sch.fields.map { f =>
-          val fallback: Column = f.defaultSql.map(d => expr(d)).getOrElse(lit(null))
+          val fallback: Column = f.writeFill.map(d => expr(d)).getOrElse(lit(null))
           notMatched.zipWithIndex.foldRight(fallback) { case ((cl, i), els) =>
             cl.assignments.get(f.name)
               .map(a => when(col("_act") === i, a).otherwise(els)).getOrElse(els)
@@ -1826,7 +1828,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   def overwrite(df: DataFrame): Unit = {
     val (v, m) = versionedMeta
     val missing = m.currentSchema.fields
-      .filter(f => !df.columns.contains(f.name) && f.defaultSql.isEmpty)
+      .filter(f => !df.columns.contains(f.name) && f.writeFill.isEmpty)
     require(missing.isEmpty,
       s"overwrite source is missing schema columns without defaults: ${missing.map(_.name).mkString(", ")}")
     val files = writeFiles(alignToSchema(df, m), m, m.currentSchemaId, m.defaultSpec)
@@ -1838,17 +1840,39 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   // ------------------------------------------------------------ DDL / evolution
 
   /** ADD COLUMN [DEFAULT] (README.md:976, 1159–1166) — metadata-only; old
-    * files read the default (or null) without any rewrite. */
-  def addColumn(name: String, dtype: String, defaultSql: Option[String] = None): Unit =
+    * files read the default (or null) without any rewrite. Per the V3
+    * spec, ADD COLUMN DEFAULT sets BOTH `initial-default` (the immutable
+    * read fill, `defaultSql`) and the write default — here the write
+    * default inherits `defaultSql` until [[setWriteDefault]] diverges it. */
+  def addColumn(name: String, dtype: String, defaultSql: Option[String] = None,
+      writeDefaultSql: Option[String] = None): Unit =
     commitWithRetry { m =>
       val sch = m.currentSchema
       require(!sch.fields.exists(_.name == name), s"column $name exists")
       val fid = m.lastFieldId + 1
       val next = sch.copy(
         schemaId = m.schemas.map(_.schemaId).max + 1,
-        fields = sch.fields :+ Field(fid, name, dtype, defaultSql))
+        fields = sch.fields :+ Field(fid, name, dtype, defaultSql, writeDefaultSql))
       (m.copy(lastFieldId = fid, currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
         s"add column $name $dtype${defaultSql.map(d => s" default $d").getOrElse("")}")
+    }
+
+  /** ALTER COLUMN SET DEFAULT — V3 `write-default`: changes the value new
+    * writes materialize for an omitted column. Metadata-only, and ONLY
+    * the write side: `initial-default` (the read fill for pre-add files)
+    * is immutable per the spec, so existing files' reads are untouched.
+    * Pass the SQL literal `"null"` for DROP DEFAULT. */
+  def setWriteDefault(name: String, sql: String): Unit =
+    commitWithRetry { m =>
+      val sch = m.currentSchema
+      val fld = sch.fieldByName(name)
+      expr(sql).cast(fld.sparkDdl) // validate the literal parses + casts
+      val next = sch.copy(
+        schemaId = m.schemas.map(_.schemaId).max + 1,
+        fields = sch.fields.map(f =>
+          if (f.id == fld.id) f.copy(writeDefaultSql = Some(sql)) else f))
+      (m.copy(currentSchemaId = next.schemaId, schemas = m.schemas :+ next),
+        s"set write default $name = $sql")
     }
 
   /** ALTER COLUMN TYPE — metadata-only; old files cast up at read via the
@@ -2760,7 +2784,13 @@ object IceLite {
     val snap = ice.currentSnapshotId.flatMap(id => ice.snapshots.find(_.id == id))
       .getOrElse(sys.error(s"iceberg adopt: no current snapshot in $metadataJson"))
     val readSchemaId = snap.schemaId.getOrElse(ice.currentSchemaId)
-    val fields = ice.schemas(readSchemaId).map(f => Field(f.id, f.name, f.dtype, None))
+    // defaults cross the boundary: initial-default is carried for
+    // metadata fidelity (every adoptable file physically stores every
+    // column, so the read fill never triggers natively), and
+    // write-default is HONORED — native appends that omit the column
+    // materialize the foreign writer's declared fill
+    val fields = ice.schemas(readSchemaId).map(f =>
+      Field(f.id, f.name, f.dtype, f.initialDefault, f.writeDefault))
     val sch = TableSchema(0, fields)
     // foreign `bucket[N]` tuples were hashed with the Iceberg-spec murmur3;
     // IceLite's own `bucket[N]` hashes xxhash64 — the adopted spec lifts to

@@ -250,7 +250,18 @@ object IcebergExport {
   /** Iceberg JSON literal for a SIMPLE SQL literal default (`'s'`, `42`,
     * `4.5`, `true`) — None when the default is any richer expression,
     * which precludes delta export (the full re-export materializes it). */
-  private[icelite] def defaultJson(f: Field): Option[String] = f.defaultSql.flatMap { d =>
+  private[icelite] def defaultJson(f: Field): Option[String] =
+    f.defaultSql.flatMap(literalJson(_, f.dtype))
+
+  /** V3 `write-default` as a spec JSON single value — the fill WRITERS
+    * use for omitted columns (inherits `initial-default` until SET
+    * DEFAULT diverges it; a DROP DEFAULT "null" literal emits nothing,
+    * matching the spec's absent-means-null). */
+  private[icelite] def writeDefaultJson(f: Field): Option[String] =
+    f.writeFill.filterNot(_.trim.equalsIgnoreCase("null"))
+      .flatMap(literalJson(_, f.dtype))
+
+  private def literalJson(d: String, dtype: String): Option[String] = {
     val s = d.trim
     if (s.matches("'[^']*'"))
       Some("\"" + s.substring(1, s.length - 1).replace("\\", "\\\\")
@@ -259,7 +270,7 @@ object IcebergExport {
       // Iceberg's single-value JSON serialization requires DECIMAL values
       // as JSON strings, rescaled to the declared scale (strict readers
       // validate scale equality); int/long/float/double stay bare numbers
-      val dt = f.dtype.toUpperCase
+      val dt = dtype.toUpperCase
       if (dt.startsWith("DECIMAL")) {
         val scale = "DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
           .findFirstMatchIn(dt).map(_.group(1).toInt).getOrElse(0)
@@ -505,10 +516,13 @@ object IcebergExport {
       if (base.schemaIds.contains(m.currentSchemaId)) None
       else {
         val fs = cur.fields.map { f =>
+          // write-default always travels (a writer hint, independent of
+          // whether this export still needs the read fill)
           val dflt =
-            if (defaultFieldIds(f.id))
+            (if (defaultFieldIds(f.id))
               defaultJson(f).map(j => s""", "initial-default": $j""").getOrElse("")
-            else ""
+            else "") +
+              writeDefaultJson(f).map(j => s""", "write-default": $j""").getOrElse("")
           s"""{"id": ${f.id}, "name": "${f.name}", "required": false, """ +
             s""""type": "${icebergType(f.dtype)}"$dflt}"""
         }.mkString(", ")
@@ -517,6 +531,7 @@ object IcebergExport {
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion = math.max(base.formatVersion,
       if (m.nextRowId > 0 || defaultFieldIds.nonEmpty ||
+        cur.fields.exists(f => writeDefaultJson(f).isDefined) ||
         cur.fields.exists(f => v3Types(f.dtype.toUpperCase))) 3 else 2)
     // snapshots carry over VERBATIM — each keeps its own schema-id (the
     // write-schema proxy per-file resolution depends on). The rename
@@ -749,16 +764,20 @@ object IcebergExport {
     val v3Types = Set("TIMESTAMP_NS", "VARIANT")
     val formatVersion = math.max(base.map(_.formatVersion).getOrElse(2),
       if (lineage || defaultFieldIds.nonEmpty ||
-        exportedSchemas.exists(id => m.schema(id).fields
-          .exists(f => v3Types(f.dtype.toUpperCase)))) 3 else 2)
+        exportedSchemas.exists(id => m.schema(id).fields.exists(f =>
+          v3Types(f.dtype.toUpperCase) || writeDefaultJson(f).isDefined)))
+        3 else 2)
     val lastColumnId = math.max(base.map(_.lastColumnId).getOrElse(0),
       exportedSchemas.flatMap(id => m.schema(id).fields.map(_.id)).max)
     def schemaJson(id: Int): String = {
       val fs = m.schema(id).fields.map { f =>
+        // write-default always travels (a writer hint, independent of
+        // whether this export still needs the read fill)
         val dflt =
-          if (defaultFieldIds(f.id))
+          (if (defaultFieldIds(f.id))
             defaultJson(f).map(j => s""", "initial-default": $j""").getOrElse("")
-          else ""
+          else "") +
+            writeDefaultJson(f).map(j => s""", "write-default": $j""").getOrElse("")
         s"""{"id": ${f.id}, "name": "${f.name}", "required": false, """ +
           s""""type": "${icebergType(f.dtype)}"$dflt}"""
       }.mkString(", ")

@@ -113,7 +113,10 @@ object IcebergInterop {
     * the value readers fill for data files written BEFORE the field
     * existed (files carrying the field use their stored values). */
   final case class IceField(id: Int, name: String, dtype: String,
-      initialDefault: Option[String] = None)
+      initialDefault: Option[String] = None,
+      // V3 `write-default` as a SQL literal — the fill writers use for
+      // omitted columns (adopt carries it into the native schema)
+      writeDefault: Option[String] = None)
 
   /** One live data file of a snapshot, with the partition tuple its
     * manifest recorded (stringified values; empty for unpartitioned
@@ -151,8 +154,11 @@ object IcebergInterop {
       arr(schemaNode, "fields").map(f => IceField(
         Option(f.get("id")).map(_.asInt()).getOrElse(0),
         f.get("name").asText(), sparkType(f.get("type").asText()),
-        // V3 initial-default, carried as a SQL literal for the fill
+        // V3 initial-default / write-default, carried as SQL literals
         Option(f.get("initial-default")).map(n =>
+          if (n.isTextual) "'" + n.asText().replace("'", "''") + "'"
+          else n.asText()),
+        Option(f.get("write-default")).map(n =>
           if (n.isTextual) "'" + n.asText().replace("'", "''") + "'"
           else n.asText())))
     // v2: schemas[] + current-schema-id; v1: a single "schema"

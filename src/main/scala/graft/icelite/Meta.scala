@@ -26,7 +26,17 @@ import scala.jdk.CollectionConverters._
   * (README.md:976–992 schema evolution promises). Rename = metadata map
   * change; no data file is ever rewritten for DDL.
   */
-final case class Field(id: Int, name: String, dtype: String, defaultSql: Option[String]) {
+final case class Field(id: Int, name: String, dtype: String, defaultSql: Option[String],
+    // V3 `write-default`: the value WRITERS materialize when an incoming
+    // row omits the column (SQL column DEFAULT). Distinct from
+    // `defaultSql` (the V3 `initial-default` READ fill for pre-add
+    // files, immutable per spec). None = inherit `defaultSql` — the
+    // spec's ADD COLUMN DEFAULT behavior, and what keeps pre-upgrade
+    // metadata semantics unchanged. `ALTER COLUMN SET DEFAULT` stores a
+    // new literal; DROP DEFAULT stores the SQL literal "null".
+    writeDefaultSql: Option[String] = None) {
+  /** The fill writers use for an omitted column. */
+  def writeFill: Option[String] = writeDefaultSql.orElse(defaultSql)
   def physName: String = s"f$id"
   /** Spark-facing DDL type. Iceberg-V3 `TIMESTAMP_NS` (README.md:1173–1179)
     * is carried as a raw nanos-since-epoch BIGINT: Spark tops out at µs
@@ -282,6 +292,7 @@ object MetaJson {
         val fn = fs.addObject()
         fn.put("id", f.id); fn.put("name", f.name); fn.put("type", f.dtype)
         f.defaultSql.foreach(d => fn.put("default", d))
+        f.writeDefaultSql.foreach(d => fn.put("writeDefault", d))
       }
     }
     root.put("defaultSpecId", m.defaultSpecId)
@@ -452,7 +463,8 @@ object MetaJson {
           sn.get("schemaId").asInt(),
           arr(sn, "fields").map(fn => Field(
             fn.get("id").asInt(), fn.get("name").asText(), fn.get("type").asText(),
-            Option(fn.get("default")).map(_.asText()))))
+            Option(fn.get("default")).map(_.asText()),
+            Option(fn.get("writeDefault")).map(_.asText()))))
       },
       defaultSpecId = r.get("defaultSpecId").asInt(),
       specs = arr(r, "specs").map { n =>

@@ -349,6 +349,42 @@ object LakehouseOps {
             ORDER BY o_orderkey"""),
   )
 
+  /** V3 `write-default` (schema-evolution family): ADD COLUMN DEFAULT sets
+    * both the immutable read fill (`initial-default`, README.md:1159–1166)
+    * and the write default; ALTER COLUMN SET DEFAULT then diverges ONLY
+    * the write side. Pre-add rows keep reading the initial fill, the
+    * first omitted-column append materializes it, and the post-SET append
+    * materializes the NEW default — three regimes, one oracled read. */
+  private val writeDefaultEvo = QueryDef(
+    "icelite_write_default",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val t = mkTable(s, dir, "wdef")
+      t.addColumn("channel", "STRING", Some("'web'"))
+      val rebase = maxKeyFromStats(t, "o_orderkey") + 1L
+      // omitted column → fills the add-time default ('web')
+      t.append(o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(rebase)))
+      t.setWriteDefault("channel", "'store'")
+      // omitted column after SET DEFAULT → fills 'store'; the earlier
+      // rows (pre-add reads AND the first append's materialized fills)
+      // must stay 'web' — initial-default is immutable
+      t.append(o.filter(col("o_orderkey") < 1000)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2L * rebase)))
+      t.read().select(col("o_orderkey"), col("channel")).orderBy("o_orderkey")
+    },
+    Some("""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders)
+            SELECT * FROM (
+              SELECT o_orderkey, 'web' AS channel FROM orders
+              UNION ALL
+              SELECT o_orderkey + mx.rebase, 'web' FROM orders, mx
+              WHERE o_orderkey < 1000
+              UNION ALL
+              SELECT o_orderkey + 2 * mx.rebase, 'store' FROM orders, mx
+              WHERE o_orderkey < 1000)
+            ORDER BY o_orderkey"""),
+  )
+
   /** M8 partition evolution (README.md:991–992): first half unpartitioned,
     * evolve to month(o_orderdate), second half partitioned; one logical
     * table spans both specs. */
@@ -1595,7 +1631,8 @@ object LakehouseOps {
     icebergAdoptHistory, icebergAdoptMor, restDeltaExport,
     deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
-    timeTravelTs, rollback, schemaEvolution, partitionEvolution, compaction, rewriteDeletes,
+    timeTravelTs, rollback, schemaEvolution, writeDefaultEvo, partitionEvolution,
+    compaction, rewriteDeletes,
     expire, snapshotsTable, partitionsTable, historyTable, catalogList,
     sqlCatalog, orphans, sqlUpdate, sqlDelete, sqlMerge, sqlMergeCond, sqlSnapshots,
     sqlMaintenance, variantTable, restCatalog, restCommit, incrementalRead,

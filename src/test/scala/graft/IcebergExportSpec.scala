@@ -400,6 +400,43 @@ class IcebergExportSpec extends SparkSpec {
       "nanosecond precision must survive the round trip losslessly")
   }
 
+  test("write-default exports, adopt honors it, and it re-exports") {
+    val loc = Files.createTempDirectory("ice_export_wdef").toString
+    def txt(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val t = IceLite.createFrom(spark, s"$loc/src", Seq((1L, "a")).toDF("id", "v"))
+    t.append((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.addColumn("ch", "STRING", Some("'web'"))
+    t.setWriteDefault("ch", "'store'")
+    // native semantics first: omitted column fills the WRITE default;
+    // pre-add rows keep reading the immutable initial default
+    t.append(Seq((50L, "z")).toDF("id", "v"))
+    val natives = t.read().select("id", "ch").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(natives(0L) == "web" && natives(50L) == "store")
+    val mj = IcebergExport.export(t, s"$loc/ex")
+    val m1 = txt(mj)
+    assert(m1.contains("\"write-default\": \"store\""),
+      s"write-default must export, got $m1")
+    assert(m1.contains("\"format-version\": 3"),
+      "write-default is a V3 feature")
+    assert(IcebergInterop.loadMeta(mj).schemas.values.flatten
+      .exists(f => f.name == "ch" && f.writeDefault.contains("'store'")))
+    // adopt honors the foreign write-default: a native append that omits
+    // the column materializes the foreign writer's declared fill
+    val a = IceLite.adopt(spark, mj, s"$loc/ad")
+    a.append(Seq((100L, "q")).toDF("id", "v"))
+    val adopted = a.read().select("id", "ch").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(adopted(100L) == "store",
+      "adopted tables must honor the foreign write-default")
+    assert(adopted(0L) == "web",
+      "pre-add rows keep the materialized initial fill across the boundary")
+    // and it crosses again on re-export
+    assert(txt(IcebergExport.export(a, s"$loc/re"))
+      .contains("\"write-default\": \"store\""))
+  }
+
   test("sort orders cross the export/adopt boundary and re-export identically") {
     val loc = Files.createTempDirectory("ice_export_sort").toString
     def txt(p: String) = new String(
