@@ -90,4 +90,41 @@ class MaintenanceInterplaySpec extends SparkSpec {
       }
     }
   }
+
+  test("two racing native appends both land via auto-rebase — no manual retry") {
+    // file adds commute, so an append that loses the version race must
+    // REBASE onto the winner's state inside commitWithRetry — never
+    // surface a conflict to the caller. Two INDEPENDENT table handles
+    // (the two-writer shape: separate sessions/processes), released on a
+    // barrier so both load the same base version before committing.
+    val loc = Files.createTempDirectory("race_append").toString + "/t"
+    IceLite.create(spark, loc, Seq("id" -> "BIGINT"))
+    val wA = IceLite.load(spark, loc)
+    val wB = IceLite.load(spark, loc)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def run(w: IceLiteTable, lo: Long): java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          barrier.await()
+          w.append((lo until lo + 100L).toDF("id").coalesce(1))
+        }
+      })
+    try {
+      val (fa, fb) = (run(wA, 0L), run(wB, 1000L))
+      fa.get(120, java.util.concurrent.TimeUnit.SECONDS) // throws on conflict
+      fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val t = IceLite.load(spark, loc)
+    assert(readIds(t) == ((0L until 100L) ++ (1000L until 1100L)).toSet,
+      "both racing appends must land")
+    assert(t.meta.snapshots.size == 2, "each append is its own snapshot")
+    // the rebased loser chained onto the winner, not onto the stale base
+    assert(t.meta.snapshots.last.parentId.contains(t.meta.snapshots.head.id))
+    // disjoint V3 row-id blocks survived the rebase
+    val ids = t.readRowLineage().select(col(IceLite.RowIdCol))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 200L).toSet,
+      s"row-id blocks must stay disjoint under the race, got ${ids.size} distinct")
+  }
 }
