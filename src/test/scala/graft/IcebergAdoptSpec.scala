@@ -545,6 +545,18 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(t.readAsOf(idD).count() == 95, "the compaction point is a no-op logically")
     assert(t.read().count() == 115)
     assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)))
+    // the CDC changelog crosses the migrate-in boundary: B's append and
+    // C's MoR delete surface; D (pure replace) is skipped as physical
+    val ch = t.readChangesBetween(1L, 5L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ch.filter(_._3 == 2L).map(_._1).toSet == (50L until 100L).toSet)
+    assert(ch.filter(_._3 == 2L).forall(_._2 == "insert"))
+    assert(ch.filter(_._3 == 3L).map(_._1).toSet == (0L until 5L).toSet,
+      "the foreign MoR delete point reports its dead rows")
+    assert(ch.filter(_._3 == 3L).forall(_._2 == "delete"))
+    assert(!ch.exists(_._3 == 4L), "the compaction point is not a logical change")
+    assert(ch.filter(_._3 == 5L).map(_._1).toSet == (100L until 120L).toSet)
     // the lineage continues natively past the remap
     t.append(Seq((200L, "z")).toDF("id", "data"))
     assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
