@@ -2970,7 +2970,7 @@ object IceLite {
     // compact the source first), or when the current snapshot is not
     // the commit-order tip (a rolled-back foreign head would otherwise
     // adopt "future" snapshots above it).
-    val adopted: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
+    val adopted0: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
       val ordered = ice.snapshots.sortBy(s =>
         (s.sequenceNumber.getOrElse(Long.MinValue), s.timestampMs, s.id))
       if (ordered.size > 1 && ordered.last.id == snap.id) {
@@ -2982,20 +2982,40 @@ object IceLite {
         else Seq(headAdopted)
       } else Seq(headAdopted)
     }
+    val adoptedIds0 = adopted0.map(_._1.id)
+    val monotone = adoptedIds0 == adoptedIds0.sorted &&
+      adoptedIds0.distinct.size == adoptedIds0.size
+    // Native id plan. Monotone-in-commit-order foreign ids keep serving
+    // VERBATIM (our own exports, sequential writers) — no remap, no
+    // lookup indirection. Non-monotone (random) ids remap to a dense
+    // 1..N in commit order, recorded per snapshot in table properties so
+    // `VERSION AS OF <foreign id>` still serves — collision-free ONLY
+    // because every foreign id exceeds N (64-bit random ids): a foreign
+    // id that lands inside 1..N would be ambiguous (native wins in
+    // snapshot()), silently serving the WRONG point — that pathological
+    // shape degrades to head-only instead.
+    val adopted =
+      if (adopted0.size > 1 && !monotone && adoptedIds0.min <= adopted0.size)
+        Seq(headAdopted)
+      else adopted0
+    val keepIds = monotone || adopted.size == 1
+    val nativeIds: Seq[Long] =
+      if (keepIds) adopted.map(_._1.id) else (1L to adopted.size.toLong)
     val allFiles = adopted.flatMap(_._2)
     val specs = mkSpecs(allFiles.map(_.specId))
-    // dense monotone native ids 1..N in commit order; the foreign
-    // operation labels (append/replace/overwrite/delete) are native
-    // labels too, so e.g. the changelog keeps skipping pure "replace"
-    // (compaction) points. Foreign branch structure is linearized —
-    // each snapshot's FILE SET is exact, so time travel to any foreign
-    // id is exact; only fabricated parent edges differ from the source.
+    // the foreign operation labels (append/replace/overwrite/delete) are
+    // native labels too, so e.g. the changelog keeps skipping pure
+    // "replace" (compaction) points. Foreign branch structure is
+    // linearized — each snapshot's FILE SET is exact, so time travel to
+    // any foreign id is exact; only fabricated parent edges differ.
     val snapshots = adopted.zipWithIndex.map { case ((s, dfs, dels), i) =>
-      Snapshot((i + 1).toLong, if (i == 0) None else Some(i.toLong),
+      Snapshot(nativeIds(i), if (i == 0) None else Some(nativeIds(i - 1)),
         s.timestampMs, s.operation, dfs, dels, 0)
     }
-    val foreignIdProps = adopted.zipWithIndex.map { case ((s, _, _), i) =>
-      s"${TableMetadata.ForeignSnapshotProp}${s.id}" -> (i + 1).toString }.toMap
+    val foreignIdProps =
+      if (keepIds) Map.empty[String, String]
+      else adopted.zipWithIndex.map { case ((s, _, _), i) =>
+        s"${TableMetadata.ForeignSnapshotProp}${s.id}" -> nativeIds(i).toString }.toMap
     // clustering hints cross the boundary: the foreign DEFAULT sort order
     // (identity/asc only — interop drops anything it can't express)
     // becomes the declared write.sort-order, so native writes keep

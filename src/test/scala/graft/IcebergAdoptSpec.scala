@@ -420,6 +420,33 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(e2.getMessage.contains("table exists"))
   }
 
+  test("ambiguous foreign ids (non-monotone inside 1..N) degrade to head-only, never mis-serve") {
+    // foreign ids (2, 1) in commit order: a dense remap would collide —
+    // `VERSION AS OF 2` could mean native-2 (the head) or foreign-2 (the
+    // first point). The ambiguity is unresolvable, so adoption must keep
+    // ONLY the head rather than risk serving the wrong snapshot.
+    val loc = Files.createTempDirectory("ice_adopt_ambig").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    src.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    src.append((10L until 20L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(1L, 2L))
+    val mp = java.nio.file.Paths.get(mj)
+    val swapped = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("\"snapshot-id\": 1,", "\"snapshot-id\": 999001,")
+      .replace("\"snapshot-id\": 2,", "\"snapshot-id\": 1,")
+      .replace("\"snapshot-id\": 999001,", "\"snapshot-id\": 2,")
+      .replace("\"current-snapshot-id\": 2", "\"current-snapshot-id\": 1")
+    java.nio.file.Files.write(mp, swapped.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.size == 1, "ambiguous history must degrade to head-only")
+    assert(t.meta.snapshots.head.id == 1L, "the head keeps its foreign id verbatim")
+    assert(t.read().count() == 20, "the head still serves the full content")
+    assert(!t.meta.properties.keys.exists(_.startsWith("adopted.foreign-snapshot.")),
+      "no remap properties on a head-only adoption")
+  }
+
   test("REAL lineage adoption: random ids + MoR delete + mid-history compaction, every point time-travels") {
     // the shape a production Iceberg writer leaves behind: RANDOM
     // (non-monotone) snapshot ids, commit order carried only by
