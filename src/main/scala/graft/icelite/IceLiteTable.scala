@@ -403,8 +403,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     }
   }
 
-  private def nextSnapshotId(m: TableMetadata): Long =
-    m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+  /** Monotone native snapshot ids — skipping any id recorded as an
+    * adopted FOREIGN snapshot id: the foreign→native remap resolves in
+    * [[TableMetadata.snapshot]], so minting a native snapshot under a
+    * recorded foreign id would make `VERSION AS OF` that id ambiguous
+    * (the remap is only collision-checked at adoption time; natives keep
+    * incrementing afterwards and would eventually walk into it). */
+  private def nextSnapshotId(m: TableMetadata): Long = {
+    var id = m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    while (m.properties.contains(s"${TableMetadata.ForeignSnapshotProp}$id")) id += 1
+    id
+  }
 
   /** Next data sequence number: one past the highest stamped on any file
     * in the snapshot log (0 = legacy). Derived, not stored — rollback and
@@ -1861,11 +1870,29 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * writes materialize for an omitted column. Metadata-only, and ONLY
     * the write side: `initial-default` (the read fill for pre-add files)
     * is immutable per the spec, so existing files' reads are untouched.
-    * Pass the SQL literal `"null"` for DROP DEFAULT. */
+    * Pass the SQL literal `"null"` for DROP DEFAULT.
+    *
+    * The default must be a FOLDABLE LITERAL (optionally cast/negated):
+    * the fill resolves against each incoming DataFrame at write time and
+    * serializes through [[IcebergExport.writeDefaultJson]] on export, so
+    * a column reference would silently read a source column and a
+    * non-deterministic call (now()) would fill different values per
+    * write and be dropped at the export boundary — both rejected here
+    * instead of diverging later. */
   def setWriteDefault(name: String, sql: String): Unit =
     commitWithRetry { m =>
       val sch = m.currentSchema
       val fld = sch.fieldByName(name)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, UnaryMinus}
+      def literalShape(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        e match {
+          case _: Literal => true
+          case c: Cast => literalShape(c.child)
+          case u: UnaryMinus => literalShape(u.child)
+          case _ => false
+        }
+      require(literalShape(spark.sessionState.sqlParser.parseExpression(sql)),
+        s"write default for $name must be a literal, got: $sql")
       expr(sql).cast(fld.sparkDdl) // validate the literal parses + casts
       val next = sch.copy(
         schemaId = m.schemas.map(_.schemaId).max + 1,
@@ -2268,7 +2295,18 @@ class IceLiteTable(val spark: SparkSession, val location: String,
         manifestsToDelete = dead.flatMap(s =>
           s.files.manifests.map(_.path) ++ s.deletes.manifests.map(_.path))
           .filterNot(p => liveManifests.contains(normPath(p))).distinct
-        (m.copy(snapshots = live), s"expire ${dead.size} snapshots")
+        // adopted foreign-snapshot mappings whose native target just
+        // expired go too: left behind they resolve `VERSION AS OF
+        // <foreign id>` to a missing snapshot with a confusing indirect
+        // error, and the property map of a long-lived adopted table
+        // grows stale entries forever
+        val liveIds = live.map(_.id).toSet
+        val props = m.properties.filterNot { case (k, v) =>
+          k.startsWith(TableMetadata.ForeignSnapshotProp) &&
+            v.toLongOption.exists(nid => !liveIds.contains(nid))
+        }
+        (m.copy(snapshots = live, properties = props),
+          s"expire ${dead.size} snapshots")
       }
     }
     val f = fs(spark, location)
@@ -2746,8 +2784,9 @@ object IceLite {
     * with ordinary IceLite commits (append, MoR delete, compaction —
     * which rewrites adopted files into native form as a side effect).
     * Adopted files are [[DataFile.nameMapped]]: they keep their logical
-    * column names and the scan resolves them through the adoption-time
-    * schema by field id, so post-adoption renames stay metadata-only.
+    * column names and the scan resolves them through the schema they
+    * were WRITTEN under by field id, so both foreign mid-history
+    * evolution and post-adoption renames stay metadata-only.
     *
     * Partition tuples re-encode into IceLite's transform encodings where
     * the mapping is exact (identity / year / month / day); `bucket[N]`
@@ -2764,16 +2803,17 @@ object IceLite {
     * names with data sequence preserved (the v2 seq-scoping rule holds
     * across the boundary).
     *
-    * Append-only foreign HISTORY adopts too (time travel is the
-    * tutorial's centerpiece, README.md:1000–1015): every foreign
-    * snapshot registers parent-chained, so `VERSION AS OF` a
-    * pre-adoption id keeps serving. Requires foreign snapshot ids
-    * monotone in time order (real Iceberg's random ids usually aren't —
-    * head-only fallback) and all historical files resolvable under the
-    * adopted schema.
+    * Foreign HISTORY adopts too (time travel is the tutorial's
+    * centerpiece, README.md:1000–1015): every foreign snapshot
+    * registers parent-chained — including SCHEMA-EVOLVED lineages
+    * (every foreign schema registers under its own schema-id; each
+    * historical file and snapshot resolves through its write schema) —
+    * so `VERSION AS OF` a pre-adoption id keeps serving, with random
+    * foreign ids remapped to a dense native sequence (recorded in
+    * table properties for foreign-id lookup).
     *
-    * Scope (refused loudly otherwise): every live file must be readable
-    * under the current schema's names — compact the source first.
+    * Scope (refused loudly otherwise): every live file's write schema
+    * must still be declared in the metadata — compact the source first.
     * `location` hosts the IceLite metadata; passing the foreign table's
     * own location gives an in-place migrate (Iceberg's
     * `vN.metadata.json` and IceLite's `vN.json` + hint do not
@@ -2783,15 +2823,30 @@ object IceLite {
     val ice = IcebergInterop.loadMeta(metadataJson, conf)
     val snap = ice.currentSnapshotId.flatMap(id => ice.snapshots.find(_.id == id))
       .getOrElse(sys.error(s"iceberg adopt: no current snapshot in $metadataJson"))
-    val readSchemaId = snap.schemaId.getOrElse(ice.currentSchemaId)
-    // defaults cross the boundary: initial-default is carried for
-    // metadata fidelity (every adoptable file physically stores every
-    // column, so the read fill never triggers natively), and
-    // write-default is HONORED — native appends that omit the column
-    // materialize the foreign writer's declared fill
-    val fields = ice.schemas(readSchemaId).map(f =>
-      Field(f.id, f.name, f.dtype, f.initialDefault, f.writeDefault))
-    val sch = TableSchema(0, fields)
+    // EVERY foreign schema registers natively under its OWN schema-id
+    // (Iceberg schema-ids are small dense ints; native evolution later
+    // mints max+1, so the id spaces never collide). That is what lets a
+    // SCHEMA-EVOLVED lineage adopt with full history: each historical
+    // file resolves through the schema it was WRITTEN under (by field
+    // id, exactly like native files), and each historical snapshot
+    // carries its write schema so time travel projects the columns the
+    // table had then. Defaults cross the boundary per schema:
+    // initial-default is carried for read fills (fields added after a
+    // file was written fill from it at scan), and write-default is
+    // HONORED — native appends that omit the column materialize the
+    // foreign writer's declared fill.
+    val readSchemaId = {
+      val head = snap.schemaId.getOrElse(ice.currentSchemaId)
+      // Iceberg's CURRENT read projects the TABLE's current schema even
+      // when the head snapshot predates it (a rename after the last
+      // commit is metadata-only and surfaces immediately)
+      if (ice.schemas.contains(ice.currentSchemaId)) ice.currentSchemaId else head
+    }
+    val schemas = ice.schemas.toSeq.sortBy(_._1).map { case (sid, fs) =>
+      TableSchema(sid, fs.map(f =>
+        Field(f.id, f.name, f.dtype, f.initialDefault, f.writeDefault)))
+    }
+    val sch = schemas.find(_.schemaId == readSchemaId).get
     // foreign `bucket[N]` tuples were hashed with the Iceberg-spec murmur3;
     // IceLite's own `bucket[N]` hashes xxhash64 — the adopted spec lifts to
     // `mbucket[N]` (murmur3 semantics, [[graft.functions.IcebergBucket]]),
@@ -2920,11 +2975,33 @@ object IceLite {
     // an uncached walk would re-parse each manifest O(snapshots) times
     val manifestCache = scala.collection.mutable.Map[String,
       Seq[org.apache.avro.generic.GenericRecord]]()
-    // id → write-schema, built once: the resolvability check runs per
-    // (snapshot, file) across the whole walk — a linear snapshots.find
-    // there is O(snapshots² × files) on a long lineage
+    // id → write-schema, built once: the per-file schema resolution runs
+    // per (snapshot, file) across the whole walk — a linear
+    // snapshots.find there is O(snapshots² × files) on a long lineage
     val writeSchemaById: Map[Long, Option[Int]] =
       ice.snapshots.map(s => s.id -> s.schemaId).toMap
+    // footer-based write-schema resolution for files whose ADDING
+    // snapshot the metadata no longer records (expired history — a
+    // normal production shape): the file's parquet field-id→name map
+    // picks the registered schema it matches; among multiple matches the
+    // MINIMAL one wins (fewest fields absent from the file), so a
+    // pre-ADD file is stamped pre-ADD and its read fills the added
+    // column's initial-default rather than null. Id-less parquet (plain
+    // writers) matches nothing → the current read schema, the
+    // name-match shape. One footer read per distinct file, cached
+    // across the walk — adoption-time only, never per scan.
+    val footerSchemaCache = scala.collection.mutable.Map[String, Int]()
+    def footerSchemaId(path: String): Int =
+      footerSchemaCache.getOrElseUpdate(path, {
+        val byId =
+          try IcebergInterop.parquetFieldNamesById(path, conf)
+          catch { case _: Exception => Map.empty[Int, String] }
+        val cands = schemas.filter(s => byId.forall { case (fid, nm) =>
+          s.fields.find(_.id == fid).forall(_.name == nm) })
+        if (byId.isEmpty || cands.isEmpty) readSchemaId
+        else cands.minBy(s =>
+          (s.fields.count(f => !byId.contains(f.id)), s.schemaId)).schemaId
+      })
     def rawSnapshot(s: IcebergInterop.IceSnapshot, strict: Boolean)
         : Option[(Seq[DataFile], Seq[String],
             Seq[IcebergInterop.DvRef], Seq[IcebergInterop.EqDeleteRef])] = {
@@ -2932,22 +3009,32 @@ object IceLite {
         try Some(IcebergInterop.fileInventory(ice, s, conf, manifestCache))
         catch { case e: Exception => if (strict) throw e else None }
       parsed.flatMap { case (files, posDels, dvRefs, eqRefs) =>
-        val resolvable = files.forall { df =>
+        // each file is stamped with the schema it was WRITTEN under (the
+        // adding snapshot's schema-id) — the native scan then resolves
+        // its columns by field id through that schema, so SCHEMA-EVOLVED
+        // lineages adopt in full. Files whose adding snapshot is
+        // unrecorded or EXPIRED from the metadata resolve through their
+        // parquet footer's field-ids instead (Iceberg's own resolution —
+        // the file carries its schema); only a write schema the metadata
+        // no longer declares is unresolvable.
+        def fileSchemaId(df: IcebergInterop.IceDataFile): Option[Int] = {
           val ws = writeSchemaById.getOrElse(df.addedSnapshotId, None)
-          val ok = ws.forall(_ == readSchemaId)
+          val ok = ws.forall(ice.schemas.contains)
           require(ok || !strict,
             s"iceberg adopt: ${df.path} was written under schema ${ws.getOrElse(-1)}, " +
-              s"current is $readSchemaId — compact the source first")
-          ok
+              "which the metadata no longer declares — compact the source first")
+          if (ok) Some(ws.getOrElse(footerSchemaId(df.path))) else None
         }
-        if (!resolvable) None
-        else Some((files.map(df => DataFile(df.path, df.records, 0, df.specId,
-          convertTuple(df), Map(), df.seq, nameMapped = true,
-          // V3 row lineage crosses the migrate-in boundary: an explicit
-          // foreign first_row_id keeps serving (inheritance is positional,
-          // and adoption never rewrites the file)
-          firstRowId = df.firstRowId)),
-          posDels, dvRefs, eqRefs))
+        val stamped = files.map(df => fileSchemaId(df).map(df -> _))
+        if (stamped.exists(_.isEmpty)) None
+        else Some((stamped.flatten.map { case (df, sid) =>
+          DataFile(df.path, df.records, sid, df.specId,
+            convertTuple(df), Map(), df.seq, nameMapped = true,
+            // V3 row lineage crosses the migrate-in boundary: an explicit
+            // foreign first_row_id keeps serving (inheritance is positional,
+            // and adoption never rewrites the file)
+            firstRowId = df.firstRowId)
+          }, posDels, dvRefs, eqRefs))
       }
     }
     val headRaw = rawSnapshot(snap, strict = true).get
@@ -2966,10 +3053,10 @@ object IceLite {
     // the foreign id is recorded per snapshot in table properties, so
     // `VERSION AS OF <foreign id>` serves every pre-adoption point.
     // Falls back to head-only when a historical snapshot fails to parse
-    // or resolve under the adopted schema (schema-evolved lineages:
-    // compact the source first), or when the current snapshot is not
-    // the commit-order tip (a rolled-back foreign head would otherwise
-    // adopt "future" snapshots above it).
+    // or references a write schema the metadata no longer declares, or
+    // when the current snapshot is not the commit-order tip (a
+    // rolled-back foreign head would otherwise adopt "future" snapshots
+    // above it).
     val adopted0: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
       val ordered = ice.snapshots.sortBy(s =>
         (s.sequenceNumber.getOrElse(Long.MinValue), s.timestampMs, s.id))
@@ -3008,9 +3095,14 @@ object IceLite {
     // "replace" (compaction) points. Foreign branch structure is
     // linearized — each snapshot's FILE SET is exact, so time travel to
     // any foreign id is exact; only fabricated parent edges differ.
+    // each snapshot keeps its WRITE schema (snapshot-scoped-schema
+    // semantics survive the migrate: `VERSION AS OF` a pre-evolution
+    // foreign point shows the columns the table had then)
     val snapshots = adopted.zipWithIndex.map { case ((s, dfs, dels), i) =>
       Snapshot(nativeIds(i), if (i == 0) None else Some(nativeIds(i - 1)),
-        s.timestampMs, s.operation, dfs, dels, 0)
+        s.timestampMs, s.operation, dfs, dels,
+        s.schemaId.filter(id => schemas.exists(_.schemaId == id))
+          .getOrElse(readSchemaId))
     }
     val foreignIdProps =
       if (keepIds) Map.empty[String, String]
@@ -3035,9 +3127,9 @@ object IceLite {
     val now = System.currentTimeMillis()
     val m = TableMetadata(
       location = location,
-      lastFieldId = fields.map(_.id).max,
-      currentSchemaId = 0,
-      schemas = Seq(sch),
+      lastFieldId = schemas.flatMap(_.fields.map(_.id)).max,
+      currentSchemaId = readSchemaId,
+      schemas = schemas,
       defaultSpecId = ice.defaultSpecId,
       specs = specs,
       properties = Map("adopted.from" -> metadataJson) ++ foreignIdProps ++

@@ -209,12 +209,31 @@ final case class TableMetadata(
     * monotone sequence (IceLite range semantics assume id order = time
     * order) and records `adopted.foreign-snapshot.<foreignId> -> nativeId`
     * in table properties, so `VERSION AS OF <foreign id>` keeps serving
-    * every pre-adoption point. Native ids win on collision. */
-  def snapshot(id: Long): Snapshot =
-    snapshots.find(_.id == id)
-      .orElse(properties.get(s"${TableMetadata.ForeignSnapshotProp}$id")
-        .flatMap(nid => nid.toLongOption.flatMap(n => snapshots.find(_.id == n))))
-      .getOrElse(sys.error(s"no snapshot $id"))
+    * every pre-adoption point.
+    *
+    * An id that matches BOTH a native snapshot and a recorded foreign id
+    * fails LOUDLY instead of silently preferring either: post-adoption
+    * native commits mint monotonically increasing ids, and although the
+    * minting path skips recorded foreign ids ([[IceLiteTable]]'s
+    * nextSnapshotId), metadata written by an older engine could have
+    * grown into a foreign id — serving either interpretation would be a
+    * coin flip over which snapshot the caller meant. */
+  def snapshot(id: Long): Snapshot = {
+    val native = snapshots.find(_.id == id)
+    val foreignNative = properties.get(s"${TableMetadata.ForeignSnapshotProp}$id")
+      .flatMap(_.toLongOption).filterNot(n => native.exists(_.id == n))
+    (native, foreignNative) match {
+      case (Some(_), Some(nid)) => sys.error(
+        s"snapshot id $id is ambiguous: it names a native snapshot AND an " +
+          s"adopted foreign snapshot (remapped to native $nid); use the " +
+          "snapshots table to disambiguate by timestamp")
+      case (Some(s), None) => s
+      case (None, Some(nid)) => snapshots.find(_.id == nid).getOrElse(sys.error(
+        s"no snapshot $id (its adopted foreign mapping points at native " +
+          s"snapshot $nid, which has been expired)"))
+      case (None, None) => sys.error(s"no snapshot $id")
+    }
+  }
 }
 
 object TableMetadata {

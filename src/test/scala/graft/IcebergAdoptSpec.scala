@@ -591,4 +591,184 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(t.read().count() == 116)
     assert(t.readAsOf(idC).count() == 95, "foreign points keep serving after native commits")
   }
+
+  test("SCHEMA-EVOLVED foreign lineage adopts in full: each point serves under its write schema") {
+    // a production shape history adoption used to degrade to head-only:
+    // mid-history ADD COLUMN (with default) + RENAME, random snapshot
+    // ids. Every foreign schema must register under its own schema-id,
+    // each file resolve through its WRITE schema, and `VERSION AS OF`
+    // each pre-evolution foreign id hash-match the independent foreign
+    // reader under the pre-evolution schema.
+    val loc = Files.createTempDirectory("ice_adopt_evo").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "v"))
+    src.append((0L until 20L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val s1 = src.meta.currentSnapshotId.get
+    src.addColumn("ch", "STRING", Some("'web'"))
+    src.renameColumn("v", "label")
+    src.append((20L until 30L).map(i => (i, s"b$i", "app")).toDF("id", "label", "ch"))
+    val s2 = src.meta.currentSnapshotId.get
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(s1, s2))
+    // randomize the exported ids (non-monotone, like real writers') —
+    // CONSISTENTLY: metadata.json, the manifest lists' added_snapshot_id,
+    // and the manifest entries' snapshot_id all carry the same ids, the
+    // shape a real writer leaves behind
+    val (r1, r2) = (98877665544332L, 11223344556677L)
+    val remap = Map(s1 -> r1, s2 -> r2)
+    val mp = java.nio.file.Paths.get(mj)
+    val edited = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace(s""""snapshot-id": $s1,""", s""""snapshot-id": $r1,""")
+      .replace(s""""snapshot-id": $s2,""", s""""snapshot-id": $r2,""")
+      .replace(s""""current-snapshot-id": $s2""", s""""current-snapshot-id": $r2""")
+    java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new java.io.File(s"$loc/foreign/metadata")
+    for (av <- metaDir.listFiles().filter(_.getName.endsWith(".avro"))) {
+      val rows0 = IcebergInterop.avroRows(av.toString, conf)
+      val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](
+          rows0.head.getSchema))
+      w.create(rows0.head.getSchema, av)
+      try rows0.foreach { r =>
+        for (f <- Seq("snapshot_id", "added_snapshot_id"))
+          if (r.getSchema.getField(f) != null) Option(r.get(f)).foreach {
+            case v: java.lang.Long if remap.contains(v) => r.put(f, Long.box(remap(v)))
+            case _ => ()
+          }
+        w.append(r)
+      } finally w.close()
+    }
+    for (crc <- metaDir.listFiles().filter(f =>
+      f.getName.startsWith(".") && f.getName.endsWith(".crc"))) crc.delete()
+
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L),
+      "the evolved lineage must adopt in FULL (no head-only degrade)")
+    assert(t.meta.schemas.size == 2,
+      s"every foreign schema registers, got ${t.meta.schemas.map(_.schemaId)}")
+    // the pre-evolution point serves under the pre-evolution schema,
+    // hash-identical to the independent foreign reader
+    assert(t.readAsOf(r1).columns.toSeq == Seq("id", "v"),
+      s"pre-evolution time travel shows the columns the table had then, " +
+        s"got ${t.readAsOf(r1).columns.toSeq}")
+    assert(rows(t.readAsOf(r1)) == rows(IcebergInterop.readAsOf(spark, mj, r1)))
+    // the head serves under the evolved schema: rename surfaced, the
+    // added column filling its initial-default on pre-evolution files
+    assert(t.read().columns.toSeq == Seq("id", "label", "ch"))
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)))
+    val byId = t.read().collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(0L) == ("a0", "web"), "pre-evolution rows fill the initial-default")
+    assert(byId(25L) == ("b25", "app"))
+    // the lineage continues natively under the evolved schema…
+    t.append(Seq((100L, "z", "ios")).toDF("id", "label", "ch"))
+    assert(t.read().count() == 31L)
+    assert(t.readAsOf(r1).count() == 20L, "pre-evolution points keep serving")
+    // …native DDL mints schema ids past every adopted one…
+    t.renameColumn("ch", "channel")
+    assert(t.meta.currentSchemaId > t.meta.schemas.map(_.schemaId).min)
+    assert(t.read().filter(col("channel") === "app").count() == 10L)
+    // …and compaction exits name-mapping with rows intact
+    t.compact(target = 2)
+    assert(t.meta.currentSnapshot.get.dataFiles.forall(!_.nameMapped))
+    assert(t.read().filter(col("channel") === "web").count() == 20L)
+
+    // EXPIRED adding snapshot: the head's manifest list still carries
+    // the first snapshot's files, but their added_snapshot_id now
+    // dangles (metadata no longer records that snapshot) — per-file
+    // parquet FIELD-IDS resolve the write schema instead, and the
+    // minimal-schema rule stamps pre-ADD files pre-ADD so the added
+    // column still fills its initial-default, not null
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = M.readTree(new java.io.File(mj))
+    val snapsArr = tree.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    assert(snapsArr.get(0).get("snapshot-id").asLong() == r1)
+    snapsArr.remove(0)
+    java.nio.file.Files.write(mp, M.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(tree))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+    val t2 = IceLite.adopt(spark, mj, s"$loc/adopted2")
+    assert(t2.meta.snapshots.size == 1,
+      "only the surviving head registers after foreign expiry")
+    assert(t2.read().columns.toSeq == Seq("id", "label", "ch"))
+    val byId2 = t2.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId2(0L) == ("a0", "web"),
+      "footer-resolved pre-evolution files still fill the initial-default")
+    assert(byId2(25L) == ("b25", "app"))
+    assert(t2.read().count() == 30L)
+  }
+
+  test("native commits skip recorded foreign ids; expire prunes stale foreign mappings") {
+    // foreign ids (20, 6, 30) in commit order: non-monotone, all above
+    // N=3 → dense remap to natives 1..3 with foreign-id properties. A
+    // post-adoption native lineage then grows 4, 5, … and must NEVER
+    // mint 6 — that id is `VERSION AS OF`-reachable as the foreign
+    // mid-point, and a native snapshot under it would be ambiguous.
+    val loc = Files.createTempDirectory("ice_adopt_fid").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    src.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    src.append((10L until 25L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    src.append((25L until 30L).map(i => (i, s"c$i")).toDF("id", "tag"))
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(1L, 2L, 3L))
+    val mp = java.nio.file.Paths.get(mj)
+    val edited = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("\"snapshot-id\": 1,", "\"snapshot-id\": 20,")
+      .replace("\"snapshot-id\": 2,", "\"snapshot-id\": 6,")
+      .replace("\"snapshot-id\": 3,", "\"snapshot-id\": 30,")
+      .replace("\"current-snapshot-id\": 3", "\"current-snapshot-id\": 30")
+    java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    assert(Seq(6L, 20L, 30L).forall(f =>
+      t.meta.properties.contains(s"adopted.foreign-snapshot.$f")))
+    assert(t.readAsOf(6L).count() == 25L)
+    // three native appends: ids 4, 5, then SKIP 6 (a recorded foreign id)
+    for (i <- 0 until 3) t.append(Seq((100L + i, "n")).toDF("id", "tag"))
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L, 7L),
+      "native minting must skip the recorded foreign id 6")
+    assert(t.readAsOf(6L).count() == 25L,
+      "the foreign mid-point keeps serving unambiguously after native growth")
+    // expire native 1 only (cutoff = native 2's commit time): its foreign
+    // mapping (20) is pruned; the survivors' mappings stay
+    val ts2 = t.meta.snapshots.find(_.id == 2L).get.timestampMs
+    t.expireSnapshots(ts2)
+    assert(t.meta.snapshots.map(_.id) == Seq(2L, 3L, 4L, 5L, 7L))
+    assert(!t.meta.properties.contains("adopted.foreign-snapshot.20"),
+      "an expired point's foreign mapping must be pruned with it")
+    assert(Seq(6L, 30L).forall(f =>
+      t.meta.properties.contains(s"adopted.foreign-snapshot.$f")))
+    val e1 = intercept[RuntimeException](t.readAsOf(20L))
+    assert(e1.getMessage.contains("no snapshot 20"),
+      s"an expired foreign id fails like an expired native id, got: ${e1.getMessage}")
+    assert(t.readAsOf(6L).count() == 25L)
+    // expire the remaining adopted points: all foreign mappings go
+    val ts4 = t.meta.snapshots.find(_.id == 4L).get.timestampMs
+    t.expireSnapshots(ts4)
+    assert(!t.meta.properties.keys.exists(_.startsWith("adopted.foreign-snapshot.")),
+      "no stale foreign mappings survive their snapshots")
+    val e2 = intercept[RuntimeException](t.readAsOf(6L))
+    assert(e2.getMessage.contains("no snapshot 6"))
+  }
+
+  test("an id naming both a native snapshot and a foreign mapping fails loudly") {
+    // pre-fix metadata shape (an older engine minted native ids into the
+    // foreign-id range): serving either interpretation silently would be
+    // a coin flip over which snapshot the caller meant
+    val m = TableMetadata(
+      location = "/x", lastFieldId = 1, currentSchemaId = 0,
+      schemas = Seq(TableSchema(0, Seq(Field(1, "id", "BIGINT", None)))),
+      defaultSpecId = 0, specs = Seq(PartitionSpec(0, Seq())),
+      properties = Map("adopted.foreign-snapshot.10" -> "2"),
+      currentSnapshotId = Some(10L),
+      snapshots = Seq(
+        Snapshot(2L, None, 1L, "append", Seq(), Seq()),
+        Snapshot(10L, Some(2L), 2L, "append", Seq(), Seq())),
+      metadataLog = Seq())
+    val e = intercept[RuntimeException](m.snapshot(10L))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    assert(m.snapshot(2L).id == 2L, "unambiguous native ids keep serving")
+  }
 }

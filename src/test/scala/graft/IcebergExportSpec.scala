@@ -437,6 +437,28 @@ class IcebergExportSpec extends SparkSpec {
       .contains("\"write-default\": \"store\""))
   }
 
+  test("write defaults are restricted to foldable literals") {
+    // the fill resolves against each incoming DataFrame at write time and
+    // serializes through writeDefaultJson on export — a column reference
+    // would silently read source data, a now() would fill differently per
+    // write and drop at the export boundary; both must be rejected at DDL
+    val loc = Files.createTempDirectory("ice_wdef_lit").toString
+    val t = IceLite.createFrom(spark, s"$loc/t", Seq((1L, "a")).toDF("id", "v"))
+    t.addColumn("ch", "STRING", Some("'web'"))
+    t.addColumn("n", "BIGINT")
+    t.setWriteDefault("ch", "'store'")            // plain literal: ok
+    t.setWriteDefault("n", "-4")                  // negated literal: ok
+    t.setWriteDefault("ch", "CAST('x' AS STRING)") // cast literal: ok
+    t.setWriteDefault("ch", "null")               // DROP DEFAULT: ok
+    for (bad <- Seq("id", "now()", "concat('a', 'b')", "id + 1"))
+      assert(intercept[IllegalArgumentException](t.setWriteDefault("ch", bad))
+        .getMessage.contains("must be a literal"), s"'$bad' must be rejected")
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    val got = t.read().filter(col("id") === 9L).select("ch", "n").collect().head
+    assert(got.getString(0) == null && got.getLong(1) == -4L,
+      "the accepted literals fill as declared (ch dropped to null default)")
+  }
+
   test("sort orders cross the export/adopt boundary and re-export identically") {
     val loc = Files.createTempDirectory("ice_export_sort").toString
     def txt(p: String) = new String(
