@@ -61,7 +61,9 @@ object Bench {
     // round-14: variant across the interop boundary, migrate-in, REST commit
     "iceberg_export_variant", "iceberg_adopt", "icelite_rest_commit",
     // round-16: adopt history/MoR, delta-aware REST export chain
-    "iceberg_adopt_history", "iceberg_adopt_mor", "icelite_rest_delta")
+    "iceberg_adopt_history", "iceberg_adopt_mor", "icelite_rest_delta",
+    // round-18: schema-evolved lineage adoption
+    "iceberg_adopt_evolved")
 
   /** Deterministic 10× scale-up, cached under /tmp (no driver-generated sf1
     * parquet exists) — now generates the FULL table set so the complete
@@ -132,10 +134,27 @@ object Bench {
       else sorted.map { case (name, fn) =>
         name -> (if (passA(name).isDefined) timeOnce(name, fn) else None)
       }.toMap
-    val results = sorted.map { case (name, _) =>
+    val results0 = sorted.map { case (name, _) =>
       val runs = passA(name).toSeq ++ passB(name).toSeq
       name -> runs.sorted.headOption.getOrElse(0.0)
     }
+    // in-sweep outlier re-timing: single-pass scale sweeps (the 10×/100×
+    // points run SPARK_GRAFT_PASSES=1) ship 2–4 wild JVM/page-cache
+    // transients per run that otherwise need manual re-adjudication every
+    // round. Any query above max(3 s, 8× the sweep median) re-times once
+    // after a System.gc(); the artifact records BOTH numbers
+    // ("retimed": {q: {"raw": …, "sec": …}}) and the headline takes the
+    // min — the same min-of-runs semantics as the two-pass defense.
+    val med = results0.map(_._2).sorted.lift(results0.size / 2).getOrElse(0.0)
+    val outlierFloor = math.max(3.0, 8.0 * med)
+    val retimed: Seq[(String, Double, Double)] =
+      results0.filter(_._2 > outlierFloor).flatMap { case (name, raw) =>
+        System.gc()
+        sorted.find(_._1 == name).flatMap { case (_, fn) =>
+          timeOnce(name, fn).map(re => (name, raw, re)) }
+      }
+    val results = results0.map { case (n, v) =>
+      n -> retimed.find(_._1 == n).map(t => math.min(t._2, t._3)).getOrElse(v) }
     // canary: re-time the first query at the very end — a contended run
     // shows a canary far above that query's reported min
     val canary = sorted.headOption.flatMap { case (name, fn) =>
@@ -177,13 +196,20 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
     val probeJson = if (probes.isEmpty) "" else s""","probes":${qmap(probes)}"""
+    // the outlier dispositions, capped so a pathological run cannot
+    // blow the driver's tail window
+    val retimedJson =
+      if (retimed.isEmpty) ""
+      else s""","retimed":${retimed.take(6).map { case (n, raw, re) =>
+        "\"" + n + "\":{\"raw\":" + r3(raw) + ",\"sec\":" + r3(re) + "}"
+      }.mkString("{", ",", "}")}"""
     val head = results.filter { case (k, _) => headline.contains(k) }
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can$probeJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can$probeJson$retimedJson,"sf":"$sfDir"}"""
     // the ONE parseable line, printed LAST: headline subset keeps it inside
     // the driver's 2000-char tail window
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can$probeJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can$probeJson$retimedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file mirror: ${e.getMessage}") }
     println(fullLine)

@@ -499,9 +499,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // key prunes all but a few files at plan time). Unpartitioned writes
     // range-repartition globally (disjoint ranges across files);
     // partitioned writes keep the partition clustering and sort within it.
-    val sortPhys = m.properties.get("write.sort-order").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .map(n => sch.fieldByName(n).physName)
+    // Entries may carry a transform / direction / null order
+    // ([[SortOrders]] grammar — full Iceberg sort-order fidelity).
+    val sortCols = m.properties.get("write.sort-order").toSeq
+      .flatMap(SortOrders.parse).map { sf =>
+        val fld = sch.fieldByName(sf.column)
+        SortOrders.orderCol(sf, col(fld.physName), fld.dtype)
+      }
     // write.parquet.bloom-filter-enabled.column.<name>=true (Iceberg's
     // property shape) → per-column parquet bloom filters. The row-group
     // complement to min/max skipping: point lookups on high-cardinality
@@ -515,10 +519,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     }
     def writer(d: DataFrame) = writeOpts.foldLeft(d.write)((w, kv) => w.option(kv._1, kv._2))
     if (spec.fields.isEmpty) {
-      if (sortPhys.isEmpty) writer(phys).parquet(stagingDir.toString)
-      else writer(targetFiles.fold(phys.repartitionByRange(sortPhys.map(col): _*))(
-          n => phys.repartitionByRange(n, sortPhys.map(col): _*))
-        .sortWithinPartitions(sortPhys.map(col): _*))
+      if (sortCols.isEmpty) writer(phys).parquet(stagingDir.toString)
+      else writer(targetFiles.fold(phys.repartitionByRange(sortCols: _*))(
+          n => phys.repartitionByRange(n, sortCols: _*))
+        .sortWithinPartitions(sortCols: _*))
         .parquet(stagingDir.toString)
     } else {
       val withP = spec.fields.foldLeft(phys) { (d, sf) =>
@@ -529,9 +533,9 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       // tiny files — metadata and read-path poison at scale); with it, file
       // count ≈ distinct partition values.
       val clustered =
-        if (sortPhys.isEmpty) withP.repartition(partCols.map(col): _*)
+        if (sortCols.isEmpty) withP.repartition(partCols.map(col): _*)
         else withP.repartition(partCols.map(col): _*)
-          .sortWithinPartitions((partCols ++ sortPhys).map(col): _*)
+          .sortWithinPartitions(partCols.map(col) ++ sortCols: _*)
       writer(clustered).partitionBy(partCols: _*).parquet(stagingDir.toString)
     }
     // enumerate staged parquet files; partition values derive from dir names
@@ -1883,15 +1887,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     commitWithRetry { m =>
       val sch = m.currentSchema
       val fld = sch.fieldByName(name)
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, UnaryMinus}
-      def literalShape(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-        e match {
-          case _: Literal => true
-          case c: Cast => literalShape(c.child)
-          case u: UnaryMinus => literalShape(u.child)
-          case _ => false
-        }
-      require(literalShape(spark.sessionState.sqlParser.parseExpression(sql)),
+      require(IceLite.isFoldableLiteral(spark, sql),
         s"write default for $name must be a literal, got: $sql")
       expr(sql).cast(fld.sparkDdl) // validate the literal parses + casts
       val next = sch.copy(
@@ -1949,7 +1945,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       require(!m.specs.exists(_.fields.exists(_.sourceId == fld.id)),
         s"$name is a partition source column; evolve the partition spec first")
       require(!m.properties.get("write.sort-order").exists(
-        _.split(",").map(_.trim).contains(name)),
+        SortOrders.columns(_).contains(name)),
         s"$name is in the declared sort order; clear it first")
       // any RETAINED snapshot, not just the current one: time travel would
       // re-apply the eq delete through the current schema, where the
@@ -1991,15 +1987,23 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     * columns), so file-level min/max stats become an index over the sort
     * key: at 100 TB a point/range filter on the sort key plans down to a
     * handful of files instead of a full scan. Existing files are untouched
-    * (re-cluster them with [[compact]]). */
+    * (re-cluster them with [[compact]]).
+    *
+    * Entries follow the [[SortOrders]] grammar — a bare column name, or
+    * `truncate[4](code) desc nulls-last`-style transform/direction/null
+    * order (full Iceberg sort-order expressiveness). */
   def setSortOrder(cols: Seq[String]): Unit =
     commitWithRetry { m =>
-      cols.foreach(m.currentSchema.fieldByName) // validate against live schema
+      val parsed = SortOrders.parse(cols.mkString(","))
+      parsed.foreach { sf => // validate against live schema + transforms
+        val fld = m.currentSchema.fieldByName(sf.column)
+        SortOrders.transformCol(sf.transform, col(fld.physName), fld.dtype)
+      }
       // a linear order supersedes any standing z-order hint (the
       // clusterings conflict — compactZOrder refuses the reverse)
       (m.copy(properties = m.properties - "write.zorder-by" +
-        ("write.sort-order" -> cols.mkString(","))),
-        s"set sort order ${cols.mkString(",")}")
+        ("write.sort-order" -> SortOrders.render(parsed))),
+        s"set sort order ${SortOrders.render(parsed)}")
     }
 
   /** SET TBLPROPERTIES (README.md:1113–1114). */
@@ -2565,6 +2569,23 @@ object IceLite {
     * in-flight (not yet committed) write and are never reclaimed. */
   val OrphanGraceMs: Long = 3L * 3600 * 1000
 
+  /** Is `sql` a foldable literal (optionally cast / negated)? The shape
+    * [[IceLiteTable.setWriteDefault]] accepts: a column reference would
+    * resolve against each incoming DataFrame and a non-deterministic
+    * call would fill differently per write — neither is a DEFAULT. */
+  private[icelite] def isFoldableLiteral(spark: SparkSession, sql: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, UnaryMinus}
+    def literalShape(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: Cast => literalShape(c.child)
+      case u: UnaryMinus => literalShape(u.child)
+      case _ => false
+    }
+    scala.util.Try(
+      literalShape(spark.sessionState.sqlParser.parseExpression(sql)))
+      .getOrElse(false)
+  }
+
   private[icelite] def validateRefName(name: String): Unit = {
     require(name != "main", "main is the implicit published branch")
     require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
@@ -3108,16 +3129,47 @@ object IceLite {
       if (keepIds) Map.empty[String, String]
       else adopted.zipWithIndex.map { case ((s, _, _), i) =>
         s"${TableMetadata.ForeignSnapshotProp}${s.id}" -> nativeIds(i).toString }.toMap
-    // clustering hints cross the boundary: the foreign DEFAULT sort order
-    // (identity/asc only — interop drops anything it can't express)
-    // becomes the declared write.sort-order, so native writes keep
-    // clustering and file min/max pruning keeps serving; a foreign
-    // z-order hint travels as the same table property export emits
-    val sortProp =
-      if (ice.sortOrderFieldIds.nonEmpty && ice.sortOrderFieldIds.forall(sch.hasId))
-        Map("write.sort-order" ->
-          ice.sortOrderFieldIds.map(id => sch.byId(id).name).mkString(","))
+    // foreign branches/tags survive the migrate: each ref's snapshot id
+    // maps through the same remap and registers as a NATIVE ref (branch
+    // = movable head, tag = schema-pinned pin — readRef's semantics).
+    // Refs at snapshots the walk dropped (head-only degrade) and names
+    // IceLite cannot spell are dropped — a ref that cannot be
+    // represented beats one that points at the wrong snapshot.
+    val nativeIdByForeign: Map[Long, Long] =
+      adopted.map(_._1.id).zip(nativeIds).toMap
+    val adoptedRefs: Map[String, Ref] = ice.refs.flatMap { case (name, r) =>
+      nativeIdByForeign.get(r.snapshotId).flatMap { nid =>
+        if (scala.util.Try(IceLite.validateRefName(name)).isSuccess)
+          Some(name -> Ref(nid, if (r.refType == "tag") "tag" else "branch"))
+        else None
+      }
+    }
+    // clustering hints cross the boundary: the foreign DEFAULT sort
+    // order becomes the declared write.sort-order with FULL fidelity —
+    // transform (bucket[N] lifts onto mbucket[N], the murmur3 hash the
+    // foreign layout actually used, exactly as partition tuples do),
+    // direction and null order all carry — so native writes keep the
+    // foreign clustering and file min/max pruning keeps serving. An
+    // order containing a transform IceLite cannot apply drops WHOLE
+    // (a partial order would cluster the wrong way). A foreign z-order
+    // hint travels as the same table property export emits.
+    val sortProp = {
+      def nativeTransform(t: String): Option[String] = t match {
+        case "identity" | "year" | "month" | "day" => Some(t)
+        case tr if tr.startsWith("truncate[") && tr.endsWith("]") => Some(tr)
+        case tr if tr.startsWith("bucket[") && tr.endsWith("]") => Some("m" + tr)
+        case _ => None
+      }
+      val fields = ice.sortOrder.map { f =>
+        if (!sch.hasId(f.sourceId)) None
+        else nativeTransform(f.transform).map(nt => SortField(
+          sch.byId(f.sourceId).name, nt,
+          f.direction == "desc", f.nullOrder == "nulls-last"))
+      }
+      if (fields.nonEmpty && fields.forall(_.isDefined))
+        Map("write.sort-order" -> SortOrders.render(fields.flatten))
       else Map.empty[String, String]
+    }
     val zorderProp =
       if (sortProp.nonEmpty) Map.empty[String, String] // clusterings conflict
       else ice.properties.get("write.zorder-by")
@@ -3137,6 +3189,7 @@ object IceLite {
       currentSnapshotId = Some(snapshots.last.id),
       snapshots = snapshots,
       metadataLog = Seq(MetadataLogEntry(1, now, s"adopt iceberg table ($metadataJson)")),
+      refs = adoptedRefs,
       // V3 row lineage: resume the foreign id counter (never below the
       // end of any adopted file's explicit block, so native appends can
       // never collide with migrated ids even on a sparse foreign counter)

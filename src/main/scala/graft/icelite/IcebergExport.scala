@@ -140,24 +140,58 @@ object IcebergExport {
   }
 
   /** Iceberg `sort-orders` for the table's declared `write.sort-order`:
-    * order 0 (unsorted) plus, when declared and fully resolvable in the
-    * current schema, order 1 with identity/asc/nulls-first fields — the
-    * clustering hint a foreign engine needs to keep exploiting the
-    * sorted layout (file min/max pruning on the sort key). Returns
+    * order 0 (unsorted) plus, when declared and fully expressible, order
+    * 1 with each field's transform / direction / null-order emitted
+    * verbatim — the clustering hint a foreign engine needs to keep
+    * exploiting the sorted layout (file min/max pruning on the sort
+    * key). `mbucket[N]` (the adopted murmur3 layout) emits as the
+    * spec's `bucket[N]` — it IS that hash; native `bucket[N]`
+    * (xxhash64) has no spec transform that orders the same way, so an
+    * order containing one drops entirely (a partially-declared or
+    * wrong-hash order would mislead foreign readers). Returns
     * (default-sort-order-id, sort-orders JSON array). */
   private def sortOrdersJson(m: TableMetadata): (Int, String) = {
     val empty = (0, """[{"order-id": 0, "fields": []}]""")
     m.properties.get("write.sort-order") match {
       case Some(csv) =>
-        val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val parsed = scala.util.Try(SortOrders.parse(csv)).getOrElse(Seq())
         val sch = m.currentSchema
-        if (cols.nonEmpty && cols.forall(c => sch.fields.exists(_.name == c))) {
-          val fs = cols.map(c =>
-            s"""{"transform": "identity", "source-id": ${sch.fieldByName(c).id}, """ +
-              s""""direction": "asc", "null-order": "nulls-first"}""").mkString(", ")
-          (1, s"""[{"order-id": 0, "fields": []}, {"order-id": 1, "fields": [$fs]}]""")
-        } else empty
+        def transformJson(t: String): Option[String] = t match {
+          case "identity" | "year" | "month" | "day" => Some(t)
+          case tr if tr.startsWith("truncate[") => Some(tr)
+          case tr if tr.startsWith("mbucket[") => Some(tr.stripPrefix("m"))
+          case _ => None // native xxhash bucket: not spec-expressible
+        }
+        val fields = parsed.map { f =>
+          if (!sch.fields.exists(_.name == f.column)) None
+          else transformJson(f.transform).map { tj =>
+            s"""{"transform": "$tj", "source-id": ${sch.fieldByName(f.column).id}, """ +
+              s""""direction": "${if (f.desc) "desc" else "asc"}", """ +
+              s""""null-order": "${if (f.nullsLast) "nulls-last" else "nulls-first"}"}"""
+          }
+        }
+        if (fields.nonEmpty && fields.forall(_.isDefined))
+          (1, s"""[{"order-id": 0, "fields": []}, {"order-id": 1, "fields": [${
+            fields.flatten.mkString(", ")}]}]""")
+        else empty
       case None => empty
+    }
+  }
+
+  /** Iceberg `refs` block for the table's named branches/tags — only
+    * refs whose target snapshot is part of the exported lineage travel
+    * (a ref at an unexported snapshot would dangle). Returns a
+    * ready-to-splice `"refs": {...},` fragment or "". */
+  private def refsJson(m: TableMetadata, exportedIds: Seq[Long]): String = {
+    val ids = exportedIds.toSet
+    val keep = m.refs.toSeq.filter { case (_, r) => ids.contains(r.snapshotId) }
+      .sortBy(_._1)
+    if (keep.isEmpty) ""
+    else {
+      val kv = keep.map { case (n, r) =>
+        s""""$n": {"snapshot-id": ${r.snapshotId}, "type": "${r.refType}"}"""
+      }.mkString(", ")
+      s"""\n  "refs": {$kv},"""
     }
   }
 
@@ -382,6 +416,7 @@ object IcebergExport {
   private final case class BaseExport(
       uuid: String, formatVersion: Int, lastSeq: Long, lastColumnId: Int,
       lastSnapshotId: Long, lastUpdatedMs: Long,
+      snapIds: Seq[Long],
       schemaIds: Set[Int], schemaIdSets: Seq[Set[Int]],
       schemaIdTypes: Seq[Map[Int, String]],
       schemasJson: Seq[String], snapsJson: Seq[String],
@@ -413,6 +448,7 @@ object IcebergExport {
       lastColumnId = r.get("last-column-id").asInt(),
       lastSnapshotId = headId,
       lastUpdatedMs = r.get("last-updated-ms").asLong(),
+      snapIds = arr("snapshots").map(_.get("snapshot-id").asLong()),
       schemaIds = arr("schemas").map(_.get("schema-id").asInt()).toSet,
       schemaIdSets = arr("schemas").map(s => s.get("fields").elements().asScala
         .map(_.get("id").asInt()).toSet),
@@ -558,6 +594,7 @@ object IcebergExport {
          |  "last-partition-id": ${999 + base.specFields.size},
          |  "default-sort-order-id": ${sortOrdersJson(m)._1},
          |  "sort-orders": ${sortOrdersJson(m)._2},${tablePropsJson(m)}${
+              refsJson(m, base.snapIds)}${
               // carry the lineage counter through a metadata-only chain —
               // dropping it would let a later adopt re-mint colliding ids
               if (math.max(base.nextRowId, m.nextRowId) > 0)
@@ -813,6 +850,7 @@ object IcebergExport {
          |  "last-partition-id": ${999 + partFields.size},
          |  "default-sort-order-id": ${sortOrdersJson(m)._1},
          |  "sort-orders": ${sortOrdersJson(m)._2},${tablePropsJson(m)}${
+              refsJson(m, base.map(_.snapIds).getOrElse(Seq()) ++ ids)}${
               // end of the blocks just assigned: the exported table's own
               // counter, past every materialized id and every new block
               rowIdCtr.map(c => s"""\n  "next-row-id": ${c.get()},""")

@@ -132,17 +132,30 @@ object IcebergInterop {
       // from-manifest shape, which this reader does not reconstruct)
       firstRowId: Option[Long] = None)
 
+  /** One named ref from the metadata's `refs` map: a branch (movable
+    * head) or tag (immutable pin) the foreign writers kept. */
+  final case class IceRef(snapshotId: Long, refType: String)
+
+  /** One field of the default sort order, verbatim from the metadata
+    * (`null-order` defaulting per the spec: nulls-first for asc,
+    * nulls-last for desc). */
+  final case class IceSortField(sourceId: Int, transform: String,
+      direction: String, nullOrder: String)
+
   final case class IceMeta(location: String, formatVersion: Int,
       currentSchemaId: Int, schemas: Map[Int, Seq[IceField]],
       currentSnapshotId: Option[Long], snapshots: Seq[IceSnapshot],
       specs: Map[Int, Seq[IceSpecField]], defaultSpecId: Int = 0,
       // V3 row lineage: the table's `next-row-id` (0 = no lineage)
       nextRowId: Long = 0L,
-      // the DEFAULT sort order's source field ids, in order — only when
-      // every field is identity/asc (a partial or transformed order
-      // would mislead adopters, so it is dropped conservatively)
-      sortOrderFieldIds: Seq[Int] = Seq(),
-      properties: Map[String, String] = Map())
+      // the DEFAULT sort order's fields, in order, with full fidelity
+      // (transform / direction / null-order) — adopters decide per
+      // field what they can express
+      sortOrder: Seq[IceSortField] = Seq(),
+      properties: Map[String, String] = Map(),
+      // named branches/tags ("main" excluded — it is the current
+      // snapshot pointer, already carried by currentSnapshotId)
+      refs: Map[String, IceRef] = Map())
 
   /** Parse an Iceberg `metadata.json` (v1 or v2/v3 shapes). */
   def loadMeta(metadataJson: String,
@@ -191,23 +204,36 @@ object IcebergInterop {
         Option(s.get("sequence-number")).map(_.asLong()),
         Option(s.get("parent-snapshot-id")).map(_.asLong()))
     }
-    // default sort order: adoptable only when EVERY field is identity/asc
-    val sortIds: Seq[Int] = {
+    // default sort order, surfaced verbatim (transform / direction /
+    // null-order) — the adopter decides what it can express
+    val sortFields: Seq[IceSortField] = {
       val defId = Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0)
       if (defId == 0) Seq()
       else arr(r, "sort-orders").find(o =>
         Option(o.get("order-id")).exists(_.asInt() == defId)).toSeq.flatMap { o =>
-        val fs = arr(o, "fields")
-        val allIdentityAsc = fs.nonEmpty && fs.forall(f =>
-          Option(f.get("transform")).exists(_.asText() == "identity") &&
-            Option(f.get("direction")).forall(_.asText().equalsIgnoreCase("asc")))
-        if (allIdentityAsc) fs.map(_.get("source-id").asInt()) else Seq()
+        arr(o, "fields").map { f =>
+          val dir = Option(f.get("direction")).map(_.asText().toLowerCase)
+            .getOrElse("asc")
+          IceSortField(
+            f.get("source-id").asInt(),
+            Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+            dir,
+            Option(f.get("null-order")).map(_.asText().toLowerCase)
+              .getOrElse(if (dir == "desc") "nulls-last" else "nulls-first"))
+        }
       }
     }
     val props: Map[String, String] =
       Option(r.get("properties")).map(p =>
         p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map())
+    val refs: Map[String, IceRef] =
+      Option(r.get("refs")).map(o => o.properties().asScala.collect {
+        case e if e.getKey != "main" => e.getKey -> IceRef(
+          e.getValue.get("snapshot-id").asLong(),
+          Option(e.getValue.get("type")).map(_.asText().toLowerCase)
+            .getOrElse("branch"))
+      }.toMap).getOrElse(Map())
     IceMeta(
       Option(r.get("location")).map(_.asText()).getOrElse(""),
       Option(r.get("format-version")).map(_.asInt()).getOrElse(1),
@@ -216,7 +242,7 @@ object IcebergInterop {
       snaps, specs,
       Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0),
       Option(r.get("next-row-id")).map(_.asLong()).getOrElse(0L),
-      sortIds, props)
+      sortFields, props, refs)
   }
 
   /** One V3 deletion-vector reference from a delete manifest: the Puffin

@@ -23,7 +23,8 @@ import scala.jdk.CollectionConverters._
   * INSERT INTO icelite.db.orders SELECT ...
   * SELECT * FROM icelite.db.orders VERSION AS OF 3
   * SELECT * FROM icelite.db.orders TIMESTAMP AS OF '2026-01-01 00:00:00'
-  * ALTER TABLE icelite.db.orders ADD COLUMN note STRING
+  * ALTER TABLE icelite.db.orders ADD COLUMN note STRING DEFAULT 'none'
+  * ALTER TABLE icelite.db.orders ALTER COLUMN note SET DEFAULT 'gift'
   * ALTER TABLE icelite.db.orders RENAME COLUMN note TO comment
   * ALTER TABLE icelite.db.orders DROP COLUMN note
   * }}}
@@ -142,6 +143,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
         require(!cols.contains(add.fieldNames().head),
           s"column ${add.fieldNames().head} exists")
         org.apache.spark.sql.types.DataType.fromDDL(add.dataType().sql)
+        Option(add.defaultValue()).foreach(d =>
+          require(IceLite.isFoldableLiteral(spark, d.getSql),
+            s"default for ${add.fieldNames().head} must be a literal, got ${d.getSql}"))
         cols += add.fieldNames().head -> (None, add.dataType().sql)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested rename unsupported")
@@ -176,16 +180,27 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
               "compact, then expire those snapshots first")
         }
         require(!m0.properties.get("write.sort-order").exists(
-          _.split(",").map(_.trim).contains(nm)),
+          graft.icelite.SortOrders.columns(_).contains(nm)),
           s"$nm is in the declared sort order; clear it first")
         cols -= nm
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // ALTER COLUMN … SET DEFAULT — V3 write-default (DROP DEFAULT
+        // arrives as an EMPTY sql and lowers to the "null" literal, the
+        // engine's drop convention); restricted to foldable literals,
+        // the same guard setWriteDefault itself applies
+        require(upd.fieldNames().length == 1, "nested default change unsupported")
+        val nm = upd.fieldNames().head
+        require(cols.contains(nm), s"no column $nm")
+        require(IceLite.isFoldableLiteral(spark, IceLiteCatalog.defaultSql(upd)),
+          s"write default for $nm must be a literal, got ${upd.newDefaultValue()}")
       case _: TableChange.SetProperty => ()
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "nested add unsupported")
-        t.addColumn(add.fieldNames().head, add.dataType().sql)
+        t.addColumn(add.fieldNames().head, add.dataType().sql,
+          Option(add.defaultValue()).map(_.getSql))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested rename unsupported")
         t.renameColumn(ren.fieldNames().head, ren.newName())
@@ -197,6 +212,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested drop unsupported")
         t.dropColumn(del.fieldNames().head)
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        t.setWriteDefault(upd.fieldNames().head, IceLiteCatalog.defaultSql(upd))
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
     loadTable(ident)
@@ -259,4 +276,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces with Procedure
     val fs = new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new Path(warehouse, ns1(namespace)), true)
   }
+}
+
+object IceLiteCatalog {
+  /** The SQL text of an ALTER COLUMN default change — DROP DEFAULT
+    * arrives as an empty/absent sql and lowers to the engine's "null"
+    * drop convention. */
+  private def defaultSql(upd: TableChange.UpdateColumnDefaultValue): String =
+    Option(upd.newDefaultValue()).map(_.trim).filter(_.nonEmpty).getOrElse("null")
 }

@@ -116,25 +116,37 @@ object IceLiteProcedures {
       }
     }
     case "create_changelog_view" => new UnboundProcedure {
-      // CALL icelite.system.create_changelog_view('db.t', 0, 4, 'changes_v')
+      // CALL icelite.system.create_changelog_view('db.t', 0, 4, 'changes_v'
+      //   [, row_lineage])
       // → registers a temp view of readChangesBetween(0, 4) named changes_v
-      //   (Iceberg's spark procedure of the same name)
+      //   (Iceberg's spark procedure of the same name). The optional 5th
+      //   argument (default false) switches the view to LINEAGE mode:
+      //   change rows carry (_row_id, _last_updated_sequence_number), so
+      //   an update's delete+insert pair shares a stable identity — the
+      //   SQL surface for readChangesBetween(rowLineage = true).
       override def name(): String = "create_changelog_view"
       override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
         override def name(): String = "create_changelog_view"
-        override def parameters(): Array[ProcedureParameter] = Array(
-          ProcedureParameter.in("table", DataTypes.StringType).build(),
-          ProcedureParameter.in("from_snapshot", DataTypes.LongType).build(),
-          ProcedureParameter.in("to_snapshot", DataTypes.LongType).build(),
-          ProcedureParameter.in("view_name", DataTypes.StringType).build())
+        override def parameters(): Array[ProcedureParameter] = {
+          val base = Array(
+            ProcedureParameter.in("table", DataTypes.StringType).build(),
+            ProcedureParameter.in("from_snapshot", DataTypes.LongType).build(),
+            ProcedureParameter.in("to_snapshot", DataTypes.LongType).build(),
+            ProcedureParameter.in("view_name", DataTypes.StringType).build())
+          if (inputType.fields.length >= 5)
+            base :+ ProcedureParameter.in("row_lineage", DataTypes.BooleanType).build()
+          else base
+        }
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val (ns, tn) = splitRef(input.getUTF8String(0).toString)
           val from = input.getLong(1)
           val to = input.getLong(2)
           val view = input.getUTF8String(3).toString
+          val lineage = input.numFields >= 5 && !input.isNullAt(4) && input.getBoolean(4)
           val t = new Catalog(SparkSession.active, warehouse).loadTable(ns, tn)
-          t.readChangesBetween(from, to).createOrReplaceTempView(view)
+          t.readChangesBetween(from, to, rowLineage = lineage)
+            .createOrReplaceTempView(view)
           val schema = StructType(Seq(
             StructField("changelog_view", DataTypes.StringType, nullable = false)))
           val row: InternalRow = new GenericInternalRow(Array[Any](

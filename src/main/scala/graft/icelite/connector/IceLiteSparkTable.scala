@@ -36,13 +36,13 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
 
   override def name(): String = tbl.location
 
-  override def schema(): StructType = {
+  private def resolvedSchema: graft.icelite.TableSchema = {
     // time travel projects the SNAPSHOT's schema (the engine's
     // snapshot-scoped-schema semantics, IceLiteTable.readAsOf) — the
     // relation must advertise the SAME columns or post-evolution
     // VERSION/TIMESTAMP AS OF reads fail analysis on the schema mismatch
     val m = tbl.meta
-    val sch = asOf match {
+    asOf match {
       case None => m.currentSchema
       case Some(sel) =>
         val snap = sel match {
@@ -53,8 +53,36 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
         }
         if (snap.schemaId >= 0) m.schema(snap.schemaId) else m.currentSchema
     }
-    StructType(sch.fields.map(f =>
+  }
+
+  override def schema(): StructType =
+    StructType(resolvedSchema.fields.map(f =>
       StructField(f.name, DataType.fromDDL(f.sparkDdl), nullable = true)))
+
+  /** V2 columns carry the declared WRITE fill as the column's current
+    * default, so a SQL INSERT that omits the column materializes it —
+    * Spark's ResolveDefaultColumns reads the default from here. Only
+    * foldable literals ever reach the metadata (setWriteDefault's
+    * guard), so the eval below cannot touch session state. */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column, ColumnDefaultValue}
+    resolvedSchema.fields.map { f =>
+      val dt = DataType.fromDDL(f.sparkDdl)
+      val dflt = f.writeFill.filterNot(_.trim.equalsIgnoreCase("null")).flatMap { s =>
+        scala.util.Try {
+          val parsed = org.apache.spark.sql.SparkSession.active
+            .sessionState.sqlParser.parseExpression(s)
+          val v = org.apache.spark.sql.catalyst.expressions
+            .Cast(parsed, dt, Some("UTC")).eval(null)
+          new ColumnDefaultValue(s,
+            org.apache.spark.sql.graft.SparkShims.literalValue(v, dt))
+        }.toOption
+      }
+      dflt match {
+        case Some(d) => V2Column.create(f.name, dt, true, null, d, null)
+        case None    => V2Column.create(f.name, dt, true)
+      }
+    }.toArray
   }
 
   override def properties(): util.Map[String, String] = tbl.meta.properties.asJava

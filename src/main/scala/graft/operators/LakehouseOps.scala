@@ -349,29 +349,38 @@ object LakehouseOps {
             ORDER BY o_orderkey"""),
   )
 
-  /** V3 `write-default` (schema-evolution family): ADD COLUMN DEFAULT sets
-    * both the immutable read fill (`initial-default`, README.md:1159–1166)
-    * and the write default; ALTER COLUMN SET DEFAULT then diverges ONLY
-    * the write side. Pre-add rows keep reading the initial fill, the
-    * first omitted-column append materializes it, and the post-SET append
-    * materializes the NEW default — three regimes, one oracled read. */
+  /** V3 `write-default` (schema-evolution family), driven END-TO-END
+    * through the SQL surface: `ADD COLUMN … DEFAULT` sets both the
+    * immutable read fill (`initial-default`, README.md:1159–1166) and
+    * the write default; `ALTER COLUMN … SET DEFAULT` then diverges ONLY
+    * the write side, and omitted-column `INSERT`s materialize whichever
+    * write fill was declared at the time. Pre-add rows keep reading the
+    * initial fill — three regimes, one oracled read. */
   private val writeDefaultEvo = QueryDef(
     "icelite_write_default",
     (s, dir) => {
+      s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.icelite.warehouse",
+        System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
       val o = orders(s, dir)
-      val t = mkTable(s, dir, "wdef")
-      t.addColumn("channel", "STRING", Some("'web'"))
-      val rebase = maxKeyFromStats(t, "o_orderkey") + 1L
+      o.createOrReplaceTempView("orders_src")
+      val tbl = s"wdef_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldemo")
+      s.sql(s"CREATE TABLE icelite.sqldemo.$tbl (o_orderkey BIGINT)")
+      s.sql(s"INSERT INTO icelite.sqldemo.$tbl SELECT o_orderkey FROM orders_src")
+      s.sql(s"ALTER TABLE icelite.sqldemo.$tbl ADD COLUMN channel STRING DEFAULT 'web'")
+      val rebase = o.agg(max("o_orderkey")).head.getLong(0) + 1L
       // omitted column → fills the add-time default ('web')
-      t.append(o.filter(col("o_orderkey") < 1000)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(rebase)))
-      t.setWriteDefault("channel", "'store'")
+      s.sql(s"""INSERT INTO icelite.sqldemo.$tbl (o_orderkey)
+                SELECT o_orderkey + $rebase FROM orders_src WHERE o_orderkey < 1000""")
+      s.sql(s"ALTER TABLE icelite.sqldemo.$tbl ALTER COLUMN channel SET DEFAULT 'store'")
       // omitted column after SET DEFAULT → fills 'store'; the earlier
-      // rows (pre-add reads AND the first append's materialized fills)
+      // rows (pre-add reads AND the first insert's materialized fills)
       // must stay 'web' — initial-default is immutable
-      t.append(o.filter(col("o_orderkey") < 1000)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(2L * rebase)))
-      t.read().select(col("o_orderkey"), col("channel")).orderBy("o_orderkey")
+      s.sql(s"""INSERT INTO icelite.sqldemo.$tbl (o_orderkey)
+                SELECT o_orderkey + ${2L * rebase} FROM orders_src WHERE o_orderkey < 1000""")
+      s.sql(s"""SELECT o_orderkey, channel FROM icelite.sqldemo.$tbl
+                ORDER BY o_orderkey""")
     },
     Some("""WITH mx AS (SELECT 1 + max(o_orderkey) AS rebase FROM orders)
             SELECT * FROM (
@@ -1422,6 +1431,7 @@ object LakehouseOps {
   private val icebergAdoptHistory = QueryDef(
     "iceberg_adopt_history",
     (s, dir) => {
+      import com.fasterxml.jackson.databind.ObjectMapper
       val slice = (lo: Long, hi: Long) =>
         orders(s, dir).filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
       val src = IceLite.createFrom(s, scratch("adopthist_src"), orders(s, dir))
@@ -1434,19 +1444,24 @@ object LakehouseOps {
       val foreign = scratch("adopthist_foreign")
       val mj = graft.icelite.IcebergExport.export(src, foreign, Seq(s1, s2, s3))
       // randomize the exported snapshot ids (non-monotone, like real
-      // writers') — only `"snapshot-id": N,` nodes and the current
-      // pointer; sequence-numbers keep the true commit order
+      // writers') — a JSON-TREE rewrite of the `snapshot-id` nodes and
+      // the current pointer (substring editing could silently corrupt
+      // the fixture on substring-colliding ids, e.g. 1 vs 11);
+      // sequence-numbers keep the true commit order
       val rand = Map(s1 -> 7720249459238351L, s2 -> 112233445566L,
         s3 -> 9007111254740993L)
       val mp = java.nio.file.Paths.get(mj)
-      val edited = rand.foldLeft(
-        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")) {
-        case (acc, (o, n)) =>
-          acc.replace(s""""snapshot-id": $o,""", s""""snapshot-id": $n,""")
-            .replace(s""""current-snapshot-id": $o""",
-              s""""current-snapshot-id": $n""")
+      val M = new ObjectMapper()
+      val tree = M.readTree(mp.toFile)
+      tree.get("snapshots").forEach { sn =>
+        val o = sn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        rand.get(o.get("snapshot-id").asLong()).foreach(o.put("snapshot-id", _))
       }
-      java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+      val root = tree.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      rand.get(root.get("current-snapshot-id").asLong())
+        .foreach(root.put("current-snapshot-id", _))
+      java.nio.file.Files.write(mp,
+        M.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
       // the raw byte rewrite invalidates the Hadoop local-FS checksum
       // sidecar the export wrote — drop it or the next read fails CRC
       java.nio.file.Files.deleteIfExists(
@@ -1462,6 +1477,45 @@ object LakehouseOps {
     },
     Some(s"""SELECT $ordersCols FROM orders
              WHERE o_orderkey < 4000 ORDER BY o_orderkey"""),
+  )
+
+  /** Adopt a SCHEMA-EVOLVED foreign lineage (mid-history ADD COLUMN
+    * DEFAULT + RENAME): every foreign schema registers under its own
+    * schema-id, historical files resolve through the schema they were
+    * WRITTEN under, pre-evolution time travel shows the columns the
+    * table had then, and the HEAD serves the evolved schema with the
+    * added column's initial-default filling pre-evolution rows — the
+    * DuckDB oracle recomputes the head from raw parquet. */
+  private val icebergAdoptEvolved = QueryDef(
+    "iceberg_adopt_evolved",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val src = IceLite.create(s, scratch("adoptevo_src"),
+        Seq("o_orderkey" -> "BIGINT", "o_totalprice" -> "DOUBLE"))
+      src.append(o.filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      val s1 = src.meta.currentSnapshotId.get
+      src.addColumn("channel", "STRING", Some("'web'"))
+      src.renameColumn("o_totalprice", "price")
+      src.append(o.filter(col("o_orderkey") >= 3000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          lit("app").as("channel")))
+      val s2 = src.meta.currentSnapshotId.get
+      val foreign = scratch("adoptevo_foreign")
+      val mj = graft.icelite.IcebergExport.export(src, foreign, Seq(s1, s2))
+      val t = graft.icelite.IceLite.adopt(s, mj, foreign)
+      require(t.meta.snapshots.map(_.id) == Seq(s1, s2),
+        "the evolved lineage must adopt in full, not head-only")
+      require(t.readAsOf(s1).columns.toSeq == Seq("o_orderkey", "o_totalprice"),
+        "pre-evolution time travel shows the columns the table had then")
+      require(t.readAsOf(s1).count() == o.filter(col("o_orderkey") < 3000).count(),
+        "the pre-evolution point serves its full content")
+      t.read().select(col("o_orderkey"), col("price"), col("channel"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+                   CASE WHEN o_orderkey < 3000 THEN 'web' ELSE 'app' END AS channel
+            FROM orders ORDER BY o_orderkey"""),
   )
 
   /** Adopt a foreign table WITH live merge-on-read position deletes: the
@@ -1628,7 +1682,7 @@ object LakehouseOps {
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant, icebergAdopt,
-    icebergAdoptHistory, icebergAdoptMor, restDeltaExport,
+    icebergAdoptHistory, icebergAdoptEvolved, icebergAdoptMor, restDeltaExport,
     deleteDv, deleteDvPuffin,
     dropColumnDdl, timeTravel,
     timeTravelTs, rollback, schemaEvolution, writeDefaultEvo, partitionEvolution,

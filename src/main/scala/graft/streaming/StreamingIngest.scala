@@ -191,6 +191,65 @@ object StreamingIngest {
       .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
   }
 
+  /** One poll of the CDC-tail loop: consume the SOURCE table's changelog
+    * increments since the persisted cursor and apply them to `target`,
+    * keyed by `key`. Returns the number of commit versions applied.
+    *
+    * Planning is O(churn): `readChangesBetween(cursor, head)` diffs file
+    * sets on the driver and scans only changed files, so tailing a
+    * 100 TB table reads each poll's delta, never the table. Application
+    * is CONTENT-IDEMPOTENT per version — updates/inserts go through
+    * [[IceLiteTable.upsertEq]] (equality-delete + append, O(batch), no
+    * target scan) and pure deletes through [[IceLiteTable.deleteEq]] —
+    * and the cursor advances in the target's properties after each
+    * version, so a crash replays at most one version and the replay
+    * re-produces the same content. Compaction/z-order commits on the
+    * source are `replace` snapshots the changelog already skips. */
+  def applyChangelogOnce(source: IceLiteTable, target: IceLiteTable,
+      key: String): Long = {
+    val cursorKey = "streaming.changelog-cursor"
+    val from = target.meta.properties.get(cursorKey).map(_.toLong).getOrElse(0L)
+    val head = source.meta.currentSnapshotId.getOrElse(0L)
+    if (head <= from) return 0L
+    val changes = source.readChangesBetween(from, head).persist()
+    try {
+      val versions = changes.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted // O(commits in the increment)
+      for (v <- versions) {
+        val step = changes.filter(col("_commit_version") === v)
+        val ins = step.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        // a key both deleted and re-inserted in the version is an UPDATE
+        // — the upsert's equality delete covers it; only pure deletes
+        // need their own delete commit
+        val pureDel = step.filter(col("_change_type") === "delete")
+          .select(col(key)).distinct()
+          .join(ins.select(col(key)), Seq(key), "left_anti")
+        if (!pureDel.isEmpty) target.deleteEq(pureDel)
+        if (!ins.isEmpty) target.upsertEq(ins, Seq(key))
+        target.setProperties(Map(cursorKey -> v.toString))
+      }
+      versions.length.toLong
+    } finally { changes.unpersist(); () }
+  }
+
+  /** The CDC-apply loop AS A STREAM: `ticks` (any streaming DataFrame —
+    * a rate source in production, a MemoryStream in tests) drives polls;
+    * each trigger runs [[applyChangelogOnce]], so the target table
+    * continuously replicates the source through its changelog — the
+    * streaming closure of `create_changelog_view` + the incremental
+    * read. */
+  def replicateChangelog(ticks: DataFrame, source: IceLiteTable,
+      target: IceLiteTable, key: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyChangelogOnce(source, target, key); ()
+      }
+
   /** Streaming curation funnel — the continuous version of
     * `curation_incremental`: a crawl stream is curated against STANDING
     * indexes and lands exactly-once in an IceLite table. Stages, in the

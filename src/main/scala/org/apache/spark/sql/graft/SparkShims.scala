@@ -38,6 +38,12 @@ object SparkShims {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** A connector-side literal (the value a v2 ColumnDefaultValue carries
+    * as its EXISTS_DEFAULT) — LiteralValue is `private[sql]`. */
+  def literalValue(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
+
   /** Drain the listener bus — lets tests assert "zero jobs ran" without
     * racing event delivery. */
   def waitForListenerBus(spark: SparkSession): Unit =

@@ -699,6 +699,62 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(t2.read().count() == 30L)
   }
 
+  test("foreign branches and tags survive adoption (through the id remap) and re-export") {
+    val loc = Files.createTempDirectory("ice_adopt_refs").toString
+    def txt(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "v"))
+    src.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val s1 = src.meta.currentSnapshotId.get
+    src.append((10L until 25L).map(i => (i, s"b$i")).toDF("id", "v"))
+    val s2 = src.meta.currentSnapshotId.get
+    src.append((25L until 30L).map(i => (i, s"c$i")).toDF("id", "v"))
+    val s3 = src.meta.currentSnapshotId.get
+    src.createTag("rel-1.0", s1)
+    src.createBranch("audit", Some(s2))
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(s1, s2, s3))
+    assert(txt(mj).contains("\"refs\"") && txt(mj).contains("\"rel-1.0\"") &&
+      txt(mj).contains("\"audit\""),
+      s"the export must declare the table's refs, got: ${txt(mj)}")
+    // randomize the snapshot ids (non-monotone): the refs' snapshot-ids
+    // remap consistently with the snapshots they pin
+    val remap = Map(s1 -> 98877665544332L, s2 -> 11223344556677L,
+      s3 -> 55667788990011L)
+    val mp = java.nio.file.Paths.get(mj)
+    val edited = remap.foldLeft(txt(mj)) { case (acc, (o, n)) =>
+      acc.replace(s""""snapshot-id": $o,""", s""""snapshot-id": $n,""")
+        .replace(s""""current-snapshot-id": $o""", s""""current-snapshot-id": $n""")
+    }
+    java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    assert(t.meta.refs == Map(
+      "rel-1.0" -> Ref(1L, "tag"), "audit" -> Ref(2L, "branch")),
+      s"refs must map through the id remap, got ${t.meta.refs}")
+    assert(rows(t.readRef("rel-1.0")) == rows(src.readAsOf(s1)),
+      "the adopted tag reads its pinned point exactly")
+    assert(t.readRef("audit").count() == 25L)
+    // re-export emits the refs back over the full lineage
+    val m2 = txt(IcebergExport.export(t, s"$loc/re", Seq(1L, 2L, 3L)))
+    assert(m2.contains(""""rel-1.0": {"snapshot-id": 1, "type": "tag"}""") &&
+      m2.contains(""""audit": {"snapshot-id": 2, "type": "branch"}"""),
+      s"re-export must emit the adopted refs, got: $m2")
+    // a head-only export honestly drops refs at unexported snapshots
+    assert(!txt(IcebergExport.export(t, s"$loc/re_head")).contains("\"refs\""))
+    // the adopted branch is LIVE: it takes native staged commits and
+    // publishes via fast-forward only when main is an ancestor
+    val e = intercept[Exception](t.fastForward("audit"))
+    assert(e.getMessage.contains("not an ancestor"))
+    assert(intercept[Exception](t.appendToBranch("rel-1.0",
+      Seq((99L, "z")).toDF("id", "v"))).getMessage.contains("tag"))
+    t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(t.meta.snapshots.map(_.id).toSet.intersect(Set(1L, 2L)) == Set(1L, 2L),
+      "ref heads stay pinned through expire, exactly like native refs")
+  }
+
   test("native commits skip recorded foreign ids; expire prunes stale foreign mappings") {
     // foreign ids (20, 6, 30) in commit order: non-monotone, all above
     // N=3 → dense remap to natives 1..3 with foreign-id properties. A

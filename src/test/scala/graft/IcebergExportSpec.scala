@@ -475,7 +475,8 @@ class IcebergExportSpec extends SparkSpec {
       && m1.contains("\"source-id\": 1") && m1.contains("\"direction\": \"asc\""),
       s"the real sort order fields must be emitted, got: $m1")
     // interop parses it; adopt declares it; re-export emits the same order
-    assert(IcebergInterop.loadMeta(mj).sortOrderFieldIds == Seq(1))
+    assert(IcebergInterop.loadMeta(mj).sortOrder ==
+      Seq(IcebergInterop.IceSortField(1, "identity", "asc", "nulls-first")))
     val a = IceLite.adopt(spark, mj, s"$loc/adopted")
     assert(a.meta.properties.get("write.sort-order").contains("id"),
       "the foreign sort order must survive adoption as the declared order")
@@ -484,6 +485,53 @@ class IcebergExportSpec extends SparkSpec {
       m2.contains("\"source-id\": 1"),
       "an adopted sorted table re-exports the same order")
     assert(rows(a.read()) == rows(t.read()))
+
+    // FULL-fidelity order: transform + direction + null order round-trip
+    // unchanged (truncate[4](code) desc nulls-last, id) — the shape a
+    // foreign table sorted desc used to lose its hint on
+    val tf = IceLite.create(spark, s"$loc/fsrc",
+      Seq("id" -> "BIGINT", "code" -> "STRING"))
+    tf.setSortOrder(Seq("truncate[4](code) desc nulls-last", "id"))
+    tf.append((0L until 40L).map(i =>
+      (i, if (i % 7 == 0) null else s"c${i % 5}%04d-$i")).toDF("id", "code"))
+    assert(rows(tf.read()).size == 40, "the transform-sorted write stays exact")
+    val mjf = IcebergExport.export(tf, s"$loc/fexp")
+    val mf = txt(mjf)
+    assert(mf.contains("\"default-sort-order-id\": 1") &&
+      mf.contains("\"transform\": \"truncate[4]\"") &&
+      mf.contains("\"direction\": \"desc\"") &&
+      mf.contains("\"null-order\": \"nulls-last\""),
+      s"the full sort fidelity must export, got: $mf")
+    assert(IcebergInterop.loadMeta(mjf).sortOrder == Seq(
+      IcebergInterop.IceSortField(2, "truncate[4]", "desc", "nulls-last"),
+      IcebergInterop.IceSortField(1, "identity", "asc", "nulls-first")))
+    val af = IceLite.adopt(spark, mjf, s"$loc/fadopt")
+    assert(af.meta.properties.get("write.sort-order")
+      .contains("truncate[4](code) desc nulls-last,id"),
+      s"adopt must keep the full order, got ${af.meta.properties.get("write.sort-order")}")
+    af.append(Seq((100L, "zz")).toDF("id", "code")) // the adopted order applies
+    val mf2 = txt(IcebergExport.export(af, s"$loc/freexp"))
+    assert(mf2.contains("\"transform\": \"truncate[4]\"") &&
+      mf2.contains("\"direction\": \"desc\"") &&
+      mf2.contains("\"null-order\": \"nulls-last\""),
+      "the adopted order re-exports unchanged")
+
+    // murmur3 bucket order: mbucket[8] exports as the spec's bucket[8]
+    // and adopts back onto mbucket[8]; a NATIVE xxhash bucket[4] order
+    // has no honest spec transform, so the whole order drops on export
+    val tb = IceLite.create(spark, s"$loc/bsrc", Seq("id" -> "BIGINT"))
+    tb.setSortOrder(Seq("mbucket[8](id)"))
+    tb.append((0L until 20L).map(Tuple1(_)).toDF("id"))
+    val mjb = IcebergExport.export(tb, s"$loc/bexp")
+    assert(txt(mjb).contains("\"transform\": \"bucket[8]\""))
+    val ab = IceLite.adopt(spark, mjb, s"$loc/badopt")
+    assert(ab.meta.properties.get("write.sort-order").contains("mbucket[8](id)"))
+    val tx = IceLite.create(spark, s"$loc/xsrc", Seq("id" -> "BIGINT"))
+    tx.setSortOrder(Seq("bucket[4](id)"))
+    tx.append((0L until 20L).map(Tuple1(_)).toDF("id"))
+    assert(txt(IcebergExport.export(tx, s"$loc/xexp"))
+      .contains("\"default-sort-order-id\": 0"),
+      "an xxhash-bucket order must drop whole rather than lie")
 
     // z-order: the spec's sort orders can't express a curve — the hint
     // travels as a table property and survives the round trip

@@ -279,6 +279,55 @@ class SqlCatalogSpec extends SparkSpec {
     assert(got == want, s"got ${got.toSeq}")
   }
 
+  test("CALL create_changelog_view with row_lineage pairs updates by identity") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.cdl")
+    spark.sql("CREATE TABLE ilsql.cdl.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO ilsql.cdl.t SELECT id, concat('a', id) FROM range(5)")
+    spark.sql("UPDATE ilsql.cdl.t SET v = 'upd' WHERE id = 2")
+    spark.sql(
+      "CALL ilsql.system.create_changelog_view('cdl.t', 0, 2, 'cdl_changes', true)")
+    val cols = spark.sql("SELECT * FROM cdl_changes").columns.toSeq
+    assert(cols.contains("_row_id") && cols.contains("_last_updated_sequence_number"),
+      s"lineage mode must surface the V3 identity columns, got $cols")
+    // the UPDATE's delete+insert pair shares one stable _row_id
+    val pair = spark.sql(
+      """SELECT _change_type, _row_id FROM cdl_changes
+         WHERE _commit_version = 2 ORDER BY _change_type""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pair.map(_._1) == Seq("delete", "insert"), s"got $pair")
+    assert(pair.head._2 == pair.last._2,
+      s"the update pair must share one _row_id, got $pair")
+    // the 4-arg form still serves (no lineage columns)
+    spark.sql("CALL ilsql.system.create_changelog_view('cdl.t', 0, 2, 'cdl_plain')")
+    assert(!spark.sql("SELECT * FROM cdl_plain").columns.contains("_row_id"))
+  }
+
+  test("ALTER COLUMN SET DEFAULT and ADD COLUMN DEFAULT flow through SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.wd")
+    spark.sql("CREATE TABLE ilsql.wd.t (id BIGINT)")
+    spark.sql("INSERT INTO ilsql.wd.t SELECT id FROM range(3)")
+    // ADD COLUMN DEFAULT: read fill for pre-add rows AND write fill
+    spark.sql("ALTER TABLE ilsql.wd.t ADD COLUMN ch STRING DEFAULT 'web'")
+    assert(spark.sql("SELECT ch FROM ilsql.wd.t WHERE id = 0").head.getString(0) == "web")
+    // SET DEFAULT diverges only the WRITE side (V3 write-default)
+    spark.sql("ALTER TABLE ilsql.wd.t ALTER COLUMN ch SET DEFAULT 'store'")
+    spark.sql("INSERT INTO ilsql.wd.t (id) VALUES (10)")
+    val got = spark.sql("SELECT id, ch FROM ilsql.wd.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "web", "pre-add rows keep the immutable initial fill")
+    assert(got(10L) == "store", "post-SET omitted columns fill the new write default")
+    // the engine-side guard surfaces through SQL: non-literal defaults refuse
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ilsql.wd.t ALTER COLUMN ch SET DEFAULT now()"))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // DROP DEFAULT = the "null" literal per the V3 convention
+    spark.sql("ALTER TABLE ilsql.wd.t ALTER COLUMN ch DROP DEFAULT")
+    spark.sql("INSERT INTO ilsql.wd.t (id) VALUES (11)")
+    assert(spark.sql("SELECT ch FROM ilsql.wd.t WHERE id = 11").head.isNullAt(0))
+  }
+
   test("branch/tag procedures and ref time travel run the WAP flow via SQL") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ilsql.wap")
