@@ -229,6 +229,12 @@ object StreamingIngest {
         if (!ins.isEmpty) target.upsertEq(ins, Seq(key))
         target.setProperties(Map(cursorKey -> v.toString))
       }
+      // advance to the polled head even when the newest source commits
+      // produced no change rows (compaction `replace` points, net-zero
+      // steps) — without this the cursor parks below head and every
+      // poll re-reads and re-applies the same suffix forever
+      if (versions.lastOption.forall(_ < head))
+        target.setProperties(Map(cursorKey -> head.toString))
       versions.length.toLong
     } finally { changes.unpersist(); () }
   }

@@ -363,16 +363,26 @@ class StreamingSpec extends SparkSpec {
       src.append(Seq((100L, "z", 9.9)).toDF("id", "kind", "value"))
       mem.addData(2L); q.processAllAvailable()
       assert(rowsOf(tgt) == rowsOf(src), "incremental polls keep replicating")
+      // a source compaction is a physical no-op: the poll advances the
+      // cursor past the replace point without re-applying anything, so
+      // later polls never re-read the suffix
+      src.compact(target = 2)
+      mem.addData(3L); q.processAllAvailable()
+      assert(rowsOf(tgt) == rowsOf(src))
+      assert(tgt.meta.properties("streaming.changelog-cursor").toLong ==
+        src.meta.currentSnapshotId.get, "the cursor reaches the polled head")
       // an idle poll is a no-op (no new source commits, no target commits)
       val v0 = tgt.currentVersion
-      mem.addData(3L); q.processAllAvailable()
+      mem.addData(4L); q.processAllAvailable()
       assert(tgt.currentVersion == v0, "an idle poll must not commit anything")
     } finally q.stop()
-    // crash-replay shape: rewind the cursor one version and re-apply —
-    // content-idempotent, so the target converges to the same rows
+    // crash-replay shape: rewind the cursor behind the last data-bearing
+    // version and re-apply — content-idempotent, so the target converges
+    // to the same rows
     val cursor = tgt.meta.properties("streaming.changelog-cursor").toLong
-    tgt.setProperties(Map("streaming.changelog-cursor" -> (cursor - 1).toString))
+    tgt.setProperties(Map("streaming.changelog-cursor" -> (cursor - 2).toString))
     assert(StreamingIngest.applyChangelogOnce(src, tgt, "id") >= 1)
     assert(rowsOf(tgt) == rowsOf(src), "a replayed version must be a content no-op")
+    assert(tgt.meta.properties("streaming.changelog-cursor").toLong == cursor)
   }
 }
