@@ -3074,15 +3074,20 @@ object IceLite {
     // the foreign id is recorded per snapshot in table properties, so
     // `VERSION AS OF <foreign id>` serves every pre-adoption point.
     // Falls back to head-only when a historical snapshot fails to parse
-    // or references a write schema the metadata no longer declares, or
-    // when the current snapshot is not the commit-order tip (a
-    // rolled-back foreign head would otherwise adopt "future" snapshots
-    // above it).
+    // or references a write schema the metadata no longer declares. A
+    // current snapshot that is NOT the commit-order tip (a rolled-back
+    // foreign head, or branch commits staged above the published head)
+    // adopts its PREFIX: every snapshot up to and including current
+    // registers, the commit-order successors are ignored — the
+    // published lineage is what migrates, and adopting "future" points
+    // above a rollback would resurrect exactly what the foreign writer
+    // rolled back.
     val adopted0: Seq[(IcebergInterop.IceSnapshot, Seq[DataFile], Seq[DeleteFile])] = {
       val ordered = ice.snapshots.sortBy(s =>
         (s.sequenceNumber.getOrElse(Long.MinValue), s.timestampMs, s.id))
-      if (ordered.size > 1 && ordered.last.id == snap.id) {
-        val rest = ordered.init.map(s => s -> rawSnapshot(s, strict = false))
+      val chain = ordered.take(ordered.indexWhere(_.id == snap.id) + 1)
+      if (chain.size > 1) {
+        val rest = chain.init.map(s => s -> rawSnapshot(s, strict = false))
         if (rest.forall(_._2.isDefined))
           rest.map { case (s, r) =>
             (s, r.get._1, adoptDeletes(r.get._2, r.get._3, r.get._4)) } :+

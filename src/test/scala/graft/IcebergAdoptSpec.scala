@@ -699,6 +699,44 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(t2.read().count() == 30L)
   }
 
+  test("a rolled-back foreign head adopts its published PREFIX, ignoring future snapshots") {
+    // the foreign writer rolled back: current-snapshot-id points below
+    // the commit-order tip. The prefix up to current must adopt (each
+    // snapshot is a complete state); the rolled-back successor must NOT
+    // — adopting it would resurrect exactly what the writer undid.
+    val loc = Files.createTempDirectory("ice_adopt_rb").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "tag"))
+    src.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "tag"))
+    src.append((10L until 25L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    src.append((25L until 30L).map(i => (i, s"c$i")).toDF("id", "tag"))
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(1L, 2L, 3L))
+    val remap = Map(1L -> 98877665544332L, 2L -> 11223344556677L,
+      3L -> 55667788990011L)
+    val mp = java.nio.file.Paths.get(mj)
+    // (the quoted fold pattern never touches "current-snapshot-id" —
+    // the explicit replace below both randomizes it AND rolls it back
+    // to point 2)
+    val edited = remap.foldLeft(
+      new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")) {
+      case (acc, (o, n)) =>
+        acc.replace(s""""snapshot-id": $o,""", s""""snapshot-id": $n,""")
+    }.replace(s""""current-snapshot-id": 3""",
+      s""""current-snapshot-id": ${remap(2L)}""") // rolled back to point 2
+    java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L),
+      "the published prefix adopts; the rolled-back successor is ignored")
+    assert(t.read().count() == 25L, "the head serves the rolled-back state")
+    assert(t.readAsOf(remap(1L)).count() == 10L)
+    assert(t.readAsOf(remap(2L)).count() == 25L)
+    val e = intercept[RuntimeException](t.readAsOf(remap(3L)))
+    assert(e.getMessage.contains("no snapshot"),
+      "the rolled-back point must not be reachable")
+  }
+
   test("foreign branches and tags survive adoption (through the id remap) and re-export") {
     val loc = Files.createTempDirectory("ice_adopt_refs").toString
     def txt(p: String) = new String(
