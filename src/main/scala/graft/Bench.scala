@@ -146,7 +146,10 @@ object Bench {
     // ("retimed": {q: {"raw": …, "sec": …}}) and the headline takes the
     // min — the same min-of-runs semantics as the two-pass defense.
     val med = results0.map(_._2).sorted.lift(results0.size / 2).getOrElse(0.0)
-    val outlierFloor = math.max(3.0, 8.0 * med)
+    // SPARK_GRAFT_RETIME_FLOOR overrides the floor (test hook: force many
+    // dispositions in one sweep to verify they ALL record in the artifact)
+    val outlierFloor = sys.env.get("SPARK_GRAFT_RETIME_FLOOR").map(_.toDouble)
+      .getOrElse(math.max(3.0, 8.0 * med))
     val retimed: Seq[(String, Double, Double)] =
       results0.filter(_._2 > outlierFloor).flatMap { case (name, raw) =>
         System.gc()
@@ -196,20 +199,26 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val can = canary.map { case (n, s) => s""","canary":{"query":"$n","sec":${r3(s)}}""" }.getOrElse("")
     val probeJson = if (probes.isEmpty) "" else s""","probes":${qmap(probes)}"""
-    // the outlier dispositions, capped so a pathological run cannot
-    // blow the driver's tail window
-    val retimedJson =
-      if (retimed.isEmpty) ""
-      else s""","retimed":${retimed.take(6).map { case (n, raw, re) =>
+    // outlier dispositions: EVERY retime records in the file-mirrored
+    // full artifact (an uncapped audit trail); only the driver's
+    // size-constrained tail line caps them, so a pathological run cannot
+    // blow the 2000-char tail window
+    def retimedJsonOf(rs: Seq[(String, Double, Double)]): String =
+      if (rs.isEmpty) ""
+      else s""","retimed":${rs.map { case (n, raw, re) =>
         "\"" + n + "\":{\"raw\":" + r3(raw) + ",\"sec\":" + r3(re) + "}"
       }.mkString("{", ",", "}")}"""
+    // pre-retime sum alongside the min-folded headline, so both metric
+    // semantics (raw single-pass vs min-of-runs) stay readable
+    val rawTotal = if (results0.nonEmpty) results0.map(_._2).sum else 0.0
+    val rawJson = if (retimed.isEmpty) "" else s""","value_raw":${r3(rawTotal)}"""
     val head = results.filter { case (k, _) => headline.contains(k) }
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can$probeJson$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(total)}$rawJson,"unit":"sec","n_queries":${results.size},"queries":${qmap(results)}$can$probeJson${retimedJsonOf(retimed)},"sf":"$sfDir"}"""
     // the ONE parseable line, printed LAST: headline subset keeps it inside
     // the driver's 2000-char tail window
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can$probeJson$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)}$rawJson,"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"errors":$errs$can$probeJson${retimedJsonOf(retimed.take(6))},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file mirror: ${e.getMessage}") }
     println(fullLine)

@@ -1995,10 +1995,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   def setSortOrder(cols: Seq[String]): Unit =
     commitWithRetry { m =>
       val parsed = SortOrders.parse(cols.mkString(","))
-      parsed.foreach { sf => // validate against live schema + transforms
-        val fld = m.currentSchema.fieldByName(sf.column)
-        SortOrders.transformCol(sf.transform, col(fld.physName), fld.dtype)
-      }
+      // validate against live schema + transforms, RESOLVED through
+      // analysis — `day(a_bigint)` must fail this DDL, not the next write
+      SortOrders.validate(spark, parsed, c => {
+        val fld = m.currentSchema.fieldByName(c); (fld.physName, fld.dtype) })
       // a linear order supersedes any standing z-order hint (the
       // clusterings conflict — compactZOrder refuses the reverse)
       (m.copy(properties = m.properties - "write.zorder-by" +
@@ -3004,25 +3004,50 @@ object IceLite {
     // footer-based write-schema resolution for files whose ADDING
     // snapshot the metadata no longer records (expired history — a
     // normal production shape): the file's parquet field-id→name map
-    // picks the registered schema it matches; among multiple matches the
-    // MINIMAL one wins (fewest fields absent from the file), so a
-    // pre-ADD file is stamped pre-ADD and its read fills the added
-    // column's initial-default rather than null. Id-less parquet (plain
-    // writers) matches nothing → the current read schema, the
-    // name-match shape. One footer read per distinct file, cached
+    // picks the registered schema it matches. A candidate must DECLARE
+    // every field id the file carries (with the matching name) — a
+    // schema missing one of the file's ids can only be a point BEFORE
+    // that column existed, and stamping the file there would make the
+    // scan fill the initial-default over REAL column data. Among
+    // declarers the MINIMAL one wins (fewest fields absent from the
+    // file), so a pre-ADD file is stamped pre-ADD and its read fills
+    // the added column's initial-default rather than null. Id-less
+    // parquet (plain writers) matches nothing → the current read
+    // schema, the name-match shape; a file whose ids match NO declared
+    // schema is unresolvable (None → loud refusal on the head, history
+    // degrade elsewhere). One resolution per distinct file, cached
     // across the walk — adoption-time only, never per scan.
-    val footerSchemaCache = scala.collection.mutable.Map[String, Int]()
-    def footerSchemaId(path: String): Int =
-      footerSchemaCache.getOrElseUpdate(path, {
-        val byId =
-          try IcebergInterop.parquetFieldNamesById(path, conf)
-          catch { case _: Exception => Map.empty[Int, String] }
-        val cands = schemas.filter(s => byId.forall { case (fid, nm) =>
-          s.fields.find(_.id == fid).forall(_.name == nm) })
-        if (byId.isEmpty || cands.isEmpty) readSchemaId
-        else cands.minBy(s =>
-          (s.fields.count(f => !byId.contains(f.id)), s.schemaId)).schemaId
-      })
+    val footerSchemaCache = scala.collection.mutable.Map[String, Option[Int]]()
+    def resolveFooterSchema(byId0: Map[Int, String]): Option[Int] = {
+      // reserved metadata-column ids (the spec's 2147483447+ block — e.g.
+      // materialized `_row_id`) are never part of a declared schema and
+      // must not disqualify candidates
+      val byId = byId0.filter(_._1 < IcebergInterop.ReservedFieldIdFloor)
+      val cands = schemas.filter(s => byId.forall { case (fid, nm) =>
+        s.fields.exists(f => f.id == fid && f.name == nm) })
+      if (byId.isEmpty) Some(readSchemaId)
+      else if (cands.isEmpty) None
+      else Some(cands.minBy(s =>
+        (s.fields.count(f => !byId.contains(f.id)), s.schemaId)).schemaId)
+    }
+    def footerSchemaId(path: String): Option[Int] =
+      footerSchemaCache.getOrElseUpdate(path, resolveFooterSchema(
+        try IcebergInterop.parquetFieldNamesById(path, conf)
+        catch { case _: Exception => Map.empty[Int, String] }))
+    // ONE Spark job per inventory reads every still-unresolved footer
+    // executor-side (IcebergInterop.parquetFieldNamesByIdBatch) — the
+    // head covers nearly all files on an append-shaped lineage, so the
+    // walk's later snapshots are cache hits and issue no job at all.
+    // Per-file DRIVER footer reads would serialize an expired-history
+    // adoption; footerSchemaId above is only the cache-miss safety net.
+    def prefetchFooters(files: Seq[IcebergInterop.IceDataFile]): Unit = {
+      val todo = files
+        .filter(df => writeSchemaById.getOrElse(df.addedSnapshotId, None).isEmpty)
+        .map(_.path).distinct.filterNot(footerSchemaCache.contains)
+      if (todo.nonEmpty)
+        IcebergInterop.parquetFieldNamesByIdBatch(spark, todo, conf).foreach {
+          case (p, byId) => footerSchemaCache(p) = resolveFooterSchema(byId) }
+    }
     def rawSnapshot(s: IcebergInterop.IceSnapshot, strict: Boolean)
         : Option[(Seq[DataFile], Seq[String],
             Seq[IcebergInterop.DvRef], Seq[IcebergInterop.EqDeleteRef])] = {
@@ -3030,21 +3055,33 @@ object IceLite {
         try Some(IcebergInterop.fileInventory(ice, s, conf, manifestCache))
         catch { case e: Exception => if (strict) throw e else None }
       parsed.flatMap { case (files, posDels, dvRefs, eqRefs) =>
+        prefetchFooters(files)
         // each file is stamped with the schema it was WRITTEN under (the
         // adding snapshot's schema-id) — the native scan then resolves
         // its columns by field id through that schema, so SCHEMA-EVOLVED
         // lineages adopt in full. Files whose adding snapshot is
         // unrecorded or EXPIRED from the metadata resolve through their
         // parquet footer's field-ids instead (Iceberg's own resolution —
-        // the file carries its schema); only a write schema the metadata
-        // no longer declares is unresolvable.
+        // the file carries its schema); a write schema the metadata no
+        // longer declares, or footer field-ids matching no declared
+        // schema, are unresolvable — loud on the head, history degrade
+        // elsewhere.
         def fileSchemaId(df: IcebergInterop.IceDataFile): Option[Int] = {
           val ws = writeSchemaById.getOrElse(df.addedSnapshotId, None)
           val ok = ws.forall(ice.schemas.contains)
           require(ok || !strict,
             s"iceberg adopt: ${df.path} was written under schema ${ws.getOrElse(-1)}, " +
               "which the metadata no longer declares — compact the source first")
-          if (ok) Some(ws.getOrElse(footerSchemaId(df.path))) else None
+          if (!ok) None
+          else ws match {
+            case Some(sid) => Some(sid)
+            case None =>
+              val fid = footerSchemaId(df.path)
+              require(fid.isDefined || !strict,
+                s"iceberg adopt: ${df.path} carries parquet field ids matching " +
+                  "no schema the metadata declares — compact the source first")
+              fid
+          }
         }
         val stamped = files.map(df => fileSchemaId(df).map(df -> _))
         if (stamped.exists(_.isEmpty)) None
@@ -3171,9 +3208,18 @@ object IceLite {
           sch.byId(f.sourceId).name, nt,
           f.direction == "desc", f.nullOrder == "nulls-last"))
       }
-      if (fields.nonEmpty && fields.forall(_.isDefined))
-        Map("write.sort-order" -> SortOrders.render(fields.flatten))
-      else Map.empty[String, String]
+      if (fields.nonEmpty && fields.forall(_.isDefined)) {
+        val fs = fields.flatten
+        // the order VALIDATES at adoption (setSortOrder's analysis
+        // check): a foreign transform the declared column type cannot
+        // satisfy (`day(a_bigint)`) drops the order WHOLE here — the
+        // existing drop-whole policy — instead of failing the first
+        // native write
+        val applies = scala.util.Try(SortOrders.validate(spark, fs,
+          c => { val fl = sch.fieldByName(c); (fl.physName, fl.dtype) })).isSuccess
+        if (applies) Map("write.sort-order" -> SortOrders.render(fs))
+        else Map.empty[String, String]
+      } else Map.empty[String, String]
     }
     val zorderProp =
       if (sortProp.nonEmpty) Map.empty[String, String] // clusterings conflict

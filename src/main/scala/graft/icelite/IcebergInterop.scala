@@ -375,16 +375,51 @@ object IcebergInterop {
     (dataFiles.toSeq, posDeletes.toSeq, dvRefs.toSeq, eqRefs.toSeq)
   }
 
+  /** Driver-side footer reads issued through [[parquetFieldNamesById]] —
+    * a spec counter: adoption's expired-history resolution must go
+    * through the batched executor-side path ([[parquetFieldNamesByIdBatch]])
+    * and leave this untouched, or a long lineage serializes O(files)
+    * footer reads on the driver. */
+  private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** First id of the Iceberg spec's reserved metadata-column block
+    * (2147483447 = Int.MaxValue − 200): `_row_id`, `_last_updated_
+    * sequence_number`, `_pos` … live here, never in a declared schema. */
+  private[icelite] val ReservedFieldIdFloor: Int = Int.MaxValue - 200
+
   /** field-id → column-name map from a parquet file's own footer schema
     * (id-less fields skipped) — one footer read per delete file, driver-
     * side metadata planning bounded by the delete-file count. */
   private[icelite] def parquetFieldNamesById(path: String, conf: Configuration): Map[Int, String] = {
+    driverFooterReads.incrementAndGet()
+    fieldNamesByIdRaw(path, conf)
+  }
+
+  private def fieldNamesByIdRaw(path: String, conf: Configuration): Map[Int, String] = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf))
     val fields =
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toList
       finally r.close()
     fields.flatMap(f => Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
+  }
+
+  /** Footer field-id maps for MANY files as ONE Spark job — the footers
+    * read executor-side (32-way on local[32]; a real cluster fans wider),
+    * where per-file driver reads would serialize an expired-history
+    * adoption on the metadata walk. A file whose footer fails to read
+    * maps to the empty id map, the same shape the driver path yields. */
+  private[icelite] def parquetFieldNamesByIdBatch(spark: SparkSession,
+      paths: Seq[String], conf: Configuration): Map[String, Map[Int, String]] = {
+    if (paths.isEmpty) return Map.empty
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val n = math.max(1,
+      math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, n).map { p =>
+      p -> (try fieldNamesByIdRaw(p, bc.value.value)
+            catch { case _: Exception => Map.empty[Int, String] })
+    }.collect().toMap
   }
 
   /** Scheme/authority-stripping normalizer, column form — delete files
@@ -434,8 +469,33 @@ object IcebergInterop {
     val readSchemaId =
       if (current) meta.currentSchemaId
       else snap.schemaId.getOrElse(meta.currentSchemaId)
+    // files whose adding snapshot was EXPIRED from the metadata resolve
+    // their write schema through the parquet footer's field ids (same
+    // rule as IceLite.adopt): a candidate schema must DECLARE every
+    // field id the file carries with the matching name, the minimal
+    // declarer wins — a pre-ADD file stamps pre-ADD and fills the added
+    // column's initial-default, a post-ADD file can never be stamped
+    // pre-ADD (the pre-ADD schema does not declare its added ids). One
+    // executor-side Spark job reads all unresolved footers.
+    val footerIds: Map[String, Map[Int, String]] = {
+      val unresolved = kept.filter(f =>
+        meta.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId).isEmpty)
+        .map(_.path).distinct
+      parquetFieldNamesByIdBatch(spark, unresolved, conf)
+    }
+    def resolveFooterSchema(byId0: Map[Int, String]): Option[Int] = {
+      // reserved metadata-column ids (materialized `_row_id` etc.) are
+      // never part of a declared schema — ignore them when matching
+      val byId = byId0.filter(_._1 < ReservedFieldIdFloor)
+      val cands = meta.schemas.toSeq.filter { case (_, fs) =>
+        byId.forall { case (fid, nm) => fs.exists(f => f.id == fid && f.name == nm) } }
+      if (byId.isEmpty || cands.isEmpty) None
+      else Some(cands.minBy { case (sid, fs) =>
+        (fs.count(f => !byId.contains(f.id)), sid) }._1)
+    }
     def writeSchemaIdOf(f: IceDataFile): Option[Int] =
       meta.snapshots.find(_.id == f.addedSnapshotId).flatMap(_.schemaId)
+        .orElse(footerIds.get(f.path).flatMap(resolveFooterSchema))
         .filter(id => meta.schemas.contains(id) && id != readSchemaId)
     val groups = kept.groupBy(writeSchemaIdOf).toSeq
       .sortBy(_._1.getOrElse(Int.MaxValue))

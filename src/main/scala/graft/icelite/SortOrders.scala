@@ -31,15 +31,19 @@ final case class SortField(
 }
 
 object SortOrders {
+  // the closing paren is tied to the transform group (either
+  // `transform(col)` whole or a bare column) so mismatched parens —
+  // `truncate[4](code` unclosed, stray `code)` — reach the loud
+  // malformed-entry branch instead of parsing as something else
   private val EntryRe =
-    """^(?:(year|month|day|truncate\[\d+\]|m?bucket\[\d+\])\()?([^()\s,]+)\)?(?:\s+(asc|desc))?(?:\s+(nulls-first|nulls-last))?$""".r
+    """^(?:(year|month|day|truncate\[\d+\]|m?bucket\[\d+\])\(([^()\s,]+)\)|([^()\s,]+))(?:\s+(asc|desc))?(?:\s+(nulls-first|nulls-last))?$""".r
 
   /** Parse the property value; malformed entries fail loudly (a sort
     * order that silently drops a field would cluster the wrong way). */
   def parse(csv: String): Seq[SortField] =
     csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case EntryRe(tr, col0, dir, nulls) => SortField(
-        col0, Option(tr).getOrElse("identity"),
+      case EntryRe(tr, colT, colBare, dir, nulls) => SortField(
+        Option(colT).getOrElse(colBare), Option(tr).getOrElse("identity"),
         dir == "desc", nulls == "nulls-last")
       case bad => sys.error(s"malformed write.sort-order entry '$bad'")
     }
@@ -75,6 +79,26 @@ object SortOrders {
       val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
       pmod(xxhash64(c), lit(n))
     case other => sys.error(s"unknown sort transform $other")
+  }
+
+  /** Resolve every transform against the DECLARED column types (an empty
+    * local relation forced through analysis) — catches the type-level
+    * misfits building an unresolved Column cannot (`day(a_bigint)`,
+    * `truncate[4](a_date)` only fail once Catalyst resolves them).
+    * Throws the analysis error; callers that must not fail (adoption)
+    * wrap in Try and drop the order whole. */
+  def validate(spark: org.apache.spark.sql.SparkSession, fs: Seq[SortField],
+      fieldOf: String => (String, String)): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val resolved = fs.map { f => val (phys, dt) = fieldOf(f.column); (phys, dt, f) }
+    val schema = StructType(resolved.map { case (p, dt, _) =>
+      StructField(p, DataType.fromDDL(dt)) }.distinctBy(_.name))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .select(resolved.map { case (p, dt, f) =>
+        transformCol(f.transform, col(p), dt) }: _*)
+      .schema
+    ()
   }
 
   /** The full ordered Column (transform + direction + null order) for

@@ -209,8 +209,21 @@ object StreamingIngest {
       key: String): Long = {
     val cursorKey = "streaming.changelog-cursor"
     val from = target.meta.properties.get(cursorKey).map(_.toLong).getOrElse(0L)
-    val head = source.meta.currentSnapshotId.getOrElse(0L)
+    val sourceMeta = source.meta
+    val head = sourceMeta.currentSnapshotId.getOrElse(0L)
     if (head <= from) return 0L
+    // cursor integrity: if the source EXPIRED snapshots past the cursor,
+    // readChangesBetween would diff from an empty base — live rows would
+    // replay as idempotent upserts, but keys deleted inside the expired
+    // gap would never emit deletes and the target retains them forever.
+    // Fail loudly instead: the operator must full-resync (rebuild the
+    // target and clear the cursor) or widen the source's retention.
+    require(from == 0L || sourceMeta.snapshots.exists(_.id == from),
+      s"streaming changelog: cursor snapshot $from was EXPIRED from the " +
+        s"source (oldest retained: ${sourceMeta.snapshots.headOption.map(_.id).getOrElse(-1L)}) — " +
+        "the delete history in the gap is unrecoverable; full-resync the " +
+        "target (rebuild + clear streaming.changelog-cursor) or retain " +
+        "more source history")
     val changes = source.readChangesBetween(from, head).persist()
     try {
       val versions = changes.select("_commit_version").distinct()

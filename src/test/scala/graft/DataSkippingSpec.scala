@@ -166,6 +166,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.read(statFilters = flts).filter(col("k") === 1234).count() == 1)
   }
 
+  test("write.sort-order grammar ties parens to the transform: mismatched entries fail loudly") {
+    import graft.icelite.SortOrders
+    assert(SortOrders.parse("truncate[4](code) desc nulls-last, id").map(_.render)
+      == Seq("truncate[4](code) desc nulls-last", "id"))
+    // unclosed / stray / bare parens must reach the malformed branch, not
+    // parse as something else (a mis-parsed order clusters the wrong way)
+    for (bad <- Seq("truncate[4](code", "code)", "(code)", "truncate[4]code)",
+        "day(ts) desc)"))
+      assert(intercept[RuntimeException](SortOrders.parse(bad))
+        .getMessage.contains("malformed"), s"'$bad' must fail loudly")
+  }
+
+  test("setSortOrder refuses a transform the column type cannot satisfy at DDL time") {
+    val loc = Files.createTempDirectory("skip_badsort").toString + "/t"
+    val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT", "v" -> "STRING"))
+    // day(bigint) only fails once Catalyst RESOLVES the transform — the
+    // validation must analyze, not merely build, or the error surfaces at
+    // the first WRITE instead of this DDL
+    intercept[Exception](t.setSortOrder(Seq("day(id)")))
+    assert(t.meta.properties.get("write.sort-order").isEmpty,
+      "a refused order must leave no property behind")
+    t.append(Seq((1L, "a")).toDF("id", "v")) // writes stay unaffected
+    assert(t.read().count() == 1)
+  }
+
   test("z-order rewrite prunes on BOTH dimensions; linear sort only on one") {
     def hits(t: graft.icelite.IceLiteTable, flts: Seq[Stats.StatFilter]): Int = {
       val m = t.meta

@@ -699,6 +699,80 @@ class IcebergAdoptSpec extends SparkSpec {
     assert(t2.read().count() == 30L)
   }
 
+  test("EXPIRED adding snapshot on a POST-evolution file: footer ids stamp it post-ADD, never pre-ADD") {
+    // the wrong-answer edge: a pure ADD COLUMN lineage (no rename) whose
+    // POST-ADD file's adding snapshot was expired. The pre-ADD schema
+    // does not declare the added field id — a candidate filter that let
+    // it match vacuously tied both schemas at zero absent fields and the
+    // schema-id tie-break stamped the file PRE-ADD, silently replacing
+    // its real column values with the initial-default fill. A candidate
+    // must DECLARE every field id the file carries.
+    val loc = Files.createTempDirectory("ice_adopt_expadd").toString
+    val src = IceLite.createFrom(spark, s"$loc/src", Seq((0L, "x")).toDF("id", "v"))
+    src.append((0L until 20L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val s1 = src.meta.currentSnapshotId.get
+    src.addColumn("ch", "STRING", Some("'web'"))
+    src.append((20L until 30L).map(i => (i, s"b$i", "app")).toDF("id", "v", "ch"))
+    val s2 = src.meta.currentSnapshotId.get
+    src.append((30L until 35L).map(i => (i, s"c$i", "ios")).toDF("id", "v", "ch"))
+    val s3 = src.meta.currentSnapshotId.get
+    val mj = IcebergExport.export(src, s"$loc/foreign", Seq(s1, s2, s3))
+    // expire s1 AND s2 from the metadata: the head's manifest list still
+    // chains their manifests, so both the pre-ADD file (footer ids
+    // {id,v}) and the post-ADD file (ids {id,v,ch}) dangle and must
+    // footer-resolve — to DIFFERENT schemas
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mp = java.nio.file.Paths.get(mj)
+    val tree = M.readTree(new java.io.File(mj))
+    val snapsArr = tree.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    assert(snapsArr.size() == 3)
+    snapsArr.remove(1); snapsArr.remove(0) // drop s1, s2; keep the head s3
+    java.nio.file.Files.write(mp,
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+
+    val reads0 = IcebergInterop.driverFooterReads.get()
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(IcebergInterop.driverFooterReads.get() == reads0,
+      "footer resolution must run as ONE executor-side Spark job, not " +
+        "per-file driver reads (a long expired lineage serializes the walk)")
+    // the head hash-matches the independent foreign reader: post-ADD
+    // rows keep their REAL column values, pre-ADD rows fill the default
+    assert(rows(t.read()) == rows(IcebergInterop.read(spark, mj)))
+    assert(t.read().count() == 35L)
+    val byId = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(25L) == ("b25", "app"),
+      "a POST-ADD file whose adding snapshot expired must stamp post-ADD " +
+        "— pre-ADD would fill the default over real column data")
+    assert(byId(32L) == ("c32", "ios"))
+    assert(byId(5L) == ("a5", "web"),
+      "pre-ADD rows still fill the initial-default")
+
+    // NEGATIVE: footer ids matching NO declared schema refuse loudly
+    // (silently stamping the current read schema would mis-serve) —
+    // rename the declared field so the post-ADD files' {3: "ch"}
+    // matches nothing
+    val tree2 = M.readTree(new java.io.File(mj))
+    tree2.get("schemas").forEach { sn =>
+      sn.get("fields").forEach { fn =>
+        if (fn.get("id").asInt() == 3)
+          fn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", "chx")
+      }
+    }
+    java.nio.file.Files.write(mp,
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree2))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+    val e = intercept[IllegalArgumentException](
+      IceLite.adopt(spark, mj, s"$loc/adopted2"))
+    assert(e.getMessage.contains("matching no schema"),
+      s"unmatchable footer ids must refuse loudly, got: ${e.getMessage}")
+  }
+
   test("a rolled-back foreign head adopts its published PREFIX, ignoring future snapshots") {
     // the foreign writer rolled back: current-snapshot-id points below
     // the commit-order tip. The prefix up to current must adopt (each
@@ -735,6 +809,43 @@ class IcebergAdoptSpec extends SparkSpec {
     val e = intercept[RuntimeException](t.readAsOf(remap(3L)))
     assert(e.getMessage.contains("no snapshot"),
       "the rolled-back point must not be reachable")
+  }
+
+  test("a foreign sort transform the column type cannot satisfy drops WHOLE at adoption") {
+    // day(bigint) is representable Iceberg metadata a misbehaving writer
+    // can leave behind; registering it unvalidated would fail the first
+    // NATIVE write instead of the adoption — validate-by-analysis here,
+    // drop-whole on failure (the existing policy for inexpressible orders)
+    val loc = Files.createTempDirectory("ice_adopt_badsort").toString
+    val src = IceLite.create(spark, s"$loc/src",
+      Seq("id" -> "BIGINT", "v" -> "STRING"))
+    src.append((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val mj = IcebergExport.export(src, s"$loc/foreign")
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mp = java.nio.file.Paths.get(mj)
+    val tree = M.readTree(new java.io.File(mj))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tree.put("default-sort-order-id", 7)
+    val order = M.createObjectNode()
+    order.put("order-id", 7)
+    val fieldsArr = order.putArray("fields")
+    val sf = fieldsArr.addObject()
+    sf.put("transform", "day"); sf.put("source-id", 1)
+    sf.put("direction", "asc"); sf.put("null-order", "nulls-first")
+    tree.withArray("sort-orders").add(order)
+    java.nio.file.Files.write(mp,
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling("." + mp.getFileName + ".crc"))
+    assert(IcebergInterop.loadMeta(mj,
+        spark.sessionState.newHadoopConf()).sortOrder ==
+      Seq(IcebergInterop.IceSortField(1, "day", "asc", "nulls-first")),
+      "fixture sanity: the foreign metadata declares day(id)")
+    val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+    assert(t.meta.properties.get("write.sort-order").isEmpty,
+      "an order the declared types cannot satisfy must drop whole at adoption")
+    t.append(Seq((100L, "z")).toDF("id", "v")) // first native write succeeds
+    assert(t.read().count() == 11L)
   }
 
   test("foreign branches and tags survive adoption (through the id remap) and re-export") {

@@ -459,6 +459,49 @@ class IcebergExportSpec extends SparkSpec {
       "the accepted literals fill as declared (ch dropped to null default)")
   }
 
+  test("refs created BETWEEN chained exports travel through the delta chain") {
+    // the chained export splices refs from base.snapIds ++ new ids — a
+    // branch created AFTER the base export at a base snapshot, and a tag
+    // at the new head, must both surface in the chained metadata and
+    // survive adoption
+    val loc = Files.createTempDirectory("ice_chain_refs").toString
+    val t = IceLite.create(spark, s"$loc/src",
+      Seq("id" -> "BIGINT", "v" -> "STRING"))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val s1 = t.meta.currentSnapshotId.get
+    val mj1 = IcebergExport.export(t, s"$loc/exp1")
+    // BETWEEN the exports: a branch pinned at the already-exported base
+    // snapshot, then new history and a tag at its head
+    t.createBranch("audit", Some(s1))
+    t.append((10L until 15L).map(i => (i, s"b$i")).toDF("id", "v"))
+    val s2 = t.meta.currentSnapshotId.get
+    t.createTag("release", s2)
+    val mj2 = IcebergExport.exportChained(t, s"$loc/exp2", mj1)
+      .getOrElse(fail("an append-only continuation must chain"))
+    val conf = spark.sessionState.newHadoopConf()
+    val refs = IcebergInterop.loadMeta(mj2, conf).refs
+    assert(refs.get("audit").map(r => (r.snapshotId, r.refType))
+        .contains((s1, "branch")),
+      s"a branch created between exports must travel, got $refs")
+    assert(refs.get("release").map(r => (r.snapshotId, r.refType))
+        .contains((s2, "tag")), s"the head tag must travel, got $refs")
+    // …and the chained metadata adopts with both refs live
+    val a = IceLite.adopt(spark, mj2, s"$loc/adopted")
+    assert(a.meta.refs.keySet == Set("audit", "release"),
+      s"adopted refs: ${a.meta.refs}")
+    assert(a.readRef("audit").count() == 10L,
+      "the between-exports branch serves its pinned content")
+    assert(a.readRef("release").count() == 15L)
+
+    // a METADATA-ONLY chain (rename — same head) keeps carrying them
+    t.renameColumn("v", "label")
+    val mj3 = IcebergExport.exportChained(t, s"$loc/exp3", mj2)
+      .getOrElse(fail("a metadata-only bump must chain"))
+    val refs3 = IcebergInterop.loadMeta(mj3, conf).refs
+    assert(refs3.contains("audit") && refs3.contains("release"),
+      s"refs must survive a metadata-only chain, got $refs3")
+  }
+
   test("sort orders cross the export/adopt boundary and re-export identically") {
     val loc = Files.createTempDirectory("ice_export_sort").toString
     def txt(p: String) = new String(

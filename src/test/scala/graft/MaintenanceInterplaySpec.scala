@@ -91,6 +91,118 @@ class MaintenanceInterplaySpec extends SparkSpec {
     }
   }
 
+  test("random native-commit/expire schedules keep the FOREIGN-ID lifecycle exact across the remap horizon") {
+    // the mint-skip + expire-prune + dual-match trio under the same
+    // random-schedule harness as the eq-delete/compact/expire one: an
+    // adopted table's remapped foreign ids (recorded in the property
+    // map) sit JUST ABOVE the native counter, so native commits mint
+    // straight through their range. After any interleaving of appends,
+    // eq-deletes, compactions and expires, every foreign id must either
+    // serve its exact recorded state or fail loudly — and no id may
+    // ever name two points (a mapped foreign id colliding with a live
+    // native snapshot id would silently serve the wrong one).
+    import graft.icelite.{TableMetadata => TM}
+    for (schedule <- 0 until 25) {
+      val rnd = new scala.util.Random(9100 + schedule)
+      val loc = Files.createTempDirectory(s"maint_fid_$schedule").toString
+      val src = IceLite.create(spark, s"$loc/src", Seq("id" -> "BIGINT"))
+      var cursor = 0L
+      val foreignSets = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      for (_ <- 0 until 3) {
+        src.append((cursor until cursor + 4L).toDF("id")); cursor += 4
+        foreignSets += (0L until cursor).toSet
+      }
+      val mj = IcebergExport.export(src, s"$loc/foreign", Seq(1L, 2L, 3L))
+      // random NON-MONOTONE foreign ids in 4..40: remap engages (ids out
+      // of commit order, min > N), and native minting WILL hit them.
+      // Only metadata.json is remapped — the manifests keep the original
+      // ids, so every file also exercises the batched footer fallback.
+      val fids = {
+        val draw = rnd.shuffle((4L to 40L).toVector).take(3)
+        if (draw == draw.sorted) draw.reverse else draw
+      }
+      val mp = java.nio.file.Paths.get(mj)
+      val edited = (1L to 3L).foldLeft(
+        new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")) {
+        case (acc, o) =>
+          acc.replace(s""""snapshot-id": $o,""",
+            s""""snapshot-id": ${fids(o.toInt - 1)},""")
+      }.replace(""""current-snapshot-id": 3""",
+        s""""current-snapshot-id": ${fids(2)}""")
+      java.nio.file.Files.write(mp, edited.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        mp.resolveSibling("." + mp.getFileName + ".crc"))
+      val t = IceLite.adopt(spark, mj, s"$loc/adopted")
+      assert(t.meta.snapshots.map(_.id) == Seq(1L, 2L, 3L),
+        s"schedule $schedule: remap must engage for $fids")
+      val foreignStates: Seq[(Long, Set[Long])] = fids.zip(foreignSets).toSeq
+
+      var live: Set[Long] = foreignSets.last
+      var nextFresh = 100L
+      var snapStates: Vector[(Long, Set[Long])] =
+        t.meta.snapshots.map(_.id).zip(foreignSets).toVector
+
+      def checkInvariants(): Unit = {
+        assert(t.read().collect().map(_.getLong(0)).toSet == live,
+          s"schedule $schedule: live read diverged")
+        val props = t.meta.properties
+        val nativeIds = t.meta.snapshots.map(_.id).toSet
+        for ((fid, expect) <- foreignStates) {
+          props.get(s"${TM.ForeignSnapshotProp}$fid").map(_.toLong) match {
+            case Some(nid) =>
+              assert(nativeIds.contains(nid),
+                s"schedule $schedule: foreign $fid maps to expired native $nid — " +
+                  "expire must prune stale mappings")
+              assert(!nativeIds.contains(fid),
+                s"schedule $schedule: foreign id $fid also names a live native " +
+                  "snapshot — mint-skip failed, the id is ambiguous")
+              assert(t.readAsOf(fid).collect().map(_.getLong(0)).toSet == expect,
+                s"schedule $schedule: VERSION AS OF foreign $fid diverged")
+            case None if !nativeIds.contains(fid) =>
+              // pruned mapping and no native reuse: must fail loudly
+              intercept[Exception](t.readAsOf(fid))
+            case None => // a later native commit legitimately minted the
+              // forgotten id: it serves the NATIVE point exactly
+              val expectNative = snapStates.find(_._1 == fid).map(_._2)
+              assert(expectNative.exists(_ ==
+                  t.readAsOf(fid).collect().map(_.getLong(0)).toSet),
+                s"schedule $schedule: reminted id $fid must serve its native state")
+          }
+        }
+        // retained native history replays exactly
+        for ((sid, expect) <- snapStates if nativeIds.contains(sid))
+          assert(t.readAsOf(sid).collect().map(_.getLong(0)).toSet == expect,
+            s"schedule $schedule native snapshot $sid: time travel diverged")
+      }
+      checkInvariants()
+
+      for (_ <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => // native append through the foreign-id range
+            val r = nextFresh until nextFresh + 3
+            nextFresh += 3
+            t.append(r.toDF("id")); live ++= r
+            snapStates :+= (t.meta.currentSnapshotId.get -> live)
+          case 1 if live.nonEmpty => // eq-delete a live key
+            val victim = live.toIndexedSeq(rnd.nextInt(live.size))
+            t.deleteEq(Seq(victim).toDF("id")); live -= victim
+            snapStates :+= (t.meta.currentSnapshotId.get -> live)
+          case 2 => // compact: content-neutral replace point
+            t.compact(2)
+            snapStates :+= (t.meta.currentSnapshotId.get -> live)
+          case _ => // expire all but the 2 newest timestamps
+            val ts = t.meta.snapshots.map(_.timestampMs).sorted
+            if (ts.size > 2) {
+              t.expireSnapshots(ts.takeRight(2).head)
+              val retained = t.meta.snapshots.map(_.id).toSet
+              snapStates = snapStates.filter(p => retained.contains(p._1))
+            }
+        }
+        checkInvariants()
+      }
+    }
+  }
+
   test("two racing native appends both land via auto-rebase — no manual retry") {
     // file adds commute, so an append that loses the version race must
     // REBASE onto the winner's state inside commitWithRetry — never

@@ -385,4 +385,33 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(tgt) == rowsOf(src), "a replayed version must be a content no-op")
     assert(tgt.meta.properties("streaming.changelog-cursor").toLong == cursor)
   }
+
+  test("a changelog cursor EXPIRED from the source fails loudly instead of diverging") {
+    // if the source expires snapshots past the persisted cursor, the
+    // delete history inside the gap is unrecoverable: a silent diff from
+    // an empty base replays live rows as idempotent upserts but never
+    // emits the gap's deletes — the target would retain deleted keys
+    // forever. The poll must fail loudly and demand a full resync.
+    val dir = Files.createTempDirectory("chg_expired").toString
+    val shape = Seq((0L, "x")).toDF("id", "kind")
+    val src = IceLite.createFrom(spark, s"$dir/src", shape)
+    val tgt = IceLite.createFrom(spark, s"$dir/tgt", shape)
+    src.append((0L until 5L).map(i => (i, "a")).toDF("id", "kind"))
+    assert(StreamingIngest.applyChangelogOnce(src, tgt, "id") >= 1)
+    assert(tgt.read().count() == 5)
+    // the gap the target never hears about: a delete, then expiry
+    src.delete(col("id") === 2L)
+    src.append(Seq((100L, "z")).toDF("id", "kind"))
+    src.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(!src.meta.snapshots.exists(_.id ==
+        tgt.meta.properties("streaming.changelog-cursor").toLong),
+      "fixture sanity: the cursor's snapshot must be expired")
+    val e = intercept[IllegalArgumentException](
+      StreamingIngest.applyChangelogOnce(src, tgt, "id"))
+    assert(e.getMessage.contains("EXPIRED") &&
+      e.getMessage.contains("full-resync"),
+      s"an expired cursor must fail loudly, got: ${e.getMessage}")
+    // the loud failure left no partial state behind
+    assert(tgt.read().count() == 5)
+  }
 }
