@@ -641,6 +641,140 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** Driver-side plan for the DSv2 STREAMING SINK's executor writers
+    * ([[graft.icelite.connector.IceLiteStreamingWrite]]): the same
+    * alignment rule as [[alignToSchema]] + [[writeFiles]] — input columns
+    * matched by name, cast to storage types under physical `f<id>` names,
+    * omitted columns filled with the V3 write-default — plus the default
+    * spec's partition transforms, all RESOLVED through Catalyst analysis
+    * over an empty probe frame and BOUND to the input attribute order, so
+    * the executors evaluate them without a SparkSession. Pinned at query
+    * start: a mid-stream schema change doesn't shift rows mid-epoch (the
+    * pinned schemaId stays in the schema list; readers resolve per file). */
+  private[icelite] def planStreamingWrite(
+      inputSchema: StructType): IceLite.StreamWritePlan = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val m = meta
+    val sch = m.currentSchema
+    val spec = m.defaultSpec
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), inputSchema)
+    def sourceCol(fld: Field): Column =
+      if (probe.columns.contains(fld.name))
+        convertTo(col(fld.name), fld, Some(probe.schema(fld.name).dataType))
+      else fld.writeFill.map(d => expr(d).cast(fld.sparkDdl))
+        .getOrElse(lit(null).cast(fld.sparkDdl))
+    val physCols = sch.fields.map(fld => sourceCol(fld).as(fld.physName))
+    val partCols = spec.fields.map { sf =>
+      val srcF = sch.byId(sf.sourceId)
+      // cast-to-string mirrors what partitionBy renders into dir names on
+      // the batch path, so both writers bucket values into the SAME
+      // partition spellings (pruning compares these strings)
+      transformExpr(sf, sourceCol(srcF)).cast("string").as("_p_" + sf.name)
+    }
+    val analyzed = probe.select(physCols ++ partCols: _*).queryExecution.analyzed
+    val (projList, childOut) = analyzed match {
+      case p: Project => (p.projectList, p.child.output)
+      case other => sys.error(s"unexpected streaming-write plan shape: ${other.nodeName}")
+    }
+    val bound = projList.map(e =>
+      BindReferences.bindReference(e: Expression, AttributeSeq(childOut)))
+    val physSchema = StructType(sch.fields.map(f =>
+      StructField(f.physName, DataType.fromDDL(f.sparkDdl), nullable = true)))
+    IceLite.StreamWritePlan(m.currentSchemaId, spec.specId, physSchema,
+      bound.take(sch.fields.size), bound.drop(sch.fields.size),
+      spec.fields.map(_.name))
+  }
+
+  /** Commit one streaming epoch's executor-staged parquet files as an
+    * append snapshot, exactly once: the epoch ledger (`key` → last
+    * committed epoch id) advances INSIDE the same atomic commit, so a
+    * Spark-replayed epoch (restart between the table commit and the
+    * checkpoint commit) detects the replay and deletes its duplicate
+    * staged files instead of double-appending — [[appendIfNewBatch]]'s
+    * protocol, driven from the DSv2 StreamingWrite commit hook. Footer
+    * stats harvest + rename into data/ reuses the batch writer's
+    * adaptive driver/executor finalize. Returns false on replay. */
+  private[icelite] def commitStreamEpoch(key: String, epochId: Long,
+      stagingPrefix: String, stagedPaths0: Seq[String],
+      schemaId: Int, specId: Int): Boolean = {
+    val f = fs(spark, location)
+    val stagedPaths = stagedPaths0.sortBy(IceLite.stagedOrderKey)
+    val m = meta
+    if (m.properties.get(key).exists(_.toLong >= epochId)) {
+      stagedPaths.foreach(p => f.delete(new Path(p), false))
+      return false
+    }
+    val dataDir = new Path(location, "data")
+    f.mkdirs(dataDir)
+    val dataDirStr = dataDir.toString
+    val confBc = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val files0 =
+      if (stagedPaths.size <= 16)
+        stagedPaths.map(p =>
+          IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
+      else spark.sparkContext
+        .parallelize(stagedPaths, math.min(stagedPaths.size, 64))
+        .map(p =>
+          IceLite.finalizeStaged(confBc.value, stagingPrefix, dataDirStr, schemaId, specId, p))
+        .collect().toSeq
+    val files = files0.filter(_.rows > 0)
+    if (files.isEmpty) { // empty epoch: no snapshot; a replay is vacuous
+      files0.foreach(d => f.delete(new Path(d.path), false))
+      return true
+    }
+    // UPSERT mode (Iceberg's `write.upsert.enabled`): each epoch also
+    // writes EQUALITY deletes on the declared key columns, so a key's
+    // newer version retires every older row merge-on-read — the
+    // [[upsertEqIfNewBatch]] CDC shape, driven from the DSv2 sink. Both
+    // carry the SAME data sequence, so an epoch's deletes never touch its
+    // own rows (eq-deletes apply strictly below their seq) — each epoch
+    // must carry at most one row per key, the CDC contract. O(batch) per
+    // epoch: no target scan, no rewrite.
+    val upsertKeys: Seq[Field] =
+      if (m.properties.get("write.upsert.enabled").exists(_.toBoolean))
+        m.properties.get("write.upsert.key-columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(sys.error(
+            "write.upsert.enabled needs write.upsert.key-columns (csv of key fields)"))
+          .map(m.currentSchema.fieldByName)
+      else Seq()
+    val dels: Seq[DeleteFile] =
+      if (upsertKeys.isEmpty) Seq()
+      else writeEqDeleteFiles(
+        spark.read.parquet(files.map(_.path): _*)
+          .select(upsertKeys.map(fl => col(fl.physName).as(fl.name)): _*),
+        upsertKeys)
+    def discardAll(): Unit = {
+      files.foreach(d => f.delete(new Path(d.path), false))
+      // eq-delete keys live in their own deletes/eq-<uuid> directory —
+      // drop the whole dir or the abort strands it until the orphan sweep
+      dels.map(d => new Path(d.path).getParent).distinct
+        .foreach(dir => f.delete(dir, true))
+    }
+    try {
+      commitWithRetry { cur =>
+        if (cur.properties.get(key).exists(_.toLong >= epochId))
+          throw new IceLite.BatchReplayedException(s"epoch $epochId already committed")
+        val snap = cur.currentSnapshot
+        val sq = nextSeq(cur) // hoisted: O(manifest) once, not once per file
+        (newSnapshotDL(cur, if (dels.isEmpty) "append" else "overwrite",
+          snap.map(_.files).getOrElse(FileListing.empty).append(files.map(_.copy(seq = sq))),
+          snap.map(_.deletes).getOrElse(DeleteListing.empty)
+            .append(dels.map(_.copy(seq = sq))))
+          .copy(properties = cur.properties + (key -> epochId.toString)),
+          s"stream epoch $epochId: ${files.map(_.rows).sum} rows")
+      }
+      autoMaintain() // streaming ingest is the small-file case auto-compaction exists for
+      true
+    } catch {
+      case _: IceLite.BatchReplayedException =>
+        discardAll()
+        false
+    }
+  }
+
   /** Idempotent streaming upsert via EQUALITY deletes: [[upsertEq]] with
     * the same batch-id protocol as [[appendIfNewBatch]]. The CDC-sink
     * shape for 100 TB tables — per-batch cost is O(batch), no target scan
@@ -2536,6 +2670,17 @@ object IceLite {
     val idx = PartNumRe.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(Long.MaxValue)
     (dir, idx, name)
   }
+
+  /** Everything the DSv2 streaming sink's executor writers need, planned
+    * once on the driver ([[IceLiteTable.planStreamingWrite]]): bound,
+    * SparkSession-free Catalyst expressions from the input row to the
+    * physical storage columns (`physExprs`, in `physSchema` order) and to
+    * the partition-value strings (`partExprs`, named `partNames`). */
+  final case class StreamWritePlan(
+      schemaId: Int, specId: Int, physSchema: StructType,
+      physExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      partNames: Seq[String])
 
   /** Is this delete-file path a deletion-vector container (either the
     * native `.ildv` RLE carrier or the Iceberg-V3 `.puffin` form)? */

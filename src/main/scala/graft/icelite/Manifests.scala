@@ -60,6 +60,22 @@ final class FileListing private (
 
   def withIo(nio: ManifestIO): FileListing = new FileListing(manifests, tail, nio)
 
+  /** Entries ADDED relative to `parent`'s listing — O(new chunks + both
+    * tails), never O(table): chunk refs carry by path identity and are
+    * immutable, so only chunks ABSENT from the parent need their entries
+    * read, and a new chunk that merely spilled the parent's old tail
+    * contributes nothing (its entries are excluded by the parent-tail
+    * set). The streaming source's per-commit delta is built on this — a
+    * poll of a 100 TB table reads the increment's manifests, never the
+    * full file list. Only sound for lineages where the parent's files
+    * carry over (append/delete/spill), i.e. not across `replace`. */
+  def addedSince(parent: FileListing): Seq[DataFile] = {
+    val pRefs = parent.manifests.map(_.path).toSet
+    val pFiles = parent.tail.map(f => IceLite.normPath(f.path)).toSet
+    val fromNewChunks = manifests.filterNot(r => pRefs(r.path)).flatMap(io.read)
+    (fromNewChunks ++ tail).filterNot(f => pFiles(IceLite.normPath(f.path)))
+  }
+
   def fileCount: Long = manifests.map(_.fileCount).sum + tail.size
   def totalRows: Long = manifests.map(_.rowCount).sum + tail.map(_.rows).sum
   def maxSeq: Long =

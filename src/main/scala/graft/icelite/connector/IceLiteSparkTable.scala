@@ -88,7 +88,8 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
   override def properties(): util.Map[String, String] = tbl.meta.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
   /** The snapshot scan this relation reads (honoring AS OF) —
@@ -153,6 +154,16 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
 
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
+        /** `spark.readStream.table(...)`: the snapshot log serves as the
+          * offset ledger — appended rows per micro-batch, checkpoint-
+          * recovered, pruned to the required columns. Time travel and
+          * streams don't compose (a pinned past cannot grow). */
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          require(asOf.isEmpty, "icelite stream: cannot stream VERSION/TIMESTAMP AS OF")
+          new IceLiteMicroBatchStream(tbl.location, required,
+            options.asScala.toMap)
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val statPruned = asOf match {
@@ -176,6 +187,18 @@ class IceLiteSparkTable(tbl: IceLiteTable, asOf: Option[Either[Long, Long]])
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwriteFlag: Boolean) =>
             if (overwrite || overwriteFlag) tbl.overwrite(data) else tbl.append(data)
+        /** `df.writeStream.toTable(...)`: per-epoch executor parquet
+          * writes + one atomic append-with-epoch-ledger commit each
+          * micro-batch (exactly-once across restarts). Append mode only —
+          * a streaming truncate-per-epoch would rewrite the table's
+          * history every batch. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwrite,
+            "icelite streaming sink: append output mode only (complete/truncate " +
+              "would rewrite the table every epoch — aggregate downstream instead)")
+          new IceLiteStreamingWrite(tbl.location, info.schema(), info.queryId())
+        }
       }
     }
 }

@@ -1510,12 +1510,61 @@ object LakehouseOps {
         "pre-evolution time travel shows the columns the table had then")
       require(t.readAsOf(s1).count() == o.filter(col("o_orderkey") < 3000).count(),
         "the pre-evolution point serves its full content")
-      t.read().select(col("o_orderkey"), col("price"), col("channel"))
-        .orderBy("o_orderkey")
+
+      // the EXPIRED-adding-snapshot shape, oracled at every scale rung:
+      // a pure ADD COLUMN lineage (no rename — the shape where a
+      // vacuous-match footer fallback ties pre/post-ADD schemas and the
+      // tie-break stamps POST-ADD files pre-ADD, silently filling the
+      // default over real values). The middle snapshot is expired from
+      // the exported metadata while its files stay live in the head's
+      // chained manifests, so they MUST footer-resolve post-ADD: the
+      // oracle hash diverges on their channel values if they don't.
+      val src2 = IceLite.create(s, scratch("adoptevo2_src"),
+        Seq("o_orderkey" -> "BIGINT", "o_totalprice" -> "DOUBLE"))
+      src2.append(o.filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      val e1 = src2.meta.currentSnapshotId.get
+      src2.addColumn("channel", "STRING", Some("'web'"))
+      src2.append(o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4500)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("app").as("channel")))
+      val e2 = src2.meta.currentSnapshotId.get
+      src2.append(o.filter(col("o_orderkey") >= 4500)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("app").as("channel")))
+      val e3 = src2.meta.currentSnapshotId.get
+      val foreign2 = scratch("adoptevo2_foreign")
+      val mj2 = graft.icelite.IcebergExport.export(src2, foreign2, Seq(e1, e2, e3))
+      val mp2 = java.nio.file.Paths.get(mj2)
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tree2 = M.readTree(mp2.toFile)
+      val snapsArr = tree2.get("snapshots")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val victim = (0 until snapsArr.size())
+        .find(i => snapsArr.get(i).get("snapshot-id").asLong() == e2).get
+      snapsArr.remove(victim)
+      java.nio.file.Files.write(mp2,
+        M.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree2))
+      java.nio.file.Files.deleteIfExists(
+        mp2.resolveSibling("." + mp2.getFileName + ".crc"))
+      val t2 = graft.icelite.IceLite.adopt(s, mj2, foreign2)
+      require(t2.meta.snapshots.map(_.id) == Seq(e1, e3),
+        "the surviving lineage adopts around the expired middle snapshot")
+
+      t.read().select(lit("renamed").as("lineage"),
+          col("o_orderkey"), col("price"), col("channel"))
+        .unionAll(t2.read().select(lit("expired").as("lineage"),
+          col("o_orderkey"), col("o_totalprice").as("price"), col("channel")))
+        .orderBy("lineage", "o_orderkey")
     },
-    Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
-                   CASE WHEN o_orderkey < 3000 THEN 'web' ELSE 'app' END AS channel
-            FROM orders ORDER BY o_orderkey"""),
+    Some("""SELECT * FROM (
+              SELECT 'renamed' AS lineage, o_orderkey,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     CASE WHEN o_orderkey < 3000 THEN 'web' ELSE 'app' END AS channel
+              FROM orders
+              UNION ALL
+              SELECT 'expired', o_orderkey, CAST(o_totalprice AS DOUBLE),
+                     CASE WHEN o_orderkey < 3000 THEN 'web' ELSE 'app' END
+              FROM orders)
+            ORDER BY lineage, o_orderkey"""),
   )
 
   /** Adopt a foreign table WITH live merge-on-read position deletes: the
@@ -1679,6 +1728,154 @@ object LakehouseOps {
     Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey"),
   )
 
+  /** The DSv2 micro-batch SOURCE (X104), oracled end-to-end: three
+    * append commits stream through `spark.readStream.table(...)` under
+    * Trigger.AvailableNow — the snapshot log is the offset ledger, each
+    * micro-batch serves exactly one commit's appended files — and land
+    * exactly-once in a second IceLite table via the idempotent batch-id
+    * protocol. The output is the TARGET's content, which must hash-match
+    * the source relation DuckDB recomputes: a dropped, duplicated or
+    * mis-projected micro-batch cannot pass. Planning is O(appended
+    * files) driver-side metadata per batch; the per-file readers are
+    * Spark's own vectorized parquet reader — at 100 TB a poll reads the
+    * delta, never the table. */
+  private val streamRead = QueryDef(
+    "icelite_stream_read",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.icelite.warehouse",
+        System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
+      val wh = System.getProperty("java.io.tmpdir") + "/icelite_sql_wh"
+      val o = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tbl = s"msrc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val cat = new Catalog(s, wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldemo")
+      cat.createTable("sqldemo", tbl,
+        o.schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+      val src = cat.loadTable("sqldemo", tbl)
+      src.append(o.filter(col("o_orderkey") % 3 === 0))
+      src.append(o.filter(col("o_orderkey") % 3 === 1))
+      src.append(o.filter(col("o_orderkey") % 3 === 2))
+      val tgt = IceLite.createFrom(s, scratch("streamtgt"), o)
+      val q = s.readStream
+        .option("max-snapshots-per-trigger", "1") // one commit per micro-batch
+        .table(s"icelite.sqldemo.$tbl")
+        .writeStream
+        .option("checkpointLocation", scratch("streamckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          tgt.appendIfNewBatch(id, df); ()
+        }.start()
+      q.awaitTermination()
+      tgt.read().orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders ORDER BY o_orderkey"""),
+  )
+
+  /** The full DSv2 streaming LOOP (X104 source → X105 sink), oracled:
+    * `spark.readStream.table(src).writeStream.toTable(tgt)` — zero
+    * foreachBatch, zero driver data movement. Three source commits drain
+    * one-per-micro-batch under Trigger.AvailableNow; each epoch's rows
+    * are written by executor FANOUT parquet writers into the target's
+    * identity-partitioned layout and committed atomically with the
+    * per-query epoch ledger (exactly-once across restarts). The output
+    * is the target's content — a dropped/duplicated epoch, a
+    * mis-projected column, or a partition-spelling mismatch between the
+    * fanout and batch writers all break the DuckDB hash. */
+  private val streamPipe = QueryDef(
+    "icelite_stream_pipe",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.icelite.warehouse",
+        System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
+      val wh = System.getProperty("java.io.tmpdir") + "/icelite_sql_wh"
+      val o = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      val cat = new Catalog(s, wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldemo")
+      cat.createTable("sqldemo", s"psrc_$sfx",
+        o.schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+      cat.createTable("sqldemo", s"ptgt_$sfx",
+        o.schema.fields.toSeq.map(f => f.name -> f.dataType.sql),
+        partition = Seq("o_orderstatus" -> "identity"))
+      val src = cat.loadTable("sqldemo", s"psrc_$sfx")
+      src.append(o.filter(col("o_orderkey") % 3 === 0))
+      src.append(o.filter(col("o_orderkey") % 3 === 1))
+      src.append(o.filter(col("o_orderkey") % 3 === 2))
+      val q = s.readStream
+        .option("max-snapshots-per-trigger", "1")
+        .table(s"icelite.sqldemo.psrc_$sfx")
+        .writeStream
+        .option("checkpointLocation", scratch("streampipeckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"icelite.sqldemo.ptgt_$sfx")
+      q.awaitTermination()
+      cat.loadTable("sqldemo", s"ptgt_$sfx").read().orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders ORDER BY o_orderkey"""),
+  )
+
+  /** The DSv2 streaming UPSERT sink (X106): `write.upsert.enabled=true` +
+    * `write.upsert.key-columns` turn the same `writeStream.toTable` into
+    * Iceberg's streaming CDC-upsert — each epoch's executor-written rows
+    * commit WITH equality deletes on the key, so newer versions retire
+    * older rows merge-on-read: O(batch) per epoch, no target scan or
+    * rewrite, exactly-once across restarts. Three source commits carry
+    * three versions of overlapping keys; the target must serve exactly
+    * the LATEST version of every key — a missed epoch, a replayed epoch,
+    * or same-seq deletes clobbering their own epoch's rows all break the
+    * DuckDB hash. */
+  private val streamUpsert = QueryDef(
+    "icelite_stream_upsert",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.icelite", "graft.icelite.connector.IceLiteCatalog")
+      s.conf.set("spark.sql.catalog.icelite.warehouse",
+        System.getProperty("java.io.tmpdir") + "/icelite_sql_wh")
+      val wh = System.getProperty("java.io.tmpdir") + "/icelite_sql_wh"
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      val cat = new Catalog(s, wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS icelite.sqldemo")
+      cat.createTable("sqldemo", s"usrc_$sfx", Seq(
+        "o_orderkey" -> "BIGINT", "price" -> "DOUBLE", "ver" -> "INT"))
+      cat.createTable("sqldemo", s"utgt_$sfx", Seq(
+        "o_orderkey" -> "BIGINT", "price" -> "DOUBLE", "ver" -> "INT"),
+        properties = Map("write.upsert.enabled" -> "true",
+          "write.upsert.key-columns" -> "o_orderkey"))
+      val src = cat.loadTable("sqldemo", s"usrc_$sfx")
+      // v1: every key; v2/v3 re-emit subsets with updated payloads — the
+      // append-only source log of a CDC stream
+      src.append(o.select(col("o_orderkey"), col("o_totalprice").as("price"),
+        lit(1).as("ver")))
+      src.append(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("price"), lit(2).as("ver")))
+      src.append(o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 3).as("price"), lit(3).as("ver")))
+      val q = s.readStream
+        .option("max-snapshots-per-trigger", "1") // one CDC version per epoch
+        .table(s"icelite.sqldemo.usrc_$sfx")
+        .writeStream
+        .option("checkpointLocation", scratch("streamupsertckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"icelite.sqldemo.utgt_$sfx")
+      q.awaitTermination()
+      cat.loadTable("sqldemo", s"utgt_$sfx").read().orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+                             WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                             ELSE o_totalprice END AS DOUBLE) AS price,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 3
+                        WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver
+            FROM orders ORDER BY o_orderkey"""),
+  )
+
   val defs: Seq[QueryDef] = Seq(
     appendRead, updateCow, updateMor, deleteCow, deleteMor, deleteMorEq, upsertEq, mergeInto,
     autoMaintain, timestampNsTable, icebergExportRead, icebergExportVariant, icebergAdopt,
@@ -1692,6 +1889,6 @@ object LakehouseOps {
     sqlMaintenance, variantTable, restCatalog, restCommit, incrementalRead,
     branchWap, sortedWrite, zorderWrite, changelog, changelogLineage,
     cdcApplyAgg, tagSchemaRead,
-    rowLineage,
+    rowLineage, streamRead, streamPipe, streamUpsert,
   )
 }

@@ -48,4 +48,65 @@ object SparkShims {
     * racing event delivery. */
   def waitForListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** A SERIALIZABLE parquet row reader over Spark's own (vectorized)
+    * parquet machinery: build once on the driver for a given physical
+    * read schema, ship to executors, call with (path, fileLength).
+    * Absent columns read as null (by-name resolution), and ColumnarBatch
+    * results are unwrapped so callers always see InternalRows — the DSv2
+    * streaming source's per-file readers are built on this instead of
+    * hand-rolling a parquet record materializer. */
+  def parquetRowReader(spark: SparkSession,
+      requiredSchema: org.apache.spark.sql.types.StructType)
+      : (String, Long) => Iterator[InternalRow] = {
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val fn = fmt.buildReaderWithPartitionValues(
+      spark.asInstanceOf[ClassicSparkSession],
+      dataSchema = requiredSchema,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      // rows, not ColumnarBatches — the vectorized reader still drives
+      // the decode, it just unwraps per-row at the boundary
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    (path: String, len: Long) => {
+      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path), 0L, len)
+      fn(pf).asInstanceOf[Iterator[Any]].flatMap {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+    }
+  }
+
+  /** A SERIALIZABLE parquet writer factory over Spark's own parquet
+    * write path (same codec/committer config a batch `df.write.parquet`
+    * gets): build once on the driver, ship to executors, open per-file
+    * writers with `newInstance(path, schema, taskAttemptContext)` against
+    * the returned job configuration — the DSv2 streaming sink's fanout
+    * writers are built on this instead of hand-rolling a parquet encoder.
+    * The config is returned alongside because `prepareWrite` records the
+    * write support + compression INTO it; a fresh conf would miss them. */
+  def parquetWriterFactory(spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val factory = fmt.prepareWrite(
+      spark.asInstanceOf[ClassicSparkSession], job, Map.empty, dataSchema)
+    (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  /** Hive-style partition-value escaping (`ExternalCatalogUtils` is
+    * `private[sql]`): the streaming sink renders partition dirs with the
+    * SAME spelling `partitionBy` uses on the batch path, so pruning
+    * compares one set of strings. */
+  def escapePathName(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 }

@@ -386,6 +386,289 @@ class StreamingSpec extends SparkSpec {
     assert(tgt.meta.properties("streaming.changelog-cursor").toLong == cursor)
   }
 
+  test("DSv2 micro-batch stream serves appended rows per commit, with a checkpoint restart") {
+    // `spark.readStream.table(...)` over an IceLite table: the snapshot
+    // log is the offset ledger. Three commits land across a restart —
+    // every appended row arrives exactly once, the restart resumes from
+    // the committed snapshot id (no replay of batches 1–2), a compaction
+    // `replace` point emits nothing, a delete commit fails loudly, and
+    // skip-delete-snapshots=true resumes past it.
+    val dir = Files.createTempDirectory("ms_stream").toString
+    spark.conf.set("spark.sql.catalog.ms_cat", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_cat.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "ev", Seq("id" -> "BIGINT", "v" -> "STRING"))
+    val t = cat.loadTable("db", "ev")
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start(extra: Map[String, String] = Map()) = {
+      val r = extra.foldLeft(spark.readStream) { case (rd, (k, v)) => rd.option(k, v) }
+      r.table("ms_cat.db.ev").writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(row => got.add(row.getLong(0))); ()
+        }.start()
+    }
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(got.toArray.toSeq.map(_.asInstanceOf[Long]).sorted == (0L until 10L),
+        s"batch 1 must serve the pre-stream table, got ${got.size} rows")
+      t.append((10L until 15L).map(i => (i, s"b$i")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(got.size == 15, s"batch 2 must serve ONLY the appended rows, got ${got.size}")
+    } finally q.stop()
+    // commit while the stream is DOWN, plus a mid-stream ADD COLUMN: the
+    // restarted query resumes from the committed offset and keeps its
+    // pinned (id, v) projection over the widened write schema
+    t.addColumn("tag", "STRING", Some("'x'"))
+    t.append((15L until 18L).map(i => (i, s"c$i", "y")).toDF("id", "v", "tag"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.size == 18,
+        s"restart must resume from the committed snapshot (no replay), got ${got.size}")
+      assert(got.toArray.map(_.asInstanceOf[Long]).toSet == (0L until 18L).toSet)
+      // a compaction is a physical no-op: nothing streams
+      t.compact(target = 2)
+      q2.processAllAvailable()
+      assert(got.size == 18, "a replace point must emit nothing")
+      t.append(Seq((18L, "d", "z")).toDF("id", "v", "tag"))
+      q2.processAllAvailable()
+      assert(got.size == 19)
+      // a row-removing commit cannot be represented append-only: loud stop
+      t.delete(col("id") === 3L)
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("row-removing") ||
+        Option(e.getCause).exists(_.getMessage.contains("row-removing")),
+        s"a delete commit must fail the stream loudly, got: ${e.getMessage}")
+    } finally q2.stop()
+    // opt-in skip resumes past the delete and serves later appends
+    val q3 = start(Map("skip-delete-snapshots" -> "true"))
+    try {
+      t.append(Seq((19L, "e", "w")).toDF("id", "v", "tag"))
+      q3.processAllAvailable()
+      assert(got.toArray.map(_.asInstanceOf[Long]).toSet == (0L until 20L).toSet,
+        "skip-delete-snapshots must stream the append past the delete point")
+    } finally q3.stop()
+  }
+
+  test("Trigger.AvailableNow drains a commit backlog as bounded batches, then stops") {
+    // SupportsTriggerAvailableNow pins the drain target at query start and
+    // max-snapshots-per-trigger bounds each batch to one commit — a stale
+    // checkpoint against a hot table catches up as N bounded batches, not
+    // one giant catch-up scan, and the query terminates at the pin.
+    val dir = Files.createTempDirectory("ms_avail").toString
+    spark.conf.set("spark.sql.catalog.ms_cat2", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_cat2.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "ev", Seq("id" -> "BIGINT"))
+    val t = cat.loadTable("db", "ev")
+    (0 until 3).foreach(b => t.append(Seq(b.toLong).toDF("id")))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream
+      .option("max-snapshots-per-trigger", "1")
+      .table("ms_cat2.db.ev").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.count().toInt); ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate at the pinned head")
+    assert(batches.toArray.toSeq == Seq(1, 1, 1),
+      s"three commits at one-commit-per-trigger must drain as three 1-row batches, got $batches")
+  }
+
+  test("stream deltas survive a manifest tail spill: no replay, no loss") {
+    // the per-commit delta is the MANIFEST-STRUCTURAL diff
+    // (FileListing.addedSince — O(new chunks + tails), never O(table)); the
+    // adversarial shape is the commit-time tail spill, where a new chunk
+    // ref appears that contains only OLD files — a naive "new chunks are
+    // new files" diff would replay them. Ten 1-file commits over a
+    // min-files=3 spill threshold cross several spill points; every row
+    // must arrive exactly once.
+    val dir = Files.createTempDirectory("ms_spill").toString
+    spark.conf.set("spark.sql.catalog.ms_spl", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_spl.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "ev", Seq("id" -> "BIGINT"),
+      properties = Map("write.metadata.manifest.min-files" -> "3",
+        "write.metadata.manifest.target-files" -> "3"))
+    val t = cat.loadTable("db", "ev")
+    (0 until 10).foreach(i => t.append(Seq(i.toLong).toDF("id").coalesce(1)))
+    assert(t.meta.currentSnapshot.get.files.manifests.nonEmpty,
+      "fixture must actually cross the spill threshold")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("max-snapshots-per-trigger", "1")
+      .table("ms_spl.db.ev").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0))); ()
+      }.start()
+    assert(q.awaitTermination(120000))
+    assert(got.toArray.toSeq.map(_.asInstanceOf[Long]).sorted == (0L until 10L),
+      s"each spilled commit's rows must arrive exactly once, got ${got.size} rows")
+  }
+
+  test("DSv2 streaming sink lands each epoch exactly once in a partitioned table") {
+    // `df.writeStream.toTable("icelite.db.t")` — no foreachBatch: executor
+    // fanout parquet writes + one atomic append-with-epoch-ledger commit
+    // per micro-batch. Source and sink are both IceLite DSv2 streams, so
+    // this is the full first-class loop: appends to src flow through the
+    // snapshot-log offsets into tgt's own snapshots; a checkpoint restart
+    // replays nothing; identity partitioning lands rows in per-value
+    // files (manifest pruning sees them).
+    val dir = Files.createTempDirectory("ms_sink").toString
+    spark.conf.set("spark.sql.catalog.ms_sink", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_sink.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "src", Seq("id" -> "BIGINT", "grp" -> "STRING"))
+    cat.createTable("db", "tgt", Seq("id" -> "BIGINT", "grp" -> "STRING"),
+      partition = Seq("grp" -> "identity"))
+    val src = cat.loadTable("db", "src")
+    val tgt = cat.loadTable("db", "tgt")
+    src.append(Seq((0L, "a"), (1L, "b")).toDF("id", "grp"))
+    def start() = spark.readStream.table("ms_sink.db.src")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .toTable("ms_sink.db.tgt")
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(tgt.read().count() == 2, "epoch 0 must land the pre-stream rows")
+      src.append(Seq((2L, "a")).toDF("id", "grp"))
+      q.processAllAvailable()
+      assert(tgt.read().count() == 3, "epoch 1 must land ONLY the appended row")
+    } finally q.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(tgt.read().count() == 3, "a checkpoint restart must not replay epochs")
+      src.append(Seq((3L, "c")).toDF("id", "grp"))
+      q2.processAllAvailable()
+      assert(tgt.read().count() == 4)
+    } finally q2.stop()
+    assert(tgt.read().filter(col("grp") === "a").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 2L),
+      "identity-partitioned epochs must serve partition filters")
+    assert(tgt.meta.snapshots.forall(_.operation != "overwrite"),
+      "streaming epochs are pure appends")
+    assert(tgt.meta.properties.keys.exists(_.startsWith("streaming.sink.")),
+      "the per-query epoch ledger must advance inside the table commit")
+    // every committed file carries a partition value under the identity
+    // spec: the fanout writer and the batch writer agree on spellings
+    val pvals = tgt.meta.currentSnapshot.get.dataFiles.flatMap(_.partition.values).toSet
+    assert(pvals == Set("a", "b", "c"), s"fanout partition spellings, got $pvals")
+  }
+
+  test("streaming sink epochs rebase cleanly against a racing batch writer") {
+    // epoch commits go through the same optimistic-retry commit as every
+    // other writer: a batch append racing the stream's epoch commit must
+    // never be lost, never double the epoch, and the ledger property must
+    // survive the rebase.
+    val dir = Files.createTempDirectory("ms_race").toString
+    spark.conf.set("spark.sql.catalog.ms_race", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_race.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "src", Seq("id" -> "BIGINT"))
+    cat.createTable("db", "tgt", Seq("id" -> "BIGINT"))
+    val src = cat.loadTable("db", "src")
+    val tgt = cat.loadTable("db", "tgt")
+    val q = spark.readStream.table("ms_race.db.src")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .toTable("ms_race.db.tgt")
+    // batch writer races the stream: ids 1000+i from the side, 0..4 from
+    // the stream, interleaved commits on one table
+    val racer = new Thread(() => (0 until 5).foreach { i =>
+      tgt.append(Seq(1000L + i).toDF("id").coalesce(1))
+    })
+    try {
+      racer.start()
+      (0 until 5).foreach { i =>
+        src.append(Seq(i.toLong).toDF("id").coalesce(1))
+        q.processAllAvailable()
+      }
+      racer.join()
+      q.processAllAvailable()
+      val ids = tgt.read().collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == ((0L until 5L) ++ (1000L until 1005L)).sorted,
+        s"every stream row and every batch row exactly once, got $ids")
+      assert(tgt.meta.properties.collectFirst {
+        case (k, v) if k.startsWith("streaming.sink.") => v.toLong }.exists(_ >= 4),
+        "the epoch ledger must survive rebased commits")
+    } finally q.stop()
+  }
+
+  test("streaming upsert sink retires old key versions exactly once across a restart") {
+    // write.upsert.enabled turns the DSv2 sink into the CDC-upsert shape:
+    // each epoch commits its rows WITH equality deletes on the key, so a
+    // key's newer version retires the older ones merge-on-read. The
+    // restart epoch must neither replay (duplicate versions) nor skip
+    // (stale versions).
+    val dir = Files.createTempDirectory("ms_upsert").toString
+    spark.conf.set("spark.sql.catalog.ms_ups", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_ups.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "src", Seq("k" -> "BIGINT", "v" -> "STRING"))
+    cat.createTable("db", "tgt", Seq("k" -> "BIGINT", "v" -> "STRING"),
+      properties = Map("write.upsert.enabled" -> "true",
+        "write.upsert.key-columns" -> "k"))
+    val src = cat.loadTable("db", "src")
+    val tgt = cat.loadTable("db", "tgt")
+    def start() = spark.readStream.table("ms_ups.db.src")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .toTable("ms_ups.db.tgt")
+    src.append(Seq((1L, "a1"), (2L, "a2")).toDF("k", "v"))
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(tgt.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a1", 2L -> "a2"))
+    } finally q.stop()
+    // versions committed while the stream is DOWN upsert on restart
+    src.append(Seq((2L, "b2"), (3L, "b3")).toDF("k", "v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(tgt.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a1", 2L -> "b2", 3L -> "b3"),
+        "the restart epoch must retire k=2's old version exactly once")
+      assert(tgt.read().count() == 3, "no duplicate key versions may survive")
+    } finally q2.stop()
+  }
+
+  test("a stream offset EXPIRED from the source table fails loudly, not from an empty base") {
+    // if maintenance expires the snapshot a checkpoint points at, the gap's
+    // history is unrecoverable — the poll must refuse (demanding a fresh
+    // checkpoint or longer retention), never silently re-serve the table.
+    val dir = Files.createTempDirectory("ms_expired").toString
+    spark.conf.set("spark.sql.catalog.ms_exp", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_exp.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "ev", Seq("id" -> "BIGINT"))
+    val t = cat.loadTable("db", "ev")
+    t.append(Seq(0L).toDF("id"))
+    def start() = spark.readStream.table("ms_exp.db.ev")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    // two more commits, then expire everything but the head: the
+    // checkpointed offset (snapshot 1) is gone
+    t.append(Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(t.meta.snapshots.size == 1, "expire must leave only the head")
+    val q2 = start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      assert(e.getMessage.contains("unrecoverable") ||
+        Option(e.getCause).exists(_.getMessage.contains("unrecoverable")),
+        s"an expired offset must fail loudly, got: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
   test("a changelog cursor EXPIRED from the source fails loudly instead of diverging") {
     // if the source expires snapshots past the persisted cursor, the
     // delete history inside the gap is unrecoverable: a silent diff from
