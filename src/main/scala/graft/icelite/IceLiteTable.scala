@@ -740,6 +740,22 @@ class IceLiteTable(val spark: SparkSession, val location: String,
             "write.upsert.enabled needs write.upsert.key-columns (csv of key fields)"))
           .map(m.currentSchema.fieldByName)
       else Seq()
+    // the CDC contract, ENFORCED: duplicate keys inside one epoch are
+    // unordered (the sink sees rows, not commit attribution), so applying
+    // them would keep an arbitrary subset — refuse loudly and tell the
+    // operator how to bound epochs to one source commit instead
+    if (upsertKeys.nonEmpty) {
+      val dup = spark.read.parquet(files.map(_.path): _*)
+        .groupBy(upsertKeys.map(fl => col(fl.physName)): _*)
+        .count().filter(col("count") > 1).limit(1).count() > 0
+      if (dup) {
+        files.foreach(d => f.delete(new Path(d.path), false))
+        sys.error(s"icelite streaming upsert: epoch $epochId carries more than " +
+          "one row for a key — versions inside one epoch are unordered and " +
+          "cannot upsert deterministically; bound each micro-batch to one " +
+          "source commit (max-snapshots-per-trigger=1) or dedup upstream")
+      }
+    }
     val dels: Seq[DeleteFile] =
       if (upsertKeys.isEmpty) Seq()
       else writeEqDeleteFiles(

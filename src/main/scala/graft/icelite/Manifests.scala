@@ -60,18 +60,29 @@ final class FileListing private (
 
   def withIo(nio: ManifestIO): FileListing = new FileListing(manifests, tail, nio)
 
-  /** Entries ADDED relative to `parent`'s listing — O(new chunks + both
-    * tails), never O(table): chunk refs carry by path identity and are
-    * immutable, so only chunks ABSENT from the parent need their entries
-    * read, and a new chunk that merely spilled the parent's old tail
-    * contributes nothing (its entries are excluded by the parent-tail
-    * set). The streaming source's per-commit delta is built on this — a
-    * poll of a 100 TB table reads the increment's manifests, never the
+  /** Entries ADDED relative to `parent`'s listing — O(changed chunks +
+    * both tails), never O(table): chunk refs carry by path identity and
+    * are immutable, so only chunks ABSENT from the parent need their
+    * entries read. Two chunk-churn shapes contribute OLD entries to new
+    * chunks and must subtract out: a commit-time spill of the parent's
+    * tail (excluded by the parent-tail set), and HEAD-snapshot
+    * consolidation merging undersized chunks (its merged entries are
+    * exactly the entries of the parent chunks the child DROPPED — read
+    * those removed chunks and exclude them; steady-state appends remove
+    * none, so the extra reads cost only on consolidation commits, and
+    * then only the consolidated portion). No sequence-number assumptions
+    * — adopted v1 lineages carry seq 0 throughout and must still diff
+    * exactly. The streaming source's per-commit delta is built on this —
+    * a poll of a 100 TB table reads the increment's manifests, never the
     * full file list. Only sound for lineages where the parent's files
-    * carry over (append/delete/spill), i.e. not across `replace`. */
+    * carry over (append/delete/spill/consolidate), i.e. not across
+    * `replace`. */
   def addedSince(parent: FileListing): Seq[DataFile] = {
     val pRefs = parent.manifests.map(_.path).toSet
-    val pFiles = parent.tail.map(f => IceLite.normPath(f.path)).toSet
+    val childRefs = manifests.map(_.path).toSet
+    val removedParentChunks = parent.manifests.filterNot(r => childRefs(r.path))
+    val pFiles = (parent.tail ++ removedParentChunks.flatMap(io.read))
+      .map(f => IceLite.normPath(f.path)).toSet
     val fromNewChunks = manifests.filterNot(r => pRefs(r.path)).flatMap(io.read)
     (fromNewChunks ++ tail).filterNot(f => pFiles(IceLite.normPath(f.path)))
   }

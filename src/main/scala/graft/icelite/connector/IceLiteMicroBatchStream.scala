@@ -145,8 +145,20 @@ class IceLiteMicroBatchStream(
       val out = prev match {
         // bootstrap: the first served commit IS the table state then —
         // serve it whole whatever operation produced it (a fresh stream
-        // on a freshly-compacted table must still see the table)
-        case None => s.dataFiles
+        // on a freshly-compacted table must still see the table). Raw
+        // data files are the state ONLY when no merge-on-read deletes
+        // ride on them — serving a MoR table's files without its delete
+        // index would resurrect deleted rows, so refuse loudly
+        // (skip-delete-snapshots skips COMMITS; it cannot make this
+        // batch correct).
+        case None =>
+          require(s.deleteFiles.isEmpty,
+            s"icelite stream: bootstrap snapshot ${s.id} of $location carries " +
+              "merge-on-read deletes — streaming its raw data files would " +
+              "serve deleted rows; compact + expire so the stream bootstraps " +
+              "from the delete-free replace point, or set " +
+              "starting-snapshot-id to skip the initial content entirely")
+          s.dataFiles
         case Some(p) => s.operation match {
           // O(new chunks + tails) per commit, never O(table) — the
           // manifest-structural delta (FileListing.addedSince)
@@ -165,6 +177,24 @@ class IceLiteMicroBatchStream(
     }
     if (added.isEmpty) return Array.empty
     val conf = spark.sessionState.newHadoopConf()
+    // file lengths for the split planner: small increments stat on the
+    // driver (cheaper than a job), large catch-up batches fan the stat
+    // RPCs across executors — a 10k-file backlog must not serialize 10k
+    // driver round-trips (the same adaptive cutoff as the commit-time
+    // footer harvest)
+    val lens: Map[String, Long] = {
+      val paths = added.map(_.path)
+      def statOne(conf0: org.apache.hadoop.conf.Configuration)(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        p -> hp.getFileSystem(conf0).getFileStatus(hp).getLen
+      }
+      if (paths.size <= 16) paths.map(statOne(conf)).toMap
+      else {
+        val confBc = new org.apache.spark.util.SerializableConfiguration(conf)
+        spark.sparkContext.parallelize(paths, math.min(paths.size, 64))
+          .map(p => statOne(confBc.value)(p)).collect().toMap
+      }
+    }
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     val parser = spark.sessionState.sqlParser
     // one reader + bound projection per (write schema, name-mapping)
@@ -194,11 +224,8 @@ class IceLiteMicroBatchStream(
             Literal(v, out.dataType)
         }
       }
-      fs.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f.path)
-        val len = p.getFileSystem(conf).getFileStatus(p).getLen
-        IceLiteFilePartition(f.path, len, readerFn, exprs): InputPartition
-      }
+      fs.map(f =>
+        IceLiteFilePartition(f.path, lens(f.path), readerFn, exprs): InputPartition)
     }.toArray
   }
 

@@ -479,25 +479,29 @@ class StreamingSpec extends SparkSpec {
       s"three commits at one-commit-per-trigger must drain as three 1-row batches, got $batches")
   }
 
-  test("stream deltas survive a manifest tail spill: no replay, no loss") {
+  test("stream deltas survive manifest tail spills AND head consolidation: no replay, no loss") {
     // the per-commit delta is the MANIFEST-STRUCTURAL diff
-    // (FileListing.addedSince — O(new chunks + tails), never O(table)); the
-    // adversarial shape is the commit-time tail spill, where a new chunk
-    // ref appears that contains only OLD files — a naive "new chunks are
-    // new files" diff would replay them. Ten 1-file commits over a
-    // min-files=3 spill threshold cross several spill points; every row
-    // must arrive exactly once.
+    // (FileListing.addedSince — O(changed chunks + tails), never
+    // O(table)); the two adversarial shapes are the commit-time tail
+    // spill (a new chunk ref carrying only OLD tail files) and
+    // HEAD-snapshot consolidation (undersized chunks merged into new
+    // chunk files whose entries are ALL old — a "new chunks are new
+    // files" diff replays hundreds of rows). min-files=1 spills every
+    // commit's tail and max-count=2 forces consolidation repeatedly;
+    // every row must still arrive exactly once.
     val dir = Files.createTempDirectory("ms_spill").toString
     spark.conf.set("spark.sql.catalog.ms_spl", "graft.icelite.connector.IceLiteCatalog")
     spark.conf.set("spark.sql.catalog.ms_spl.warehouse", s"$dir/wh")
     val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
     cat.createTable("db", "ev", Seq("id" -> "BIGINT"),
-      properties = Map("write.metadata.manifest.min-files" -> "3",
-        "write.metadata.manifest.target-files" -> "3"))
+      properties = Map("write.metadata.manifest.min-files" -> "1",
+        "write.metadata.manifest.target-files" -> "3",
+        "write.metadata.manifest.max-count" -> "2"))
     val t = cat.loadTable("db", "ev")
     (0 until 10).foreach(i => t.append(Seq(i.toLong).toDF("id").coalesce(1)))
-    assert(t.meta.currentSnapshot.get.files.manifests.nonEmpty,
-      "fixture must actually cross the spill threshold")
+    val headChunks = t.meta.currentSnapshot.get.files.manifests.size
+    assert(headChunks > 0 && headChunks < 10,
+      s"fixture must spill every commit AND consolidate (got $headChunks chunks for 10 files)")
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val q = spark.readStream
       .option("max-snapshots-per-trigger", "1")
@@ -560,6 +564,80 @@ class StreamingSpec extends SparkSpec {
     // spec: the fanout writer and the batch writer agree on spellings
     val pvals = tgt.meta.currentSnapshot.get.dataFiles.flatMap(_.partition.values).toSet
     assert(pvals == Set("a", "b", "c"), s"fanout partition spellings, got $pvals")
+  }
+
+  test("a bootstrap over merge-on-read deletes refuses loudly instead of resurrecting rows") {
+    // a fresh stream's first batch serves the bootstrap snapshot's raw
+    // data files — when MoR deletes ride on them, raw files would
+    // resurrect the deleted rows, so the poll must refuse (compact
+    // first), never serve silently. skip-delete-snapshots skips COMMITS
+    // and cannot make this batch correct.
+    val dir = Files.createTempDirectory("ms_bmor").toString
+    spark.conf.set("spark.sql.catalog.ms_bmor", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_bmor.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "ev", Seq("id" -> "BIGINT"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    val t = cat.loadTable("db", "ev")
+    t.append((0L until 10L).map(i => Tuple1(i)).toDF("id"))
+    t.delete(col("id") === 3L)
+    t.expireSnapshots(System.currentTimeMillis() + 1000)
+    def start(ckpt: String) = spark.readStream.table("ms_bmor.db.ev")
+      .writeStream.option("checkpointLocation", s"$dir/$ckpt")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    val q = start("ckpt1")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try {
+      assert(e.getMessage.contains("merge-on-read") ||
+        Option(e.getCause).exists(_.getMessage.contains("merge-on-read")),
+        s"bootstrap over MoR deletes must refuse, got: ${e.getMessage}")
+    } finally q.stop()
+    // the prescribed remedy works: compact (delete-applied replace
+    // snapshot) + expire the MoR point — bootstrap serves the TRUE
+    // 9-row state
+    t.compact(target = 1)
+    t.expireSnapshots(System.currentTimeMillis() + 1000)
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q3 = spark.readStream.table("ms_bmor.db.ev")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt3")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got2.add(r.getLong(0))); ()
+      }.start()
+    try {
+      q3.processAllAvailable()
+      assert(got2.toArray.toSeq.map(_.asInstanceOf[Long]).sorted ==
+        ((0L until 10L).filterNot(_ == 3L)),
+        s"post-compaction bootstrap must serve the delete-applied state, got $got2")
+    } finally q3.stop()
+  }
+
+  test("an upsert epoch spanning conflicting key versions refuses loudly") {
+    // two commits carrying the same key drained in ONE epoch are
+    // unordered at the sink — applying them would keep an arbitrary
+    // version. The epoch commit must detect the duplicate key and refuse
+    // with the remedy (one commit per micro-batch), not pick silently.
+    val dir = Files.createTempDirectory("ms_updup").toString
+    spark.conf.set("spark.sql.catalog.ms_updup", "graft.icelite.connector.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ms_updup.warehouse", s"$dir/wh")
+    val cat = new graft.icelite.Catalog(spark, s"$dir/wh")
+    cat.createTable("db", "src", Seq("k" -> "BIGINT", "v" -> "STRING"))
+    cat.createTable("db", "tgt", Seq("k" -> "BIGINT", "v" -> "STRING"),
+      properties = Map("write.upsert.enabled" -> "true",
+        "write.upsert.key-columns" -> "k"))
+    val src = cat.loadTable("db", "src")
+    // both versions of k=1 land BEFORE the stream starts: the bootstrap
+    // epoch spans both commits (no max-snapshots-per-trigger)
+    src.append(Seq((1L, "v1")).toDF("k", "v"))
+    src.append(Seq((1L, "v2")).toDF("k", "v"))
+    val q = spark.readStream.table("ms_updup.db.src")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .toTable("ms_updup.db.tgt")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try {
+      assert(e.getMessage.contains("one row for a key") ||
+        Option(e.getCause).exists(_.getMessage.contains("one row for a key")),
+        s"conflicting key versions in one epoch must refuse, got: ${e.getMessage}")
+    } finally q.stop()
   }
 
   test("streaming sink epochs rebase cleanly against a racing batch writer") {
