@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same write-commit setting as Bench — the dump must run the plans
+      // the bench times
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

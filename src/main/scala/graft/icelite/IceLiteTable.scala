@@ -2377,11 +2377,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       .stat.approxQuantile(Array("_zc1", "_zc2"), probs, 0.001)
     def bucketExpr(c: String, rawBounds: Array[Double]): Column = {
       val bounds = rawBounds.distinct.sorted
-      // bucket = #boundaries below the value; the comparison chain folds to
-      // a codegen'd sum of branch-free conditionals over a literal array
-      bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, _)) =>
-        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
-      }
+      // bucket = #boundaries below the value, as ONE codegen'd expression
+      // (binary search over a referenced double[]). The equivalent fold of
+      // 63 chained when(v > b, 1) additions builds a ~130-node tree whose
+      // optimize+Janino cost is seconds of driver time in EVERY stage that
+      // evaluates the z-value (range sampling, then the write).
+      org.apache.spark.sql.graft.SparkShims.columnOf(
+        graft.functions.QuantileBucket(
+          org.apache.spark.sql.graft.SparkShims.toExpression(
+            col(c).cast("double")), bounds))
     }
     // spread 8 bits to even positions (morton magic numbers), interleave
     def spread(x: Column): Column = {
