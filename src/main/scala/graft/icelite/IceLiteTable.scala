@@ -744,8 +744,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // unordered (the sink sees rows, not commit attribution), so applying
     // them would keep an arbitrary subset — refuse loudly and tell the
     // operator how to bound epochs to one source commit instead
+    // key-column reads over files THIS epoch just wrote (current-schema
+    // phys names by construction): an explicit schema both skips the
+    // footer schema-inference job spark.read.parquet schedules per call
+    // (two calls per epoch — a steady per-micro-batch tax) and prunes the
+    // read to the key columns
+    def epochKeyRead(): DataFrame = spark.read
+      .schema(StructType(upsertKeys.map(fl =>
+        StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true))))
+      .parquet(files.map(_.path): _*)
     if (upsertKeys.nonEmpty) {
-      val dup = spark.read.parquet(files.map(_.path): _*)
+      val dup = epochKeyRead()
         .groupBy(upsertKeys.map(fl => col(fl.physName)): _*)
         .count().filter(col("count") > 1).limit(1).count() > 0
       if (dup) {
@@ -759,7 +768,7 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val dels: Seq[DeleteFile] =
       if (upsertKeys.isEmpty) Seq()
       else writeEqDeleteFiles(
-        spark.read.parquet(files.map(_.path): _*)
+        epochKeyRead()
           .select(upsertKeys.map(fl => col(fl.physName).as(fl.name)): _*),
         upsertKeys)
     def discardAll(): Unit = {
@@ -803,8 +812,13 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val fields = keyCols.map(m.currentSchema.fieldByName)
     val files = writeFiles(alignToSchema(rows, m), m, m.currentSchemaId, m.defaultSpec)
     if (files.isEmpty) return true // empty batch: vacuous success, no commit
+    // explicit key schema: no footer-inference job, key columns only (the
+    // files were written by THIS batch under the current schema)
     val dels = writeEqDeleteFiles(
-      spark.read.parquet(files.map(_.path): _*)
+      spark.read
+        .schema(StructType(fields.map(fl =>
+          StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true))))
+        .parquet(files.map(_.path): _*)
         .select(fields.map(f => col(f.physName).as(f.name)): _*),
       fields)
     try {

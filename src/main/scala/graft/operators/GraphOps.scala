@@ -118,12 +118,24 @@ object GraphOps {
     * isolated nodes, multi-edges — that the fixture graph never
     * produces. */
   def triangleStats(re: DataFrame): DataFrame = {
+    // ue / dg / oe are each read 2-3 times downstream (the wedge join
+    // aliases oe THREE ways; the stats row re-reads ue and dg). Left lazy,
+    // the whole normalize+degree+orient subtree is INLINED per reference —
+    // a 3×-duplicated tree the optimizer re-derives per alias (measured:
+    // 0.86 s of driver planning before the first real job at sf0.1) and
+    // that can execute per alias wherever exchange reuse doesn't apply.
+    // localCheckpoint materializes each ONCE and truncates the plan; these
+    // are exactly the intermediates any at-scale triangle count
+    // materializes (the oriented edge list IS the algorithm's working set,
+    // O(E) like its input).
     val ue = re.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     val dg = ue.select(col("a").as("id")).unionAll(ue.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val oe = ue
       .join(dg.as("da"), col("a") === col("da.id"))
       .join(dg.as("db"), col("b") === col("db.id"))
@@ -134,6 +146,7 @@ object GraphOps {
           col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
           col("db.deg")).otherwise(col("da.deg")).as("dv"))
+      .localCheckpoint()
     val tri = oe.as("e1")
       .join(oe.as("e2"), col("e1.u") === col("e2.u") &&
         struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))

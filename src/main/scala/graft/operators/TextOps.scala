@@ -224,6 +224,29 @@ object TextOps {
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
     pairs.unpersist()
+    // Size the LOOP's shuffles from the edge count, not the session conf:
+    // each round shuffles O(edges + labels) narrow rows, and an iterative
+    // loop multiplies any per-exchange overhead by (rounds × exchanges).
+    // At the session's default width (cores), a probe-bounded edge list
+    // pays 32-96 near-empty tasks plus one AQE re-optimization job PER
+    // EXCHANGE PER ROUND — measured at ~2.5 s of the dedup closure's
+    // ~3.3 s, with milliseconds of real work. ~500k edge rows per
+    // partition keeps partitions in the guide's 100 MB-ish band for these
+    // ~16-byte rows; a 100 TB closure (billions of edges) therefore keeps
+    // thousands of partitions and keeps AQE, while the tiny regime (fits
+    // ONE partition comfortably) also drops AQE — with a single shuffle
+    // partition there is nothing left to adapt, and each round collapses
+    // to its two real jobs. Conf changes are scoped and restored; the
+    // fixpoint is partitioning-independent (exact integer min-labels).
+    val spark = pairs0.sparkSession
+    val edgeCount = e.count()
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val nPart = math.max(1L, math.min(sessParts.toLong, edgeCount / 500000L + 1L))
+    val tiny = edgeCount <= 500000L
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    if (tiny) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var prevSum = Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
@@ -260,6 +283,10 @@ object TextOps {
         "diameter exceeds 2^25 or the edge list mutated mid-run; results " +
         "would be partially-merged labels, refusing to return them")
     labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessAqe)
+    }
   }
 
   /** The duplicate closure, computed ONCE per (session, sf-dir) and read
@@ -676,8 +703,14 @@ object TextOps {
     * a pipeline every stage of which a second engine can recompute (the
     * oracle hash-matches the pair output). A throughput-only deployment
     * would swap in a seeded 64-bit mixer here; the plan shape is identical. */
-  def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val withSig = minhashSignatures(d, bands, rowsPerBand)
+  def minhashPairs(d: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashPairsFromSig(minhashSignatures(d, bands, rowsPerBand), threshold)
+
+  /** [[minhashPairs]] from an ALREADY-computed signature frame — callers
+    * that also consume the signatures directly (`dedup_recall_report`
+    * builds its shingle ground truth from the same frame) pass it in once
+    * instead of running the k·shingles md5 kernel a second time. */
+  def minhashPairsFromSig(withSig: DataFrame, threshold: Double): DataFrame = {
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cand = buckets.as("a")
@@ -2415,7 +2448,9 @@ object TextOps {
         // three consumers (two method joins + the count): pin the bounded
         // all-pairs truth so it is computed once
         .localCheckpoint()
-      val mh = minhashPairs(probe, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      // from the SAME signature frame the truth reads — one md5 kernel
+      // pass for the whole report, not one per consumer
+      val mh = minhashPairsFromSig(sig, threshold = 0.5)
         .select("id1", "id2")
       val sh2 = simhashPairs(probe, maxHamming = 3).select("id1", "id2")
       val tFlag = truth.withColumn("tr", lit(1L))
