@@ -753,18 +753,6 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       .schema(StructType(upsertKeys.map(fl =>
         StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true))))
       .parquet(files.map(_.path): _*)
-    if (upsertKeys.nonEmpty) {
-      val dup = epochKeyRead()
-        .groupBy(upsertKeys.map(fl => col(fl.physName)): _*)
-        .count().filter(col("count") > 1).limit(1).count() > 0
-      if (dup) {
-        files.foreach(d => f.delete(new Path(d.path), false))
-        sys.error(s"icelite streaming upsert: epoch $epochId carries more than " +
-          "one row for a key — versions inside one epoch are unordered and " +
-          "cannot upsert deterministically; bound each micro-batch to one " +
-          "source commit (max-snapshots-per-trigger=1) or dedup upstream")
-      }
-    }
     val dels: Seq[DeleteFile] =
       if (upsertKeys.isEmpty) Seq()
       else writeEqDeleteFiles(
@@ -777,6 +765,21 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       // drop the whole dir or the abort strands it until the orphan sweep
       dels.map(d => new Path(d.path).getParent).distinct
         .foreach(dir => f.delete(dir, true))
+    }
+    // the CDC "at most one row per key per epoch" check, for FREE from
+    // counts already in hand: writeEqDeleteFiles writes DISTINCT keys
+    // (null-safe, like the groupBy it replaces) and reports their count
+    // from its own footer, while the epoch's total rows come from the
+    // staged footers — distinct keys < rows ⟺ some key repeats. The
+    // standalone groupBy/count job this replaces was one extra scheduled
+    // Spark job per micro-batch, a steady per-epoch tax (guide §1.2
+    // step 1; the error contract is unchanged).
+    if (upsertKeys.nonEmpty && dels.map(_.rows).sum < files.map(_.rows).sum) {
+      discardAll()
+      sys.error(s"icelite streaming upsert: epoch $epochId carries more than " +
+        "one row for a key — versions inside one epoch are unordered and " +
+        "cannot upsert deterministically; bound each micro-batch to one " +
+        "source commit (max-snapshots-per-trigger=1) or dedup upstream")
     }
     try {
       commitWithRetry { cur =>
@@ -1023,7 +1026,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
   private def antiJoinEqKeys(d: DataFrame, del: DeleteFile, m: TableMetadata,
       proj: TableSchema): DataFrame = {
     val fields = del.eqFieldIds.map(proj.byId)
-    val keys = spark.read.parquet(del.path)
+    // explicit schema from ONE cached driver-side footer read: a
+    // schema-less spark.read.parquet schedules a footer-inference Spark
+    // job per call — one per eq-delete file per scan construction, a
+    // steady per-read tax on MoR/upsert tables (guide §1.2 step 1). The
+    // footer is the same source inference reads; delete files are
+    // immutable, so the cache is always exact.
+    val (_, fileSchema) = IcebergInterop.parquetFooterSchema(
+      del.path, spark.sessionState.newHadoopConf())
+    val keys = spark.read.schema(fileSchema).parquet(del.path)
       .select(fields.map(f => col(f.physName).cast(f.sparkDdl).as(s"_k_${f.name}")): _*)
       .distinct()
     val cond = fields.map(f => d(f.name) <=> col(s"_k_${f.name}")).reduce(_ && _)
@@ -1311,7 +1322,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       if (appl.isEmpty) None
       else {
         val fields = d.eqFieldIds.map(m.currentSchema.byId)
-        val keys = spark.read.parquet(d.path)
+        // explicit schema via the cached footer read — same reasoning as
+        // antiJoinEqKeys: kills the per-delete-file inference job
+        val (_, fileSchema) = IcebergInterop.parquetFooterSchema(
+          d.path, spark.sessionState.newHadoopConf())
+        val keys = spark.read.schema(fileSchema).parquet(d.path)
           .select(fields.map(f => col(f.physName).cast(f.sparkDdl).as(s"_k_${f.name}")): _*)
           .distinct()
         // null-safe: mirrors antiJoinEqKeys — the changelog reports the
@@ -1776,9 +1791,15 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     if (files.isEmpty) return // empty source: nothing to delete or add
     // derive the delete keys from the files just written, not from `rows`:
     // the source lineage (often an expensive query) is computed ONCE; the
-    // key read-back is a column-pruned scan of the new parquet only
+    // key read-back is a column-pruned scan of the new parquet only.
+    // Explicit key schema (the files were written by THIS call under the
+    // current schema): no footer-inference job — same fix as
+    // upsertEqIfNewBatch's epoch reads
     val dels = writeEqDeleteFiles(
-      spark.read.parquet(files.map(_.path): _*)
+      spark.read
+        .schema(StructType(fields.map(fl =>
+          StructField(fl.physName, DataType.fromDDL(fl.sparkDdl), nullable = true))))
+        .parquet(files.map(_.path): _*)
         .select(fields.map(f => col(f.physName).as(f.name)): _*),
       fields)
     commitWithRetry { cur =>
@@ -3146,9 +3167,13 @@ object IceLite {
             s"iceberg adopt: equality_ids field $id not in the adopted schema")
           sch.byId(id)
         }
-        val byId = IcebergInterop.parquetFieldNamesById(ref.path, conf)
-        val phys = spark.read.parquet(ref.path).select(keyFields.map(kf =>
-          col(byId.getOrElse(kf.id, kf.name)).cast(kf.sparkDdl).as(kf.physName)): _*)
+        // one footer read yields both the id→name map AND the file's
+        // Spark schema — the explicit-schema read skips the footer-
+        // inference job a schema-less read schedules per foreign eq file
+        val (byId, fileSchema) = IcebergInterop.parquetFooterSchema(ref.path, conf)
+        val phys = spark.read.schema(fileSchema).parquet(ref.path)
+          .select(keyFields.map(kf =>
+            col(byId.getOrElse(kf.id, kf.name)).cast(kf.sparkDdl).as(kf.physName)): _*)
         val out = new Path(location, s"deletes/adopted-eq-${UUID.randomUUID()}")
         f.mkdirs(out.getParent)
         phys.coalesce(1).write.parquet(out.toString)
