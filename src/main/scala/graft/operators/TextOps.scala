@@ -310,6 +310,7 @@ object TextOps {
   private[graft] def resetSessionMemo(): Unit = {
     componentsMemo.clear()
     edgesMemo.clear()
+    bpeMemo.clear()
   }
 
   private val jaccardPairs = QueryDef(
@@ -1622,6 +1623,24 @@ object TextOps {
     * final vocab table (word, f, s) with `s` the merged spaced-symbol
     * form. `bpe_merges` reports the former; `bpe_encode` applies the
     * latter back to the corpus. */
+  /** The learned tokenizer, trained ONCE per (session, sf-dir, rounds) and
+    * read by all three consumers — `bpe_merges` (the merge list),
+    * `bpe_encode` (per-language compression) and `tokenizer_fertility`
+    * (per-source audit). A production pipeline trains the tokenizer once
+    * and every downstream audit loads the trained artifact; re-running the
+    * 5-round train loop (a corpus scan + 5 × (pair-count shuffle + argmax
+    * round trip)) per consumer tripled the family's cost for byte-identical
+    * results. Memoized value: the merges plus the localCheckpoint'd final
+    * vocab (the train loop checkpoints it anyway). Cleared per bench pass
+    * by [[resetSessionMemo]] — same honesty contract as the dedup closure:
+    * the first consumer in each pass pays the real training cost. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (Seq[(Long, String, String, Long)], DataFrame)]()
+  private[graft] def learnBpeMemo(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeMemo.computeIfAbsent((s, dir, rounds),
+      kv => { val r = learnBpe(docs(kv._1, kv._2), kv._3); (r._1, r._2.localCheckpoint()) })
+
   private[graft] def learnBpe(d: DataFrame, rounds: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val s = d.sparkSession
@@ -1659,7 +1678,7 @@ object TextOps {
     "bpe_merges",
     (s, dir) => {
       import s.implicits._
-      val merges = learnBpe(docs(s, dir), 5)._1
+      val merges = learnBpeMemo(s, dir, 5)._1
       s.createDataset(merges).toDF("rank", "lhs", "rhs", "pair_count")
         .orderBy("rank")
     },
@@ -1713,7 +1732,7 @@ object TextOps {
   private val bpeEncode = QueryDef(
     "bpe_encode",
     (s, dir) => {
-      val vocab = learnBpe(docs(s, dir), 5)._2
+      val vocab = learnBpeMemo(s, dir, 5)._2
         .select(col("word"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
       val perLangWord = docs(s, dir)
@@ -1784,7 +1803,7 @@ object TextOps {
   private val tokenizerFertility = QueryDef(
     "tokenizer_fertility",
     (s, dir) => {
-      val vocab = learnBpe(docs(s, dir), 5)._2
+      val vocab = learnBpeMemo(s, dir, 5)._2
         .select(col("word"),
           size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
       val perSrcWord = docs(s, dir)
