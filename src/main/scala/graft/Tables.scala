@@ -74,4 +74,42 @@ object Tables {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     relMemo.computeIfAbsent((s, dir, name),
       kv => kv._1.read.parquet(s"${kv._2}/${kv._3}.parquet"))
+
+  /** Scan-parallelism floor for CPU-DENSE kernels (guide §2.2/§2.6: idle
+    * capacity): a small input is one parquet split — often one ROW GROUP —
+    * so everything up to the first exchange (explode, md5, the map-side
+    * sort feeding a WindowGroupLimit) runs in ONE task while the rest of
+    * the machine idles; measured 1.9 s of a 2.5 s query inside a single
+    * scan task on local[32]. Fan `df` (call AFTER the narrow projection,
+    * so only needed columns shuffle) across the cores iff the table is a
+    * single split: size-DERIVED, never a local-mode constant — any input
+    * past one split (every production table; splits there are set by
+    * maxPartitionBytes/row groups) returns `df` untouched, because adding
+    * a corpus-wide shuffle at scale is exactly the §8 anti-pattern. The
+    * width scales with input bytes (≥64 KB of input per task, capped at
+    * the session's parallelism), so the driver's low-core bench runs get
+    * proportionally narrower fan-outs, not a hard-coded 32. */
+  private[graft] def fanOutSmall(df: DataFrame, s: SparkSession, dir: String,
+      table: String, key: org.apache.spark.sql.Column): DataFrame = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val bytes =
+      if (f.isFile) f.length
+      else if (f.isDirectory)
+        Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(return df)
+      else return df
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes > maxSplit) df // multi-split: the scan fans out natively
+    else {
+      val n = math.min(s.sparkContext.defaultParallelism.toLong,
+        math.max(2L, bytes / (64L << 10))).toInt
+      // HASH repartition on a caller-supplied deterministic high-
+      // cardinality key, not round-robin: keyless repartition(n) first
+      // pays a LOCAL SORT of its input (sortBeforeRepartition) inside the
+      // very single task this exists to relieve, and a rand()-derived key
+      // can duplicate/lose rows under task retry (guide §2.5)
+      if (n <= 1) df
+      else df.repartition(n, org.apache.spark.sql.functions.xxhash64(key))
+    }
+  }
 }
