@@ -89,6 +89,9 @@ object Bench {
       // setting is the standard choice on HDFS-like stores; object-store
       // deployments replace the committer wholesale anyway.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "graft.icelite.NioLocalFs")
+      // fork-free local-FS permissions (see NioLocalFs scaladoc): without
+      // libhadoop every local mkdirs/create forks a chmod process
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,9 @@ object Verify {
       // same write-commit setting as Bench — the dump must run the plans
       // the bench times
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "graft.icelite.NioLocalFs")
+      // fork-free local-FS permissions (see NioLocalFs scaladoc): without
+      // libhadoop every local mkdirs/create forks a chmod process
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,6 +29,9 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.icelite.NioLocalFs")
+      // fork-free local-FS permissions (see NioLocalFs scaladoc): without
+      // libhadoop every local mkdirs/create forks a chmod process
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
