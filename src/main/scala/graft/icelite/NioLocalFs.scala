@@ -31,6 +31,30 @@ import org.apache.hadoop.fs.permission.FsPermission
   * changed), so .crc sidecars and read verification stay as before.
   */
 class NioRawLocalFileSystem extends RawLocalFileSystem {
+  /** Pre-fill owner/group/permission via one java.nio readAttributes
+    * syscall: the stock statuses load them LAZILY by forking `ls -ld`
+    * per file (DeprecatedRawLocalFileStatus.loadPermissionInfo), and
+    * anything that builds LocatedFileStatus — FileSystem.listFiles,
+    * Spark's InMemoryFileIndex and committers — forces that load, so an
+    * 81-file staged write paid 81 forks inside one driver gap. A file
+    * racing deletion between the two reads keeps the stock lazy status. */
+  private def filled(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        pathToFile(st.getPath).toPath,
+        classOf[java.nio.file.attribute.PosixFileAttributes])
+      new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+        st.getReplication, st.getBlockSize, st.getModificationTime,
+        st.getAccessTime, NioLocalFs.fsPermission(attrs.permissions),
+        attrs.owner.getName, attrs.group.getName, st.getPath)
+    } catch { case scala.util.control.NonFatal(_) => st }
+
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+    filled(super.getFileStatus(p))
+
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).map(filled)
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val f = pathToFile(p).toPath
     try java.nio.file.Files.setPosixFilePermissions(
@@ -48,13 +72,23 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
 class NioLocalFs extends LocalFileSystem(new NioRawLocalFileSystem)
 
 object NioLocalFs {
+  private val order = Seq(
+    OWNER_READ, OWNER_WRITE, OWNER_EXECUTE,
+    GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
+    OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)
+
+  private[icelite] def fsPermission(
+      perms: java.util.Set[PosixFilePermission]): FsPermission = {
+    var bits = 0
+    order.zipWithIndex.foreach { case (perm, i) =>
+      if (perms.contains(perm)) bits |= (1 << (8 - i))
+    }
+    new FsPermission(bits.toShort)
+  }
+
   private[icelite] def posixPerms(p: FsPermission): java.util.Set[PosixFilePermission] = {
     val bits = p.toShort.toInt
     val out = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
-    val order = Seq(
-      OWNER_READ, OWNER_WRITE, OWNER_EXECUTE,
-      GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
-      OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)
     order.zipWithIndex.foreach { case (perm, i) =>
       if ((bits & (1 << (8 - i))) != 0) out.add(perm)
     }
