@@ -1384,7 +1384,11 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val matched = df.filter(cond).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pos = matched.select(col("_file").as("file_path"), col("_pos").as("pos"))
+      val pos0 = matched.select(col("_file").as("file_path"), col("_pos").as("pos"))
+      // same observe-on-the-write-pass shape as deleteMor: the touched
+      // set for rebase validation rides the delete write, no second read
+      val obs = org.apache.spark.sql.Observation(s"mor-upd-${UUID.randomUUID()}")
+      val pos = pos0.observe(obs, collect_set(col("file_path")).as("touched"))
       val (out, dels) = writePosDeleteFiles(pos, m)
       val f = fs(spark, location)
       if (dels.isEmpty) { f.delete(out, true); return }
@@ -1398,7 +1402,8 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       val newFiles = writeFiles(rewritten, m, m.currentSchemaId, m.defaultSpec,
         extraPhysCols = Seq(IceLite.RowIdCol, IceLite.LastUpdatedCol))
         .map(_.copy(materializedLineage = true))
-      val touchedPaths = referencedDataPaths(dels)
+      val touchedPaths = IceLite.observedPaths(obs, "touched")
+        .getOrElse(referencedDataPaths(dels))
       val scannedDeletes = snap.deleteFiles.map(d => normPath(d.path)).toSet
       val scannedDelRefs = snap.deletes.manifests.map(_.path).toSet
       try commitWithRetry { cur =>
@@ -1526,7 +1531,17 @@ class IceLiteTable(val spark: SparkSession, val location: String,
       m: TableMetadata): (Path, Seq[DeleteFile]) =
     if (m.properties.get("write.delete.vector.enabled").contains("true"))
       writeDeleteVectors(pos, dvFormat(m))
-    else writeDeleteParquet(pos.sort("file_path", "pos"))
+    else
+      // hash-cluster by data file + sort within, NOT a global sort: a
+      // global sort schedules a range-sampling job per delete (a steady
+      // per-DML tax), while hash clustering keeps each data file's
+      // positions WHOLE in one part (range boundaries can split a file)
+      // with the same sorted-run / row-group-pruning property DeleteIndex
+      // reads through — part path ranges may overlap across parts, which
+      // costs at most an extra min/max stat check per lookup, never a
+      // correctness difference
+      writeDeleteParquet(pos.repartition(col("file_path"))
+        .sortWithinPartitions("file_path", "pos"))
 
   private def dvFormat(m: TableMetadata): String =
     m.properties.getOrElse("write.delete.vector.format", "ildv") match {
@@ -1646,7 +1661,14 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     val snap = m.currentSnapshot.getOrElse(return)
     val df = scanSnapshot(m, snap, lineage = true, _ => true,
       IceLite.statFiltersFromCondition(cond))
-    val pos = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val pos0 = df.filter(cond).select(col("_file").as("file_path"), col("_pos").as("pos"))
+    // observe the touched data-file set ON the delete-write pass itself —
+    // the validation input rides the job that must run anyway instead of
+    // a second read over the just-written delete files (one fewer
+    // scheduled job per MoR delete); referencedDataPaths stays as the
+    // fallback if the observation doesn't materialize
+    val obs = org.apache.spark.sql.Observation(s"mor-del-${UUID.randomUUID()}")
+    val pos = pos0.observe(obs, collect_set(col("file_path")).as("touched"))
     val (out, files) = writePosDeleteFiles(pos, m)
     val f = fs(spark, location)
     if (files.isEmpty) { f.delete(out, true); return }
@@ -1655,9 +1677,10 @@ class IceLiteTable(val spark: SparkSession, val location: String,
     // CoW rewrite / compaction / rollback replaces them, and attaching the
     // stale positions would make this "successful" delete a silent no-op
     // (the read path ignores positions for unknown files). Harvest the
-    // touched paths from the just-written delete files (metadata-scale) and
+    // touched paths from the write pass's observation (metadata-scale) and
     // verify them inside every retry attempt.
-    val touchedPaths = referencedDataPaths(files.toSeq)
+    val touchedPaths = IceLite.observedPaths(obs, "touched")
+      .getOrElse(referencedDataPaths(files.toSeq))
     try commitWithRetry { cur =>
       val cs = cur.currentSnapshot.getOrElse(sys.error("table emptied concurrently"))
       val live = cs.dataFiles.map(df => normPath(df.path)).toSet
@@ -2853,6 +2876,22 @@ object IceLite {
     * also called from executor-side closures.) */
   def normPath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  /** Normalized path set from a completed query Observation (the MoR
+    * DML validation input, harvested on the delete-write pass itself).
+    * None when the metric didn't materialize — callers fall back to
+    * reading the written delete files; never silently empty. */
+  private[icelite] def observedPaths(obs: org.apache.spark.sql.Observation,
+      key: String): Option[Set[String]] =
+    try obs.getAsJava.get(key) match {
+      case s: scala.collection.Seq[_] =>
+        Some(s.map(v => normPath(v.toString)).toSet)
+      case a: Array[_] => Some(a.map(v => normPath(v.toString)).toSet)
+      case l: java.util.List[_] =>
+        Some(scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .map(v => normPath(v.toString)).toSet)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Forward-only hint swap for commits: re-reads the hint at the LAST
     * instant before the rename and aborts with [[CommitSupersededException]]
