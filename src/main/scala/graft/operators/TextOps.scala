@@ -166,7 +166,12 @@ object TextOps {
     * bounded probe set (doc_id < 300). Shared by `jaccard_pairs` (the pair
     * listing) and `dedup_components` (the transitive closure). */
   private def jaccardEdgesPlan(s: SparkSession, dir: String): DataFrame = {
-    val sub = docs(s, dir).filter(col("doc_id") < 300)
+    // fan the split/explode kernel off the single-split documents scan
+    // (Tables.fanOutSmall: no-op on any multi-split production input) —
+    // the token explode + self-join screen otherwise runs in ONE task
+    val sub = graft.Tables.fanOutSmall(
+      docs(s, dir).filter(col("doc_id") < 300).select("doc_id", "text"),
+      s, dir, "documents", col("doc_id"))
     val tok = sub.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
     val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tok.as("a")
@@ -247,9 +252,14 @@ object TextOps {
     spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
     if (tiny) spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+    val obs0 = org.apache.spark.sql.Observation(
+      s"cc0-${java.util.UUID.randomUUID()}")
     var labels = e.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var prevSum = Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+      .withColumn("comp", col("id"))
+      .observe(obs0, sum("comp").as("s"))
+      .localCheckpoint()
+    var prevSum = observedLong(obs0, "s").getOrElse(
+      Option(labels.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L))
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -268,11 +278,19 @@ object TextOps {
       // monotone too; inner join is total because every label value is a
       // node id present in the label table.
       val jump = propagated.select(col("id").as("jid"), col("comp").as("jcomp"))
+      // convergence sum rides the checkpoint materialization as an
+      // Observation — one fewer scheduled job per round than a separate
+      // agg().head action; the agg stays as the fallback if the metric
+      // doesn't materialize
+      val obs = org.apache.spark.sql.Observation(
+        s"cc-${java.util.UUID.randomUUID()}")
       val next = propagated.join(jump, propagated("comp") === jump("jid"))
         .select(propagated("id"), col("jcomp").as("comp"))
+        .observe(obs, sum("comp").as("s"))
         .localCheckpoint() // eager: materialized here, before the unpersist
       propagated.unpersist(false)
-      val s2 = Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L)
+      val s2 = observedLong(obs, "s").getOrElse(
+        Option(next.agg(sum("comp")).head.get(0)).map(_.toString.toLong).getOrElse(0L))
       labels = next
       converged = s2 == prevSum // monotone: equal sum ⇔ no label moved
       prevSum = s2
@@ -288,6 +306,15 @@ object TextOps {
       spark.conf.set("spark.sql.adaptive.enabled", sessAqe)
     }
   }
+
+  /** Long metric from a completed query Observation; None when it didn't
+    * materialize (callers keep the explicit aggregate as the fallback —
+    * never silently zero). The observed action has already run when this
+    * is called, so the blocking get only waits for listener-bus delivery. */
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      key: String): Option[Long] =
+    try Option(obs.getAsJava.get(key)).map(_.toString.toLong)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** The duplicate closure, computed ONCE per (session, sf-dir) and read
     * by both `dedup_components` (the listing) and `dedup_resolve` (the
