@@ -1676,27 +1676,56 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("f"))
-    // vocab-sized; checkpoint cuts the corpus scan out of the iteration
+    // vocab-sized; checkpoint cuts the corpus scan out of the iteration.
+    // The vocab row count rides the materialization as an Observation —
+    // it sizes the LOOP's shuffles below without a separate count job.
+    val obs0 = org.apache.spark.sql.Observation(
+      s"bpe0-${java.util.UUID.randomUUID()}")
     var cur = wf.select(col("word"), col("f"),
       concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    val vocabRows = observedLong(obs0, "n").getOrElse(cur.count())
+    // Size the loop's shuffles from the vocab (the per-round pair-count
+    // shuffle is ~avg-word-length rows per vocab row, narrow strings),
+    // and drop AQE in the tiny one-partition regime — the same treatment
+    // as connectedComponents: per-exchange AQE jobs and 32-wide
+    // near-empty shuffles are the round's dominant cost at bench scale,
+    // while a web-scale vocab (millions of rows) keeps many partitions
+    // and keeps AQE. The corpus-sized word-frequency shuffle above ran
+    // BEFORE this scope at full session width. Results are partitioning-
+    // independent (exact integer counts, lexicographic tie-break).
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions")
+    val sessAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val pairRows = vocabRows * 8L
+    val nPart = math.max(1L, math.min(sessParts.toLong, pairRows / 500000L + 1L))
+    s.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    if (pairRows <= 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (r <- 1 to rounds) {
-      val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val top = tk.select(col("f"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
-          .as("p"))
-        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(sum("f").as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).as[(String, String, Long)].head()
-      val (a, b, cnt) = top
-      merges += ((r.toLong, a, b, cnt))
-      val pat = s" $a $b "
-      val rep = s" $a$b "
-      def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
-      cur = cur.withColumn("s", r1(r1(r1(col("s")))))
+    try {
+      for (r <- 1 to rounds) {
+        val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val top = tk.select(col("f"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
+            .as("p"))
+          .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(sum("f").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).as[(String, String, Long)].head()
+        val (a, b, cnt) = top
+        merges += ((r.toLong, a, b, cnt))
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
+        // per-round checkpoint: round r's pair count otherwise replays
+        // r−1 chained replaces and replans an ever-deeper tree (vocab-
+        // sized materialization, constant per-round planning instead)
+        cur = cur.withColumn("s", r1(r1(r1(col("s"))))).localCheckpoint()
+      }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", sessParts)
+      s.conf.set("spark.sql.adaptive.enabled", sessAqe)
     }
     (merges.toSeq, cur)
   }
