@@ -74,7 +74,13 @@ object PipelineOps {
   /** Contaminated train docs with distinct-overlapping-5-gram counts — the
     * core of `decontaminate_ngrams`, shared with `decontaminate_agreement`. */
   private[operators] def ngramContaminationHits(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    // fan the 5-gram explode off the single-split documents scan — it is
+    // evaluated for BOTH the bench side and the train side and otherwise
+    // runs ~0.4 s inside the one scan task (Tables.fanOutSmall: no-op on
+    // any multi-split production input)
+    val grams = graft.Tables.fanOutSmall(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        s, dir, "documents", col("doc_id"))
       .select(col("doc_id"), col("source"), explode(wordNgramParts(col("text"), 5)).as("p"))
       .select(col("doc_id"), col("source"), gramOf(col("p"), 5).as("g"))
     val bench = grams.filter(col("source") === "src0").select("g").distinct()
