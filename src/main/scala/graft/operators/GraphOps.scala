@@ -57,7 +57,6 @@ object GraphOps {
         }
         .reduce(_.unionAll(_))
         .localCheckpoint() // materialized once, read by all K iterations
-      var ranks = docs.select(col("id"), lit(base).as("rank"))
       // Size the LOOP's shuffles from the edge count and truncate the plan
       // per round (the same treatment as TextOps.connectedComponents): a
       // lazy K-round plan re-optimizes the whole accumulated join tree at
@@ -67,31 +66,28 @@ object GraphOps {
       // constant (what an at-scale PageRank does anyway to truncate
       // lineage), the shuffle width derives from 3·N edge rows, and the
       // tiny regime (edges fit one partition) also drops AQE — nothing to
-      // adapt at width 1. Conf changes are scoped + restored; the rank
-      // fixpoint is exact integer arithmetic, partitioning-independent.
-      val sessParts = s.conf.get("spark.sql.shuffle.partitions")
-      val sessAqe = s.conf.get("spark.sql.adaptive.enabled")
-      val edgeRows = 3L * n
-      val nPart = math.max(1L, math.min(sessParts.toLong, edgeRows / 500000L + 1L))
-      s.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-      if (edgeRows <= 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        for (_ <- 1 to Iters) {
-          val incoming = edges.as("e")
-            .join(ranks.as("r"), col("e.src") === col("r.id"))
-            .selectExpr("e.dst AS dst", "r.rank div 3 AS c")
-            .groupBy("dst")
-            .agg(sum("c").as("s"))
-          ranks = docs.as("d")
-            .join(incoming.as("a"), col("d.id") === col("a.dst"), "left")
-            .selectExpr("d.id AS id", s"(${15L * base}L + 85L * coalesce(a.s, 0L)) div 100 AS rank")
-            .localCheckpoint()
-        }
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", sessParts)
-        s.conf.set("spark.sql.adaptive.enabled", sessAqe)
+      // adapt at width 1. The loop runs in an isolated CHILD session
+      // (LoopSession scaladoc) so the caller's session conf is never
+      // mutated; the rank fixpoint is exact integer arithmetic,
+      // partitioning-independent.
+      val loopS = LoopSession.forRows(s, 3L * n)
+      val docsL = LoopSession.adopt(docs, loopS)
+      val edgesL = LoopSession.adopt(edges, loopS)
+      var ranks = docsL.select(col("id"), lit(base).as("rank"))
+      for (_ <- 1 to Iters) {
+        val incoming = edgesL.as("e")
+          .join(ranks.as("r"), col("e.src") === col("r.id"))
+          .selectExpr("e.dst AS dst", "r.rank div 3 AS c")
+          .groupBy("dst")
+          .agg(sum("c").as("s"))
+        ranks = docsL.as("d")
+          .join(incoming.as("a"), col("d.id") === col("a.dst"), "left")
+          .selectExpr("d.id AS id", s"(${15L * base}L + 85L * coalesce(a.s, 0L)) div 100 AS rank")
+          .localCheckpoint()
       }
-      ranks
+      // ranks is localCheckpoint'd (materialized) — re-rooting back into
+      // the caller's session is free and keeps the consumer single-session
+      LoopSession.adopt(ranks, s)
         .orderBy(desc("rank"), asc("id"))
         .limit(20)
         .select(col("id").as("doc_id"), col("rank").as("rank_scaled"))

@@ -241,20 +241,17 @@ object TextOps {
     // thousands of partitions and keeps AQE, while the tiny regime (fits
     // ONE partition comfortably) also drops AQE — with a single shuffle
     // partition there is nothing left to adapt, and each round collapses
-    // to its two real jobs. Conf changes are scoped and restored; the
-    // fixpoint is partitioning-independent (exact integer min-labels).
+    // to its two real jobs. The loop runs in an isolated CHILD session
+    // (LoopSession scaladoc) so the caller's session conf is never
+    // mutated; the fixpoint is partitioning-independent (exact integer
+    // min-labels).
     val spark = pairs0.sparkSession
     val edgeCount = e.count()
-    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val sessAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val nPart = math.max(1L, math.min(sessParts.toLong, edgeCount / 500000L + 1L))
-    val tiny = edgeCount <= 500000L
-    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    if (tiny) spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    val loopS = LoopSession.forRows(spark, edgeCount)
+    val el = LoopSession.adopt(e, loopS)
     val obs0 = org.apache.spark.sql.Observation(
       s"cc0-${java.util.UUID.randomUUID()}")
-    var labels = e.select(col("a").as("id")).distinct()
+    var labels = el.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .observe(obs0, sum("comp").as("s"))
       .localCheckpoint()
@@ -268,7 +265,7 @@ object TextOps {
       // one join + one min-groupBy replaces the join + groupBy + left-join
       // + coalesce shape (and its extra checkpoint) — half the per-round
       // jobs for the same fixpoint.
-      val propagated = e.join(labels, e("a") === labels("id"))
+      val propagated = el.join(labels, el("a") === labels("id"))
         .select(col("b").as("id"), col("comp"))
         .unionAll(labels)
         .groupBy("id").agg(min("comp").as("comp"))
@@ -300,21 +297,30 @@ object TextOps {
       s"connectedComponents: no fixpoint after $iter rounds — component " +
         "diameter exceeds 2^25 or the edge list mutated mid-run; results " +
         "would be partially-merged labels, refusing to return them")
-    labels
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessParts)
-      spark.conf.set("spark.sql.adaptive.enabled", sessAqe)
-    }
+    // labels is localCheckpoint'd (materialized) — re-rooting it back into
+    // the caller's session is free and keeps consumers single-session
+    LoopSession.adopt(labels, spark)
   }
 
   /** Long metric from a completed query Observation; None when it didn't
     * materialize (callers keep the explicit aggregate as the fallback —
     * never silently zero). The observed action has already run when this
-    * is called, so the blocking get only waits for listener-bus delivery. */
+    * is called, so the wait only covers listener-bus delivery — but that
+    * delivery is not guaranteed (a dropped event under listener-queue
+    * overflow, or an action path that skips the QueryExecutionListener,
+    * never completes the promise), and `get`/`getAsJava` block with an
+    * INFINITE timeout. Bound the wait so the callers' explicit-aggregate
+    * fallback is actually reachable (ADVICE r19): 5 s is orders of
+    * magnitude above observed bus latency, and the fallback recomputes the
+    * exact same sum, so a spurious timeout costs one extra job, never
+    * correctness. */
   private def observedLong(obs: org.apache.spark.sql.Observation,
       key: String): Option[Long] =
-    try Option(obs.getAsJava.get(key)).map(_.toString.toLong)
-    catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(5, "s"))
+      Option(row.getAs[Any](key)).map(_.toString.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The duplicate closure, computed ONCE per (session, sf-dir) and read
     * by both `dedup_components` (the listing) and `dedup_resolve` (the
@@ -1693,41 +1699,37 @@ object TextOps {
     // near-empty shuffles are the round's dominant cost at bench scale,
     // while a web-scale vocab (millions of rows) keeps many partitions
     // and keeps AQE. The corpus-sized word-frequency shuffle above ran
-    // BEFORE this scope at full session width. Results are partitioning-
-    // independent (exact integer counts, lexicographic tie-break).
-    val sessParts = s.conf.get("spark.sql.shuffle.partitions")
-    val sessAqe = s.conf.get("spark.sql.adaptive.enabled")
+    // BEFORE this scope at full session width; the loop itself runs in an
+    // isolated CHILD session (LoopSession scaladoc), so the caller's conf
+    // is never mutated. Results are partitioning-independent (exact
+    // integer counts, lexicographic tie-break).
     val pairRows = vocabRows * 8L
-    val nPart = math.max(1L, math.min(sessParts.toLong, pairRows / 500000L + 1L))
-    s.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    if (pairRows <= 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
+    val loopS = LoopSession.forRows(s, pairRows)
+    cur = LoopSession.adopt(cur, loopS)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    try {
-      for (r <- 1 to rounds) {
-        val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
-          .filter(size(col("toks")) >= 2)
-        val top = tk.select(col("f"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
-            .as("p"))
-          .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy("a", "b").agg(sum("f").as("cnt"))
-          .orderBy(desc("cnt"), asc("a"), asc("b"))
-          .limit(1).as[(String, String, Long)].head()
-        val (a, b, cnt) = top
-        merges += ((r.toLong, a, b, cnt))
-        val pat = s" $a $b "
-        val rep = s" $a$b "
-        def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
-        // per-round checkpoint: round r's pair count otherwise replays
-        // r−1 chained replaces and replans an ever-deeper tree (vocab-
-        // sized materialization, constant per-round planning instead)
-        cur = cur.withColumn("s", r1(r1(r1(col("s"))))).localCheckpoint()
-      }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", sessParts)
-      s.conf.set("spark.sql.adaptive.enabled", sessAqe)
+    for (r <- 1 to rounds) {
+      val tk = cur.select(col("f"), split(trim(col("s")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val top = tk.select(col("f"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS a, toks[i] AS b))"))
+          .as("p"))
+        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).as[(String, String, Long)].head()
+      val (a, b, cnt) = top
+      merges += ((r.toLong, a, b, cnt))
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      def r1(c: org.apache.spark.sql.Column) = replace(c, lit(pat), lit(rep))
+      // per-round checkpoint: round r's pair count otherwise replays
+      // r−1 chained replaces and replans an ever-deeper tree (vocab-
+      // sized materialization, constant per-round planning instead)
+      cur = cur.withColumn("s", r1(r1(r1(col("s"))))).localCheckpoint()
     }
-    (merges.toSeq, cur)
+    // cur is localCheckpoint'd — re-rooting back into the caller's session
+    // is free and keeps bpe_encode/tokenizer_fertility single-session
+    (merges.toSeq, LoopSession.adopt(cur, s))
   }
 
   private val bpeMerges = QueryDef(
