@@ -136,16 +136,16 @@ class ConcurrencyStressSpec extends SparkSpec {
         "a commit was lost or double-counted")
   }
 
-  test("50 copy-on-write schedules: racing append/delete/compact, exact end state") {
-    runStress("copy-on-write", rounds = 50, seed = 11)
+  test("copy-on-write schedules: racing append/delete/compact, exact end state") {
+    runStress("copy-on-write", rounds = graft.LoadTests.n(50, 8), seed = 11)
   }
 
-  test("50 merge-on-read schedules: racing append/delete/compact, exact end state") {
-    runStress("merge-on-read", rounds = 50, seed = 23)
+  test("merge-on-read schedules: racing append/delete/compact, exact end state") {
+    runStress("merge-on-read", rounds = graft.LoadTests.n(50, 8), seed = 23)
   }
 
-  test("50 equality-delete schedules: racing append/deleteEq/upsertEq/compact, exact end state") {
-    runStress("merge-on-read", rounds = 50, seed = 37, eq = true)
+  test("equality-delete schedules: racing append/deleteEq/upsertEq/compact, exact end state") {
+    runStress("merge-on-read", rounds = graft.LoadTests.n(50, 8), seed = 37, eq = true)
   }
 
   // ---------------------------------------------------------------------

@@ -11,7 +11,9 @@ import graft.SparkSpec
   * writer half lives in ConcurrencyStressSpec). A writer is killed at a
   * randomized point of the commit sequence — before the version file,
   * between the version file and the hint swap, or after the swap — across
-  * ≥100 schedules, and after every crash three invariants must hold:
+  * randomized schedules (full ≥100-schedule soak under
+  * SPARK_GRAFT_LOAD_TESTS=1; see graft.LoadTests), and after every crash
+  * three invariants must hold:
   *
   *   1. a fresh reader NEVER observes a torn table: the hint resolves, its
   *      metadata parses, every referenced data file exists, and the row
@@ -62,7 +64,8 @@ class CrashRecoverySpec extends SparkSpec {
     }
   }
 
-  test("100 randomized mid-commit kills: readers never torn, recovery automatic, orphans reclaimed") {
+  test("randomized mid-commit kills: readers never torn, recovery automatic, orphans reclaimed") {
+    val rounds = graft.LoadTests.n(100, 15)
     val loc = Files.createTempDirectory("crashrec").toString + "/t"
     val quarantineMs = 250L
     IceLite.createFrom(spark, loc, spark.range(0, 10).toDF("id"),
@@ -74,7 +77,7 @@ class CrashRecoverySpec extends SparkSpec {
     var nextKey = 1000L
     var tornCommits = 0
 
-    for (i <- 1 to 100) {
+    for (i <- 1 to rounds) {
       val at = Kill.values.toSeq(rng.nextInt(Kill.values.size))
       val keys = (nextKey until nextKey + 3).toSet
       nextKey += 3
@@ -107,12 +110,12 @@ class CrashRecoverySpec extends SparkSpec {
           s"iteration $i: recovery append lost rows")
       }
     }
-    assert(tornCommits >= 20, s"schedule mix too thin: only $tornCommits torn commits")
+    assert(tornCommits >= graft.LoadTests.n(20, 2), s"schedule mix too thin: only $tornCommits torn commits")
 
     // invariant 3: reclaim — every leaked file goes, nothing live goes
     val t = new IceLiteTable(spark, loc)
     val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1)
-    assert(removed.nonEmpty, "100 kills must have leaked at least one data file")
+    assert(removed.nonEmpty, s"$rounds kills must have leaked at least one data file")
     val live = t.meta.snapshots
       .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
       .map(IceLite.normPath).toSet
@@ -130,7 +133,8 @@ class CrashRecoverySpec extends SparkSpec {
       "reclaim changed the table contents")
   }
 
-  test("30 randomized kills mid delete-file rewrite: reads stay exact, recovery merges, leaks reclaimed") {
+  test("randomized kills mid delete-file rewrite: reads stay exact, recovery merges, leaks reclaimed") {
+    val rounds = graft.LoadTests.n(30, 6)
     val loc = Files.createTempDirectory("crashrw").toString + "/t"
     val quarantineMs = 250L
     IceLite.createFrom(spark, loc, spark.range(0, 2000).toDF("id"),
@@ -146,7 +150,7 @@ class CrashRecoverySpec extends SparkSpec {
     var expected = (0L until 2000L).toSet
     var nextVictim = 0L
     var tornCommits = 0
-    for (i <- 1 to 30) {
+    for (i <- 1 to rounds) {
       // keep >=2 position delete files on the table so the rewrite has
       // real work (a landed rewrite from a prior round merged them to 1)
       while (posFiles() <= 1) {
@@ -180,13 +184,13 @@ class CrashRecoverySpec extends SparkSpec {
           s"iteration $i: recovery rewrite changed content")
       }
     }
-    assert(tornCommits >= 5, s"schedule mix too thin: only $tornCommits torn commits")
+    assert(tornCommits >= graft.LoadTests.n(5, 1), s"schedule mix too thin: only $tornCommits torn commits")
 
     // reclaim: every merged-delete parquet a dead writer leaked goes;
     // nothing referenced by live history goes
     val t = new IceLiteTable(spark, loc)
     val removed = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1)
-    assert(removed.nonEmpty, "30 kills must have leaked at least one merged delete file")
+    assert(removed.nonEmpty, s"$rounds kills must have leaked at least one merged delete file")
     val live = t.meta.snapshots
       .flatMap(s => s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path))
       .map(IceLite.normPath).toSet

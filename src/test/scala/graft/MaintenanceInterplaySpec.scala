@@ -33,8 +33,8 @@ class MaintenanceInterplaySpec extends SparkSpec {
   private def readIds(t: IceLiteTable): Set[Long] =
     t.read().collect().map(_.getLong(0)).toSet
 
-  test("100 random eq-delete/compact/expire schedules replay serially at every snapshot") {
-    for (schedule <- 0 until 100) {
+  test("random eq-delete/compact/expire schedules replay serially at every snapshot") {
+    for (schedule <- 0 until graft.LoadTests.n(100, 6)) {
       val rnd = new scala.util.Random(1000 + schedule)
       val loc = Files.createTempDirectory(s"maint_$schedule").toString + "/t"
       val t = IceLite.create(spark, loc, Seq("id" -> "BIGINT"))
@@ -102,7 +102,7 @@ class MaintenanceInterplaySpec extends SparkSpec {
     // ever name two points (a mapped foreign id colliding with a live
     // native snapshot id would silently serve the wrong one).
     import graft.icelite.{TableMetadata => TM}
-    for (schedule <- 0 until 25) {
+    for (schedule <- 0 until graft.LoadTests.n(25, 3)) {
       val rnd = new scala.util.Random(9100 + schedule)
       val loc = Files.createTempDirectory(s"maint_fid_$schedule").toString
       val src = IceLite.create(spark, s"$loc/src", Seq("id" -> "BIGINT"))

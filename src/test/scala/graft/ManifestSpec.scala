@@ -27,7 +27,11 @@ class ManifestSpec extends graft.SparkSpec {
     IceLite.swapHintForward(t.store, new Path(t.location, s"metadata/${IceLite.HINT}"), v + 1)
   }
 
-  test("100k-file table: pruned read plans from manifest summaries, loading only surviving chunks") {
+  test("bulk-file table: pruned read plans from manifest summaries, loading only surviving chunks") {
+    // 100 partitions x `per` entries: 100k files under
+    // SPARK_GRAFT_LOAD_TESTS=1, a 10k-file smoke by default (same chunk
+    // geometry: 20 chunks, chunk j covers partitions [5j, 5j+5))
+    val per = graft.LoadTests.n(1000, 100)
     val loc = Files.createTempDirectory("manifests_100k").toString + "/t"
     val t0 = IceLite.create(spark, loc,
       Seq("id" -> "BIGINT", "k" -> "BIGINT"), partition = Seq("k" -> "identity"))
@@ -40,7 +44,7 @@ class ManifestSpec extends graft.SparkSpec {
     val dataDir = java.nio.file.Paths.get(s"$loc/data")
     val m0 = t0.meta
     val all: Seq[DataFile] = (0 until 100).flatMap { p =>
-      (0 until 1000).map { i =>
+      (0 until per).map { i =>
         val path =
           if (p == 7) {
             val tgt = dataDir.resolve(f"copy-$i%04d.parquet")
@@ -54,8 +58,8 @@ class ManifestSpec extends graft.SparkSpec {
           seq = 1)
       }
     }
-    // 20 chunks of 5000 entries: chunk j covers partitions [5j, 5j+5)
-    val refs = all.grouped(5000).map(g => t0.manifestIO.write(g, m0)).toSeq
+    // 20 chunks of 5*per entries: chunk j covers partitions [5j, 5j+5)
+    val refs = all.grouped(5 * per).map(g => t0.manifestIO.write(g, m0)).toSeq
     assert(refs.size == 20)
     forge(t0, new Snapshot(100L, m0.currentSnapshotId, System.currentTimeMillis(),
       "append", FileListing(refs, Seq(), t0.manifestIO), Seq(), m0.currentSchemaId))
@@ -71,7 +75,7 @@ class ManifestSpec extends graft.SparkSpec {
     // were never even parsed
     val t1 = IceLite.load(spark, loc)
     val got = t1.read(prune = p => p.get("k_identity").contains("7")).count()
-    assert(got == 10000L)
+    assert(got == 10L * per)
     assert(t1.manifestIO.readCount.get == 1,
       s"expected 1 chunk load, got ${t1.manifestIO.readCount.get}")
 
@@ -79,14 +83,14 @@ class ManifestSpec extends graft.SparkSpec {
     // chunk summaries without a load
     val t2 = IceLite.load(spark, loc)
     val got2 = t2.read(statFilters = Seq(Stats.Eq("k", 7L))).count()
-    assert(got2 == 10000L)
+    assert(got2 == 10L * per)
     assert(t2.manifestIO.readCount.get == 1,
       s"expected 1 chunk load via stat summaries, got ${t2.manifestIO.readCount.get}")
 
     // summary metadata serves counts without any chunk load
     val t3 = IceLite.load(spark, loc)
     val head = t3.meta.currentSnapshot.get
-    assert(head.files.fileCount == 100000L && head.totalRows == 1000000L)
+    assert(head.files.fileCount == 100L * per && head.totalRows == 1000L * per)
     assert(t3.manifestIO.readCount.get == 0, "counts must come from summaries")
   }
 

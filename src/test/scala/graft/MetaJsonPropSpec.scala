@@ -84,9 +84,10 @@ class MetaJsonPropSpec extends AnyFunSuite {
 
   test("toJson/fromJson roundtrip is identity for arbitrary metadata") {
     // no scalatest-scalacheck bridge in the offline deps → drive the
-    // generator directly over 300 deterministic seeds
+    // generator directly over deterministic seeds (full 300-seed soak
+    // under SPARK_GRAFT_LOAD_TESTS=1)
     val params = Gen.Parameters.default
-    (1 to 300).foreach { i =>
+    (1 to LoadTests.n(300, 40)).foreach { i =>
       val m = genMeta(params, Seed(i.toLong))
         .getOrElse(sys.error(s"gen failed at seed $i"))
       val back = MetaJson.fromJson(MetaJson.toJson(m))
@@ -98,7 +99,7 @@ class MetaJsonPropSpec extends AnyFunSuite {
     val conf = new org.apache.hadoop.conf.Configuration()
     val dir = java.nio.file.Files.createTempDirectory("codec_rt").toString
     val params = Gen.Parameters.default
-    (1 to 60).foreach { i =>
+    (1 to LoadTests.n(60, 10)).foreach { i =>
       val dfs = Gen.listOf(genDataFile).map(_.take(6))(params, Seed(i.toLong))
         .getOrElse(sys.error(s"gen failed at seed $i"))
       val dels = Gen.listOf(genDeleteFile).map(_.take(6))(params, Seed(1000L + i))
