@@ -967,9 +967,17 @@ object VectorOps {
             lit(0L), (acc, v) => acc + v).as("d"))
         .orderBy(asc("d"), asc("neighbor_id")).limit(50)
         .select(lit(0L).as("qid"), col("neighbor_id"))
+      // The IVF/LSH ground truth is the SAME brute-force top-k — compute it
+      // once (localCheckpoint to its report-sized ≤ |probes|·k rows) instead
+      // of inlining the corpus-scale kernel twice (guide §3.3). The five
+      // method/truth pipelines themselves stay LAZY in one composed plan:
+      // checkpointing each was tried and REVERTED — six eager sequential
+      // materialization jobs cost more than the optimizer time they save
+      // (isolated steady-state 1.5–1.9 s lazy vs 2.4–2.7 s checkpointed).
+      val truth3 = bruteTopk(e, probe3, 3).localCheckpoint()
       val truths =
-        tagged("ivf", bruteTopk(e, probe3, 3))
-          .unionAll(tagged("lsh", bruteTopk(e, probe3, 3)))
+        tagged("ivf", truth3)
+          .unionAll(tagged("lsh", truth3))
           .unionAll(pqTruth.select(lit("pq").as("method"), col("qid"), col("neighbor_id")))
       val found =
         tagged("ivf", ivfTopk(e, probe3, k = 3, nprobe = 6, codebookK = 16))
