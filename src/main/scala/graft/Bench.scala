@@ -32,6 +32,9 @@ object Bench {
     "window_rank", "cumulative_revenue", "order_topk", "pivot_agg",
     "percentiles", "skew_salted_agg", "pushdown_count", "json_bucket_agg",
     "variant_get", "dedup_exact", "minhash_dedup", "dedup_components",
+    // memo-PAYING queries (VERDICT r19 item 6): the closure/training cost
+    // the cheap memo consumers above don't show must be driver-visible
+    "dedup_cluster_stats", "bpe_merges",
     "cosine_topk", "ann_ivf_topk", "curation_pipeline", "doc_fingerprint",
     "token_counts", "multimodal_binary_meta", "icelite_append_read",
     "icelite_delete_mor", "icelite_merge", "icelite_compaction",
