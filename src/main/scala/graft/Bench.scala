@@ -93,6 +93,20 @@ object Bench {
       // deployments replace the committer wholesale anyway.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "graft.icelite.NioLocalFs")
+      // streaming offset/commit WALs through the FileSystem API (and thus
+      // NioLocalFs above) instead of the default FileContext manager, whose
+      // local AbstractFileSystem forks a chmod per created WAL file — the
+      // same fork NioLocalFs removes from the data path. Rename-on-commit
+      // atomicity is preserved (RenameBasedFSDataOutputStream either way).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      // checksum sidecars off: they DOUBLE the file creations per epoch
+      // (one .checksum per WAL file — a fixed per-epoch tax on any store)
+      // to guard tiny single-fsync files whose rename-based commit already
+      // fails loudly on a torn write; deployments on stores with silent
+      // corruption can re-enable per session. StreamingSpec's restart /
+      // exactly-once cases run under this exact configuration.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // fork-free local-FS permissions (see NioLocalFs scaladoc): without
       // libhadoop every local mkdirs/create forks a chmod process
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")

@@ -21,6 +21,11 @@ object Verify {
       // the bench times
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "graft.icelite.NioLocalFs")
+      // streaming WALs through the FileSystem API / NioLocalFs, checksum
+      // sidecars off — engine parity with Bench (see comments there)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // fork-free local-FS permissions (see NioLocalFs scaladoc): without
       // libhadoop every local mkdirs/create forks a chmod process
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")

@@ -18,6 +18,13 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.icelite.connector.IceLiteExtensions")
+      // same streaming-WAL manager as the Bench/Verify engine sessions, so
+      // StreamingSpec's restart/exactly-once cases cover the configuration
+      // the engine actually runs (FileSystem API instead of FileContext;
+      // no checksum sidecars)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // saveAsTable targets (BucketingSpec) must not land in the repo cwd
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_spark_wh").toString)
