@@ -140,8 +140,12 @@ object Bench {
     // iterating; the sf1 mode defaults to the 5 heavies
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY")
+        // "all" runs the FULL registry even in sf1 mode (the full-registry
+        // 10x scale artifact), overriding the heavies default below
+        .filter(_.trim != "all")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .orElse(if (sf1Mode) Some(sf1Heavies.toSet) else None)
+        .orElse(if (sf1Mode && !sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim == "all"))
+          Some(sf1Heavies.toSet) else None)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // two full interleaved passes; per-query min. The session-level dedup
