@@ -130,8 +130,10 @@ object SketchOps {
 
   /** X50 mergeable quantile estimation from a deterministic bottom-k
     * sample — the quantile sibling of the KMV distinct sketch. The k=256
-    * rows whose md5(primary key) sorts first are a uniform random sample
-    * of lineitem (md5 is a fixed permutation of the key space), and
+    * rows whose (md5(order key, line number), cents) sorts first are a
+    * uniform random sample of lineitem (md5 is a fixed permutation of the
+    * key space; the cents tiebreak covers this data's duplicate key
+    * pairs — see the comment at the sample), and
     * bottom-k-by-hash is MERGEABLE: the bottom-k of a union is the
     * bottom-k of the per-partition bottom-ks, so at 100 TB this plans as
     * TakeOrderedAndProject — each partition keeps 256 rows, the driver
@@ -156,7 +158,14 @@ object SketchOps {
           round(col("l_extendedprice") * 100d).cast("long").as("cents"),
           md5(concat_ws(":", col("l_orderkey").cast("string"),
             col("l_linenumber").cast("string"))).as("h"))
-      val sample = li.orderBy("h").limit(k) // TakeOrderedAndProject: O(k) driver
+      // (h, cents) ordering, not h alone: (l_orderkey, l_linenumber) is NOT
+      // unique in this data (~20% duplicate pairs at every SF), so h has
+      // ties — when the bottom-k boundary lands inside a tie group whose
+      // members carry different prices, "ORDER BY h LIMIT k" lets each
+      // engine keep an arbitrary member (caught as an oracle mismatch at
+      // sf0.001). The cents tiebreak makes the sample a total order, so
+      // both engines keep the identical k rows at every SF.
+      val sample = li.orderBy("h", "cents").limit(k) // TakeOrderedAndProject: O(k) driver
       val ranked = sample.withColumn("rk",
         row_number().over(Window.orderBy(col("cents"), col("h"))).cast("long"))
       val pcts = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
@@ -169,7 +178,7 @@ object SketchOps {
     Some("""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
                    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
                  FROM lineitem),
-            smp AS (SELECT cents, h FROM li ORDER BY h LIMIT 256),
+            smp AS (SELECT cents, h FROM li ORDER BY h, cents LIMIT 256),
             rk AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, h) AS BIGINT) AS rk
                    FROM smp),
             p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
@@ -207,8 +216,11 @@ object SketchOps {
           round(col("l_extendedprice") * 100d).cast("long").as("cents"),
           md5(concat_ws(":", col("l_orderkey").cast("string"),
             col("l_linenumber").cast("string"))).as("h"))
+      // same (h, cents) total order as quantile_sketch: h alone has ties
+      // (duplicate (l_orderkey, l_linenumber) pairs in the data), and the
+      // per-group k-boundary must not pick arbitrary tie members
       val sample = li.withColumn("hr",
-          row_number().over(Window.partitionBy("grp").orderBy("h")).cast("long"))
+          row_number().over(Window.partitionBy("grp").orderBy("h", "cents")).cast("long"))
         .filter(col("hr") <= k)
       val ranked = sample.withColumn("rk",
         row_number().over(Window.partitionBy("grp").orderBy(col("cents"), col("h")))
@@ -224,7 +236,7 @@ object SketchOps {
                    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
                  FROM lineitem),
             smp AS (SELECT grp, cents, h FROM (
-                   SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS hr
+                   SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h, cents) AS hr
                    FROM li) WHERE hr <= 128),
             rk AS (SELECT grp, cents,
                           CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, h) AS BIGINT) AS rk

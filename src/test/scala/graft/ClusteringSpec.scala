@@ -87,6 +87,33 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("quantile_sketch tie handling: exact vs an independent (h, cents) total-order recompute") {
+    // (l_orderkey, l_linenumber) is NOT unique in this testdata, so the
+    // bottom-k hash sample has md5 ties; at sf0.001 a tie group with
+    // DIFFERENT prices straddles the k=256 boundary (this is the exact
+    // configuration that produced an engine-arbitrary sample before the
+    // (h, cents) tiebreak). Pin: the query equals a from-scratch SQL
+    // recompute using the total order, and the tie actually exists.
+    val li = Tables.lineitem(spark, sf).select(
+      round(col("l_extendedprice") * 100d).cast("long").as("cents"),
+      md5(concat_ws(":", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))).as("h"))
+    val dupHs = li.groupBy("h").agg(countDistinct("cents").as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(dupHs > 0, "fixture lost its duplicate-key md5 ties; test is vacuous")
+    li.createOrReplaceTempView("qs_li")
+    val expected = spark.sql(
+      """WITH smp AS (SELECT cents, h FROM qs_li ORDER BY h, cents LIMIT 256),
+         rk AS (SELECT cents, row_number() OVER (ORDER BY cents, h) AS rk FROM smp),
+         p AS (SELECT explode(array(50L, 90L, 99L)) AS pct)
+         SELECT p.pct, r.cents AS est_cents
+         FROM p JOIN rk r ON r.rk = (p.pct * 255) div 100 + 1
+         ORDER BY pct""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Registry.queries("quantile_sketch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"sample tie handling drifted: $got vs $expected")
+  }
+
   test("triangle_count equals the naive all-triples count") {
     val row = Registry.queries("triangle_count")(spark, sf).collect().head
     val tri = row.getAs[Long]("n_triangles")
